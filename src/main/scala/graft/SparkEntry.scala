@@ -1,13 +1,685 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.GraftSession
+import graft.functions.{DedupFunctions => D, TextFunctions => T, VectorFunctions => V}
+import graft.operators.{RangeJoin, Upsert, WindowOps}
+import graft.release.Filters
+import graft.rules.{Rules, RowRule}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry drives one operator from SURVEY.md §2 (the name
+  * prefix is the inventory id) against the harness parquet tables; the
+  * matching `oracleSql` entry is the DuckDB-equivalent SQL.
+  *
+  * Determinism rules used throughout (the driver hash-compares values):
+  *  - fractional SUMs go through DECIMAL so partial-agg order can't
+  *    change the result; final cast back to double;
+  *  - per-row double arithmetic is written with the exact same operation
+  *    order in both engines (IEEE-deterministic);
+  *  - every LIMIT sits on a total order with a unique tie-break;
+  *  - array folds (cosine) are sequential left-to-right in both engines.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** events with an epoch-millis column; ts arrives as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) or as a timestamp.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val tsMs =
+      if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000000")
+      else unix_millis(col("ts"))
+    e.withColumn("ts_ms", tsMs)
+  }
+
+  /** sum(decimal-cast) → double: order-insensitive exact fractional sum */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Query implementations
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- headline TPC-H-ish analytics -------------------
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("sum_disc_price"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+
+    "q3_top_unshipped" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(dsum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---------------- S: scans / sinks ------------------------------
+    "s1_scan_pushdown" -> ((s, dir) => {
+      // projection + predicate must reach the parquet scan
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.06 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    "s2_pair_join" -> ((s, dir) => {
+      // clinical sample×patient pair analog: fact ⋈ broadcast dim
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+    }),
+
+    "s12_upsert_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val incoming = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      val existing = o.filter(col("o_orderkey") % 2 =!= 0)
+      val d = Upsert.diff(incoming, existing, Seq("o_orderkey"))
+      d.appends.agg(count(lit(1)).as("n")).select(lit("append").as("kind"), col("n"))
+        .unionByName(d.updates.agg(count(lit(1)).as("n")).select(lit("update").as("kind"), col("n")))
+        .unionByName(d.deletes.agg(count(lit(1)).as("n")).select(lit("delete").as("kind"), col("n")))
+    }),
+
+    // ---------------- P: validation rule battery ---------------------
+    "p_battery_orders" -> ((s, dir) => {
+      val key = col("o_orderkey")
+      val rules = Seq(
+        RowRule("status_domain", "error",
+          Rules.domain(col("o_orderstatus"), Seq("O", "F", "P")), key, ""),
+        RowRule("price_positive", "error",
+          col("o_totalprice").isNull || col("o_totalprice") <= 0, key, ""),
+        RowRule("priority_format", "error",
+          !col("o_orderpriority").rlike("^[1-5]-"), key, ""),
+        RowRule("date_in_range", "warning",
+          year(col("o_orderdate")) > 1998, key, "")
+      )
+      Rules.Battery.asDataFrame(t(s, dir, "orders"), rules)
+    }),
+
+    "p5_identifier_check" -> ((s, dir) => {
+      // GENIE-ID-style prefix/length validation over document sources
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          sum(when(Rules.badIdentifier(col("source"), "src", 20), 1L).otherwise(0L)).as("n_bad"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "p12_median_check" -> ((s, dir) => {
+      // AGE median heuristic analog (clinical.py:933-965)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(median(col("l_quantity")), 2).as("med_qty"), count(lit(1)).as("n"))
+    }),
+
+    "p14_duplicate_keys" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 1)
+    }),
+
+    // ---------------- J: joins --------------------------------------
+    "j3_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    "j4_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "j6_range_join_binned" -> ((s, dir) => {
+      // genomic-interval-join analog over price bands, binned equi-join path
+      val bands = t(s, dir, "part").groupBy("p_brand")
+        .agg(min("p_retailprice").as("lo"), max("p_retailprice").as("hi"))
+        .withColumn("g", lit(1))
+      val points = t(s, dir, "lineitem")
+        .withColumn("unit_price", col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0)))
+        .withColumn("g", lit(1))
+        .select("g", "l_orderkey", "l_linenumber", "unit_price")
+      RangeJoin.binnedOverlap(
+        points.withColumn("p_end", col("unit_price")),
+        bands, "g", "unit_price", "p_end", "lo", "hi", binSize = 200L)
+        .groupBy("p_brand").agg(count(lit(1)).as("n_in_band"))
+    }),
+
+    "j8_release_diff" -> ((s, dir) => {
+      // current-vs-prior release count diff (dashboard_table_updater.py:429-461)
+      val o = t(s, dir, "orders")
+      val prior = o.filter(year(col("o_orderdate")) <= 1996)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_prior"))
+      val cur = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n_cur"))
+      cur.join(prior, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+          coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+          (coalesce(col("n_cur"), lit(0L)) - coalesce(col("n_prior"), lit(0L))).as("diff"))
+    }),
+
+    // ---------------- A: aggregations --------------------------------
+    "a2_rollup_total" -> ((s, dir) => {
+      // per-CENTER counts + Total row (dashboard_table_updater.py:127-175)
+      t(s, dir, "orders")
+        .rollup("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("Total")).as("o_orderstatus"), col("n"))
+    }),
+
+    "a3_crosstab_pivot" -> ((s, dir) => {
+      // ONCOTREE_CODE × CENTER crosstab analog (source × lang)
+      t(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+    }),
+
+    "a4_completeness" -> ((s, dir) => {
+      // per-column completeness % (dashboard_table_updater.py:16-50)
+      events(s, dir).groupBy("event_type").agg(
+        round(avg(when(col("value").isNotNull && col("value") > 0, 1.0).otherwise(0.0)), 6).as("value_complete"),
+        round(avg(when(col("props").isNotNull && col("props") =!= "", 1.0).otherwise(0.0)), 6).as("props_complete"),
+        count(lit(1)).as("n"))
+    }),
+
+    "a6_bool_aggregates" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        count(lit(1)).as("n"))
+    }),
+
+    "a10_value_decrease" -> ((s, dir) => {
+      // release-over-release value_counts decrease check
+      val e = events(s, dir)
+      val old = e.filter(col("event_id") % 2 === 0).groupBy("event_type").agg(count(lit(1)).as("n_old"))
+      val neu = e.groupBy("event_type").agg(count(lit(1)).as("n_new"))
+      neu.join(old, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          (coalesce(col("n_new"), lit(0L)) < coalesce(col("n_old"), lit(0L))).as("decreased"))
+    }),
+
+    // ---------------- W: windows -------------------------------------
+    "w1_adjacent_deltas" -> ((s, dir) => {
+      // mutation-in-cis adjacent-variant deltas (W1) over the event stream
+      val e = events(s, dir).select("user_id", "event_id", "ts_ms", "value")
+      WindowOps.adjacentDeltas(e, Seq("user_id"), Seq("ts_ms", "event_id"), Seq("ts_ms", "value"))
+        .filter(col("ts_ms_prev").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("ts_ms_delta").as("gap_ms"),
+          round(col("value_delta"), 4).as("value_delta"))
+    }),
+
+    "w2_latest_per_group" -> ((s, dir) => {
+      WindowOps.latestPerGroup(events(s, dir), Seq("user_id"), Seq("ts_ms", "event_id"))
+        .select("user_id", "event_id", "ts_ms", "event_type")
+    }),
+
+    // ---------------- O: sort / top-k --------------------------------
+    "o4_topk" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey").agg(dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("total_bal").desc, col("c_nationkey").asc)
+        .limit(15)
+    }),
+
+    // ---------------- U: set ops -------------------------------------
+    "u1_union_except" -> ((s, dir) => {
+      val big   = t(s, dir, "orders").filter(col("o_totalprice") > 150000).select("o_orderkey")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val both  = big.union(urgent).distinct()
+      val onlyBig = big.except(urgent)
+      both.agg(count(lit(1)).as("n")).select(lit("union_distinct").as("set_op"), col("n"))
+        .unionByName(onlyBig.agg(count(lit(1)).as("n")).select(lit("except").as("set_op"), col("n")))
+        .unionByName(big.intersect(urgent).agg(count(lit(1)).as("n")).select(lit("intersect").as("set_op"), col("n")))
+    }),
+
+    // ---------------- F: release filters ------------------------------
+    "f1_germline_greatest" -> ((s, dir) => {
+      // gnomAD-max filter analog: row-wise greatest over rate columns
+      val l = t(s, dir, "lineitem")
+      l.filter(Filters.germlineKeep(
+          Seq(col("l_discount"), col("l_tax")), 0.05, col("l_returnflag") === "A"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_kept"))
+    }),
+
+    "f7_redaction" -> ((s, dir) => {
+      // PHI-redaction when-chain + day→year conversion on synthetic ages
+      t(s, dir, "customer")
+        .withColumn("age_days",
+          when(col("c_custkey") % 11 === 0, lit(">32485"))
+            .when(col("c_custkey") % 13 === 0, lit("<6570"))
+            .otherwise((col("c_custkey") % 20000 + 6600).cast("string")))
+        .select(col("c_custkey"),
+          Filters.daysToYears(col("age_days")).as("age_years"),
+          Filters.redactAge(col("age_days")).as("age_redacted"))
+    }),
+
+    // ---------------- dedup -------------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+    }),
+
+    "dedup_minhash_sig" -> ((s, dir) => {
+      // portable md5-based minhash over unigram tokens; k=4 components
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        D.minhashSignature(array_distinct(T.tokens(lower(col("text")))), 4).as("sig"))
+        .select(col("doc_id"),
+          col("sig").getItem(0).as("mh0"), col("sig").getItem(1).as("mh1"),
+          col("sig").getItem(2).as("mh2"), col("sig").getItem(3).as("mh3"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // 3-gram Jaccard for adjacent doc pairs (deterministic candidate set)
+      val d  = t(s, dir, "documents")
+      val sh = d.select(col("doc_id"), T.shingles(col("text"), 3).as("sh"))
+      val a  = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b  = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), round(D.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    }),
+
+    // ---------------- text analysis ----------------------------------
+    "text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.qualityScore(col("text")).as("quality"),
+        T.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), T.langId(col("text")).as("lang_pred"))
+    }),
+
+    // ---------------- similarity search ------------------------------
+    "sim_pair_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      b.join(broadcast(a), col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 25)
+        .select(col("id_a"), col("id_b"), round(V.cosine(col("vec_a"), col("vec_b")), 6).as("cos"))
+    }),
+
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      V.bruteForceTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 5)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
+    // ---------------- multimodal plumbing ----------------------------
+    "mm_binary_meta" -> ((s, dir) => {
+      // opaque binary column + deterministic fake decode (see
+      // graft.multimodal — the real decode is stubbed, the plumbing real)
+      t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          (octet_length(col("payload")) % 64 + 1).as("fake_width"),
+          (octet_length(col("payload")) % 7 + 1).as("fake_frames"))
+    })
+  )
+
+  // =====================================================================
+  // DuckDB oracles (same column names, same determinism discipline)
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = {
+    val revExpr = "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE)"
+    Map(
+      "q1_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+           $revExpr AS sum_disc_price,
+           COUNT(*) AS n_rows
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+      "q3_top_unshipped" ->
+        s"""SELECT o_orderkey, $revExpr AS revenue
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderkey
+           ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+
+      "q5_nation_revenue" ->
+        s"""SELECT r_name, n_name, $revExpr AS revenue, COUNT(*) AS n_items
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name""",
+
+      "s1_scan_pushdown" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           FROM lineitem WHERE l_discount > 0.06 AND l_quantity < 10""",
+
+      "s2_pair_join" ->
+        """SELECT c_custkey, c_name, n_name
+           FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+
+      "s12_upsert_diff" ->
+        """WITH inc AS (
+             SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS v
+             FROM orders WHERE o_orderkey % 3 <> 0),
+           ex AS (SELECT o_orderkey, o_totalprice AS v FROM orders WHERE o_orderkey % 2 <> 0)
+           SELECT 'append' AS kind, COUNT(*) AS n FROM inc
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ex)
+           UNION ALL
+           SELECT 'update' AS kind, COUNT(*) AS n FROM inc JOIN ex USING (o_orderkey)
+             WHERE inc.v IS DISTINCT FROM ex.v
+           UNION ALL
+           SELECT 'delete' AS kind, COUNT(*) AS n FROM ex
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)""",
+
+      "p_battery_orders" ->
+        """SELECT 'status_domain' AS rule, 'error' AS severity,
+                  COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS n_violations,
+                  MIN(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN CAST(o_orderkey AS VARCHAR) END) AS example
+           FROM orders
+           UNION ALL
+           SELECT 'price_positive', 'error',
+                  COUNT(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END),
+                  MIN(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN CAST(o_orderkey AS VARCHAR) END)
+           FROM orders
+           UNION ALL
+           SELECT 'priority_format', 'error',
+                  COUNT(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END),
+                  MIN(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN CAST(o_orderkey AS VARCHAR) END)
+           FROM orders
+           UNION ALL
+           SELECT 'date_in_range', 'warning',
+                  COUNT(CASE WHEN year(o_orderdate) > 1998 THEN 1 END),
+                  MIN(CASE WHEN year(o_orderdate) > 1998 THEN CAST(o_orderkey AS VARCHAR) END)
+           FROM orders""",
+
+      "p5_identifier_check" ->
+        """SELECT source,
+                  COUNT(CASE WHEN source IS NULL OR NOT starts_with(source, 'src')
+                             OR length(source) >= 20 THEN 1 END) AS n_bad,
+                  COUNT(*) AS n_rows
+           FROM documents GROUP BY source""",
+
+      "p12_median_check" ->
+        """SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 2) AS med_qty, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag""",
+
+      "p14_duplicate_keys" ->
+        """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+           GROUP BY o_custkey HAVING COUNT(*) > 1""",
+
+      "j3_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+
+      "j4_semi_join" ->
+        """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+           GROUP BY c_nationkey""",
+
+      "j6_range_join_binned" ->
+        """WITH bands AS (
+             SELECT p_brand, MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+             FROM part GROUP BY p_brand),
+           points AS (
+             SELECT l_orderkey, l_linenumber,
+                    l_extendedprice / greatest(l_quantity, 1.0) AS unit_price
+             FROM lineitem)
+           SELECT p_brand, COUNT(*) AS n_in_band
+           FROM points JOIN bands ON unit_price >= lo AND unit_price <= hi
+           GROUP BY p_brand""",
+
+      "j8_release_diff" ->
+        """WITH prior AS (
+             SELECT o_orderpriority, COUNT(*) AS n_prior FROM orders
+             WHERE year(o_orderdate) <= 1996 GROUP BY o_orderpriority),
+           cur AS (SELECT o_orderpriority, COUNT(*) AS n_cur FROM orders GROUP BY o_orderpriority)
+           SELECT COALESCE(cur.o_orderpriority, prior.o_orderpriority) AS o_orderpriority,
+                  COALESCE(n_cur, 0) AS n_cur, COALESCE(n_prior, 0) AS n_prior,
+                  COALESCE(n_cur, 0) - COALESCE(n_prior, 0) AS diff
+           FROM cur FULL OUTER JOIN prior USING (o_orderpriority)""",
+
+      "a2_rollup_total" ->
+        """SELECT COALESCE(o_orderstatus, 'Total') AS o_orderstatus, COUNT(*) AS n
+           FROM orders GROUP BY ROLLUP(o_orderstatus)""",
+
+      "a3_crosstab_pivot" ->
+        """SELECT source,
+                  COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+                  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+                  COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+                  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+                  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+           FROM documents GROUP BY source""",
+
+      "a4_completeness" ->
+        """SELECT event_type,
+                  ROUND(AVG(CASE WHEN value IS NOT NULL AND value > 0 THEN 1.0 ELSE 0.0 END), 6) AS value_complete,
+                  ROUND(AVG(CASE WHEN props IS NOT NULL AND props <> '' THEN 1.0 ELSE 0.0 END), 6) AS props_complete,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type""",
+
+      "a6_bool_aggregates" ->
+        """SELECT l_returnflag, BOOL_AND(l_quantity > 0) AS all_qty_pos,
+                  BOOL_OR(l_discount > 0.09) AS any_deep_discount, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag""",
+
+      "a10_value_decrease" ->
+        """WITH old AS (
+             SELECT event_type, COUNT(*) AS n_old FROM events
+             WHERE event_id % 2 = 0 GROUP BY event_type),
+           neu AS (SELECT event_type, COUNT(*) AS n_new FROM events GROUP BY event_type)
+           SELECT COALESCE(neu.event_type, old.event_type) AS event_type,
+                  COALESCE(n_new, 0) AS n_new, COALESCE(n_old, 0) AS n_old,
+                  COALESCE(n_new, 0) < COALESCE(n_old, 0) AS decreased
+           FROM neu FULL OUTER JOIN old USING (event_type)""",
+
+      "w1_adjacent_deltas" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
+           SELECT user_id, event_id,
+                  ts_ms - LAG(ts_ms) OVER w AS gap_ms,
+                  ROUND(value - LAG(value) OVER w, 4) AS value_delta
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           QUALIFY LAG(ts_ms) OVER w IS NOT NULL""",
+
+      "w2_latest_per_group" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events)
+           SELECT user_id, event_id, ts_ms, event_type FROM e
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) = 1""",
+
+      "o4_topk" ->
+        """SELECT c_nationkey, CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+           FROM customer GROUP BY c_nationkey
+           ORDER BY total_bal DESC, c_nationkey ASC LIMIT 15""",
+
+      "u1_union_except" ->
+        """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+                urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+           SELECT 'union_distinct' AS set_op, COUNT(*) AS n
+             FROM (SELECT DISTINCT o_orderkey FROM (SELECT * FROM big UNION ALL SELECT * FROM urgent))
+           UNION ALL
+           SELECT 'except' AS set_op, COUNT(*) AS n
+             FROM (SELECT o_orderkey FROM big EXCEPT SELECT o_orderkey FROM urgent)
+           UNION ALL
+           SELECT 'intersect' AS set_op, COUNT(*) AS n
+             FROM (SELECT o_orderkey FROM big INTERSECT SELECT o_orderkey FROM urgent)""",
+
+      "f1_germline_greatest" ->
+        """SELECT l_returnflag, COUNT(*) AS n_kept FROM lineitem
+           WHERE l_returnflag = 'A'
+              OR COALESCE(GREATEST(l_discount, l_tax), 0.0) <= 0.05
+           GROUP BY l_returnflag""",
+
+      "f7_redaction" ->
+        """WITH aged AS (
+             SELECT c_custkey,
+                    CASE WHEN c_custkey % 11 = 0 THEN '>32485'
+                         WHEN c_custkey % 13 = 0 THEN '<6570'
+                         ELSE CAST(c_custkey % 20000 + 6600 AS VARCHAR) END AS age_days
+             FROM customer)
+           SELECT c_custkey,
+                  CASE WHEN age_days = '>32485' THEN '>89'
+                       WHEN age_days = '<6570' THEN '<18'
+                       WHEN regexp_matches(age_days, '^-?\d+$')
+                         THEN CAST(CAST(FLOOR(CAST(age_days AS DOUBLE) / 365.25) AS BIGINT) AS VARCHAR)
+                       ELSE age_days END AS age_years,
+                  CASE WHEN age_days IS NULL THEN NULL
+                       WHEN starts_with(age_days, '>') THEN 'cannotReleaseHIPAA'
+                       WHEN starts_with(age_days, '<') THEN 'withheld'
+                       ELSE age_days END AS age_redacted
+           FROM aged""",
+
+      "dedup_exact" ->
+        """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+           FROM documents GROUP BY lang""",
+
+      "dedup_minhash_sig" -> {
+        def mh(i: Int) =
+          s"list_aggregate(list_transform(toks, t -> md5('$i:' || t)), 'min') AS mh$i"
+        s"""WITH tok AS (
+             SELECT doc_id,
+                    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+             FROM documents)
+           SELECT doc_id, ${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)} FROM tok"""
+      },
+
+      "dedup_ngram_jaccard" ->
+        """WITH sh AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 3 THEN
+                      list_distinct(list_transform(range(0, len(toks) - 2),
+                        i -> array_to_string(toks[i+1:i+3], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                   FROM documents))
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  ROUND(CASE WHEN len(list_distinct(a.shingles || b.shingles)) = 0 THEN 1.0
+                        ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                             / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) END, 6) AS jaccard
+           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
+      "text_stats" ->
+        """SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                  ROUND(
+                    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                    + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                      / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 0.4
+                    + CASE WHEN CAST(length(text) AS DOUBLE)
+                                / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+                                BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality,
+                  md5(array_to_string(list_sort(list_distinct(
+                    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+           FROM documents""",
+
+      "text_langid" ->
+        """WITH sc AS (
+             SELECT doc_id, lang,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             FROM documents),
+           hits AS (
+             SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','a','that'))) AS h_en,
+               len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','una'))) AS h_es,
+               len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','un','une'))) AS h_fr,
+               len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','mit','ein'))) AS h_de
+             FROM sc)
+           SELECT doc_id, lang,
+                  CASE WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                       WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de) THEN 'fr'
+                       WHEN h_es = GREATEST(h_en, h_es, h_fr, h_de) THEN 'es'
+                       WHEN h_en = GREATEST(h_en, h_es, h_fr, h_de) THEN 'en'
+                       ELSE 'de' END AS lang_pred
+           FROM hits""",
+
+      "sim_pair_cosine" ->
+        """WITH a AS (SELECT vec_id AS id_a, embedding AS vec_a FROM embeddings WHERE vec_id % 25 = 0),
+                b AS (SELECT vec_id AS id_b, embedding AS vec_b FROM embeddings)
+           SELECT id_a, id_b,
+                  ROUND(
+                    list_sum(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE))))), 6) AS cos
+           FROM b JOIN a ON id_b > id_a AND id_b <= id_a + 25""",
+
+      "sim_topk_bruteforce" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+                c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))) AS score
+             FROM q JOIN c ON q_id <> c_id)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 5""",
+
+      "mm_binary_meta" ->
+        """SELECT doc_id, strlen(text) AS n_bytes,
+                  strlen(text) % 64 + 1 AS fake_width,
+                  strlen(text) % 7 + 1 AS fake_frames
+           FROM documents"""
+    )
+  }
 }

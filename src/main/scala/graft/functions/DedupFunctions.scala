@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for corpus-scale pipelines.
+  *
+  * Design for 100 TB:
+  *  - signatures (minhash / simhash / fingerprint) are pure per-row
+  *    `Column` expressions → computed inside whole-stage codegen during
+  *    the scan, no shuffle;
+  *  - candidate generation is an equi-join on band buckets (shuffle on a
+  *    short hash key, heavily reduced data) — never an O(n²) cross join;
+  *  - exact verification runs only on bucket collisions.
+  *
+  * Hashes are md5-based (not Spark's murmur3) so oracles in other
+  * engines can reproduce signatures bit-for-bit.
+  */
+object DedupFunctions {
+
+  /** One minhash component: min over `elems` of md5(seed || elem).
+    * Lexicographic min over hex strings is a perfectly good min-wise
+    * hash; md5 keeps it engine-portable.
+    */
+  def minhashComponent(elems: Column, seed: Int): Column =
+    array_min(transform(elems, e => md5(concat(lit(seed.toString + ":"), e))))
+
+  /** k-component minhash signature over a token/shingle array. */
+  def minhashSignature(elems: Column, k: Int): Column =
+    array((0 until k).map(minhashComponent(elems, _)): _*)
+
+  /** LSH band key: md5 over one band (rows per band) of the signature,
+    * prefixed with the band id. Equal band key ⇒ candidate pair.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat(lit(s"band$b:"), array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")))
+    }: _*)
+
+  /** SimHash over a token array, `bits` wide (≤ 30).
+    * Bit i votes +1 when nibble/bit i of md5(token) is set, −1 otherwise;
+    * the sign of the per-bit sum is the fingerprint bit. Uses the first
+    * `bits` binary digits of the md5's leading 8 hex chars.
+    */
+  def simhash(elems: Column, bits: Int): Column = {
+    require(bits <= 30, "simhash bits must fit an int")
+    val hashed = transform(array_distinct(elems), e => conv(substring(md5(e), 1, 8), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { i =>
+      val vote = aggregate(
+        hashed,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+      )
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two string arrays (exact, set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_union(a, b)).cast("double")
+    when(uni === 0d, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Exact-dup groups: one row per duplicate content key with members.
+    * groupBy on md5(content) — the canonical scalable exact dedup (the
+    * full text never shuffles, only its 128-bit digest + ids).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol), md5(col(contentCol)).as("content_key"))
+      .groupBy("content_key")
+      .agg(count(col(idCol)).as("n_dups"), sort_array(collect_list(col(idCol))).as("members"))
+      .filter(col("n_dups") > 1)
+
+  /** MinHash-LSH candidate pairs: signature → band keys → explode →
+    * self-join on band bucket → distinct (small_id, big_id) pairs.
+    * Shuffle is on the 32-char band key only.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, elemsCol: Column,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig  = df.select(col(idCol).as("id"), minhashSignature(elemsCol, k).as("sig"))
+    val keys = sig.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
+    keys.as("a")
+      .join(keys.as("b"), Seq("band_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines.
+  *
+  * All of these are pure Catalyst `Column` expressions (codegen'd,
+  * whole-stage-friendly, no UDFs) so they survive a 100 TB scan: the
+  * work is per-row, embarrassingly parallel, and never forces a shuffle.
+  *
+  * Reference analog: the rule/string library of the Genie pipeline
+  * (process_functions.py:183-324, transform.py:11-29) generalized to
+  * document-corpus operations.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; trim first so no empty edge tokens. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text))
+
+  /** BPE-ish subword count: word-chars runs, digits, and punctuation
+    * each count as a token (a cheap proxy for byte-pair encoding used
+    * to budget LLM training tokens without a vocab file).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword sets per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny + deterministic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "ein")
+  )
+
+  /** Fraction of tokens that are in `words` (case-insensitive). */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isInCollection(words)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Language-ID: argmax over per-language stopword hit counts;
+    * "und" (undetermined) when nothing matches.
+    * One pass over the token array per language — still pure columns.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isInCollection(words))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, alpha ratio and
+    * word-length sanity — the usual cheap pre-filters before expensive
+    * dedup/teacher scoring at corpus scale.
+    */
+  def qualityScore(text: Column): Column = {
+    val len       = length(text).cast("double")
+    val lenScore  = least(len / lit(500.0), lit(1.0))
+    val alpha     = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
+      greatest(len, lit(1.0))
+    val nTok      = tokenCount(text).cast("double")
+    val avgWord   = len / greatest(nTok, lit(1.0))
+    val wordScore = when(avgWord.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round((lenScore * lit(0.4) + alpha * lit(0.4) + wordScore * lit(0.2)), 6)
+  }
+
+  /** Content-defined document fingerprint: md5 over the sorted distinct
+    * token set. Identical modulo token order/multiplicity — the standard
+    * "bag fingerprint" for clustering boilerplate variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+
+  /** Word n-gram (shingle) array, space-joined shingles of size n. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val idx  = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) >= n,
+      array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    ).otherwise(array(array_join(toks, " ")))
+  }
+}

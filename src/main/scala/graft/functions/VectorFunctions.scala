@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding / similarity-search primitives over `array<float>` columns.
+  *
+  * Numeric discipline: every fold is a *sequential left-to-right*
+  * `aggregate` over the array in DOUBLE, so results are bit-reproducible
+  * across engines that fold the same way (the DuckDB oracles use the
+  * same element order). No UDFs — all Catalyst expressions.
+  *
+  * Scale path: brute-force top-k is O(n·m) dot products but shuffle-free
+  * when the query side is broadcast; the LSH/IVF variant buckets vectors
+  * by sign-pattern so the join is an equi-join on the bucket key.
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product of two equal-length float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-pattern bucket over the first `m` dimensions — a 1-bit-per-dim
+    * random-hyperplane LSH with axis-aligned planes. Vectors in the same
+    * bucket are cosine-close candidates; used to turn ANN into an
+    * equi-join.
+    */
+  def signBucket(v: Column, m: Int): Column =
+    (0 until m).map(i => when(element_at(v, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. Query side is broadcast (it is the small side by
+    * construction); ranking is windowed per query with a deterministic
+    * (score desc, id asc) tie-break.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                     qVec: String, cVec: String, k: Int): DataFrame = {
+    val joined = corpus
+      .join(broadcast(queries), col(qId) =!= col(cId))
+      .withColumn("score", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("score"), col("rank"))
+  }
+
+  /** Bucketed (LSH) cosine top-k: candidates restricted to the query's
+    * sign bucket → equi-join on bucket, then exact cosine rank. Recall
+    * is approximate; cost drops from O(n·m) to O(n·m/2^bits) expected.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+              qVec: String, cVec: String, k: Int, bits: Int): DataFrame = {
+    val qb = queries.withColumn("bucket", signBucket(col(qVec), bits))
+    val cb = corpus.withColumn("bucket", signBucket(col(cVec), bits))
+    val joined = cb
+      .join(broadcast(qb), Seq("bucket"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("score"), col("rank"))
+  }
+}

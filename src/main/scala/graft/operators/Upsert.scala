@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Primary-key table upsert (SURVEY §2.1 S12; reference:
+  * load.py:129-347 `update_table`/`check_database_changes`,
+  * process_functions.py:445-629 append/update/delete row diffing).
+  *
+  * Semantics reproduced:
+  *  - PK is the space-joined concatenation of the key columns
+  *    (load.py:229-252);
+  *  - rows in `incoming` with a PK absent from `existing`  → append;
+  *  - rows present in both but differing on any compared column → update;
+  *  - rows only in `existing` → delete (when `allowDelete`).
+  *
+  * Physical shape: a single full-outer shuffle join on the PK. At
+  * cluster scale both sides hash-partition on the PK; writing the merged
+  * result back is a full-partition overwrite (Hive-style) — the same
+  * pattern Delta's MERGE INTO compiles to without the transaction log.
+  */
+object Upsert {
+
+  final case class Diff(appends: DataFrame, updates: DataFrame, deletes: DataFrame)
+
+  def pkCol(pkCols: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws(" ", pkCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+
+  /** Classify incoming vs existing rows into append/update/delete sets.
+    * `compareCols` defaults to all shared non-PK columns.
+    */
+  def diff(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
+           compareCols: Seq[String] = Nil): Diff = {
+    val cmp = if (compareCols.nonEmpty) compareCols
+    else incoming.columns.intersect(existing.columns).filterNot(pkCols.contains).toSeq
+
+    // explicit aliases: both sides may derive from the same base table
+    // (classic self-join ambiguity otherwise)
+    val in  = incoming.withColumn("__pk", pkCol(pkCols)).alias("__l")
+    val ex  = existing.withColumn("__pk", pkCol(pkCols)).alias("__r")
+
+    val appends = in.join(ex.select("__pk"), Seq("__pk"), "left_anti").drop("__pk")
+    val deletes = ex.join(in.select("__pk"), Seq("__pk"), "left_anti").drop("__pk")
+
+    // differs on any compared column (null-safe inequality)
+    val changed = cmp.map(c => !(col(s"__l.$c") <=> col(s"__r.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val updates = in.join(ex, col("__l.__pk") === col("__r.__pk"))
+      .filter(changed)
+      .select(incoming.columns.map(c => col(s"__l.$c")): _*)
+
+    Diff(appends, updates, deletes)
+  }
+
+  /** Apply the upsert: every incoming row wins on its PK; existing rows
+    * with no incoming match are deleted (allowDelete) or kept. Persisting
+    * the result is a partition overwrite at the storage layer.
+    */
+  def merge(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
+            allowDelete: Boolean = true): DataFrame =
+    if (allowDelete) incoming
+    else {
+      val in = incoming.withColumn("__pk", pkCol(pkCols))
+      val kept = existing.withColumn("__pk", pkCol(pkCols))
+        .join(in.select("__pk"), Seq("__pk"), "left_anti")
+        .drop("__pk")
+      incoming.unionByName(kept.select(incoming.columns.map(col): _*))
+    }
+
+  /** Write a merged table back as parquet (full overwrite). */
+  def overwrite(spark: SparkSession, df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
