@@ -364,6 +364,153 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // ---------------- C: scalar function library ---------------------
+    "c1_string_ops" -> ((s, dir) => {
+      // upper/trim/replace/title-case cleanup battery (C1, C2)
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        regexp_replace(col("c_name"), "#", "-").as("name_dashed"),
+        initcap(lower(col("c_mktsegment"))).as("seg_title"),
+        concat_ws("-", lit("GENIE"), col("c_name")).as("genie_id"))
+    }),
+
+    "c5_date_ops" -> ((s, dir) => {
+      // %b-%Y parse analog + year extraction + months_between (C5, C6, F9)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        date_format(col("o_orderdate"), "MMM-yyyy").as("seq_date"),
+        round(months_between(lit("1998-06-01").cast("timestamp"), col("o_orderdate")), 2).as("months_to_cutoff"))
+    }),
+
+    "c8_imputation" -> ((s, dir) => {
+      // depth = ref + alt missing-count imputation (C8, C9)
+      val l = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 7 === 0, lit(null)).otherwise(col("l_quantity")).as("depth"),
+        col("l_quantity") * 0.6 as "alt")
+      l.select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("depth"), col("alt") / 0.6).as("depth_imputed"),
+        round(when(col("depth").isNull || col("depth") === 0, 1.0)
+          .otherwise(col("alt") / col("depth")), 6).as("vaf"))
+    }),
+
+    "c10_concat_key" -> ((s, dir) => {
+      // 5-column " "-joined variant key (C10) + dup-count over it
+      t(s, dir, "lineitem")
+        .withColumn("variant_key", concat_ws(" ",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_returnflag")))
+        .groupBy("variant_key").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+    }),
+
+    "c13_split_extract" -> ((s, dir) => {
+      // split-take-part center extraction (C13, C3)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        split(col("o_orderpriority"), "-").getItem(1).as("priority_word"),
+        split(col("o_orderpriority"), "-").getItem(0).cast("int").as("priority_rank"))
+    }),
+
+    // ---------------- A7: CNA-style value merge ----------------------
+    "a7_merge_values" -> ((s, dir) => {
+      // mergeCNAvalues semantics (cna.py:86-105): per key, 1 distinct
+      // value → keep; 2 distinct with a 0 → the nonzero one; else null
+      val e = events(s, dir)
+        .withColumn("v", floor(col("value")).cast("long") % 3)
+      e.groupBy("user_id", "event_type")
+        .agg(countDistinct(col("v")).as("n_distinct"),
+          max(col("v")).as("vmax"),
+          max(when(col("v") =!= 0, col("v"))).as("vmax_nonzero"),
+          bool_or(col("v") === 0).as("has_zero"))
+        .select(col("user_id"), col("event_type"),
+          when(col("n_distinct") === 1, col("vmax"))
+            .when(col("n_distinct") === 2 && col("has_zero"), col("vmax_nonzero"))
+            .otherwise(lit(null)).as("merged"))
+    }),
+
+    // ---------------- O5: sorted distinct collect --------------------
+    "o5_sorted_collect" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_set(col("n_name"))), ";").as("nations"))
+    }),
+
+    // ---------------- F2/F3: interval containment & in-panel ---------
+    "f2_containment" -> ((s, dir) => {
+      // whitelist containment (pyranges intersect analog): point fully
+      // inside a per-priority [lo,hi] price interval, broadcast side small
+      val ranges = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .groupBy(col("o_orderpriority").as("r_priority"))
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      val o = t(s, dir, "orders")
+      o.join(broadcast(ranges),
+          col("o_orderpriority") === col("r_priority") &&
+            RangeJoin.contained(col("o_totalprice"), col("o_totalprice"), col("lo"), col("hi")),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_whitelisted"))
+    }),
+
+    "f3_inbed_filter" -> ((s, dir) => {
+      // MAFinBED: variants outside their panel's padded regions removed;
+      // here: lineitems whose unit price falls outside the brand band ±10
+      val bands = t(s, dir, "part").groupBy("p_brand")
+        .agg((min("p_retailprice") - 10.0).as("lo"), (max("p_retailprice") + 10.0).as("hi"))
+        .withColumn("g", lit(1))
+      val points = t(s, dir, "lineitem")
+        .withColumn("unit_price", col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0)))
+        .withColumn("g", lit(1))
+      val inBed = RangeJoin.binnedOverlap(
+        points.withColumn("p_end", col("unit_price")).select("g", "l_orderkey", "l_linenumber", "unit_price", "p_end"),
+        bands, "g", "unit_price", "p_end", "lo", "hi", binSize = 200L)
+      inBed.groupBy("l_orderkey", "l_linenumber", "unit_price")
+        .agg(countDistinct(col("p_brand")).as("n_panels"))
+        .groupBy("n_panels").agg(count(lit(1)).as("n_variants"))
+    }),
+
+    // ---------------- W3: newest-N per group -------------------------
+    "w3_newest_two" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // ---------------- streaming-shaped agg ---------------------------
+    "stream_tumbling_counts" -> ((s, dir) => {
+      // tumbling 1h window counts — same aggregation the streaming module
+      // (graft.streaming) runs via readStream+watermark; batch-equivalent
+      events(s, dir)
+        .withColumn("win_start_ms", (col("ts_ms") - pmod(col("ts_ms"), lit(3600000L))))
+        .groupBy("win_start_ms", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+    }),
+
+    // ---------------- dedup: simhash ---------------------------------
+    "dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        D.simhash(T.tokens(lower(col("text"))), 16).as("simhash16"))
+    }),
+
+    // ---------------- similarity: LSH bucket top-k -------------------
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      V.lshTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", k = 3, bits = 8)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // ---------------- multimodal plumbing ----------------------------
     "mm_binary_meta" -> ((s, dir) => {
       // opaque binary column + deterministic fake decode (see
@@ -674,6 +821,141 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
            FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 5""",
+
+      "c1_string_ops" ->
+        """SELECT c_custkey,
+                  UPPER(c_mktsegment) AS seg_upper,
+                  regexp_replace(c_name, '#', '-', 'g') AS name_dashed,
+                  UPPER(substring(LOWER(c_mktsegment), 1, 1)) || substring(LOWER(c_mktsegment), 2) AS seg_title,
+                  'GENIE-' || c_name AS genie_id
+           FROM customer""",
+
+      "c5_date_ops" ->
+        """SELECT o_orderkey,
+                  year(o_orderdate) AS o_year,
+                  month(o_orderdate) AS o_month,
+                  strftime(o_orderdate, '%b-%Y') AS seq_date,
+                  ROUND((1998 - year(o_orderdate)) * 12 + (6 - month(o_orderdate))
+                        + (1 - day(o_orderdate)) / 31.0, 2) AS months_to_cutoff
+           FROM orders""",
+
+      "c8_imputation" ->
+        """WITH l AS (
+             SELECT l_orderkey, l_linenumber,
+                    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS depth,
+                    l_quantity * 0.6 AS alt
+             FROM lineitem)
+           SELECT l_orderkey, l_linenumber,
+                  COALESCE(depth, alt / 0.6) AS depth_imputed,
+                  ROUND(CASE WHEN depth IS NULL OR depth = 0 THEN 1.0 ELSE alt / depth END, 6) AS vaf
+           FROM l""",
+
+      "c10_concat_key" ->
+        """SELECT CAST(l_orderkey AS VARCHAR) || ' ' || CAST(l_partkey AS VARCHAR) || ' '
+                  || CAST(l_suppkey AS VARCHAR) || ' ' || CAST(l_linenumber AS VARCHAR) || ' '
+                  || l_returnflag AS variant_key,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1""",
+
+      "c13_split_extract" ->
+        """SELECT o_orderkey,
+                  string_split(o_orderpriority, '-')[2] AS priority_word,
+                  CAST(string_split(o_orderpriority, '-')[1] AS INT) AS priority_rank
+           FROM orders""",
+
+      "a7_merge_values" ->
+        """WITH e AS (
+             SELECT user_id, event_type, CAST(FLOOR(value) AS BIGINT) % 3 AS v FROM events),
+           g AS (
+             SELECT user_id, event_type,
+                    COUNT(DISTINCT v) AS n_distinct, MAX(v) AS vmax,
+                    MAX(CASE WHEN v <> 0 THEN v END) AS vmax_nonzero,
+                    BOOL_OR(v = 0) AS has_zero
+             FROM e GROUP BY user_id, event_type)
+           SELECT user_id, event_type,
+                  CASE WHEN n_distinct = 1 THEN vmax
+                       WHEN n_distinct = 2 AND has_zero THEN vmax_nonzero
+                       ELSE NULL END AS merged
+           FROM g""",
+
+      "o5_sorted_collect" ->
+        """SELECT r_name, string_agg(n_name, ';' ORDER BY n_name) AS nations
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name""",
+
+      "f2_containment" ->
+        """WITH ranges AS (
+             SELECT o_orderpriority AS r_priority,
+                    MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+             FROM orders WHERE o_orderkey % 100 = 0 GROUP BY o_orderpriority)
+           SELECT o_orderpriority, COUNT(*) AS n_whitelisted
+           FROM orders o
+           WHERE EXISTS (SELECT 1 FROM ranges r
+                         WHERE o.o_orderpriority = r.r_priority
+                           AND o.o_totalprice >= r.lo AND o.o_totalprice <= r.hi)
+           GROUP BY o_orderpriority""",
+
+      "f3_inbed_filter" ->
+        """WITH bands AS (
+             SELECT p_brand, MIN(p_retailprice) - 10.0 AS lo, MAX(p_retailprice) + 10.0 AS hi
+             FROM part GROUP BY p_brand),
+           points AS (
+             SELECT l_orderkey, l_linenumber,
+                    l_extendedprice / greatest(l_quantity, 1.0) AS unit_price
+             FROM lineitem),
+           matched AS (
+             SELECT l_orderkey, l_linenumber, unit_price,
+                    COUNT(DISTINCT p_brand) AS n_panels
+             FROM points JOIN bands ON unit_price >= lo AND unit_price <= hi
+             GROUP BY l_orderkey, l_linenumber, unit_price)
+           SELECT n_panels, COUNT(*) AS n_variants FROM matched GROUP BY n_panels""",
+
+      "w3_newest_two" ->
+        """SELECT o_custkey, o_orderkey, rn FROM (
+             SELECT o_custkey, o_orderkey,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS INT) AS rn
+             FROM orders)
+           WHERE rn <= 2""",
+
+      "stream_tumbling_counts" ->
+        """WITH e AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events)
+           SELECT ts_ms - (ts_ms % 3600000) AS win_start_ms, event_type,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+           FROM e GROUP BY 1, 2""",
+
+      "dedup_simhash" -> {
+        val bitExprs = (0 until 16).map { i =>
+          s"""CAST(CASE WHEN list_sum(list_transform(hs,
+              h -> CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+                   THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)"""
+        }.mkString(" + ")
+        s"""WITH tok AS (
+             SELECT doc_id,
+                    list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                                   t -> md5(t)) AS hs
+             FROM documents)
+           SELECT doc_id, $bitExprs AS simhash16 FROM tok"""
+      },
+
+      "sim_lsh_topk" -> {
+        val bucket = (0 until 8).map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, $bucket AS bucket
+                      FROM embeddings WHERE vec_id < 10),
+                c AS (SELECT vec_id AS c_id, embedding AS c_vec, $bucket AS bucket FROM embeddings),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))) AS score
+             FROM q JOIN c USING (bucket) WHERE q_id <> c_id)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3"""
+      },
 
       "mm_binary_meta" ->
         """SELECT doc_id, strlen(text) AS n_bytes,

@@ -37,19 +37,22 @@ object DedupFunctions {
       md5(concat(lit(s"band$b:"), array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")))
     }: _*)
 
-  /** SimHash over a token array, `bits` wide (≤ 30).
-    * Bit i votes +1 when nibble/bit i of md5(token) is set, −1 otherwise;
-    * the sign of the per-bit sum is the fingerprint bit. Uses the first
-    * `bits` binary digits of the md5's leading 8 hex chars.
+  private val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** SimHash over a token array, `bits` wide (≤ 32).
+    * Bit i votes +1 when hex digit i of md5(token) has its high bit set
+    * (digit ≥ 8), −1 otherwise; the sign of the per-bit sum is the
+    * fingerprint bit. Hex-digit votes keep the signature reproducible in
+    * any engine with md5 + substring (no integer hex parsing needed).
     */
   def simhash(elems: Column, bits: Int): Column = {
-    require(bits <= 30, "simhash bits must fit an int")
-    val hashed = transform(array_distinct(elems), e => conv(substring(md5(e), 1, 8), 16, 10).cast("long"))
+    require(bits <= 32, "md5 has 32 hex digits")
+    val hashed = transform(array_distinct(elems), e => md5(e))
     val bitCols = (0 until bits).map { i =>
       val vote = aggregate(
         hashed,
         lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        (acc, h) => acc + when(substring(h, i + 1, 1).isInCollection(highNibbles), lit(1L)).otherwise(lit(-1L))
       )
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }
