@@ -1,0 +1,94 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftSession
+import graft.formats.{ClinicalFormat, MafFormat}
+import graft.sources.{Bed, Maf, Tsv, Vcf}
+
+/** `validate <center> <inputDir>` — the engine's analog of the
+  * reference's `genie validate` CLI (SURVEY §3.1; validate.py:221-260).
+  *
+  * File types resolve by filename pattern exactly like the reference's
+  * registry loop (validate.py:63-88); each file runs its format's
+  * one-pass rule battery; findings print as `<file> <severity> <rule>:
+  * <message>` and the exit code is 1 when any error fired.
+  */
+object ValidateCli {
+
+  def fileType(name: String): String = name match {
+    case n if n.startsWith("data_clinical_supp_sample")  => "clinical_sample"
+    case n if n.startsWith("data_clinical_supp_patient") => "clinical_patient"
+    case n if n.endsWith(".maf") || n.startsWith("data_mutations") => "maf"
+    case n if n.endsWith(".vcf")                          => "vcf"
+    case n if n.endsWith(".bed")                          => "bed"
+    case _                                                => "unknown"
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ValidateCli <center> <inputDir>")
+    val Array(center, inputDir) = args
+    val spark = GraftSession.builder(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val files = Files.list(Paths.get(inputDir)).iterator().asScala
+      .map(_.toString).toSeq.sorted
+    var anyError = false
+
+    val samplePath  = files.find(f => fileType(Paths.get(f).getFileName.toString) == "clinical_sample")
+    val patientPath = files.find(f => fileType(Paths.get(f).getFileName.toString) == "clinical_patient")
+    (samplePath, patientPath) match {
+      case (Some(sp), Some(pp)) =>
+        val res = ClinicalFormat.validate(
+          Tsv.readAllString(spark, sp), Tsv.readAllString(spark, pp), center)
+        res.findings.filter(_.count > 0).foreach { f =>
+          println(s"clinical ${f.severity} ${f.rule}: ${f.message}")
+        }
+        anyError ||= !res.isValid
+      case (Some(_), None) =>
+        println("clinical error missing_patient_file: sample file has no matching patient file")
+        anyError = true
+      case _ => ()
+    }
+
+    files.foreach { f =>
+      val name = Paths.get(f).getFileName.toString
+      fileType(name) match {
+        case "maf" =>
+          val res = MafFormat.validate(Maf.read(spark, f), center)
+          res.findings.filter(_.count > 0).foreach(x =>
+            println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
+          anyError ||= !res.isValid
+        case "vcf" =>
+          try {
+            val df = Vcf.read(spark, f)
+            val need = Vcf.requiredHeaders.map(_.stripPrefix("#")) ++
+              (if (df.columns.length > 8) Seq("FORMAT") else Nil)
+            val missing = need.filterNot(df.columns.map(_.toUpperCase).contains)
+            missing.foreach(c => println(s"$name error missing_header: VCF missing required header $c"))
+            val ws = Vcf.whitespaceViolations(df)
+            if (ws > 0) println(s"$name warning whitespace: $ws rows contain whitespace in values")
+            anyError ||= missing.nonEmpty
+          } catch {
+            case e: IllegalArgumentException =>
+              println(s"$name error not_vcf: ${e.getMessage}"); anyError = true
+          }
+        case "bed" =>
+          try Bed.read(spark, f).count()
+          catch {
+            case e: IllegalArgumentException =>
+              println(s"$name error bed_header: ${e.getMessage}"); anyError = true
+          }
+        case _ => ()
+      }
+    }
+
+    println(if (anyError) "RESULT: INVALID" else "RESULT: VALID")
+    spark.stop()
+    if (anyError) sys.exit(1)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.formats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.rules.{RowRule, Rules, ValidationResult}
+
+/** Clinical (sample + patient) format: validator + processor
+  * (SURVEY §2.2 P1-P12, §2.1 S2; reference clinical.py).
+  *
+  * The whole battery evaluates in ONE pass (Rules.Battery); every check
+  * is a codegen'd predicate, so validating a 100 TB clinical dump is a
+  * single scan.
+  */
+object ClinicalFormat {
+
+  val sampleRequired: Seq[String] = Seq(
+    "SAMPLE_ID", "PATIENT_ID", "AGE_AT_SEQ_REPORT", "ONCOTREE_CODE",
+    "SAMPLE_TYPE", "SEQ_ASSAY_ID")
+  val patientRequired: Seq[String] = Seq(
+    "PATIENT_ID", "SEX", "PRIMARY_RACE", "ETHNICITY", "BIRTH_YEAR")
+
+  /** Interval sentinels (clinical.py:112-219): redaction markers that
+    * must co-occur between INT_* and YEAR_* columns.
+    */
+  val daySentinels: Seq[String]  = Seq(">32485", "<6570", "Unknown", "Not Collected", "Not Released")
+  val yearSentinels: Seq[String] = Seq(">89", "<18", "Unknown", "Not Collected", "Not Released")
+
+  /** P1: missing required columns (schema-level, driver-side). */
+  def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
+    required.filterNot(df.columns.map(_.toUpperCase).contains)
+
+  /** Sample-file row rules (center-parameterized). */
+  def sampleRules(center: String): Seq[RowRule] = {
+    val sid = col("SAMPLE_ID")
+    Seq(
+      RowRule("sample_id_prefix", "error",
+        Rules.badIdentifier(sid, s"GENIE-$center"), sid,
+        s"Sample: SAMPLE_ID must start with GENIE-$center ({count} rows, e.g. {example})"),
+      RowRule("patient_in_sample", "error",
+        !coalesce(sid.contains(col("PATIENT_ID")), lit(false)), sid,
+        "Sample: PATIENT_ID must be a substring of SAMPLE_ID ({count} rows, e.g. {example})"),
+      RowRule("age_at_seq_report", "error",
+        Rules.notInteger(col("AGE_AT_SEQ_REPORT")) &&
+          !col("AGE_AT_SEQ_REPORT").isInCollection(daySentinels), sid,
+        "Sample: AGE_AT_SEQ_REPORT must be integer days or a sentinel ({count} rows, e.g. {example})"),
+      RowRule("oncotree_code_case", "warning",
+        col("ONCOTREE_CODE") =!= upper(col("ONCOTREE_CODE")), sid,
+        "Sample: ONCOTREE_CODE should be uppercase ({count} rows, e.g. {example})"),
+      RowRule("seq_assay_id_prefix", "error",
+        !coalesce(upper(col("SEQ_ASSAY_ID")).startsWith(center), lit(false)), sid,
+        s"Sample: SEQ_ASSAY_ID must start with $center ({count} rows, e.g. {example})"),
+      RowRule("empty_row", "error",
+        Rules.emptyRow(Seq(sid, col("PATIENT_ID"), col("ONCOTREE_CODE"))), lit("<empty>"),
+        "Sample: {count} entirely empty rows"))
+  }
+
+  def patientRules(center: String, currentYear: Int = 2026): Seq[RowRule] = {
+    val pid = col("PATIENT_ID")
+    Seq(
+      RowRule("patient_id_prefix", "error",
+        Rules.badIdentifier(pid, s"GENIE-$center"), pid,
+        s"Patient: PATIENT_ID must start with GENIE-$center ({count} rows, e.g. {example})"),
+      RowRule("birth_year", "error",
+        Rules.badYear(col("BIRTH_YEAR"), currentYear, yearSentinels :+ "cannotReleaseHIPAA"), pid,
+        "Patient: BIRTH_YEAR must be YYYY or a sentinel ({count} rows, e.g. {example})"),
+      RowRule("death_after_contact", "error",
+        col("YEAR_DEATH").rlike("^\\d{4}$") && col("YEAR_CONTACT").rlike("^\\d{4}$") &&
+          col("YEAR_DEATH").cast("int") < col("YEAR_CONTACT").cast("int"), pid,
+        "Patient: YEAR_DEATH before YEAR_CONTACT ({count} rows, e.g. {example})",
+        requires = Seq("YEAR_DEATH", "YEAR_CONTACT")),
+      RowRule("dead_dod_consistency", "error",
+        (col("DEAD") === "True" && col("INT_DOD").isInCollection(Seq("Not Applicable"))) ||
+          (col("DEAD") === "False" && col("INT_DOD").rlike("^\\d+$")), pid,
+        "Patient: DEAD and INT_DOD are inconsistent ({count} rows, e.g. {example})",
+        requires = Seq("DEAD", "INT_DOD")))
+  }
+
+  /** Full validate: schema checks + one-pass row battery over the
+    * sample/patient pair.
+    */
+  def validate(sample: DataFrame, patient: DataFrame, center: String): ValidationResult = {
+    import graft.rules.Finding
+    val schemaFindings =
+      missingColumns(sample, sampleRequired).map(c =>
+        Finding(s"missing_col_$c", "error", 1, None, s"Sample: missing required column $c")) ++
+      missingColumns(patient, patientRequired).map(c =>
+        Finding(s"missing_col_$c", "error", 1, None, s"Patient: missing required column $c"))
+    val sampleRes = Rules.Battery.run(sample,
+      sampleRules(center).filter(r => true))
+    val patientRes = Rules.Battery.run(patient, patientRules(center))
+    // P11 cross-frame: orphan samples (patient id absent from patient file)
+    val orphans = sample.join(patient, Seq("PATIENT_ID"), "left_anti").count()
+    val orphanFinding =
+      Finding("orphan_samples", "error", orphans, None,
+        s"Sample: $orphans samples reference patients missing from the patient file")
+    ValidationResult(schemaFindings ++ sampleRes.findings ++ patientRes.findings :+ orphanFinding)
+  }
+
+  /** Processor: S2 pair join + C1/C2 cleanup + J5 remaps.
+    * `codeMaps` are small code→label tables (sex/race/ethnicity/
+    * sampletype), broadcast-joined like the reference's remap_clinical_values
+    * (clinical.py:321-382).
+    */
+  def process(sample: DataFrame, patient: DataFrame,
+              codeMaps: Map[String, DataFrame]): DataFrame = {
+    val joined = sample.join(patient, Seq("PATIENT_ID"), "inner")
+    codeMaps.foldLeft(joined) { case (df, (colName, mapDf)) =>
+      if (!df.columns.contains(colName)) df
+      else df
+        .join(broadcast(mapDf.withColumnRenamed("CODE", colName)
+          .withColumnRenamed("CBIO_LABEL", s"${colName}_LABEL")), Seq(colName), "left")
+        .withColumn(colName, coalesce(col(s"${colName}_LABEL"), col(colName).cast("string")))
+        .drop(s"${colName}_LABEL")
+    }
+  }
+}

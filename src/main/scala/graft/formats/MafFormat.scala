@@ -1,0 +1,71 @@
+package graft.formats
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.rules.{RowRule, Rules, ValidationResult}
+
+/** MAF format validator (SURVEY §2.2 P13-P17; reference maf.py).
+  * One-pass battery; the global cross-column allele checks (P17) are
+  * bool aggregates folded into the same aggregation.
+  */
+object MafFormat {
+
+  val requiredColumns: Seq[String] = Seq(
+    "CHROMOSOME", "START_POSITION", "END_POSITION", "REFERENCE_ALLELE",
+    "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
+
+  val numericColumns: Seq[String] = Seq(
+    "START_POSITION", "END_POSITION", "T_DEPTH", "T_REF_COUNT",
+    "T_ALT_COUNT", "N_DEPTH", "N_REF_COUNT", "N_ALT_COUNT")
+
+  def rowRules(center: String): Seq[RowRule] = {
+    val key = concat_ws(" ", col("CHROMOSOME"), col("START_POSITION"),
+      col("REFERENCE_ALLELE"), col("TUMOR_SAMPLE_BARCODE"), col("TUMOR_SEQ_ALLELE2"))
+    Seq(
+      RowRule("chromosome_domain", "error",
+        Rules.badChromosome(col("CHROMOSOME"), allowChrPrefix = false), key,
+        "Mutation: CHROMOSOME must be 1-22, X, Y, MT without chr prefix ({count} rows, e.g. {example})"),
+      RowRule("start_le_end", "warning",
+        Rules.startAfterEnd(col("START_POSITION").cast("long"), col("END_POSITION").cast("long")), key,
+        "Mutation: START_POSITION after END_POSITION ({count} rows, e.g. {example})"),
+      RowRule("tsa2_allele", "error",
+        Rules.badAllele(col("TUMOR_SEQ_ALLELE2")), key,
+        "Mutation: TUMOR_SEQ_ALLELE2 must match ^[ATCGN]+$ or dashes ({count} rows, e.g. {example})"),
+      RowRule("ref_allele", "error",
+        Rules.badAllele(col("REFERENCE_ALLELE")), key,
+        "Mutation: REFERENCE_ALLELE must match ^[ATCGN]+$ or dashes ({count} rows, e.g. {example})"),
+      RowRule("barcode_prefix", "error",
+        Rules.badIdentifier(col("TUMOR_SAMPLE_BARCODE"), s"GENIE-$center"), key,
+        s"Mutation: TUMOR_SAMPLE_BARCODE must start with GENIE-$center ({count} rows, e.g. {example})"))
+  }
+
+  def validate(maf: DataFrame, center: String): ValidationResult = {
+    import graft.rules.Finding
+    val missing = requiredColumns.filterNot(maf.columns.map(_.toUpperCase).contains)
+    val schemaFindings = missing.map(c =>
+      Finding(s"missing_col_$c", "error", 1, None, s"Mutation: missing required column $c"))
+    if (missing.nonEmpty) return ValidationResult(schemaFindings.toSeq)
+
+    val battery = Rules.Battery.run(maf, rowRules(center))
+
+    // P14: duplicate variants on the 5-col PK (maf.py:273-299)
+    val pk = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
+      "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2").map(c => trim(col(c)))
+    val dups = maf.groupBy(pk: _*).count().filter(col("count") > 1).count()
+    val dupFinding = Finding("duplicate_variants", "error", dups, None,
+      s"Mutation: $dups duplicated variants on (chrom, start, ref, barcode, alt)")
+
+    // P17: cross-column allele validity as global bool aggregates (maf.py:14-123)
+    val g = maf.agg(
+      bool_and(coalesce(col("TUMOR_SEQ_ALLELE2") === col("REFERENCE_ALLELE"), lit(false))).as("tsa2_always_ref"),
+      bool_or(coalesce(col("REFERENCE_ALLELE") === col("TUMOR_SEQ_ALLELE2"), lit(false))).as("any_ref_eq_tsa2")
+    ).head()
+    val tsa2AlwaysRef = Option(g.getAs[Boolean]("tsa2_always_ref")).getOrElse(false)
+    val p17 = Finding("tsa2_equals_ref_everywhere", "error",
+      if (tsa2AlwaysRef) 1 else 0, None,
+      "Mutation: TUMOR_SEQ_ALLELE2 equals REFERENCE_ALLELE on every row — wrong column mapping")
+
+    ValidationResult(schemaFindings ++ battery.findings :+ dupFinding :+ p17)
+  }
+}

@@ -26,9 +26,18 @@ final case class ValidationResult(findings: Seq[Finding]) {
 
 /** A single row-level rule: rows where `violation` is true are invalid;
   * `exampleKey` identifies an offending row in the error message.
+  * `requires` lists columns the rule touches — a battery skips rules
+  * whose columns are absent (the reference's P1 existence checks gate
+  * the rest of its battery the same way).
   */
 final case class RowRule(name: String, severity: String, violation: Column,
-                         exampleKey: Column, messageTemplate: String)
+                         exampleKey: Column, messageTemplate: String,
+                         requires: Seq[String] = Nil) {
+  def applicableTo(columns: Seq[String]): Boolean = {
+    val have = columns.map(_.toUpperCase).toSet
+    requires.forall(c => have.contains(c.toUpperCase))
+  }
+}
 
 object Rules {
 
@@ -87,8 +96,11 @@ object Rules {
   // ---- the single-pass battery ------------------------------------------
 
   object Battery {
-    /** Evaluate all rules in one aggregation over `df`. */
-    def run(df: DataFrame, rules: Seq[RowRule]): ValidationResult = {
+    /** Evaluate all rules in one aggregation over `df`; rules touching
+      * absent columns are skipped.
+      */
+    def run(df: DataFrame, allRules: Seq[RowRule]): ValidationResult = {
+      val rules = allRules.filter(_.applicableTo(df.columns.toSeq))
       if (rules.isEmpty) return ValidationResult(Nil)
       val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
         Seq(
@@ -109,7 +121,8 @@ object Rules {
     /** Battery as a DataFrame (for pipelines that persist findings):
       * one row per rule with count + example, computed in one pass.
       */
-    def asDataFrame(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    def asDataFrame(df: DataFrame, allRules: Seq[RowRule]): DataFrame = {
+      val rules = allRules.filter(_.applicableTo(df.columns.toSeq))
       val perRule = rules.map { r =>
         struct(
           lit(r.name).as("rule"), lit(r.severity).as("severity"),

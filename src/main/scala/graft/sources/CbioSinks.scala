@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** cBioPortal-format text sinks (SURVEY §2.1 S13-S15).
+  *
+  * These artifacts are deliberately small (headers, case lists, panel
+  * gene lists): the distributed part is the aggregation producing them;
+  * the final text write is a driver-side emit of a few KB, exactly like
+  * the reference (create_case_lists.py, bed.py:444-497,
+  * process_functions.py:356-403).
+  */
+object CbioSinks {
+
+  final case class ClinicalHeader(label: String, description: String,
+                                  dtype: String, priority: Int = 1)
+
+  /** S13: clinical file with 4 `#`-prefixed metadata rows then data.
+    * Data rows are produced distributed, headers prepended driver-side.
+    */
+  def writeClinical(df: DataFrame, headers: Map[String, ClinicalHeader],
+                    outFile: String): Unit = {
+    val cols = df.columns
+    val meta = Seq(
+      cols.map(c => headers.get(c).map(_.label).getOrElse(c)).mkString("#", "\t", ""),
+      cols.map(c => headers.get(c).map(_.description).getOrElse(c)).mkString("#", "\t", ""),
+      cols.map(c => headers.get(c).map(_.dtype).getOrElse("STRING")).mkString("#", "\t", ""),
+      cols.map(c => headers.get(c).map(_.priority.toString).getOrElse("1")).mkString("#", "\t", ""))
+    val dataLines = df
+      .select(cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      .collect()
+      .map(_.toSeq.mkString("\t"))
+    val content = (meta ++ Seq(cols.mkString("\t")) ++ dataLines).mkString("\n") + "\n"
+    Files.createDirectories(Paths.get(outFile).getParent)
+    Files.write(Paths.get(outFile), content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** S14: one cases_*.txt per group value. The groupBy/collect_list is
+    * distributed; each resulting file is a handful of lines.
+    */
+  def writeCaseLists(samples: DataFrame, groupCol: String, idCol: String,
+                     studyId: String, outDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    val groups = samples
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .collect()
+    groups.map { r =>
+      val g   = Option(r.getAs[String](groupCol)).getOrElse("NA")
+      val ids = r.getAs[scala.collection.Seq[String]]("ids").toSeq
+      val slug = g.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      val f = s"$outDir/cases_$slug.txt"
+      val content =
+        s"""cancer_study_identifier: $studyId
+           |stable_id: ${studyId}_$slug
+           |case_list_name: $g
+           |case_list_description: Samples with $g ({n} samples)
+           |case_list_ids: {ids}"""
+          .stripMargin
+          .replace("{n}", ids.length.toString)
+          .replace("{ids}", ids.mkString("\t")) + "\n"
+      Files.write(Paths.get(f), content.getBytes(StandardCharsets.UTF_8))
+      f
+    }.toSeq
+  }
+
+  /** S15: data_gene_panel_<id>.txt — distinct panel genes. */
+  def writeGenePanel(panelGenes: DataFrame, panelId: String, outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val genes = panelGenes.collect().map(_.getString(0))
+    val f = s"$outDir/data_gene_panel_$panelId.txt"
+    val content =
+      s"stable_id: $panelId\ndescription: ${genes.length} genes\ngene_list: ${genes.mkString("\t")}\n"
+    Files.write(Paths.get(f), content.getBytes(StandardCharsets.UTF_8))
+    f
+  }
+}

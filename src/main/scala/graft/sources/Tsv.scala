@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StringType, DoubleType, FloatType}
+
+/** Generic flat-file table IO (SURVEY §2.1 S1, S11).
+  *
+  * Reference semantics reproduced:
+  *  - S1 read: TSV, `#` comment lines skipped, header row
+  *    (example_filetype_format.py:83-97);
+  *  - column names upper-cased on ingest (clinical.py:819, maf.py:240);
+  *  - S11 write: integral floats serialized without a trailing `.0`
+  *    (process_functions.py:258-303) and nulls written as a
+  *    configurable NA token (cna.py:166-172).
+  *
+  * Scale: both directions are plain distributed text scans/writes —
+  * schema is pinned (never inferred; the reference's dtype sniffing was
+  * a pandas artifact, SURVEY §1.2) so the read is a single pass.
+  */
+object Tsv {
+
+  /** S1: read a TSV with a fixed schema, skipping `#` comments. */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           sep: String = "\t", header: Boolean = true): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("comment", "#")
+      .option("nullValue", "")
+      .schema(schema)
+      .csv(path)
+
+  /** S1 variant with inferred-as-string schema + upper-cased columns
+    * (what the reference does to every clinical file).
+    */
+  def readAllString(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
+    val df = spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("comment", "#")
+      .option("nullValue", "")
+      .csv(path)
+    df.toDF(df.columns.map(_.toUpperCase): _*)
+  }
+
+  /** S11: write a TSV without pandas float artifacts: integral
+    * double/float columns are cast to long-string (no `.0`), nulls
+    * become `naToken`. One distributed write, no driver collect.
+    */
+  def write(df: DataFrame, path: String, naToken: String = "",
+            sep: String = "\t"): Unit = {
+    val cleaned = df.select(df.schema.fields.map { f =>
+      val c = col(f.name)
+      f.dataType match {
+        case DoubleType | FloatType =>
+          // "12.0" → "12", fractional values untouched
+          when(c.isNull, lit(naToken))
+            .when(c === floor(c), c.cast("decimal(30,0)").cast("string"))
+            .otherwise(c.cast("string")).as(f.name)
+        case StringType => coalesce(c, lit(naToken)).as(f.name)
+        case _          => coalesce(c.cast("string"), lit(naToken)).as(f.name)
+      }
+    }: _*)
+    cleaned.write
+      .option("sep", sep)
+      .option("header", "true")
+      .option("emptyValue", "")
+      .option("nullValue", naToken)
+      .mode("overwrite")
+      .csv(path)
+  }
+}

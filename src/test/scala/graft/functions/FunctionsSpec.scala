@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text: tokens, quality, fingerprint, langid") {
+    val df = Seq(
+      (1L, "the cat and the dog sit in a house that is big"),
+      (2L, "el gato y la casa de los perros en una calle"),
+      (3L, "zzz qqq")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("n") == 12)
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(1).getAs[String]("lang") == "es")
+    assert(out(2).getAs[String]("lang") == "und")
+    // fingerprint is token-order independent
+    val fp2 = df.filter($"id" === 1)
+      .select(TextFunctions.fingerprint(lit("big that dog cat the and sit in a house is")))
+      .collect()(0).getString(0)
+    assert(out(0).getAs[String]("fp") == fp2)
+  }
+
+  test("dedup: exact groups, jaccard, minhash stability, lsh pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup of 1
+      (3L, "alpha beta gamma epsilon"), // near dup
+      (4L, "totally different words here")
+    ).toDF("doc_id", "text")
+
+    val exact = DedupFunctions.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(exact.length == 1 && exact(0).getAs[Long]("n_dups") == 2)
+
+    val sh = docs.select(col("doc_id"), TextFunctions.shingles(col("text"), 2).as("sh"))
+    val pair = sh.as("a").join(sh.as("b"), col("a.doc_id") === 1 && col("b.doc_id") === 3)
+      .select(DedupFunctions.jaccard(col("a.sh"), col("b.sh")))
+      .collect()(0).getDouble(0)
+    assert(pair > 0.4 && pair < 1.0)
+
+    // identical content → identical minhash signature
+    val sigs = docs.select(col("doc_id"),
+      DedupFunctions.minhashSignature(TextFunctions.tokens(col("text")), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+
+    val pairs = DedupFunctions.lshCandidatePairs(docs, "doc_id",
+      TextFunctions.tokens(col("text")), k = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))      // exact dups always collide
+    assert(!pairs.contains((1L, 4L)) || pairs.size < 6)
+  }
+
+  test("simhash: near-identical docs differ in few bits") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely unrelated content about other things")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      DedupFunctions.simhash(TextFunctions.tokens(col("text")), 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(2L)) <= ham(out(1L), out(3L)))
+  }
+
+  test("vector: cosine + brute force vs lsh topk plumbing") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("id", "vec")
+    val q = vecs.filter($"id" === 0).select($"id".as("q_id"), $"vec".as("q_vec"))
+    val c = vecs.select($"id".as("c_id"), $"vec".as("c_vec"))
+    val top = VectorFunctions.bruteForceTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 2)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+
+    val lsh = VectorFunctions.lshTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", k = 2, bits = 4)
+      .select("c_id").as[Long].collect().toSet
+    assert(lsh.contains(1L))   // same sign bucket
+    assert(!lsh.contains(3L))  // opposite sign bucket pruned
+  }
+}

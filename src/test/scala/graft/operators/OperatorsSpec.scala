@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S12: upsert diff classifies append/update/delete") {
+    val existing = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val incoming = Seq((2, "b"), (3, "C"), (4, "d")).toDF("id", "v")
+    val d = Upsert.diff(incoming, existing, Seq("id"))
+    assert(d.appends.select("id").as[Int].collect().toSeq == Seq(4))
+    assert(d.updates.select("id").as[Int].collect().toSeq == Seq(3))
+    assert(d.deletes.select("id").as[Int].collect().toSeq == Seq(1))
+
+    val merged = Upsert.merge(incoming, existing, Seq("id"), allowDelete = false)
+    assert(merged.orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "C"), (4, "d")))
+  }
+
+  test("S12: null-safe compare treats null==null as unchanged") {
+    val existing = Seq((1, Option.empty[String])).toDF("id", "v")
+    val incoming = Seq((1, Option.empty[String])).toDF("id", "v")
+    assert(Upsert.diff(incoming, existing, Seq("id")).updates.count() == 0)
+  }
+
+  test("J6: binned overlap equals broadcast overlap") {
+    val intervals = Seq(("1", 0L, 150L, "p1"), ("1", 140L, 260L, "p2"), ("2", 0L, 99L, "p3"))
+      .toDF("chrom", "r_start", "r_end", "panel")
+    val points = Seq(("1", 100L, 100L, "v1"), ("1", 145L, 150L, "v2"),
+      ("2", 100L, 100L, "v3"), ("1", 500L, 501L, "v4"))
+      .toDF("chrom", "v_start", "v_end", "variant")
+
+    val binned = RangeJoin.binnedOverlap(points, intervals, "chrom",
+      "v_start", "v_end", "r_start", "r_end", binSize = 64L)
+      .select("variant", "panel").as[(String, String)].collect().toSet
+    val bcast = RangeJoin.broadcastOverlap(points, intervals, "chrom",
+      "v_start", "v_end", "r_start", "r_end")
+      .select("variant", "panel").as[(String, String)].collect().toSet
+
+    assert(binned == bcast)
+    assert(binned == Set(("v1", "p1"), ("v2", "p1"), ("v2", "p2")))
+  }
+
+  test("W1: adjacent deltas + cis flag reproduce merge-check criteria") {
+    // sample with two variants 3bp apart, VAF delta 0.01 → flagged;
+    // third variant 100bp away → not flagged
+    val mafLike = Seq(
+      ("S1", "1", 100L, 0.30), ("S1", "1", 103L, 0.31), ("S1", "1", 203L, 0.30),
+      ("S2", "1", 100L, 0.30), ("S2", "1", 104L, 0.45) // VAF delta too large
+    ).toDF("sample", "chrom", "pos", "vaf")
+    val d = WindowOps.adjacentDeltas(mafLike, Seq("sample", "chrom"), Seq("pos"), Seq("pos", "vaf"))
+    val flagged = d.filter(WindowOps.cisFlag(col("pos_delta"), col("vaf_delta"), lit(null)))
+      .select("sample", "pos").as[(String, Long)].collect().toSet
+    assert(flagged == Set(("S1", 103L)))
+  }
+
+  test("W2: latestPerGroup is deterministic under ties") {
+    val df = Seq((1, 10L, "a"), (1, 10L, "b"), (2, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val latest = WindowOps.latestPerGroup(df, Seq("k"), Seq("ts", "tag"))
+      .select("k", "tag").as[(Int, String)].collect().toSet
+    assert(latest == Set((1, "b"), (2, "c")))
+  }
+}

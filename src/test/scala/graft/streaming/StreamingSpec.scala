@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.rules.{RowRule, Rules}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("validation stream: files validate per micro-batch via foreachBatch") {
+    val in  = tmpDir("stream-in")
+    val cp  = tmpDir("stream-cp")
+    Files.write(Paths.get(in, "a.tsv"), "ID\tSTATUS\n1\tOK\n2\tBAD\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("ID", StringType), StructField("STATUS", StringType)))
+    val rules = Seq(RowRule("status_domain", "error",
+      Rules.domain(col("STATUS"), Seq("OK")), col("ID"), "{count} bad"))
+
+    var seen = Seq.empty[(String, Long)]
+    val q = ValidateStream.validationStream(spark, in, schema, rules, cp) { (findings, _) =>
+      seen = findings.select("rule", "n_violations").as[(String, Long)].collect().toSeq
+    }.start()
+    q.awaitTermination(30000)
+    assert(seen == Seq(("status_domain", 1L)))
+  }
+
+  test("tumbling counts: streaming agg matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    mem.addData((at(0), "click", 1.0), (at(5), "click", 2.0), (at(70), "view", 3.0))
+
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = ValidateStream.tumblingCounts(df, "ts", "event_type")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val rows = spark.table("tumbling")
+      .select("win_start_ms", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val h1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime
+    assert(rows.contains((h0, "click", 2L)))
+    assert(rows.contains((h1, "view", 1L)))
+  }
+}
