@@ -511,6 +511,118 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // ---------------- S: reader round-trips + SQL surface ------------
+    "s3_maf_na_roundtrip" -> ((s, dir) => {
+      // documents → MAF-shaped TSV on disk → Maf.read → NA contract:
+      // allele literals survive, other columns' "NA" becomes null
+      val alleles = array(lit("NA"), lit("nan"), lit("ATCG"), lit("-"), lit("TT"))
+      val mafLike = t(s, dir, "documents").select(
+        col("doc_id").as("DOC_ID"),
+        (col("doc_id") % 22 + 1).cast("string").as("CHROMOSOME"),
+        element_at(alleles, (col("doc_id") % 5 + 1).cast("int")).as("REF"),
+        when(col("doc_id") % 3 === 0, lit("NA")).otherwise(lit("p.X1Y")).as("HGVSP"))
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s3_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      graft.sources.Tsv.write(mafLike, tmp)
+      graft.sources.Maf.read(s, tmp)
+        .groupBy(col("REFERENCE_ALLELE").as("reference_allele"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("HGVSP").isNull, 1L).otherwise(0L)).as("n_hgvsp_null"))
+    }),
+
+    "s9_sql_pushdown" -> ((s, dir) => {
+      // Synapse-tableQuery analog: the engine's SQL surface over views
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment,
+                  COUNT(DISTINCT c_custkey) AS n_cust,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+           FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           GROUP BY c_mktsegment""")
+    }),
+
+    "s11_tsv_roundtrip" -> ((s, dir) => {
+      // .0-free TSV writer: integral doubles come back dot-free
+      val sample = t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey").as("ID"), col("l_quantity").as("VAL"))
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      graft.sources.Tsv.write(sample, tmp)
+      graft.sources.Tsv.readAllString(s, tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("VAL").contains("."), 1L).otherwise(0L)).as("n_with_dot"))
+    }),
+
+    // ---------------- P: extended rule battery ------------------------
+    "p_battery_synthetic" -> ((s, dir) => {
+      val langs   = Seq("de", "en", "es", "fr", "zh")
+      val alleles = array(lit("ATCG"), lit("N"), lit("-"), lit("xx"), lit("NA"), lit("GG"))
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("lang"), lit(";INVALID")))
+          .otherwise(col("lang")).as("multi_val"),
+        when(col("doc_id") % 13 === 0, lit("2199"))
+          .when(col("doc_id") % 17 === 0, lit("Unknown"))
+          .otherwise(concat(lit("19"), lpad((col("doc_id") % 100).cast("string"), 2, "0"))).as("year_col"),
+        element_at(alleles, (col("doc_id") % 6 + 1).cast("int")).as("allele"),
+        (col("doc_id") % 25).cast("string").as("chrom"),
+        col("n_chars").as("start_pos"),
+        when(col("doc_id") % 19 === 0, col("n_chars") - 5)
+          .otherwise(col("n_chars") + 10).as("end_pos"),
+        when(col("doc_id") % 23 === 0, concat(lit("x"), col("doc_id").cast("string")))
+          .otherwise(col("doc_id").cast("string")).as("int_col"))
+      val key = col("doc_id")
+      Rules.Battery.asDataFrame(d, Seq(
+        RowRule("p2_multi_domain", "error",
+          Rules.domain(col("multi_val"), langs, sep = Some(";")), key, ""),
+        RowRule("p4_integer", "error", Rules.notInteger(col("int_col")), key, ""),
+        RowRule("p6_year", "error",
+          Rules.badYear(col("year_col"), 2026, Seq("Unknown")), key, ""),
+        RowRule("p16_allele", "error", Rules.badAllele(col("allele")), key, ""),
+        RowRule("p18_chromosome", "error", Rules.badChromosome(col("chrom")), key, ""),
+        RowRule("p19_start_end", "warning",
+          Rules.startAfterEnd(col("start_pos"), col("end_pos")), key, "")))
+    }),
+
+    // ---------------- F4: mutation-in-cis flags -----------------------
+    "f4_cis_flags" -> ((s, dir) => {
+      // adjacent events <6s apart with small value delta = "in cis"
+      val e = events(s, dir).select("user_id", "event_id", "ts_ms", "value")
+      val d = WindowOps.adjacentDeltas(e, Seq("user_id"), Seq("ts_ms", "event_id"), Seq("ts_ms", "value"))
+      d.withColumn("flagged",
+          WindowOps.cisFlag(col("ts_ms_delta"), col("value_delta") / 100.0, lit(null),
+            maxBp = 6000, maxVafDelta = 0.05))
+        .groupBy("user_id")
+        .agg(sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---------------- F10/A8: keep-list propagation -------------------
+    "f10_sample_subset" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = docs.filter(col("lang").isin("en", "fr") && col("doc_id") % 3 === 0)
+        .select("doc_id")
+      Filters.keepSamples(docs, keep, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // ---------------- J2: cross-center outer merge --------------------
+    "j2_outer_merge" -> ((s, dir) => {
+      // CNA merge-across-centers analog: per-gene values from two
+      // centers full-outer joined on the gene key
+      val l = t(s, dir, "lineitem").withColumn("gene", col("l_partkey") % 40)
+      val a = l.filter(col("l_orderkey") % 2 === 0).groupBy("gene")
+        .agg(dsum(col("l_quantity")).as("qty_a"))
+      val b = l.filter(col("l_orderkey") % 2 === 1).groupBy("gene")
+        .agg(dsum(col("l_quantity")).as("qty_b"))
+      a.join(b, Seq("gene"), "full_outer")
+        .select(col("gene"),
+          coalesce(col("qty_a"), lit(0.0)).as("qty_a"),
+          coalesce(col("qty_b"), lit(0.0)).as("qty_b"))
+    }),
+
     // ---------------- multimodal plumbing ----------------------------
     "mm_binary_meta" -> ((s, dir) => {
       // opaque binary column + deterministic fake decode (see
@@ -956,6 +1068,91 @@ object SparkEntry {
            FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3"""
       },
+
+      "s3_maf_na_roundtrip" ->
+        """SELECT CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'NA' WHEN 1 THEN 'nan'
+                       WHEN 2 THEN 'ATCG' WHEN 3 THEN '-' ELSE 'TT' END AS reference_allele,
+                  COUNT(*) AS n,
+                  COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_hgvsp_null
+           FROM documents GROUP BY 1""",
+
+      "s9_sql_pushdown" ->
+        """SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_cust,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           GROUP BY c_mktsegment""",
+
+      "s11_tsv_roundtrip" ->
+        """SELECT COUNT(*) AS n_rows,
+                  COUNT(CASE WHEN l_quantity <> FLOOR(l_quantity) THEN 1 END) AS n_with_dot
+           FROM lineitem WHERE l_orderkey % 100 = 0""",
+
+      "p_battery_synthetic" -> {
+        val ruleRows = Seq(
+          ("p2_multi_domain", "error",
+            """multi_val IS NOT NULL AND len(list_filter(string_split(multi_val, ';'),
+               x -> trim(x) NOT IN ('de','en','es','fr','zh'))) > 0"""),
+          ("p4_integer", "error",
+            """int_col IS NOT NULL AND NOT regexp_matches(int_col, '^-?\d+$')"""),
+          ("p6_year", "error",
+            """year_col IS NOT NULL AND year_col NOT IN ('Unknown')
+               AND (NOT regexp_matches(year_col, '^\d{4}$') OR TRY_CAST(year_col AS INT) > 2026)"""),
+          ("p16_allele", "error",
+            """allele IS NOT NULL AND NOT regexp_matches(allele, '(?i)^([ATCGN]+|-+)$')"""),
+          ("p18_chromosome", "error",
+            """chrom IS NULL OR chrom NOT IN ('1','2','3','4','5','6','7','8','9','10','11','12',
+               '13','14','15','16','17','18','19','20','21','22','X','Y','MT')"""),
+          ("p19_start_end", "warning",
+            """start_pos IS NOT NULL AND end_pos IS NOT NULL AND start_pos > end_pos""")
+        ).map { case (rule, sev, viol) =>
+          s"""SELECT '$rule' AS rule, '$sev' AS severity,
+              COUNT(CASE WHEN $viol THEN 1 END) AS n_violations,
+              MIN(CASE WHEN $viol THEN CAST(doc_id AS VARCHAR) END) AS example FROM d"""
+        }.mkString("\n UNION ALL \n")
+        s"""WITH d AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 11 = 0 THEN lang || ';INVALID' ELSE lang END AS multi_val,
+                    CASE WHEN doc_id % 13 = 0 THEN '2199'
+                         WHEN doc_id % 17 = 0 THEN 'Unknown'
+                         ELSE '19' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') END AS year_col,
+                    (['ATCG','N','-','xx','NA','GG'])[CAST(doc_id % 6 AS INT) + 1] AS allele,
+                    CAST(doc_id % 25 AS VARCHAR) AS chrom,
+                    n_chars AS start_pos,
+                    CASE WHEN doc_id % 19 = 0 THEN n_chars - 5 ELSE n_chars + 10 END AS end_pos,
+                    CASE WHEN doc_id % 23 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+                         ELSE CAST(doc_id AS VARCHAR) END AS int_col
+             FROM documents)
+           $ruleRows"""
+      },
+
+      "f4_cis_flags" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+           d AS (SELECT user_id,
+                        ts_ms - LAG(ts_ms) OVER w AS td,
+                        value - LAG(value) OVER w AS vd
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+           SELECT user_id,
+                  COUNT(CASE WHEN td IS NOT NULL AND td > 0 AND td < 6000
+                             AND ABS(vd / 100.0) < 0.05 THEN 1 END) AS n_flagged,
+                  COUNT(*) AS n_events
+           FROM d GROUP BY user_id""",
+
+      "f10_sample_subset" ->
+        """SELECT source, COUNT(*) AS n_kept, COUNT(DISTINCT lang) AS n_langs
+           FROM documents
+           WHERE doc_id IN (SELECT doc_id FROM documents
+                            WHERE lang IN ('en','fr') AND doc_id % 3 = 0)
+           GROUP BY source""",
+
+      "j2_outer_merge" ->
+        """WITH l AS (SELECT l_partkey % 40 AS gene, l_quantity, l_orderkey FROM lineitem),
+           a AS (SELECT gene, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty_a
+                 FROM l WHERE l_orderkey % 2 = 0 GROUP BY gene),
+           b AS (SELECT gene, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty_b
+                 FROM l WHERE l_orderkey % 2 = 1 GROUP BY gene)
+           SELECT gene, COALESCE(qty_a, 0.0) AS qty_a, COALESCE(qty_b, 0.0) AS qty_b
+           FROM a FULL OUTER JOIN b USING (gene)""",
 
       "mm_binary_meta" ->
         """SELECT doc_id, strlen(text) AS n_bytes,
