@@ -1,0 +1,134 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, WindowOps}
+import graft.release.Filters
+import graft.sources.CbioSinks
+
+/** Consortium-release pipeline (SURVEY §3.3; reference
+  * bin/database_to_staging.py → database_to_staging.py:1713-1956).
+  *
+  * Every stage is a pure DataFrame transform; the reference's two R
+  * subprocesses (MAFinBED, mergeCheck) become a broadcast range-join
+  * and a window pass. Stage order matches run_genie_filters
+  * (database_to_staging.py:1074-1154):
+  *
+  *   1. MAFinBED (F3): variants must overlap their assay's padded BED
+  *      regions → out-of-panel variants removed.
+  *   2. mutationInCis (F4): adjacent same-sample variants < 6bp apart
+  *      with ΔVAF < 5% → samples flagged, TOSS'd samples dropped.
+  *   3. germline/gnomAD (F1): population AF > 5e-4 removed unless
+  *      whitelisted (F2 containment in known-somatic sites).
+  *   4. no-gene-panel (F5): samples whose SEQ_ASSAY_ID has no BED drop.
+  *   5. oncotree mapping (J5/F6) + AGE conversion (F8) + PHI
+  *      redaction (F7) on clinical; keep-list propagation (F10) to all
+  *      genomic artifacts; cBioPortal sinks (S13-S15).
+  */
+object ReleaseJob {
+
+  final case class ReleaseInputs(clinical: DataFrame, maf: DataFrame, bed: DataFrame,
+                                 assayPadding: DataFrame, oncotree: DataFrame,
+                                 somaticWhitelist: DataFrame)
+
+  final case class ReleaseOutputs(clinical: DataFrame, maf: DataFrame,
+                                  droppedSamples: DataFrame)
+
+  /** F3: keep variants overlapping their assay's padded panel regions.
+    * BED is panel-scale (small) → broadcast range join per SEQ_ASSAY_ID.
+    */
+  def mafInBed(maf: DataFrame, bed: DataFrame, assayPadding: DataFrame): DataFrame = {
+    val paddedBed = bed
+      .join(broadcast(assayPadding), Seq("SEQ_ASSAY_ID"), "left")
+      .withColumn("PAD", coalesce(col("GENE_PADDING"), lit(10)))
+      .select(col("SEQ_ASSAY_ID"), col("CHROMOSOME"),
+        (col("START_POSITION") - col("PAD")).as("BED_START"),
+        (col("END_POSITION") + col("PAD")).as("BED_END"))
+    maf.join(
+        broadcast(paddedBed),
+        maf("SEQ_ASSAY_ID") === paddedBed("SEQ_ASSAY_ID") &&
+          maf("CHROMOSOME") === paddedBed("CHROMOSOME") &&
+          RangeJoin.overlaps(maf("START_POSITION"), maf("END_POSITION"),
+            col("BED_START"), col("BED_END")),
+        "left_semi")
+  }
+
+  /** F4: flag samples with adjacent in-cis variant pairs; returns the
+    * sample ids to drop (TOSS policy).
+    */
+  def mutationInCisSamples(maf: DataFrame): DataFrame = {
+    val withVaf = maf.withColumn("VAF",
+      when(col("T_DEPTH").isNull || col("T_DEPTH") === 0, lit(1.0))
+        .otherwise(col("T_ALT_COUNT") / col("T_DEPTH")))
+    val d = WindowOps.adjacentDeltas(
+      withVaf.select("TUMOR_SAMPLE_BARCODE", "CHROMOSOME", "START_POSITION", "VAF"),
+      Seq("TUMOR_SAMPLE_BARCODE", "CHROMOSOME"), Seq("START_POSITION"),
+      Seq("START_POSITION", "VAF"))
+    d.filter(WindowOps.cisFlag(col("START_POSITION_delta"), col("VAF_delta"), lit(null)))
+      .select(col("TUMOR_SAMPLE_BARCODE")).distinct()
+  }
+
+  /** F1+F2: germline AF filter with somatic-whitelist containment. */
+  def germlineFilter(maf: DataFrame, whitelist: DataFrame, afCols: Seq[String],
+                     threshold: Double = 5e-4): DataFrame = {
+    val wl = whitelist.select(
+      col("CHROMOSOME").as("WL_CHROM"),
+      col("START_POSITION").as("WL_START"), col("END_POSITION").as("WL_END"))
+    val flagged = maf.join(
+        broadcast(wl),
+        col("CHROMOSOME") === col("WL_CHROM") &&
+          RangeJoin.contained(col("START_POSITION"), col("END_POSITION"),
+            col("WL_START"), col("WL_END")),
+        "left")
+      .withColumn("WHITELISTED", col("WL_CHROM").isNotNull)
+      .drop("WL_CHROM", "WL_START", "WL_END")
+      .dropDuplicates(maf.columns.toIndexedSeq)
+    flagged
+      .filter(Filters.germlineKeep(afCols.map(col), threshold, col("WHITELISTED")))
+      .drop("WHITELISTED")
+  }
+
+  /** Full release: returns filtered clinical + maf + the dropped-sample
+    * audit table.
+    */
+  def run(in: ReleaseInputs): ReleaseOutputs = {
+    // 1-2. variant-level filters
+    val inBed   = mafInBed(in.maf, in.bed, in.assayPadding)
+    val tossIds = mutationInCisSamples(inBed)
+    val afterCis = inBed.join(broadcast(tossIds), Seq("TUMOR_SAMPLE_BARCODE"), "left_anti")
+    val gnomadCols = in.maf.columns.filter(_.toUpperCase.startsWith("GNOMAD")).toSeq
+    val mafClean = germlineFilter(afterCis, in.somaticWhitelist, gnomadCols)
+
+    // 4. no-gene-panel filter on clinical
+    val panels = in.bed.select("SEQ_ASSAY_ID").distinct()
+    val clinicalWithPanel = in.clinical.join(broadcast(panels), Seq("SEQ_ASSAY_ID"), "left_semi")
+
+    // 5. oncotree mapping + AGE + redaction
+    val released = clinicalWithPanel
+      .withColumn("ONCOTREE_CODE", upper(col("ONCOTREE_CODE")))
+      .join(broadcast(in.oncotree), Seq("ONCOTREE_CODE"), "left")
+      .filter(col("CANCER_TYPE").isNotNull) // F6: deprecated codes drop
+      .withColumn("AGE_AT_SEQ_REPORT", Filters.daysToYears(col("AGE_AT_SEQ_REPORT")))
+      .withColumn("BIRTH_YEAR", Filters.redactAge(col("BIRTH_YEAR")))
+
+    // F10: propagate the final keep list back to the MAF
+    val keep = released.select(col("SAMPLE_ID").as("TUMOR_SAMPLE_BARCODE"))
+    val mafFinal = mafClean.join(broadcast(keep), Seq("TUMOR_SAMPLE_BARCODE"), "left_semi")
+
+    val dropped = in.clinical.select("SAMPLE_ID")
+      .except(released.select("SAMPLE_ID"))
+    ReleaseOutputs(released, mafFinal, dropped)
+  }
+
+  /** Write release artifacts in cBioPortal layout. */
+  def writeArtifacts(out: ReleaseOutputs, outDir: String, studyId: String): Unit = {
+    CbioSinks.writeClinical(
+      out.clinical.select("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "AGE_AT_SEQ_REPORT", "SEQ_ASSAY_ID"),
+      Map("SAMPLE_ID" -> CbioSinks.ClinicalHeader("Sample Identifier", "A unique sample identifier", "STRING"),
+        "CANCER_TYPE" -> CbioSinks.ClinicalHeader("Cancer Type", "Oncotree-mapped cancer type", "STRING")),
+      s"$outDir/data_clinical_sample.txt")
+    graft.sources.Tsv.write(out.maf, s"$outDir/data_mutations_extended", naToken = "")
+    CbioSinks.writeCaseLists(out.clinical, "CANCER_TYPE", "SAMPLE_ID", studyId, s"$outDir/case_lists")
+  }
+}

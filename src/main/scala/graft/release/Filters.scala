@@ -13,8 +13,14 @@ object Filters {
     * allele-frequency columns exceeds `threshold`, unless whitelisted
     * (database_to_staging.py:296-403). `greatest` is the A11 analog.
     */
-  def germlineKeep(afCols: Seq[Column], threshold: Double, whitelisted: Column): Column =
-    whitelisted || coalesce(greatest(afCols: _*), lit(0.0)) <= threshold
+  def germlineKeep(afCols: Seq[Column], threshold: Double, whitelisted: Column): Column = {
+    val maxAf = afCols match {
+      case Nil      => lit(0.0)
+      case Seq(one) => one
+      case many     => greatest(many: _*)
+    }
+    whitelisted || coalesce(maxAf, lit(0.0)) <= threshold
+  }
 
   /** F7: PHI redaction — sentinel remap + >89-year redaction
     * (database_to_staging.py:109-233).

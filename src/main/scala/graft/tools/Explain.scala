@@ -1,0 +1,23 @@
+// Scratch plan inspector: sbt "runMain graft.tools.Explain <sfDir> <query...>"
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}
