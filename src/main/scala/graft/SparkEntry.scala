@@ -312,10 +312,12 @@ object SparkEntry {
     }),
 
     "dedup_minhash_sig" -> ((s, dir) => {
-      // portable md5-based minhash over unigram tokens; k=4 components
+      // native one-pass Catalyst expression (graft.plans.MinHashSignature);
+      // bit-identical to the composed md5 form the oracle reproduces
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-        D.minhashSignature(array_distinct(T.tokens(lower(col("text")))), 4).as("sig"))
+        graft.plans.MinHashSignature.signature(
+          array_distinct(T.tokens(lower(col("text")))), 4).as("sig"))
         .select(col("doc_id"),
           col("sig").getItem(0).as("mh0"), col("sig").getItem(1).as("mh1"),
           col("sig").getItem(2).as("mh2"), col("sig").getItem(3).as("mh3"))

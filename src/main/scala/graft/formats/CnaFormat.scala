@@ -1,0 +1,71 @@
+package graft.formats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CNA (copy-number) matrix format (SURVEY §1.1 matrix table, §2.2 P21,
+  * §2.5 A7, §2.4 J2; reference cna.py).
+  *
+  * The file arrives WIDE (Hugo_Symbol × one column per sample). Wide is
+  * hostile at scale — we melt to long `(HUGO_SYMBOL, SAMPLE_ID, VALUE)`
+  * immediately (cna.py:194-209 reads wide, our long form replaces its
+  * per-column loops), operate long, and only pivot back at export with
+  * an explicit sample-column list (SURVEY §7.4 hard part 4: explicit
+  * columns, no 10k-column inference).
+  */
+object CnaFormat {
+
+  /** Allowed discrete CNA values (cna.py:178-193). */
+  val allowedValues: Seq[Double] = Seq(-2.0, -1.5, -1.0, 0.0, 0.5, 1.0, 1.5, 2.0)
+
+  /** Melt a wide CNA frame (first col = HUGO_SYMBOL, rest = samples)
+    * to long form. stack() keeps this a single codegen'd projection.
+    */
+  def melt(wide: DataFrame): DataFrame = {
+    val sampleCols = wide.columns.drop(1)
+    val stackExpr = sampleCols.map(c => s"'$c', `$c`").mkString(", ")
+    wide.selectExpr("`" + wide.columns.head + "` as HUGO_SYMBOL",
+        s"stack(${sampleCols.length}, $stackExpr) as (SAMPLE_ID, VALUE)")
+  }
+
+  /** P21: value-domain violations (long form — one filter, no per-column
+    * loop).
+    */
+  def invalidValues(long: DataFrame): DataFrame =
+    long.filter(col("VALUE").isNotNull &&
+      !col("VALUE").cast("double").isInCollection(allowedValues))
+
+  /** A7 `mergeCNAvalues` (cna.py:86-105): after symbol remap two rows
+    * may land on the same (gene, sample). Resolution: 1 distinct
+    * non-null value → keep it; 2 distinct of which one is 0 → the
+    * nonzero; anything else → null. Expressed as conditional aggregates
+    * (no UDAF needed — map-side partial aggregation works).
+    */
+  def mergeDuplicateGenes(long: DataFrame): DataFrame =
+    long.groupBy("HUGO_SYMBOL", "SAMPLE_ID")
+      .agg(
+        countDistinct(col("VALUE")).as("__n"),
+        max(col("VALUE")).as("__max"),
+        max(when(col("VALUE") =!= 0, col("VALUE"))).as("__max_nz"),
+        bool_or(coalesce(col("VALUE") === 0, lit(false))).as("__has0"))
+      .select(col("HUGO_SYMBOL"), col("SAMPLE_ID"),
+        when(col("__n") === 1, col("__max"))
+          .when(col("__n") === 2 && col("__has0"), col("__max_nz"))
+          .otherwise(lit(null)).as("VALUE"))
+
+  /** J2: merge long CNA across centers = plain unionByName, then A7
+    * resolution — the shell `join` on sorted files (database_to_staging
+    * .py:1504-1507) disappears entirely.
+    */
+  def mergeCenters(centers: Seq[DataFrame]): DataFrame =
+    mergeDuplicateGenes(centers.reduce(_ unionByName _))
+
+  /** Export pivot with an EXPLICIT sample list (keep-samples from the
+    * release), blank→NA semantics (cna.py:166-172).
+    */
+  def toWide(long: DataFrame, sampleIds: Seq[String]): DataFrame =
+    long.groupBy("HUGO_SYMBOL")
+      .pivot("SAMPLE_ID", sampleIds)
+      .agg(first(col("VALUE")))
+      .orderBy("HUGO_SYMBOL")
+}

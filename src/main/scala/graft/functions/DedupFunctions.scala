@@ -87,7 +87,10 @@ object DedupFunctions {
   def lshCandidatePairs(df: DataFrame, idCol: String, elemsCol: Column,
                         k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig  = df.select(col(idCol).as("id"), minhashSignature(elemsCol, k).as("sig"))
+    // native one-pass signature (graft.plans.MinHashSignature) — same
+    // bits as minhashSignature, one array traversal instead of k
+    val sig  = df.select(col(idCol).as("id"),
+      graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
     val keys = sig.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
     keys.as("a")
       .join(keys.as("b"), Seq("band_key"))

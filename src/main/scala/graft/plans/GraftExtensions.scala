@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine Catalyst extensions (SURVEY §7.3 "custom Catalyst only if
+  * desired"). Install at build time:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *
+  * or at runtime on an existing session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.minhashFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val minhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "minhash_signature(tokens, k)")
+      MinHashSignature(exprs.head, intLiteral(exprs(1), "k"))
+    })
+
+  /** Runtime registration on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => minhashFunction._3(exprs),
+      "scala_udf")
+}

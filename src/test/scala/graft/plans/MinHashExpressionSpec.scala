@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{DedupFunctions, TextFunctions}
+
+class MinHashExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta epsilon"),
+    (3L, "the quick brown fox jumps over the lazy dog"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("native expression matches the composed-expression minhash bit-for-bit") {
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val both = docs.select(
+      col("doc_id"),
+      MinHashSignature.signature(toks, 8).as("native"),
+      DedupFunctions.minhashSignature(toks, 8).as("composed"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("SQL registration via extensions works and survives codegen") {
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("mh_docs")
+    val out = spark.sql(
+      """SELECT doc_id, minhash_signature(split(lower(trim(text)), '\\s+'), 4) AS sig
+         FROM mh_docs""").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byId(1L) == byId(2L))   // identical docs → identical signatures
+    assert(byId(1L) != byId(3L))
+    assert(byId(1L).forall(_.length == 32)) // md5 hex
+  }
+
+  test("literal-k misuse fails cleanly") {
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("mh_docs")
+    intercept[Exception] {
+      spark.sql("SELECT minhash_signature(split(text, ' '), doc_id) FROM mh_docs").collect()
+    }
+  }
+}
