@@ -1,0 +1,124 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.formats.{ClinicalFormat, MafFormat}
+import graft.operators.Upsert
+import graft.sources.{Maf, Tsv}
+
+/** Center input → database orchestration (SURVEY §3.2; reference
+  * bin/input_to_database.py).
+  *
+  * Per center run:
+  *  1. walk the input dir, md5 each file (driver-side — these are
+  *     uploads, not data-lake scale);
+  *  2. P29: skip files whose (name, md5) matches the status table from
+  *     the previous run (input_to_database.py:98-102);
+  *  3. P30: reject duplicate-pattern uploads (≤1 seg, ≤2 clinical,
+  *     input_to_database.py:479-515);
+  *  4. validate each remaining file with its format battery;
+  *  5. process valid files and PK-upsert them into the engine tables
+  *     (Upsert.merge ≡ load.update_table);
+  *  6. emit the new status table (name, md5, status) for the next run.
+  */
+object ProcessJob {
+
+  final case class FileStatus(name: String, md5: String, status: String)
+
+  def md5Of(path: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(Files.readAllBytes(Paths.get(path)))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** P30: duplicate-filename detection. */
+  def duplicatedFiles(names: Seq[String]): Seq[String] = {
+    val clin = names.filter(n => n.startsWith("data_clinical_supp"))
+    val seg  = names.filter(n => n.endsWith(".seg"))
+    (if (clin.length > 2) clin else Nil) ++ (if (seg.length > 1) seg else Nil)
+  }
+
+  final case class RunResult(statuses: Seq[FileStatus], skipped: Seq[String],
+                             tables: Map[String, DataFrame])
+
+  /** One center run. `priorStatuses` drives the md5 skip; `existing`
+    * holds current table contents for the upsert.
+    */
+  def run(spark: SparkSession, center: String, inputDir: String,
+          priorStatuses: Seq[FileStatus],
+          existing: Map[String, DataFrame]): RunResult = {
+    val paths = Files.list(Paths.get(inputDir)).iterator().asScala
+      .map(_.toString).toSeq.sorted
+    val names = paths.map(p => Paths.get(p).getFileName.toString)
+    val prior = priorStatuses.map(s => (s.name, s.md5) -> s.status).toMap
+    val dups  = duplicatedFiles(names).toSet
+
+    var statuses = Vector.empty[FileStatus]
+    var skipped  = Vector.empty[String]
+    var tables   = Map.empty[String, DataFrame]
+
+    def record(name: String, md5: String, status: String): Unit =
+      statuses :+= FileStatus(name, md5, status)
+
+    // clinical pair handled jointly (S2)
+    val samplePath  = paths.find(p => Paths.get(p).getFileName.toString.startsWith("data_clinical_supp_sample"))
+    val patientPath = paths.find(p => Paths.get(p).getFileName.toString.startsWith("data_clinical_supp_patient"))
+
+    (samplePath, patientPath) match {
+      case (Some(sp), Some(pp)) if !dups(Paths.get(sp).getFileName.toString) =>
+        val (sn, pn) = (Paths.get(sp).getFileName.toString, Paths.get(pp).getFileName.toString)
+        val (sm, pm) = (md5Of(sp), md5Of(pp))
+        if (prior.get((sn, sm)).contains("VALIDATED") && prior.get((pn, pm)).contains("VALIDATED")) {
+          skipped ++= Seq(sn, pn)
+          record(sn, sm, "VALIDATED"); record(pn, pm, "VALIDATED")
+        } else {
+          val sample  = Tsv.readAllString(spark, sp)
+          val patient = Tsv.readAllString(spark, pp)
+          val res = ClinicalFormat.validate(sample, patient, center)
+          val st = if (res.isValid) "VALIDATED" else "INVALID"
+          record(sn, sm, st); record(pn, pm, st)
+          if (res.isValid) {
+            val processed = ClinicalFormat.process(sample, patient, Map.empty)
+            val merged = existing.get("clinical") match {
+              case Some(ex) => Upsert.merge(processed, ex, Seq("SAMPLE_ID"), allowDelete = false)
+              case None     => processed
+            }
+            tables += "clinical" -> merged
+          }
+        }
+      case _ => ()
+    }
+
+    paths.foreach { p =>
+      val name = Paths.get(p).getFileName.toString
+      if (name.endsWith(".maf") || name.startsWith("data_mutations")) {
+        val m = md5Of(p)
+        if (prior.get((name, m)).contains("VALIDATED")) {
+          skipped :+= name; record(name, m, "VALIDATED")
+        } else {
+          val maf = Maf.read(spark, p)
+          val res = MafFormat.validate(maf, center)
+          val st = if (res.isValid) "VALIDATED" else "INVALID"
+          record(name, m, st)
+          if (res.isValid) {
+            val pk = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
+              "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
+            val merged = existing.get("maf") match {
+              case Some(ex) => Upsert.merge(maf, ex, pk, allowDelete = false)
+              case None     => maf
+            }
+            tables += "maf" -> merged
+          }
+        }
+      } else if (dups(name)) {
+        record(name, md5Of(p), "DUPLICATE")
+      }
+    }
+
+    RunResult(statuses, skipped, tables)
+  }
+}
