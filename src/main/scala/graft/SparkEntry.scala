@@ -625,6 +625,44 @@ object SparkEntry {
           coalesce(col("qty_b"), lit(0.0)).as("qty_b"))
     }),
 
+    // ---------------- text: BPE-ish token budget ----------------------
+    "text_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).as("n_ws_tokens"),
+          T.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
+    }),
+
+    // ---------------- dedup: embedding near-dup via LSH buckets -------
+    "dedup_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val b = e.select(col("vec_id"), col("embedding"),
+        V.signBucket(col("embedding"), 12).as("bucket"))
+      val a2 = b.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"), col("bucket"))
+      val b2 = b.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"), col("bucket"))
+      a2.join(b2, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", round(V.cosine(col("vec_a"), col("vec_b")), 6))
+        .filter(col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    }),
+
+    // ---------------- similarity: IVF-style coarse partition ----------
+    "sim_ivf_label" -> ((s, dir) => {
+      // label column = coarse quantizer cell: search only the query's cell
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("label"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("label"))
+      val joined = c.join(broadcast(q), Seq("label"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("score", V.cosine(col("q_vec"), col("c_vec")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // ---------------- multimodal plumbing ----------------------------
     "mm_binary_meta" -> ((s, dir) => {
       // opaque binary column + deterministic fake decode (see
@@ -1155,6 +1193,40 @@ object SparkEntry {
                  FROM l WHERE l_orderkey % 2 = 1 GROUP BY gene)
            SELECT gene, COALESCE(qty_a, 0.0) AS qty_a, COALESCE(qty_b, 0.0) AS qty_b
            FROM a FULL OUTER JOIN b USING (gene)""",
+
+      "text_bpe_tokens" ->
+        """SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+           FROM documents""",
+
+      "dedup_embedding_neardup" -> {
+        val bucket = (0 until 12).map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           pairs AS (
+             SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                    ROUND(
+                      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))
+                      / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                         * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(b2.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE))))), 6) AS cos
+             FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+           SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35"""
+      },
+
+      "sim_ivf_label" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label FROM embeddings WHERE vec_id < 10),
+                c AS (SELECT vec_id AS c_id, embedding AS c_vec, label FROM embeddings),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))) AS score
+             FROM q JOIN c USING (label) WHERE q_id <> c_id)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3""",
 
       "mm_binary_meta" ->
         """SELECT doc_id, strlen(text) AS n_bytes,
