@@ -418,6 +418,17 @@ object SparkEntry {
         split(col("o_orderpriority"), "-").getItem(0).cast("int").as("priority_rank"))
     }),
 
+    "c_misc_cleanup" -> ((s, dir) => {
+      // C2 genie-id reformat, C4 chr-prefix strip, C12 whitespace smell
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(!col("source").startsWith("GENIE-"), concat(lit("GENIE-"), upper(col("source"))))
+          .otherwise(col("source")).as("genie_id"),
+        regexp_replace(concat(lit("chr"), (col("doc_id") % 23).cast("string")), "^chr", "").as("chrom"),
+        (col("text").contains(" ")).as("has_ws"),
+        size(split(col("text"), " ", -1)) - 1 as "n_spaces")
+    }),
+
     // ---------------- A7: CNA-style value merge ----------------------
     "a7_merge_values" -> ((s, dir) => {
       // mergeCNAvalues semantics (cna.py:86-105): per key, 1 distinct
@@ -1014,6 +1025,15 @@ object SparkEntry {
                   string_split(o_orderpriority, '-')[2] AS priority_word,
                   CAST(string_split(o_orderpriority, '-')[1] AS INT) AS priority_rank
            FROM orders""",
+
+      "c_misc_cleanup" ->
+        """SELECT doc_id,
+                  CASE WHEN NOT starts_with(source, 'GENIE-')
+                       THEN 'GENIE-' || UPPER(source) ELSE source END AS genie_id,
+                  regexp_replace('chr' || CAST(doc_id % 23 AS VARCHAR), '^chr', '') AS chrom,
+                  contains(text, ' ') AS has_ws,
+                  len(string_split(text, ' ')) - 1 AS n_spaces
+           FROM documents""",
 
       "a7_merge_values" ->
         """WITH e AS (
