@@ -73,7 +73,46 @@ object ClinicalFormat {
         (col("DEAD") === "True" && col("INT_DOD").isInCollection(Seq("Not Applicable"))) ||
           (col("DEAD") === "False" && col("INT_DOD").rlike("^\\d+$")), pid,
         "Patient: DEAD and INT_DOD are inconsistent ({count} rows, e.g. {example})",
-        requires = Seq("DEAD", "INT_DOD")))
+        requires = Seq("DEAD", "INT_DOD")),
+      // P9 (clinical.py:112-219): redaction sentinels must co-occur
+      // between the day-resolution INT_* and year-resolution YEAR_* pair
+      RowRule("int_year_redaction_consistency", "error",
+        (col("INT_CONTACT") === ">32485") =!= (col("YEAR_CONTACT").isin(">89", "cannotReleaseHIPAA")) ||
+          (col("INT_CONTACT") === "<6570") =!= (col("YEAR_CONTACT") === "<18"), pid,
+        "Patient: INT_CONTACT and YEAR_CONTACT redaction sentinels do not co-occur ({count} rows, e.g. {example})",
+        requires = Seq("INT_CONTACT", "YEAR_CONTACT")))
+  }
+
+  /** P10 (clinical.py:630-691): oncotree membership (case-insensitive)
+    * + SEX vs gendered-cancer-type conflicts, via the broadcast map.
+    */
+  def oncotreeFindings(sample: DataFrame, patient: DataFrame,
+                       oncotree: DataFrame): Seq[graft.rules.Finding] = {
+    import graft.rules.Finding
+    val unmapped = sample
+      .withColumn("ONCOTREE_CODE", upper(col("ONCOTREE_CODE")))
+      .join(broadcast(oncotree.select("ONCOTREE_CODE", "CANCER_TYPE")), Seq("ONCOTREE_CODE"), "left")
+      .filter(col("CANCER_TYPE").isNull && col("ONCOTREE_CODE").isNotNull)
+    val unmappedCodes = unmapped.select("ONCOTREE_CODE").distinct()
+      .orderBy("ONCOTREE_CODE").limit(5)
+      .collect().map(_.getString(0))
+    val nUnmapped = unmapped.count()
+
+    val gendered = Map("PRAD" -> "1", "OCS" -> "2") // cancer code → required SEX code
+    val conflicts =
+      if (!patient.columns.contains("SEX")) 0L
+      else sample.select(col("PATIENT_ID"), upper(col("ONCOTREE_CODE")).as("OC"))
+        .join(patient.select("PATIENT_ID", "SEX"), Seq("PATIENT_ID"))
+        .filter(gendered.map { case (code, sex) =>
+          col("OC") === code && col("SEX") =!= sex
+        }.reduce(_ || _))
+        .count()
+
+    Seq(
+      Finding("oncotree_membership", "error", nUnmapped, unmappedCodes.headOption,
+        s"Sample: $nUnmapped samples carry unmapped oncotree codes (e.g. ${unmappedCodes.mkString(", ")})"),
+      Finding("sex_cancer_conflict", "warning", conflicts, None,
+        s"Sample: $conflicts samples have a gendered cancer type conflicting with patient SEX"))
   }
 
   /** Full validate: schema checks + one-pass row battery over the

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.formats.{AssayFormat, ClinicalFormat}
+import graft.operators.RowIndex
+import graft.release.PublicRelease
+import graft.rules.CrossFileChecks
+import graft.sources.Oncotree
+import graft.streaming.SessionizeStream
+
+class CoverageExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P23: assay enumeration battery") {
+    val assay = Seq(
+      ("CTR-A1", "Hybrid Selection", "Illumina", "120", ">20%", Seq("snv", "gene_level_cna")),
+      ("XYZ-A2", "Wrong Selection", "Typewriter", "abc", "20%", Seq("snv", "nonsense"))
+    ).toDF("SEQ_ASSAY_ID", "LIBRARY_SELECTION", "PLATFORM", "READ_LENGTH",
+      "SPECIMEN_TUMOR_CELLULARITY", "ALTERATION_TYPES")
+    val res = AssayFormat.validate(assay, "CTR")
+    val byRule = res.findings.map(f => f.rule -> f.count).toMap
+    assert(byRule("seq_assay_id_prefix") == 1)
+    assert(byRule("library_selection") == 1)
+    assert(byRule("platform") == 1)
+    assert(byRule("read_length_int") == 1)
+    assert(byRule("cellularity_format") == 1)
+    assert(byRule("alteration_types") == 1)
+  }
+
+  test("P24/P26: cross-file anti-join checks with normalization") {
+    val clinical = Seq(("GENIE-C-s1", "C_A1"), ("GENIE-C-s2", "C-A2")).toDF("SAMPLE_ID", "SEQ_ASSAY_ID")
+    val assay = Seq("C-A1").toDF("SEQ_ASSAY_ID")
+    // C_A1 normalizes to C-A1 (present); C-A2 missing
+    val missing = CrossFileChecks.clinicalAssayIds(clinical, assay).as[String].collect().toSeq
+    assert(missing == Seq("C-A2"))
+
+    val maf = Seq("GENIE-C-s1", "GENIE-C-s9").toDF("TUMOR_SAMPLE_BARCODE")
+    val orphan = CrossFileChecks.mafSampleIds(maf, clinical).as[String].collect().toSeq
+    assert(orphan == Seq("GENIE-C-S9")) // normalized form reported
+
+    val resub = Seq(("1", 100L, "A", "GENIE-C-s1", "T")).toDF(
+      "Chromosome", "Start_Position", "Reference_Allele", "Tumor_Sample_Barcode", "Tumor_Seq_Allele2")
+    val db = resub.limit(0)
+    assert(CrossFileChecks.unknownCisVariants(resub, db).count() == 1)
+    assert(CrossFileChecks.unknownCisVariants(resub, resub).count() == 0)
+  }
+
+  test("P9/P10: redaction co-occurrence and oncotree membership findings") {
+    val patient = Seq(
+      ("GENIE-C-p1", ">32485", ">89"),     // consistent
+      ("GENIE-C-p2", ">32485", "1990"),    // sentinel mismatch
+      ("GENIE-C-p3", "5000", "1990")       // consistent plain
+    ).toDF("PATIENT_ID", "INT_CONTACT", "YEAR_CONTACT")
+    val res = graft.rules.Rules.Battery.run(patient,
+      ClinicalFormat.patientRules("C").filter(_.name == "int_year_redaction_consistency"))
+    assert(res.findings.head.count == 1)
+
+    val sample = Seq(("GENIE-C-p1-s1", "GENIE-C-p1", "LUAD"), ("GENIE-C-p2-s2", "GENIE-C-p2", "ZZZZ"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "ONCOTREE_CODE")
+    val pat = Seq(("GENIE-C-p1", "1"), ("GENIE-C-p2", "2")).toDF("PATIENT_ID", "SEX")
+    val tree = Oncotree.toDataFrame(spark,
+      Seq(Oncotree.Node("LUAD", "LUNG", "NSCLC", "NSCLC", "Lung Adenocarcinoma")))
+    val findings = ClinicalFormat.oncotreeFindings(sample, pat, tree)
+    assert(findings.find(_.rule == "oncotree_membership").get.count == 1)
+  }
+
+  test("F12: public scope projection + FILTER rewrite") {
+    val clinical = Seq(("GENIE-C-s1", "GENIE-C-p1", "secret"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "PRIVATE_NOTES")
+    val maf = Seq(("GENIE-C-s1", "common_variant"), ("GENIE-C-s1", "ok"), ("GENIE-X-s9", "ok"))
+      .toDF("TUMOR_SAMPLE_BARCODE", "FILTER")
+    val scope = Seq(PublicRelease.Scope("SAMPLE_ID", true),
+      PublicRelease.Scope("PATIENT_ID", true), PublicRelease.Scope("PRIVATE_NOTES", false))
+    val (pubC, pubM) = PublicRelease.convert(clinical, maf, scope)
+    assert(pubC.columns.toSeq == Seq("SAMPLE_ID", "PATIENT_ID"))
+    val rows = pubM.select("TUMOR_SAMPLE_BARCODE", "FILTER").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("GENIE-C-s1", "PASS"))) // common_variant + foreign sample dropped
+  }
+
+  test("P3: deterministic row indices from parquet metadata") {
+    val dir = tmpDir("rowidx")
+    Seq((10, "a"), (20, "b"), (30, "c"), (40, "d"))
+      .toDF("k", "v").repartition(2).write.parquet(s"$dir/t")
+    val idx1 = RowIndex.forParquet(spark, s"$dir/t").select("row_id", "k")
+      .as[(Long, Int)].collect().toMap
+    val idx2 = RowIndex.forParquet(spark, s"$dir/t").select("row_id", "k")
+      .as[(Long, Int)].collect().toMap
+    assert(idx1 == idx2)                       // stable across reads
+    assert(idx1.keySet == Set(0L, 1L, 2L, 3L)) // dense 0..n-1
+  }
+
+  test("stateful sessionization logic closes sessions on gaps") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // drive the update function directly (batch semantics of the op)
+    val events = Iterator(
+      SessionizeStream.Event(1L, 0L, 1.0),
+      SessionizeStream.Event(1L, 1000L, 2.0),
+      SessionizeStream.Event(1L, 100000L, 3.0)) // > gap → closes first session
+    val state = new TestGroupState[SessionizeStream.SessionState]
+    val closed = SessionizeStream.update(gapMs = 30000L)(1L, events, state).toList
+    assert(closed == List(SessionizeStream.Session(1L, 0L, 1000L, 2, 3.0)))
+    assert(state.getOption.exists(s => s.start_ms == 100000L && s.n_events == 1))
+  }
+}
+
+/** Minimal GroupState stub for driving flatMapGroupsWithState logic. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var v: Option[S] = None
+  private var removed = false
+  override def exists: Boolean = v.isDefined
+  override def get: S = v.get
+  override def getOption: Option[S] = v
+  override def update(newState: S): Unit = { v = Some(newState) }
+  override def remove(): Unit = { v = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
