@@ -25,6 +25,8 @@ object ValidateCli {
     case n if n.endsWith(".maf") || n.startsWith("data_mutations") => "maf"
     case n if n.endsWith(".vcf")                          => "vcf"
     case n if n.endsWith(".bed")                          => "bed"
+    case n if n.endsWith(".seg")                          => "seg"
+    case n if n.endsWith(".yaml") || n.endsWith(".yml")   => "assay"
     case _                                                => "unknown"
   }
 
@@ -83,6 +85,18 @@ object ValidateCli {
             case e: IllegalArgumentException =>
               println(s"$name error bed_header: ${e.getMessage}"); anyError = true
           }
+        case "seg" =>
+          val res = graft.formats.SegFormat.validate(Tsv.readAllString(spark, f), center)
+          res.findings.filter(_.count > 0).foreach(x =>
+            println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
+          anyError ||= !res.isValid
+        case "assay" =>
+          val yamlText = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
+          val res = graft.formats.AssayFormat.validate(
+            graft.sources.Assay.parse(spark, yamlText), center)
+          res.findings.filter(_.count > 0).foreach(x =>
+            println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
+          anyError ||= !res.isValid
         case _ => ()
       }
     }
