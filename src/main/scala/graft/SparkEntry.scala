@@ -160,6 +160,16 @@ object SparkEntry {
     }),
 
     // ---------------- J: joins --------------------------------------
+    "j5_broadcast_remap" -> ((s, dir) => {
+      // code→label lookup remap (race/sex/sampletype analog): broadcast dim
+      val labels = t(s, dir, "region")
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name").as("region_label"))
+      t(s, dir, "nation")
+        .join(broadcast(labels), Seq("n_regionkey"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("region_label"), lit("UNKNOWN")).as("region_label"))
+    }),
+
     "j3_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -245,6 +255,42 @@ object SparkEntry {
           coalesce(col("n_new"), lit(0L)).as("n_new"),
           coalesce(col("n_old"), lit(0L)).as("n_old"),
           (coalesce(col("n_new"), lit(0L)) < coalesce(col("n_old"), lit(0L))).as("decreased"))
+    }),
+
+    "a1_dup_counts" -> ((s, dir) => {
+      // A1: duplicate counts on a composite key
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .groupBy("n").agg(count(lit(1)).as("n_keys"))
+    }),
+
+    "a9_per_sample_counts" -> ((s, dir) => {
+      // A9: per-sample variant counts (mergeCheck batching input)
+      events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_variants"))
+    }),
+
+    // ---------------- U3/O1/C6 ---------------------------------------
+    "u3_except_missing" -> ((s, dir) => {
+      // U3: ids in file but not in DB (missing-sample upload check)
+      val db   = t(s, dir, "customer").filter(col("c_custkey") % 4 =!= 0).select("c_custkey")
+      val file = t(s, dir, "customer").select("c_custkey")
+      file.except(db).orderBy("c_custkey")
+    }),
+
+    "o1_sorted_export" -> ((s, dir) => {
+      // O1: deterministic sorted export (CNA template order)
+      t(s, dir, "part").groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+
+    "c6_epoch_millis" -> ((s, dir) => {
+      // C6: ISO timestamp → epoch ms (modifiedOn semantics)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (unix_timestamp(col("o_orderdate")) * 1000).as("epoch_ms"))
     }),
 
     // ---------------- W: windows -------------------------------------
@@ -787,6 +833,30 @@ object SparkEntry {
         """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
            GROUP BY c_nationkey""",
+
+      "j5_broadcast_remap" ->
+        """SELECT n_nationkey, n_name, COALESCE(r_name, 'UNKNOWN') AS region_label
+           FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""",
+
+      "a1_dup_counts" ->
+        """SELECT n, COUNT(*) AS n_keys FROM (
+             SELECT l_orderkey, l_linenumber, COUNT(*) AS n FROM lineitem
+             GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+           GROUP BY n""",
+
+      "a9_per_sample_counts" ->
+        """SELECT user_id, COUNT(*) AS n_variants FROM events GROUP BY user_id""",
+
+      "u3_except_missing" ->
+        """SELECT c_custkey FROM customer
+           EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 4 <> 0
+           ORDER BY c_custkey""",
+
+      "o1_sorted_export" ->
+        """SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+      "c6_epoch_millis" ->
+        """SELECT o_orderkey, epoch_ms(o_orderdate) AS epoch_ms FROM orders""",
 
       "j6_range_join_binned" ->
         """WITH bands AS (
