@@ -44,19 +44,23 @@ object DedupFunctions {
     * (digit ≥ 8), −1 otherwise; the sign of the per-bit sum is the
     * fingerprint bit. Hex-digit votes keep the signature reproducible in
     * any engine with md5 + substring (no integer hex parsing needed).
+    *
+    * Single pass: one `aggregate` folds a `bits`-wide vote vector over
+    * the token array (zip_with accumulator), instead of one traversal
+    * per bit.
     */
   def simhash(elems: Column, bits: Int): Column = {
     require(bits <= 32, "md5 has 32 hex digits")
     val hashed = transform(array_distinct(elems), e => md5(e))
-    val bitCols = (0 until bits).map { i =>
-      val vote = aggregate(
-        hashed,
-        lit(0L),
-        (acc, h) => acc + when(substring(h, i + 1, 1).isInCollection(highNibbles), lit(1L)).otherwise(lit(-1L))
-      )
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    val zeros  = array_repeat(lit(0L), bits)
+    val votes = aggregate(
+      hashed,
+      zeros,
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(bits)),
+        (a, i) => a + when(h.substr(i, lit(1)).isInCollection(highNibbles), lit(1L)).otherwise(lit(-1L))))
+    val weights = array((0 until bits).map(i => lit(1L << i)): _*)
+    aggregate(zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash longs. */

@@ -28,6 +28,10 @@ object Upsert {
 
   /** Classify incoming vs existing rows into append/update/delete sets.
     * `compareCols` defaults to all shared non-PK columns.
+    *
+    * ONE full-outer shuffle join classifies every row; the three result
+    * frames are filters over that shared (cached) classification, so at
+    * scale the diff costs one exchange per side instead of three joins.
     */
   def diff(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
            compareCols: Seq[String] = Nil): Diff = {
@@ -35,21 +39,34 @@ object Upsert {
     else incoming.columns.intersect(existing.columns).filterNot(pkCols.contains).toSeq
 
     // explicit aliases: both sides may derive from the same base table
-    // (classic self-join ambiguity otherwise)
-    val in  = incoming.withColumn("__pk", pkCol(pkCols)).alias("__l")
-    val ex  = existing.withColumn("__pk", pkCol(pkCols)).alias("__r")
+    // (classic self-join ambiguity otherwise). Join on the key TUPLE
+    // with null-safe equality — faster than a concat-string key (no 6M
+    // string materializations) and collision-free ("a b"+"c" vs
+    // "a"+"b c" collide under space-joining).
+    val in  = incoming.withColumn("__present", lit(true)).alias("__l")
+    val ex  = existing.withColumn("__present", lit(true)).alias("__r")
 
-    val appends = in.join(ex.select("__pk"), Seq("__pk"), "left_anti").drop("__pk")
-    val deletes = ex.join(in.select("__pk"), Seq("__pk"), "left_anti").drop("__pk")
-
-    // differs on any compared column (null-safe inequality)
+    val keyMatch = pkCols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _)
     val changed = cmp.map(c => !(col(s"__l.$c") <=> col(s"__r.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val updates = in.join(ex, col("__l.__pk") === col("__r.__pk"))
-      .filter(changed)
-      .select(incoming.columns.map(c => col(s"__l.$c")): _*)
 
-    Diff(appends, updates, deletes)
+    val classified = in
+      .join(ex, keyMatch, "full_outer")
+      .withColumn("__kind",
+        when(col("__r.__present").isNull, lit("append"))
+          .when(col("__l.__present").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("same")))
+      .persist()
+
+    def side(kind: String, alias: String, cols: Array[String]) =
+      classified.filter(col("__kind") === kind)
+        .select(cols.map(c => col(s"$alias.$c")): _*)
+
+    Diff(
+      appends = side("append", "__l", incoming.columns),
+      updates = side("update", "__l", incoming.columns),
+      deletes = side("delete", "__r", existing.columns))
   }
 
   /** Apply the upsert: every incoming row wins on its PK; existing rows
@@ -60,10 +77,10 @@ object Upsert {
             allowDelete: Boolean = true): DataFrame =
     if (allowDelete) incoming
     else {
-      val in = incoming.withColumn("__pk", pkCol(pkCols))
-      val kept = existing.withColumn("__pk", pkCol(pkCols))
-        .join(in.select("__pk"), Seq("__pk"), "left_anti")
-        .drop("__pk")
+      val kept = existing.alias("__r")
+        .join(incoming.alias("__l"),
+          pkCols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _),
+          "left_anti")
       incoming.unionByName(kept.select(incoming.columns.map(col): _*))
     }
 

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.{RangeJoin, Upsert}
+
+/** 10× scale smoke: derive a ~6M-row lineitem and ~5k-doc corpus from
+  * sf0.1 by unioning shifted copies, then time the operators whose cost
+  * curves matter (binned range join, PK upsert diff, minhash+LSH,
+  * windowed deltas, brute-force vs bucketed ANN). Prints one line per
+  * op: name, input rows, seconds.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SMOKE $name%-28s in=$rows%9d out=$n%9d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val li = (0 until mult).map(i => li0.withColumn("l_orderkey", col("l_orderkey") + i * 10000000L))
+      .reduce(_ unionByName _).persist()
+    val nLi = li.count()
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = (0 until mult).map(i => docs0.withColumn("doc_id", col("doc_id") + i * 1000000L))
+      .reduce(_ unionByName _).persist()
+    val nDocs = docs.count()
+
+    // 1. binned range join at 6M points × 25 bands
+    val bands = spark.read.parquet(s"$sfDir/part.parquet").groupBy("p_brand")
+      .agg(min("p_retailprice").as("lo"), max("p_retailprice").as("hi"))
+      .withColumn("g", lit(1))
+    val points = li.withColumn("unit_price", col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0)))
+      .withColumn("g", lit(1)).withColumn("p_end", col("unit_price"))
+      .select("g", "l_orderkey", "l_linenumber", "unit_price", "p_end")
+    time("binned_range_join", nLi) {
+      RangeJoin.binnedOverlap(points, bands, "g", "unit_price", "p_end", "lo", "hi", 200L).count()
+    }
+
+    // 2. PK upsert diff at 6M×6M (single full-outer pass)
+    val incoming = li.filter(col("l_orderkey") % 3 =!= 0)
+    val existing = li.filter(col("l_orderkey") % 2 =!= 0)
+    time("upsert_diff", nLi) {
+      val d = Upsert.diff(incoming, existing, Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      d.appends.count() + d.updates.count() + d.deletes.count()
+    }
+
+    // 3. native minhash + LSH band keys over the corpus
+    time("minhash_lsh_sigs", nDocs) {
+      val toks = array_distinct(T.tokens(lower(col("text"))))
+      val sig = docs.select(col("doc_id"), graft.plans.MinHashSignature.signature(toks, 16).as("sig"))
+      sig.select(col("doc_id"), explode(graft.functions.DedupFunctions.bandKeys(col("sig"), 4, 4)).as("bk"))
+        .groupBy("bk").count().count()
+    }
+
+    // 4. windowed adjacent deltas over 6M rows
+    time("window_adjacent_deltas", nLi) {
+      graft.operators.WindowOps.adjacentDeltas(
+        li.select("l_suppkey", "l_orderkey", "l_extendedprice"),
+        Seq("l_suppkey"), Seq("l_orderkey"), Seq("l_extendedprice")).count()
+    }
+
+    // 5. ANN: brute force vs sign-bucket LSH over replicated embeddings
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = (0 until mult * 4).map(i => emb0.withColumn("vec_id", col("vec_id") + i * 1000000L))
+      .reduce(_ unionByName _).persist()
+    val nEmb = emb.count()
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    time("ann_bruteforce_topk", nEmb) {
+      V.bruteForceTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 5).count()
+    }
+    time("ann_lsh_topk", nEmb) {
+      V.lshTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 5, bits = 8).count()
+    }
+
+    spark.stop()
+  }
+}
