@@ -27,8 +27,14 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Zero-norm inputs yield NaN (IEEE) instead of an ANSI
+    * divide-by-zero error — zero vectors DO occur in real corpora.
+    */
+  private def safeRatio(num: Column, denom: Column): Column =
+    when(denom === 0.0, lit(Double.NaN)).otherwise(num / denom)
+
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    safeRatio(dot(a, b), norm(a) * norm(b))
 
   /** Sign-pattern bucket over the first `m` dimensions — a 1-bit-per-dim
     * random-hyperplane LSH with axis-aligned planes. Vectors in the same
@@ -51,7 +57,7 @@ object VectorFunctions {
     val c = corpus.withColumn("__cn", norm(col(cVec)))
     val joined = c
       .join(broadcast(q), col(qId) =!= col(cId))
-      .withColumn("score", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
+      .withColumn("score", safeRatio(dot(col(qVec), col(cVec)), col("__qn") * col("__cn")))
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
     joined
       .withColumn("rank", row_number().over(w))
@@ -72,7 +78,7 @@ object VectorFunctions {
     val joined = cb
       .join(broadcast(qb), Seq("bucket"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("score", dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")))
+      .withColumn("score", safeRatio(dot(col(qVec), col(cVec)), col("__qn") * col("__cn")))
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
     joined
       .withColumn("rank", row_number().over(w))

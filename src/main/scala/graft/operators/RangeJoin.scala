@@ -66,4 +66,22 @@ object RangeJoin {
     */
   def contained(s1: Column, e1: Column, s2: Column, e2: Column): Column =
     s1 >= s2 && e1 <= e2
+
+  /** Adaptive strategy pick: broadcast the interval side when Catalyst
+    * estimates it under `broadcastThreshold` bytes (panel-sized BED
+    * files), otherwise the binned equi-join (both sides large). This is
+    * the planner-level choice SURVEY §4 describes, made with the same
+    * statistics Catalyst's own join selection uses.
+    */
+  def overlapAuto(big: DataFrame, intervals: DataFrame, chrom: String,
+                  bigStart: String, bigEnd: String,
+                  intervalStart: String, intervalEnd: String,
+                  binSize: Long = 1 << 16,
+                  broadcastThreshold: Long = 8L << 20): DataFrame = {
+    val estimated = intervals.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estimated <= broadcastThreshold)
+      broadcastOverlap(big, intervals, chrom, bigStart, bigEnd, intervalStart, intervalEnd)
+    else
+      binnedOverlap(big, intervals, chrom, bigStart, bigEnd, intervalStart, intervalEnd, binSize)
+  }
 }

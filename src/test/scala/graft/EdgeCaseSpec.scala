@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.formats.CnaFormat
+import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{RangeJoin, Upsert, WindowOps}
+import graft.rules.{RowRule, Rules}
+
+/** Degenerate-input hardening: empty frames, null keys, empty arrays,
+  * single-element domains — the shapes that show up constantly at the
+  * edges of a 1000-file ingest.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyKV = Seq.empty[(Int, String)].toDF("id", "v")
+
+  test("battery on an empty frame reports zero violations, not failure") {
+    val res = Rules.Battery.run(emptyKV,
+      Seq(RowRule("v_null", "error", col("v").isNull, col("id"), "{count}")))
+    assert(res.isValid)
+    assert(res.findings.head.count == 0)
+    assert(res.findings.head.example.isEmpty)
+  }
+
+  test("upsert with empty sides") {
+    val data = Seq((1, "a")).toDF("id", "v")
+    val d1 = Upsert.diff(data, emptyKV, Seq("id"))
+    assert(d1.appends.count() == 1 && d1.updates.count() == 0 && d1.deletes.count() == 0)
+    val d2 = Upsert.diff(emptyKV, data, Seq("id"))
+    assert(d2.appends.count() == 0 && d2.deletes.count() == 1)
+    val d3 = Upsert.diff(emptyKV, emptyKV, Seq("id"))
+    assert(d3.appends.count() + d3.updates.count() + d3.deletes.count() == 0)
+  }
+
+  test("upsert with null PK values matches null-safely") {
+    val in = Seq((Option.empty[Int], "x")).toDF("id", "v")
+    val ex = Seq((Option.empty[Int], "x")).toDF("id", "v")
+    val d = Upsert.diff(in, ex, Seq("id"))
+    assert(d.appends.count() == 0 && d.updates.count() == 0 && d.deletes.count() == 0)
+  }
+
+  test("range join with empty interval side and degenerate intervals") {
+    val pts = Seq(("1", 5L, 5L)).toDF("chrom", "s", "e")
+    val none = Seq.empty[(String, Long, Long)].toDF("chrom", "rs", "re")
+    assert(RangeJoin.binnedOverlap(pts, none, "chrom", "s", "e", "rs", "re", 10L).count() == 0)
+    // zero-width interval exactly on a bin boundary
+    val ivl = Seq(("1", 10L, 10L)).toDF("chrom", "rs", "re")
+    val onBoundary = Seq(("1", 10L, 10L)).toDF("chrom", "s", "e")
+    assert(RangeJoin.binnedOverlap(onBoundary, ivl, "chrom", "s", "e", "rs", "re", 10L).count() == 1)
+  }
+
+  test("overlapAuto picks a working strategy for small and large sides") {
+    val pts = (1 to 100).map(i => ("1", i.toLong, i.toLong)).toDF("chrom", "s", "e")
+    val ivl = Seq(("1", 10L, 20L)).toDF("chrom", "rs", "re")
+    assert(RangeJoin.overlapAuto(pts, ivl, "chrom", "s", "e", "rs", "re").count() == 11)
+    assert(RangeJoin.overlapAuto(pts, ivl, "chrom", "s", "e", "rs", "re",
+      broadcastThreshold = 0L).count() == 11) // forced binned path
+  }
+
+  test("text/dedup functions on empty and single-token strings") {
+    val df = Seq((1L, ""), (2L, "word"), (3L, "   ")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.langId(col("text")).as("lang"),
+      DedupFunctions.simhash(TextFunctions.tokens(col("text")), 8).as("sh"),
+      TextFunctions.shingles(col("text"), 3).as("sh3"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getAs[Int]("n") == 1)
+    assert(out(1L).getAs[String]("lang") == "und")
+    assert(out.values.forall(_.getAs[Long]("sh") >= 0))
+  }
+
+  test("cosine of zero vector yields NaN (not crash) and topk excludes self") {
+    val vecs = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    val q = vecs.select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val c = vecs.select(col("id").as("c_id"), col("vec").as("c_vec"))
+    val top = VectorFunctions.bruteForceTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 2)
+    assert(top.filter(col("q_id") === col("c_id")).count() == 0)
+    val z = top.filter(col("q_id") === 0).select("score").collect().map(_.getDouble(0))
+    assert(z.forall(_.isNaN))
+  }
+
+  test("CNA melt of a single-sample matrix and empty pivot list") {
+    val wide = Seq(("TP53", Some(1.0))).toDF("Hugo_Symbol", "S1")
+    val long = CnaFormat.melt(wide)
+    assert(long.count() == 1)
+    val wideOut = CnaFormat.toWide(long, Seq("S1", "S_MISSING"))
+    assert(wideOut.columns.toSeq == Seq("HUGO_SYMBOL", "S1", "S_MISSING"))
+  }
+
+  test("adjacent deltas with single-row groups emit null prev") {
+    val df = Seq(("a", 1L, 1.0), ("b", 1L, 2.0)).toDF("k", "o", "v")
+    val d = WindowOps.adjacentDeltas(df, Seq("k"), Seq("o"), Seq("v"))
+    assert(d.filter(col("v_prev").isNull).count() == 2)
+  }
+}
