@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashFunction)
+    ext.injectFunction(GraftExtensions.rangeOverlapFunction)
+    ext.injectOptimizerRule(_ => BinnedIntervalJoinRule())
   }
 }
 
@@ -35,10 +37,23 @@ object GraftExtensions {
       MinHashSignature(exprs.head, intLiteral(exprs(1), "k"))
     })
 
+  val rangeOverlapFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("range_overlap"),
+    new ExpressionInfo(classOf[RangeOverlap].getName, "range_overlap"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 4, "range_overlap(s1, e1, s2, e2)")
+      RangeOverlap(exprs(0), exprs(1), exprs(2), exprs(3))
+    })
+
   /** Runtime registration on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature",
-      exprs => minhashFunction._3(exprs),
-      "scala_udf")
+      "minhash_signature", exprs => minhashFunction._3(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "range_overlap", exprs => rangeOverlapFunction._3(exprs), "scala_udf")
+    val rule = BinnedIntervalJoinRule()
+    if (!spark.sessionState.experimentalMethods.extraOptimizations.contains(rule))
+      spark.sessionState.experimentalMethods.extraOptimizations =
+        spark.sessionState.experimentalMethods.extraOptimizations :+ rule
+  }
 }
