@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** point/interval overlap predicate: [s1,e1] ∩ [s2,e2] ≠ ∅ */
+  /** point/interval overlap predicate: [s1,e1] ∩ [s2,e2] ≠ ∅.
+    * Built as the [[graft.plans.RangeOverlap]] marker: evaluates (and
+    * codegens) as the plain conjunction, but lets the injected
+    * BinnedIntervalJoinRule auto-rewrite large×large joins carrying it.
+    */
   def overlaps(s1: Column, e1: Column, s2: Column, e2: Column): Column =
-    s1 <= e2 && e1 >= s2
+    graft.plans.RangeOverlap(s1, e1, s2, e2)
 
   /** Small interval side: broadcast non-equi join.
     * Column names must be disjoint apart from `chrom`.
