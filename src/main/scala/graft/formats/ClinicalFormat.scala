@@ -37,9 +37,10 @@ object ClinicalFormat {
       RowRule("sample_id_prefix", "error",
         Rules.badIdentifier(sid, s"GENIE-$center"), sid,
         s"Sample: SAMPLE_ID must start with GENIE-$center ({count} rows, e.g. {example})"),
+      // message verbatim incl. the reference's "much" typo (clinical.py:904-906)
       RowRule("patient_in_sample", "error",
         !coalesce(sid.contains(col("PATIENT_ID")), lit(false)), sid,
-        "Sample: PATIENT_ID must be a substring of SAMPLE_ID ({count} rows, e.g. {example})"),
+        "Sample Clinical File: PATIENT_ID's much be contained in the SAMPLE_ID's (ex. SAGE-1 <-> SAGE-1-2)"),
       RowRule("age_at_seq_report", "error",
         Rules.notInteger(col("AGE_AT_SEQ_REPORT")) &&
           !col("AGE_AT_SEQ_REPORT").isInCollection(daySentinels), sid,
@@ -120,20 +121,37 @@ object ClinicalFormat {
     */
   def validate(sample: DataFrame, patient: DataFrame, center: String): ValidationResult = {
     import graft.rules.Finding
+    // golden message templates verbatim from the reference
+    // (clinical.py:853, 877, 964, 1026, 1063; tests/test_clinical.py)
     val schemaFindings =
       missingColumns(sample, sampleRequired).map(c =>
-        Finding(s"missing_col_$c", "error", 1, None, s"Sample: missing required column $c")) ++
+        Finding(s"missing_col_$c", "error", 1, None,
+          s"Sample Clinical File: Must have $c column.")) ++
       missingColumns(patient, patientRequired).map(c =>
-        Finding(s"missing_col_$c", "error", 1, None, s"Patient: missing required column $c"))
-    val sampleRes = Rules.Battery.run(sample,
-      sampleRules(center).filter(r => true))
+        Finding(s"missing_col_$c", "error", 1, None,
+          s"Patient Clinical File: Must have $c column."))
+    val sampleRes = Rules.Battery.run(sample, sampleRules(center))
     val patientRes = Rules.Battery.run(patient, patientRules(center))
-    // P11 cross-frame: orphan samples (patient id absent from patient file)
+
+    // P11: duplicated SAMPLE_ID (clinical.py:855-858)
+    val dupSamples =
+      if (!sample.columns.contains("SAMPLE_ID")) 0L
+      else sample.groupBy("SAMPLE_ID").count().filter(col("count") > 1).count()
+    val dupFinding = Finding("duplicate_sample_id", "error", dupSamples, None,
+      "Sample Clinical File: No duplicated SAMPLE_ID allowed.")
+
+    // P11 cross-frame: orphan samples (patient id absent from patient file,
+    // clinical.py:909-918)
+    val orphanIds = sample.join(patient, Seq("PATIENT_ID"), "left_anti")
+      .select("SAMPLE_ID").distinct().orderBy("SAMPLE_ID").limit(5)
+      .collect().map(_.getString(0))
     val orphans = sample.join(patient, Seq("PATIENT_ID"), "left_anti").count()
     val orphanFinding =
-      Finding("orphan_samples", "error", orphans, None,
-        s"Sample: $orphans samples reference patients missing from the patient file")
-    ValidationResult(schemaFindings ++ sampleRes.findings ++ patientRes.findings :+ orphanFinding)
+      Finding("orphan_samples", "error", orphans, orphanIds.headOption,
+        "Patient Clinical File: All samples must have associated patient information " +
+          s"and no null patient ids allowed. These samples are missing patient data: ${orphanIds.mkString(", ")}")
+    ValidationResult(schemaFindings ++ sampleRes.findings ++ patientRes.findings
+      :+ dupFinding :+ orphanFinding)
   }
 
   /** Processor: S2 pair join + C1/C2 cleanup + J5 remaps.

@@ -25,7 +25,7 @@ object MafFormat {
     Seq(
       RowRule("chromosome_domain", "error",
         Rules.badChromosome(col("CHROMOSOME"), allowChrPrefix = false), key,
-        "Mutation: CHROMOSOME must be 1-22, X, Y, MT without chr prefix ({count} rows, e.g. {example})"),
+        "maf: Please double check your CHROMOSOME column.  This column must only be these values: 1-22, or X."),
       RowRule("start_le_end", "warning",
         Rules.startAfterEnd(col("START_POSITION").cast("long"), col("END_POSITION").cast("long")), key,
         "Mutation: START_POSITION after END_POSITION ({count} rows, e.g. {example})"),
@@ -43,18 +43,29 @@ object MafFormat {
   def validate(maf: DataFrame, center: String): ValidationResult = {
     import graft.rules.Finding
     val missing = requiredColumns.filterNot(maf.columns.map(_.toUpperCase).contains)
-    val schemaFindings = missing.map(c =>
-      Finding(s"missing_col_$c", "error", 1, None, s"Mutation: missing required column $c"))
-    if (missing.nonEmpty) return ValidationResult(schemaFindings.toSeq)
+    // golden template verbatim (maf.py:253-265, incl. its "makesure" quirk)
+    val schemaFindings =
+      if (missing.isEmpty) Nil
+      else Seq(Finding("missing_headers", "error", missing.length.toLong, None,
+        s"maf: Must at least have these headers: ${missing.mkString(",")}. " +
+          "If you are writing your maf file with R, please make" +
+          "sure to specify the 'quote=FALSE' parameter."))
+    if (missing.nonEmpty) return ValidationResult(schemaFindings)
 
     val battery = Rules.Battery.run(maf, rowRules(center))
 
     // P14: duplicate variants on the 5-col PK (maf.py:273-299)
-    val pk = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
-      "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2").map(c => trim(col(c)))
-    val dups = maf.groupBy(pk: _*).count().filter(col("count") > 1).count()
-    val dupFinding = Finding("duplicate_variants", "error", dups, None,
-      s"Mutation: $dups duplicated variants on (chrom, start, ref, barcode, alt)")
+    val pkCols = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
+      "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
+    val pk = pkCols.map(c => trim(col(c)).as(c))
+    val dupGroups = maf.groupBy(pk: _*).count().filter(col("count") > 1)
+    val dups = dupGroups.count()
+    val dupSamples = dupGroups
+      .select(col("TUMOR_SAMPLE_BARCODE").as("b")).distinct()
+      .orderBy("b").limit(5).collect().map(_.getString(0))
+    val dupFinding = Finding("duplicate_variants", "error", dups, dupSamples.headOption,
+      "maf: Must not have duplicated variants. Samples with duplicated variants: " +
+        dupSamples.mkString(", "))
 
     // P17: cross-column allele validity as global bool aggregates (maf.py:14-123)
     val g = maf.agg(
