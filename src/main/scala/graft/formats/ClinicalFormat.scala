@@ -138,18 +138,27 @@ object ClinicalFormat {
       if (!sample.columns.contains("SAMPLE_ID")) 0L
       else sample.groupBy("SAMPLE_ID").count().filter(col("count") > 1).count()
     val dupFinding = Finding("duplicate_sample_id", "error", dupSamples, None,
-      "Sample Clinical File: No duplicated SAMPLE_ID allowed.")
+      "Sample Clinical File: No duplicated SAMPLE_ID allowed.\n" +
+        "If there are no duplicated SAMPLE_IDs, and both sample and patient files are uploaded, " +
+        "then please check to make sure no duplicated PATIENT_IDs exist in the patient clinical file.")
 
     // P11 cross-frame: orphan samples (patient id absent from patient file,
-    // clinical.py:909-918)
-    val orphanIds = sample.join(patient, Seq("PATIENT_ID"), "left_anti")
-      .select("SAMPLE_ID").distinct().orderBy("SAMPLE_ID").limit(5)
-      .collect().map(_.getString(0))
-    val orphans = sample.join(patient, Seq("PATIENT_ID"), "left_anti").count()
+    // clinical.py:909-918) — guarded on key columns, computed in ONE action
+    // (count + full offending-id list like the reference)
     val orphanFinding =
-      Finding("orphan_samples", "error", orphans, orphanIds.headOption,
-        "Patient Clinical File: All samples must have associated patient information " +
-          s"and no null patient ids allowed. These samples are missing patient data: ${orphanIds.mkString(", ")}")
+      if (!sample.columns.contains("PATIENT_ID") || !patient.columns.contains("PATIENT_ID") ||
+          !sample.columns.contains("SAMPLE_ID"))
+        Finding("orphan_samples", "error", 0, None, "")
+      else {
+        val row = sample.join(patient.select("PATIENT_ID"), Seq("PATIENT_ID"), "left_anti")
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_set(col("SAMPLE_ID"))).as("ids")).head()
+        val orphans = row.getAs[Long]("n")
+        val ids = row.getAs[scala.collection.Seq[String]]("ids").toSeq
+        Finding("orphan_samples", "error", orphans, ids.headOption,
+          "Patient Clinical File: All samples must have associated patient information " +
+            s"and no null patient ids allowed. These samples are missing patient data: ${ids.mkString(", ")}")
+      }
     ValidationResult(schemaFindings ++ sampleRes.findings ++ patientRes.findings
       :+ dupFinding :+ orphanFinding)
   }

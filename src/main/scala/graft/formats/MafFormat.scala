@@ -25,19 +25,26 @@ object MafFormat {
     Seq(
       RowRule("chromosome_domain", "error",
         Rules.badChromosome(col("CHROMOSOME"), allowChrPrefix = false), key,
-        "maf: Please double check your CHROMOSOME column.  This column must only be these values: 1-22, or X."),
+        "maf: Please double check your CHROMOSOME column.  This column must only be these values: " +
+          (1 to 22).mkString(", ") + ", X, Y, MT"),
       RowRule("start_le_end", "warning",
         Rules.startAfterEnd(col("START_POSITION").cast("long"), col("END_POSITION").cast("long")), key,
         "Mutation: START_POSITION after END_POSITION ({count} rows, e.g. {example})"),
       RowRule("tsa2_allele", "error",
         Rules.badAllele(col("TUMOR_SEQ_ALLELE2")), key,
-        "Mutation: TUMOR_SEQ_ALLELE2 must match ^[ATCGN]+$ or dashes ({count} rows, e.g. {example})"),
+        "maf: Your TUMOR_SEQ_ALLELE2 column has invalid allele values. " +
+          "This is the list of accepted allele values that can appear individually " +
+          "or in combination with each other: A,T,C,G,N.\n" +
+          "This is the list of accepted allele values that can only appear individually: -"),
       RowRule("ref_allele", "error",
         Rules.badAllele(col("REFERENCE_ALLELE")), key,
-        "Mutation: REFERENCE_ALLELE must match ^[ATCGN]+$ or dashes ({count} rows, e.g. {example})"),
+        "maf: Your REFERENCE_ALLELE column has invalid allele values. " +
+          "This is the list of accepted allele values that can appear individually " +
+          "or in combination with each other: A,T,C,G,N.\n" +
+          "This is the list of accepted allele values that can only appear individually: -"),
       RowRule("barcode_prefix", "error",
         Rules.badIdentifier(col("TUMOR_SAMPLE_BARCODE"), s"GENIE-$center"), key,
-        s"Mutation: TUMOR_SAMPLE_BARCODE must start with GENIE-$center ({count} rows, e.g. {example})"))
+        s"maf: TUMOR_SAMPLE_BARCODE must start with GENIE-$center"))
   }
 
   def validate(maf: DataFrame, center: String): ValidationResult = {
@@ -59,10 +66,12 @@ object MafFormat {
       "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
     val pk = pkCols.map(c => trim(col(c)).as(c))
     val dupGroups = maf.groupBy(pk: _*).count().filter(col("count") > 1)
-    val dups = dupGroups.count()
-    val dupSamples = dupGroups
-      .select(col("TUMOR_SAMPLE_BARCODE").as("b")).distinct()
-      .orderBy("b").limit(5).collect().map(_.getString(0))
+    // one action: duplicate-group count + offending barcodes together
+    val dupRow = dupGroups.agg(
+      count(lit(1)).as("n"),
+      sort_array(collect_set(col("TUMOR_SAMPLE_BARCODE"))).as("samples")).head()
+    val dups = dupRow.getAs[Long]("n")
+    val dupSamples = dupRow.getAs[scala.collection.Seq[String]]("samples").toSeq
     val dupFinding = Finding("duplicate_variants", "error", dups, dupSamples.headOption,
       "maf: Must not have duplicated variants. Samples with duplicated variants: " +
         dupSamples.mkString(", "))
