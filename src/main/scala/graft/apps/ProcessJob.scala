@@ -107,7 +107,10 @@ object ProcessJob {
           if (res.isValid) {
             val pk = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
               "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
-            val merged = existing.get("maf") match {
+            // accumulate across a center's MULTIPLE maf files: each file
+            // upserts against the running table, not the original state
+            val base = tables.get("maf").orElse(existing.get("maf"))
+            val merged = base match {
               case Some(ex) => Upsert.merge(maf, ex, pk, allowDelete = false)
               case None     => maf
             }

@@ -90,14 +90,16 @@ object ClinicalFormat {
   def oncotreeFindings(sample: DataFrame, patient: DataFrame,
                        oncotree: DataFrame): Seq[graft.rules.Finding] = {
     import graft.rules.Finding
-    val unmapped = sample
+    // one action: count + offending codes together
+    val unmappedRow = sample
       .withColumn("ONCOTREE_CODE", upper(col("ONCOTREE_CODE")))
       .join(broadcast(oncotree.select("ONCOTREE_CODE", "CANCER_TYPE")), Seq("ONCOTREE_CODE"), "left")
       .filter(col("CANCER_TYPE").isNull && col("ONCOTREE_CODE").isNotNull)
-    val unmappedCodes = unmapped.select("ONCOTREE_CODE").distinct()
-      .orderBy("ONCOTREE_CODE").limit(5)
-      .collect().map(_.getString(0))
-    val nUnmapped = unmapped.count()
+      .agg(count(lit(1)).as("n"),
+        slice(sort_array(collect_set(col("ONCOTREE_CODE"))), 1, 5).as("codes"))
+      .head()
+    val nUnmapped = unmappedRow.getAs[Long]("n")
+    val unmappedCodes = unmappedRow.getAs[scala.collection.Seq[String]]("codes").toSeq
 
     val gendered = Map("PRAD" -> "1", "OCS" -> "2") // cancer code → required SEX code
     val conflicts =

@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  final case class Diff(appends: DataFrame, updates: DataFrame, deletes: DataFrame)
+  /** The three classified row sets, views over one cached full-outer
+    * join. Call [[Diff.unpersist]] once the sets have been consumed —
+    * long-running drivers looping over tables otherwise accumulate
+    * cached classifications.
+    */
+  final case class Diff(appends: DataFrame, updates: DataFrame, deletes: DataFrame,
+                        private val cached: Option[DataFrame] = None) {
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   def pkCol(pkCols: Seq[String]): org.apache.spark.sql.Column =
     concat_ws(" ", pkCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
@@ -66,7 +74,8 @@ object Upsert {
     Diff(
       appends = side("append", "__l", incoming.columns),
       updates = side("update", "__l", incoming.columns),
-      deletes = side("delete", "__r", existing.columns))
+      deletes = side("delete", "__r", existing.columns),
+      cached = Some(classified))
   }
 
   /** Apply the upsert: every incoming row wins on its PK; existing rows

@@ -65,14 +65,20 @@ case class BinnedIntervalJoinRule(binSize: Long = 1 << 16,
         Join(genL, genR, Inner, Some(newCond), hint))
   }
 
-  /** Find a RangeOverlap whose (s1,e1) bind to `left` and (s2,e2) to
-    * `right` (or flipped — normalized so 1=left side).
+  /** Find a RangeOverlap that is a TOP-LEVEL CONJUNCT of the join
+    * condition (a marker under OR/NOT must not trigger the rewrite —
+    * ANDing bin predicates would then drop valid pairs) with (s1,e1)
+    * bound to `left` and (s2,e2) to `right` (or flipped — normalized).
     */
   private def collectOverlap(cond: Expression, left: LogicalPlan, right: LogicalPlan)
   : Option[(RangeOverlap, Expression, Expression, Expression, Expression)] = {
     val lOut = left.outputSet
     val rOut = right.outputSet
-    cond.collectFirst {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other     => Seq(other)
+    }
+    conjuncts(cond).collectFirst {
       case ro @ RangeOverlap(s1, e1, s2, e2)
           if refsOf(s1).subsetOf(lOut) && refsOf(e1).subsetOf(lOut) &&
             refsOf(s2).subsetOf(rOut) && refsOf(e2).subsetOf(rOut) =>

@@ -24,16 +24,14 @@ case class RangeOverlap(s1: Expression, e1: Expression,
   override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = BooleanType
 
+  @transient private lazy val ord =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(s1.dataType)
+
   override def eval(input: InternalRow): Any = {
     val a = s1.eval(input); val b = e1.eval(input)
     val c = s2.eval(input); val d = e2.eval(input)
     if (a == null || b == null || c == null || d == null) null
-    else {
-      val ord = s1.dataType match {
-        case _ => org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(s1.dataType)
-      }
-      java.lang.Boolean.valueOf(ord.lteq(a, d) && ord.gteq(b, c))
-    }
+    else java.lang.Boolean.valueOf(ord.lteq(a, d) && ord.gteq(b, c))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

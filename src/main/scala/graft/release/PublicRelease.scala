@@ -25,12 +25,27 @@ object PublicRelease {
     df.select(publicCols.map(col): _*)
   }
 
-  def publicSamples(clinical: DataFrame, monthsOld: Int = 12): DataFrame =
-    clinical.select("SAMPLE_ID").distinct()
+  /** Public sample set: samples whose sequencing date is at least
+    * `monthsOld` months before `asOf` (consortium_to_public.py:47 —
+    * 365-day default cutoff). Clinical tables without a SEQ_DATE
+    * ("MMM-yyyy" strings, C5) release everything, matching the
+    * reference path where the seq-date filter was removed.
+    */
+  def publicSamples(clinical: DataFrame, monthsOld: Int = 12,
+                    asOf: String = "2026-01-01"): DataFrame = {
+    val base =
+      if (!clinical.columns.contains("SEQ_DATE")) clinical
+      else clinical.filter(
+        months_between(lit(asOf).cast("date"),
+          to_date(col("SEQ_DATE"), "MMM-yyyy")) >= monthsOld)
+    base.select("SAMPLE_ID").distinct()
+  }
 
-  def convert(clinical: DataFrame, maf: DataFrame, scope: Seq[Scope]): (DataFrame, DataFrame) = {
-    val pubClinical = scopeColumns(clinical, scope)
-    val keep = clinical.select("SAMPLE_ID").distinct()
+  def convert(clinical: DataFrame, maf: DataFrame, scope: Seq[Scope],
+              monthsOld: Int = 12, asOf: String = "2026-01-01"): (DataFrame, DataFrame) = {
+    val keep = publicSamples(clinical, monthsOld, asOf)
+    val pubClinical = scopeColumns(
+      clinical.join(broadcast(keep), Seq("SAMPLE_ID"), "left_semi"), scope)
     val pubMaf0 = maf.join(
       broadcast(keep.withColumnRenamed("SAMPLE_ID", "TUMOR_SAMPLE_BARCODE")),
       Seq("TUMOR_SAMPLE_BARCODE"), "left_semi")

@@ -123,6 +123,10 @@ object Rules {
       */
     def asDataFrame(df: DataFrame, allRules: Seq[RowRule]): DataFrame = {
       val rules = allRules.filter(_.applicableTo(df.columns.toSeq))
+      if (rules.isEmpty)
+        return df.limit(0).select(
+          lit("").as("rule"), lit("").as("severity"),
+          lit(0L).as("n_violations"), lit(null).cast("string").as("example"))
       val perRule = rules.map { r =>
         struct(
           lit(r.name).as("rule"), lit(r.severity).as("severity"),

@@ -54,9 +54,11 @@ object Tsv {
       val c = col(f.name)
       f.dataType match {
         case DoubleType | FloatType =>
-          // "12.0" → "12", fractional values untouched
+          // "12.0" → "12"; NaN/Infinity/huge values fall through to the
+          // plain string form (decimal cast would null or throw on them)
           when(c.isNull, lit(naToken))
-            .when(c === floor(c), c.cast("decimal(30,0)").cast("string"))
+            .when(!isnan(c) && abs(c) <= 1e15 && c === floor(c),
+              c.cast("decimal(30,0)").cast("string"))
             .otherwise(c.cast("string")).as(f.name)
         case StringType => coalesce(c, lit(naToken)).as(f.name)
         case _          => coalesce(c.cast("string"), lit(naToken)).as(f.name)

@@ -45,6 +45,17 @@ class ProcessJobSpec extends SparkSpec {
     assert(r3.tables("maf").count() == 2)
   }
 
+  test("multiple MAF files from one center all accumulate") {
+    val dir = tmpDir("process-multi")
+    val header = "CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n"
+    Files.write(Paths.get(dir, "data_mutations_a.maf"),
+      (header + "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\n").getBytes)
+    Files.write(Paths.get(dir, "data_mutations_b.maf"),
+      (header + "2\t200\t201\tG\tGENIE-CTR-p1-s1\tC\n").getBytes)
+    val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty)
+    assert(r.tables("maf").count() == 2) // both files' variants present
+  }
+
   test("P30: triple clinical upload flagged as duplicate") {
     assert(ProcessJob.duplicatedFiles(Seq(
       "data_clinical_supp_sample_A.txt", "data_clinical_supp_patient_A.txt",

@@ -53,6 +53,25 @@ class BinnedIntervalJoinRuleSpec extends SparkSpec {
     } finally em.extraOptimizations = prev
   }
 
+  test("rule does NOT fire when the marker sits under OR (soundness)") {
+    val em = spark.sessionState.experimentalMethods
+    val prev = em.extraOptimizations
+    em.extraOptimizations = prev :+ BinnedIntervalJoinRule(binSize = 32, broadcastThreshold = 0)
+    try {
+      val disjunctive = points.as("p").join(intervals.as("r"),
+        col("p.chrom") =!= col("r.chrom") ||
+          RangeOverlap(col("p.s"), col("p.e"), col("r.rs"), col("r.re")))
+      assert(!disjunctive.queryExecution.optimizedPlan.toString.contains("__bin_l"))
+      // and results match the plain-predicate form exactly
+      val viaMarker = disjunctive.count()
+      em.extraOptimizations = prev
+      val plain = points.as("p").join(intervals.as("r"),
+        col("p.chrom") =!= col("r.chrom") ||
+          (col("p.s") <= col("r.re") && col("p.e") >= col("r.rs"))).count()
+      assert(viaMarker == plain)
+    } finally em.extraOptimizations = prev
+  }
+
   test("SQL surface: range_overlap registered via extensions") {
     GraftExtensions.register(spark)
     points.createOrReplaceTempView("ro_points")

@@ -32,6 +32,20 @@ class SourcesSpec extends SparkSpec {
     assert(lines.exists(_ == "1\t2.5"))
   }
 
+  test("S11: NaN/Infinity/huge doubles survive the .0-free writer") {
+    val dir = tmpDir("tsv-nan")
+    val df = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity), (3L, 1e31), (4L, 7.0))
+      .toDF("ID", "VAL")
+    Tsv.write(df, s"$dir/out", naToken = "NA")
+    val lines = Files.list(Paths.get(s"$dir/out")).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSet
+    assert(lines.exists(l => l.startsWith("1\t") && l.contains("NaN")), lines)
+    assert(lines.exists(l => l.startsWith("2\t") && l.toLowerCase.contains("inf")), lines)
+    assert(lines.exists(l => l.startsWith("3\t") && l.contains("E31")), lines)
+    assert(lines.contains("4\t7"), lines)
+  }
+
   test("S3: MAF reader keeps NA literals in allele cols, nulls elsewhere") {
     val dir = tmpDir("maf")
     val in = writeFile(dir, "m.maf",
