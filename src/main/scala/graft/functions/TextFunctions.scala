@@ -47,10 +47,17 @@ object TextFunctions {
   }
 
   /** Language-ID: argmax over per-language stopword hit counts;
-    * "und" (undetermined) when nothing matches.
-    * One pass over the token array per language — still pure columns.
+    * "und" (undetermined) when nothing matches. Delegates to the native
+    * one-pass expression (graft.plans.LangIdExpr); the composed-column
+    * form below exists to prove decision-rule equality in specs.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.plans.LangIdExpr.langId(tokens(lower(text)))
+
+  /** Composed-expression twin of [[langId]] (one interpreted array pass
+    * per language) — kept as the reference semantics oracle.
+    */
+  def langIdComposed(text: Column): Column = {
     val toks = tokens(lower(text))
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(filter(toks, t => t.isInCollection(words))).as("hits"), lit(lang).as("lang"))

@@ -40,6 +40,15 @@ class MinHashExpressionSpec extends SparkSpec {
     assert(byId(1L).forall(_.length == 32)) // md5 hex
   }
 
+  test("native lang_id matches the composed decision rule on every doc") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = d.select(
+      graft.functions.TextFunctions.langId(col("text")).as("native"),
+      graft.functions.TextFunctions.langIdComposed(col("text")).as("composed"))
+    assert(cmp.filter(col("native") =!= col("composed")).count() == 0)
+    assert(cmp.filter(col("native").isin("de", "en", "es", "fr", "und")).count() == d.count())
+  }
+
   test("literal-k misuse fails cleanly") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("mh_docs")
