@@ -722,6 +722,37 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // ---------------- CNA matrix lifecycle ---------------------------
+    "cna_melt_merge" -> ((s, dir) => {
+      // wide matrix → melt → A7 merge → long form (graft.formats.CnaFormat)
+      val wide = t(s, dir, "documents")
+        .groupBy(col("lang").as("Hugo_Symbol"))
+        .pivot("source", (0 until 20).map(i => s"src$i"))
+        .count()
+      val merged = graft.formats.CnaFormat.mergeDuplicateGenes(
+        graft.formats.CnaFormat.melt(wide))
+      merged.select(col("HUGO_SYMBOL").as("hugo_symbol"),
+        col("SAMPLE_ID").as("sample_id"), col("VALUE").cast("long").as("value"))
+    }),
+
+    // ---------------- BED gene remap (90% rule) ----------------------
+    "bed_remap_90pct" -> ((s, dir) => {
+      val genes = t(s, dir, "part").groupBy("p_brand")
+        .agg(min("p_retailprice").cast("long").as("START_POSITION"),
+          max("p_retailprice").cast("long").as("END_POSITION"))
+        .select(lit("1").as("CHROMOSOME"), col("START_POSITION"), col("END_POSITION"),
+          col("p_brand").as("HUGO_SYMBOL"))
+      val regions = t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(lit("1").as("CHROMOSOME"),
+          (col("l_extendedprice") / greatest(col("l_quantity"), lit(1.0))).cast("long").as("START_POSITION"))
+        .withColumn("END_POSITION", col("START_POSITION") + 50)
+        .withColumn("HUGO_SYMBOL", lit("submitted"))
+        .distinct()
+      graft.operators.BedRemap.remap(regions, genes)
+        .groupBy(col("IN_GENE"), col("HUGO_SYMBOL").as("hugo_symbol"))
+        .agg(count(lit(1)).as("n_regions"))
+    }),
+
     // ---------------- multimodal plumbing ----------------------------
     "mm_binary_meta" -> ((s, dir) => {
       // opaque binary column + deterministic fake decode (see
@@ -1319,6 +1350,44 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
            FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3""",
+
+      "cna_melt_merge" -> {
+        val srcList = (0 until 20).map(i => s"'src$i'").mkString(", ")
+        s"""WITH langs AS (SELECT DISTINCT lang FROM documents),
+           srcs AS (SELECT UNNEST([$srcList]) AS source),
+           counts AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+           SELECT l.lang AS hugo_symbol, s.source AS sample_id, c.n AS value
+           FROM langs l CROSS JOIN srcs s
+           LEFT JOIN counts c ON c.lang = l.lang AND c.source = s.source"""
+      },
+
+      "bed_remap_90pct" ->
+        """WITH genes AS (
+             SELECT p_brand AS sym,
+                    CAST(FLOOR(MIN(p_retailprice)) AS BIGINT) AS gs,
+                    CAST(FLOOR(MAX(p_retailprice)) AS BIGINT) AS ge
+             FROM part GROUP BY p_brand),
+           regions AS (
+             SELECT DISTINCT
+                    CAST(FLOOR(l_extendedprice / greatest(l_quantity, 1.0)) AS BIGINT) AS rs,
+                    CAST(FLOOR(l_extendedprice / greatest(l_quantity, 1.0)) AS BIGINT) + 50 AS re
+             FROM lineitem WHERE l_orderkey % 50 = 0),
+           joined AS (
+             SELECT r.rs, r.re, g.sym, g.gs,
+                    CASE WHEN g.sym IS NOT NULL THEN
+                      CAST(LEAST(r.re, g.ge) - GREATEST(r.rs, g.gs) + 1 AS DOUBLE)
+                        / CAST(r.re - r.rs + 1 AS DOUBLE) END AS ratio
+             FROM regions r LEFT JOIN genes g ON r.rs <= g.ge AND r.re >= g.gs),
+           best AS (
+             SELECT rs, re, sym, ratio,
+                    ROW_NUMBER() OVER (PARTITION BY rs
+                      ORDER BY ratio DESC NULLS LAST, gs ASC NULLS LAST, sym ASC NULLS LAST) AS rn
+             FROM joined)
+           SELECT COALESCE(ratio >= 0.9, FALSE) AS IN_GENE,
+                  CASE WHEN COALESCE(ratio >= 0.9, FALSE) THEN sym ELSE 'submitted' END AS hugo_symbol,
+                  COUNT(*) AS n_regions
+           FROM best WHERE rn = 1
+           GROUP BY 1, 2""",
 
       "mm_binary_meta" ->
         """SELECT doc_id, strlen(text) AS n_bytes,
