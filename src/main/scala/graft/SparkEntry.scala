@@ -447,13 +447,16 @@ object SparkEntry {
     }),
 
     "c10_concat_key" -> ((s, dir) => {
-      // 5-column " "-joined variant key (C10) + dup-count over it
+      // 5-column " "-joined variant key (C10) + dup-count over it.
+      // Group on the native tuple and concat AFTER aggregation — the
+      // shuffle carries 5 typed columns, not 600k pre-built strings.
       t(s, dir, "lineitem")
-        .withColumn("variant_key", concat_ws(" ",
-          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_linenumber"), col("l_returnflag")))
-        .groupBy("variant_key").agg(count(lit(1)).as("n"))
+        .groupBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag")
+        .agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
+        .select(concat_ws(" ",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_returnflag")).as("variant_key"), col("n"))
     }),
 
     "c13_split_extract" -> ((s, dir) => {

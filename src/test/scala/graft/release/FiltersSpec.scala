@@ -1,0 +1,43 @@
+package graft.release
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.rules.CrossFileChecks
+
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F14: germline-status rows dropped case-insensitively, nulls kept") {
+    val sv = Seq(("s1", "GERMLINE"), ("s2", "germline"), ("s3", "SOMATIC"), ("s4", null))
+      .toDF("SAMPLE_ID", "STATUS")
+    val kept = Filters.dropGermline(sv, "STATUS").select("SAMPLE_ID").as[String].collect().toSet
+    assert(kept == Set("s3", "s4"))
+  }
+
+  test("F11: retraction removes samples and leaves the rest") {
+    val db = Seq("s1", "s2", "s3").toDF("SAMPLE_ID")
+    val retracted = Seq("s2").toDF("SAMPLE_ID")
+    assert(Filters.retract(db, retracted, "SAMPLE_ID").as[String].collect().toSet == Set("s1", "s3"))
+  }
+
+  test("F13: common_variant containment filter keeps nulls") {
+    val maf = Seq(("v1", "PASS"), ("v2", "common_variant;other"), ("v3", null))
+      .toDF("ID", "FILTER")
+    val kept = Filters.dropCommonVariants(maf, "FILTER").select("ID").as[String].collect().toSet
+    assert(kept == Set("v1", "v3"))
+  }
+
+  test("standardize: case/underscore/whitespace normalization for cross-file compare") {
+    val df = Seq("  ctr_a1 ", "CTR-A1").toDF("v")
+    val out = df.select(CrossFileChecks.standardize(col("v"))).as[String].collect().toSet
+    assert(out == Set("CTR-A1"))
+  }
+
+  test("F1: germline keep with empty AF column list keeps everything") {
+    val maf = Seq(("v1", false), ("v2", true)).toDF("ID", "WL")
+    val kept = maf.filter(Filters.germlineKeep(Nil, 5e-4, col("WL")))
+      .select("ID").as[String].collect().toSet
+    assert(kept == Set("v1", "v2"))
+  }
+}
