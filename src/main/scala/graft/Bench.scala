@@ -37,7 +37,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt stdout gets truncated/noised; also write the line to a file the
+    // driver can always parse.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(out))
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -115,10 +115,9 @@ object SparkEntry {
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
       val existing = o.filter(col("o_orderkey") % 2 =!= 0)
-      val d = Upsert.diff(incoming, existing, Seq("o_orderkey"))
-      d.appends.agg(count(lit(1)).as("n")).select(lit("append").as("kind"), col("n"))
-        .unionByName(d.updates.agg(count(lit(1)).as("n")).select(lit("update").as("kind"), col("n")))
-        .unionByName(d.deletes.agg(count(lit(1)).as("n")).select(lit("delete").as("kind"), col("n")))
+      // one pass: single full-outer join → conditional agg → stack
+      // (was three filter+agg branches re-scanning the cached join)
+      Upsert.kindCounts(incoming, existing, Seq("o_orderkey"))
     }),
 
     // ---------------- P: validation rule battery ---------------------

@@ -26,6 +26,11 @@ object ClinicalFormat {
   val daySentinels: Seq[String]  = Seq(">32485", "<6570", "Unknown", "Not Collected", "Not Released")
   val yearSentinels: Seq[String] = Seq(">89", "<18", "Unknown", "Not Collected", "Not Released")
 
+  /** DEAD sentinel strings that must equal INT_DOD verbatim
+    * (clinical.py:89-96 `allowed_str`).
+    */
+  val deadSentinels: Seq[String] = Seq("Unknown", "Not Collected", "Not Applicable", "Not Released")
+
   /** P1: missing required columns (schema-level, driver-side). */
   def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
     required.filterNot(df.columns.map(_.toUpperCase).contains)
@@ -70,10 +75,15 @@ object ClinicalFormat {
           col("YEAR_DEATH").cast("int") < col("YEAR_CONTACT").cast("int"), pid,
         "Patient: YEAR_DEATH before YEAR_CONTACT ({count} rows, e.g. {example})",
         requires = Seq("YEAR_DEATH", "YEAR_CONTACT")),
+      // P8 (clinical.py:72-109): dead ⇒ INT_DOD ≠ "Not Applicable";
+      // alive ⇒ INT_DOD = "Not Applicable" (any other value flags, not just
+      // numeric); DEAD sentinel strings must equal INT_DOD verbatim.
+      // Null-safe (<=>) so a missing INT_DOD flags like pandas NaN != str.
       RowRule("dead_dod_consistency", "error",
-        (col("DEAD") === "True" && col("INT_DOD").isInCollection(Seq("Not Applicable"))) ||
-          (col("DEAD") === "False" && col("INT_DOD").rlike("^\\d+$")), pid,
-        "Patient: DEAD and INT_DOD are inconsistent ({count} rows, e.g. {example})",
+        (col("DEAD") === "True" && (col("INT_DOD") <=> "Not Applicable")) ||
+          (col("DEAD") === "False" && !(col("INT_DOD") <=> "Not Applicable")) ||
+          (col("DEAD").isInCollection(deadSentinels) && !(col("DEAD") <=> col("INT_DOD"))), pid,
+        "Patient Clinical File: DEAD value is inconsistent with INT_DOD for at least one patient.",
         requires = Seq("DEAD", "INT_DOD")),
       // P9 (clinical.py:112-219): redaction sentinels must co-occur
       // between the day-resolution INT_* and year-resolution YEAR_* pair
@@ -101,21 +111,34 @@ object ClinicalFormat {
     val nUnmapped = unmappedRow.getAs[Long]("n")
     val unmappedCodes = unmappedRow.getAs[scala.collection.Seq[String]]("codes").toSeq
 
-    val gendered = Map("PRAD" -> "1", "OCS" -> "2") // cancer code → required SEX code
-    val conflicts =
-      if (!patient.columns.contains("SEX")) 0L
-      else sample.select(col("PATIENT_ID"), upper(col("ONCOTREE_CODE")).as("OC"))
-        .join(patient.select("PATIENT_ID", "SEX"), Seq("PATIENT_ID"))
-        .filter(gendered.map { case (code, sex) =>
-          col("OC") === code && col("SEX") =!= sex
-        }.reduce(_ || _))
-        .count()
+    // SEX-vs-cancer check (clinical.py:969-970, 985-1016): match the
+    // oncotree PRIMARY node (not the sample's own code) against the
+    // reference's gendered-primary lists; a SEX that is empty / non-numeric
+    // counts as a conflict (pandas NaN != 1.0 is True).
+    val maleOncoCodes  = Seq("TESTIS", "PROSTATE", "PENIS")      // SEX must be 1
+    val womenOncoCodes = Seq("CERVIX", "VULVA", "UTERUS", "OVARY") // SEX must be 2
+    val (conflicts, conflictIds) =
+      if (!patient.columns.contains("SEX")) (0L, Seq.empty[String])
+      else {
+        val sexD = expr("try_cast(SEX as double)")
+        val row = sample
+          .select(col("SAMPLE_ID"), col("PATIENT_ID"), upper(col("ONCOTREE_CODE")).as("ONCOTREE_CODE"))
+          .join(broadcast(oncotree.select("ONCOTREE_CODE", "PRIMARY_CODE")), Seq("ONCOTREE_CODE"))
+          .join(patient.select("PATIENT_ID", "SEX"), Seq("PATIENT_ID"))
+          .filter(
+            (col("PRIMARY_CODE").isInCollection(maleOncoCodes) && !(sexD <=> 1.0)) ||
+              (col("PRIMARY_CODE").isInCollection(womenOncoCodes) && !(sexD <=> 2.0)))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_set(col("SAMPLE_ID"))).as("ids")).head()
+        (row.getAs[Long]("n"), row.getAs[scala.collection.Seq[String]]("ids").toSeq)
+      }
 
     Seq(
       Finding("oncotree_membership", "error", nUnmapped, unmappedCodes.headOption,
         s"Sample: $nUnmapped samples carry unmapped oncotree codes (e.g. ${unmappedCodes.mkString(", ")})"),
-      Finding("sex_cancer_conflict", "warning", conflicts, None,
-        s"Sample: $conflicts samples have a gendered cancer type conflicting with patient SEX"))
+      Finding("sex_cancer_conflict", "warning", conflicts, conflictIds.headOption,
+        "Sample Clinical File: Some SAMPLE_IDs have conflicting SEX and " +
+          s"ONCOTREE_CODES: ${conflictIds.mkString(",")}"))
   }
 
   /** Full validate: schema checks + one-pass row battery over the

@@ -41,8 +41,11 @@ object Upsert {
     * frames are filters over that shared (cached) classification, so at
     * scale the diff costs one exchange per side instead of three joins.
     */
-  def diff(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
-           compareCols: Seq[String] = Nil): Diff = {
+  /** Unpersisted classification plan: one full-outer join on the PK
+    * tuple, every row tagged `__kind` ∈ {append, update, delete, same}.
+    */
+  def classify(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
+               compareCols: Seq[String] = Nil): DataFrame = {
     val cmp = if (compareCols.nonEmpty) compareCols
     else incoming.columns.intersect(existing.columns).filterNot(pkCols.contains).toSeq
 
@@ -58,14 +61,32 @@ object Upsert {
     val changed = cmp.map(c => !(col(s"__l.$c") <=> col(s"__r.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
 
-    val classified = in
-      .join(ex, keyMatch, "full_outer")
+    in.join(ex, keyMatch, "full_outer")
       .withColumn("__kind",
         when(col("__r.__present").isNull, lit("append"))
           .when(col("__l.__present").isNull, lit("delete"))
           .when(changed, lit("update"))
           .otherwise(lit("same")))
-      .persist()
+  }
+
+  /** Append/update/delete counts in ONE pass: conditional aggregation
+    * over the classification, unpivoted with `stack` so all three kinds
+    * appear even at zero. One scan + one exchange per side — the
+    * dashboard/monitoring shape (vs. three filter+agg branches that
+    * re-scan the join).
+    */
+  def kindCounts(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
+                 compareCols: Seq[String] = Nil): DataFrame =
+    classify(incoming, existing, pkCols, compareCols)
+      .agg(
+        sum(when(col("__kind") === "append", 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__kind") === "update", 1L).otherwise(0L)).as("__u"),
+        sum(when(col("__kind") === "delete", 1L).otherwise(0L)).as("__d"))
+      .selectExpr("stack(3, 'append', __a, 'update', __u, 'delete', __d) as (kind, n)")
+
+  def diff(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
+           compareCols: Seq[String] = Nil): Diff = {
+    val classified = classify(incoming, existing, pkCols, compareCols).persist()
 
     def side(kind: String, alias: String, cols: Array[String]) =
       classified.filter(col("__kind") === kind)

@@ -56,13 +56,51 @@ class CoverageExtrasSpec extends SparkSpec {
       ClinicalFormat.patientRules("C").filter(_.name == "int_year_redaction_consistency"))
     assert(res.findings.head.count == 1)
 
-    val sample = Seq(("GENIE-C-p1-s1", "GENIE-C-p1", "LUAD"), ("GENIE-C-p2-s2", "GENIE-C-p2", "ZZZZ"))
-      .toDF("SAMPLE_ID", "PATIENT_ID", "ONCOTREE_CODE")
+    val sample = Seq(
+      ("GENIE-C-p1-s1", "GENIE-C-p1", "LUAD"), // mapped, ungendered
+      ("GENIE-C-p2-s2", "GENIE-C-p2", "ZZZZ"), // unmapped
+      ("GENIE-C-p1-s3", "GENIE-C-p1", "PRAD"), // PROSTATE primary, SEX=1 → ok
+      ("GENIE-C-p2-s4", "GENIE-C-p2", "PRAD"), // PROSTATE primary, SEX=2 → conflict
+      ("GENIE-C-p2-s5", "GENIE-C-p2", "UCEC")  // UTERUS primary, SEX=2 → ok
+    ).toDF("SAMPLE_ID", "PATIENT_ID", "ONCOTREE_CODE")
     val pat = Seq(("GENIE-C-p1", "1"), ("GENIE-C-p2", "2")).toDF("PATIENT_ID", "SEX")
-    val tree = Oncotree.toDataFrame(spark,
-      Seq(Oncotree.Node("LUAD", "LUNG", "NSCLC", "NSCLC", "Lung Adenocarcinoma")))
+    val tree = Oncotree.toDataFrame(spark, Seq(
+      Oncotree.Node("LUAD", "LUNG", "NSCLC", "NSCLC", "Lung Adenocarcinoma"),
+      Oncotree.Node("PRAD", "PROSTATE", "", "Prostate Cancer", "Prostate Adenocarcinoma"),
+      Oncotree.Node("UCEC", "UTERUS", "", "Endometrial Cancer", "Uterine Endometrioid Carcinoma")))
     val findings = ClinicalFormat.oncotreeFindings(sample, pat, tree)
     assert(findings.find(_.rule == "oncotree_membership").get.count == 1)
+    val sex = findings.find(_.rule == "sex_cancer_conflict").get
+    assert(sex.count == 1)
+    assert(sex.message ==
+      "Sample Clinical File: Some SAMPLE_IDs have conflicting SEX and ONCOTREE_CODES: GENIE-C-p2-s4")
+  }
+
+  test("P10: empty / non-numeric SEX counts as a gendered-cancer conflict") {
+    val sample = Seq(("GENIE-C-p1-s1", "GENIE-C-p1", "TESTIS"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "ONCOTREE_CODE")
+    val pat = Seq(("GENIE-C-p1", "")).toDF("PATIENT_ID", "SEX") // pandas: "" → NaN ≠ 1.0
+    val tree = Oncotree.toDataFrame(spark,
+      Seq(Oncotree.Node("TESTIS", "TESTIS", "", "Testicular Cancer", "Testis")))
+    val findings = ClinicalFormat.oncotreeFindings(sample, pat, tree)
+    assert(findings.find(_.rule == "sex_cancer_conflict").get.count == 1)
+  }
+
+  test("P8: DEAD/INT_DOD full reference consistency semantics") {
+    val patient = Seq(
+      ("GENIE-C-p1", "True", "500"),             // ok: dead with numeric interval
+      ("GENIE-C-p2", "True", "Not Applicable"),  // flag: dead ∧ Not Applicable
+      ("GENIE-C-p3", "False", "Not Applicable"), // ok
+      ("GENIE-C-p4", "False", "500"),            // flag: alive ∧ numeric
+      ("GENIE-C-p5", "False", "Unknown"),        // flag: alive ∧ any non-N/A value
+      ("GENIE-C-p6", "Unknown", "Unknown"),      // ok: sentinel equals INT_DOD
+      ("GENIE-C-p7", "Unknown", "Not Collected") // flag: sentinel mismatch
+    ).toDF("PATIENT_ID", "DEAD", "INT_DOD")
+    val res = graft.rules.Rules.Battery.run(patient,
+      ClinicalFormat.patientRules("C").filter(_.name == "dead_dod_consistency"))
+    assert(res.findings.head.count == 4)
+    assert(res.findings.head.message.startsWith(
+      "Patient Clinical File: DEAD value is inconsistent with INT_DOD"))
   }
 
   test("F12: public scope projection + FILTER rewrite") {

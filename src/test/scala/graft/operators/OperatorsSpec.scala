@@ -20,6 +20,18 @@ class OperatorsSpec extends SparkSpec {
       Seq((1, "a"), (2, "b"), (3, "C"), (4, "d")))
   }
 
+  test("S12: kindCounts matches diff in one pass and keeps zero kinds") {
+    val existing = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val incoming = Seq((2, "b"), (3, "C"), (4, "d")).toDF("id", "v")
+    val counts = Upsert.kindCounts(incoming, existing, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("append" -> 1L, "update" -> 1L, "delete" -> 1L))
+    // zero kinds stay present (a groupBy would drop them)
+    val same = Upsert.kindCounts(existing, existing, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(same == Map("append" -> 0L, "update" -> 0L, "delete" -> 0L))
+  }
+
   test("S12: null-safe compare treats null==null as unchanged") {
     val existing = Seq((1, Option.empty[String])).toDF("id", "v")
     val incoming = Seq((1, Option.empty[String])).toDF("id", "v")
