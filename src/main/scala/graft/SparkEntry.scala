@@ -46,6 +46,10 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(30, scale))).cast("double")
 
+  /** per-(query,sf) scratch dir for sink round-trips */
+  private def tmpPath(dir: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-z0-9.]", "_")}"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -765,6 +769,474 @@ object SparkEntry {
           octet_length(col("payload")).as("n_bytes"),
           (octet_length(col("payload")) % 64 + 1).as("fake_width"),
           (octet_length(col("payload")) % 7 + 1).as("fake_frames"))
+    }),
+
+    // ---------------- S4/P20: VCF reader round-trip ------------------
+    "s4_p20_vcf_roundtrip" -> ((s, dir) => {
+      // VCF-shaped file (header line starts with #CHROM), written then
+      // read back via Vcf.read: REF/ALT keep NA literals, other columns
+      // NA-normalize, sample-column nulls + whitespace smells counted
+      val refA = array(lit("NA"), lit("A"), lit("T"), lit("GG"))
+      val altA = array(lit("nan"), lit("C"), lit("G"), lit("-"))
+      val vcfLike = t(s, dir, "documents").select(
+        ((col("doc_id") % 22) + 1).cast("string").as("CHROM_"),
+        (col("doc_id") * 7 % 100000).cast("string").as("POS"),
+        concat(lit("rs"), col("doc_id")).as("ID"),
+        element_at(refA, (col("doc_id") % 4 + 1).cast("int")).as("REF"),
+        element_at(altA, (col("doc_id") % 4 + 1).cast("int")).as("ALT"),
+        lit(".").as("QUAL"),
+        when(col("doc_id") % 5 === 0, lit("NA")).otherwise(lit("PASS")).as("FILTER"),
+        when(col("doc_id") % 9 === 0, lit("DP 4")).otherwise(lit("DP=4")).as("INFO"),
+        lit("GT:AD").as("FORMAT"),
+        when(col("doc_id") % 6 === 0, lit(null).cast("string")).otherwise(lit("0/1:10")).as("TUMOR"))
+      val tmp = tmpPath(dir, "s4")
+      // body headerless (the csv writer would quote a '#'-leading header
+      // cell); the ##meta + #CHROM header lines go in a sibling file,
+      // exactly the layout Vcf.headerColumns scans for
+      vcfLike.write.option("sep", "\t").option("header", "false")
+        .option("emptyValue", "").mode("overwrite").csv(tmp)
+      val headerLine = ("#CHROM" +: vcfLike.columns.drop(1).toSeq).mkString("\t")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/header.vcf"),
+        s"##fileformat=VCFv4.2\n$headerLine\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val back = graft.sources.Vcf.read(s, tmp)
+      val anySpace = back.columns.map(c => coalesce(col(c).contains(" "), lit(false))).reduce(_ || _)
+      val reqPresent = graft.sources.Vcf.requiredHeaders
+        .count(h => back.columns.contains(h.stripPrefix("#")))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("REF") === "NA", 1L).otherwise(0L)).as("n_ref_na"),
+        sum(when(col("ALT") === "nan", 1L).otherwise(0L)).as("n_alt_nan"),
+        sum(when(col("FILTER").isNull, 1L).otherwise(0L)).as("n_filter_null"),
+        sum(when(col("TUMOR").isNull, 1L).otherwise(0L)).as("n_sample_missing"),
+        sum(when(anySpace, 1L).otherwise(0L)).as("n_ws_rows"))
+        .withColumn("n_req_present", lit(reqPresent.toLong))
+    }),
+
+    // ---------------- S5/C3/C4: BED reader round-trip ----------------
+    "s5_bed_readback" -> ((s, dir) => {
+      // headerless BED: chr-prefix strip + symbol cleanup on read-back
+      val bedLike = t(s, dir, "part").select(
+        concat(when(col("p_partkey") % 3 === 0, lit("chr")).otherwise(lit("")),
+          ((col("p_partkey") % 22) + 1).cast("string")).as("c1"),
+        (col("p_partkey") * 13 % 1000000).cast("string").as("c2"),
+        ((col("p_partkey") * 13 % 1000000) + 120).cast("string").as("c3"),
+        concat(col("p_brand"),
+          when(col("p_partkey") % 7 === 0, lit(";ALT")).otherwise(lit(""))).as("c4"),
+        when(col("p_partkey") % 2 === 0, lit("true")).otherwise(lit("false")).as("c5"))
+      val tmp = tmpPath(dir, "s5")
+      bedLike.write.option("sep", "\t").option("header", "false").mode("overwrite").csv(tmp)
+      val back = graft.sources.Bed.read(s, tmp)
+      back.groupBy(col("CHROMOSOME").as("chromosome"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("INCLUDE_IN_PANEL"), 1L).otherwise(0L)).as("n_in_panel"),
+          countDistinct(graft.sources.Bed.cleanSymbol(col("HUGO_SYMBOL"))).as("n_symbols"),
+          sum(col("END_POSITION") - col("START_POSITION")).as("span_sum"))
+    }),
+
+    // ---------------- S6: assay YAML explode -------------------------
+    "s6_assay_yaml" -> ((s, dir) => {
+      // YAML built driver-side from the nation table (configs are KBs),
+      // parsed to one row per (pipeline, assay); ;-join on export
+      val nations = t(s, dir, "nation").select("n_name", "n_nationkey").collect()
+        .map(r => (r.getString(0), r.getAs[Number](1).longValue)).sortBy(_._1)
+      val yaml = nations.map { case (name, key) =>
+        s"""$name-P1:
+           |  library_selection: Hybrid Selection
+           |  platform: Illumina
+           |  read_length: ${100 + key}
+           |  assay_specific_info:
+           |    - SEQ_ASSAY_ID: $name-A1
+           |      number_of_genes: ${10 * key}
+           |      alteration_types: [snv, small_indels]
+           |""".stripMargin
+      }.mkString("\n")
+      val df = graft.sources.Assay.exportView(graft.sources.Assay.parse(s, yaml))
+      df.select(col("SEQ_ASSAY_ID").as("seq_assay_id"),
+        col("SEQ_PIPELINE_ID").as("pipeline_id"),
+        col("READ_LENGTH").cast("long").as("read_length"),
+        col("NUMBER_OF_GENES").cast("long").as("n_genes"),
+        col("GENE_PADDING").cast("long").as("gene_padding"),
+        col("ALTERATION_TYPES").as("alteration_types"))
+    }),
+
+    // ---------------- S7/S8: CSV scan parameterizations --------------
+    "s7_s8_csv_variants" -> ((s, dir) => {
+      // S7: comma CSV (mutationsInCis shape); S8: headerless 1-col list
+      val cis = t(s, dir, "orders").filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("KEY"), col("o_totalprice").as("VAL"))
+      val tmpA = tmpPath(dir, "s7")
+      graft.sources.Tsv.write(cis, tmpA, sep = ",")
+      val backA = graft.sources.Tsv.readAllString(s, tmpA, sep = ",")
+      val retr = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0).select("c_name")
+      val tmpB = tmpPath(dir, "s8")
+      retr.write.option("header", "false").mode("overwrite").csv(tmpB)
+      val backB = s.read.option("header", "false").option("nullValue", "").csv(tmpB)
+        .toDF("RETRACTED_ID")
+      backA.agg(
+          count(lit(1)).as("n_cis"),
+          dsum(col("VAL").cast("double")).as("sum_val"))
+        .crossJoin(backB.agg(count(lit(1)).as("n_retracted"),
+          min(col("RETRACTED_ID")).as("first_retracted")))
+    }),
+
+    // ---------------- S13: cBioPortal clinical header sink -----------
+    "s13_cbio_clinical_sink" -> ((s, dir) => {
+      import graft.sources.CbioSinks
+      val clin = t(s, dir, "customer").filter(col("c_custkey") % 50 === 0)
+        .select(col("c_name").as("SAMPLE_ID"), col("c_mktsegment").as("CANCER_TYPE"))
+      val outFile = tmpPath(dir, "s13") + "/data_clinical_sample.txt"
+      CbioSinks.writeClinical(clin.orderBy("SAMPLE_ID"),
+        Map("SAMPLE_ID" -> CbioSinks.ClinicalHeader("Sample ID", "Sample identifier", "STRING", 1)),
+        outFile)
+      val nMeta = s.read.text(outFile).filter(col("value").startsWith("#")).count()
+      graft.sources.Tsv.readAllString(s, outFile)
+        .agg(count(lit(1)).as("n_data_rows"),
+          countDistinct(col("CANCER_TYPE")).as("n_segments"),
+          min(col("SAMPLE_ID")).as("first_sample"))
+        .withColumn("n_meta_lines", lit(nMeta))
+    }),
+
+    // ---------------- S14: case-list sink round-trip -----------------
+    "s14_case_lists" -> ((s, dir) => {
+      import graft.sources.CbioSinks
+      val samples = t(s, dir, "customer")
+        .select(col("c_name").as("SAMPLE_ID"), col("c_mktsegment").as("CANCER_TYPE"))
+      val outDir = tmpPath(dir, "s14")
+      CbioSinks.writeCaseLists(samples, "CANCER_TYPE", "SAMPLE_ID", "graft_study", outDir)
+      s.read.text(outDir)
+        .select(col("value"), col("_metadata.file_path").as("f"))
+        .filter(col("value").startsWith("case_list_ids: "))
+        .select(regexp_extract(col("f"), "cases_([a-z0-9_]+)\\.txt", 1).as("slug"),
+          size(split(expr("substring(value, 16)"), "\t")).cast("long").as("n_ids"))
+    }),
+
+    // ---------------- S15: gene-panel sink round-trip ----------------
+    "s15_gene_panel" -> ((s, dir) => {
+      import graft.sources.{Bed, CbioSinks}
+      val bed = t(s, dir, "part").select(
+        concat(col("p_brand"),
+          when(col("p_partkey") % 7 === 0, lit(";ALT")).otherwise(lit(""))).as("HUGO_SYMBOL"),
+        (col("p_partkey") % 3 =!= 0).as("INCLUDE_IN_PANEL"))
+      val outDir = tmpPath(dir, "s15")
+      val f = CbioSinks.writeGenePanel(Bed.panelGenes(bed), "GRAFT-PANEL1", outDir)
+      s.read.text(f).filter(col("value").startsWith("gene_list: "))
+        .select(lit("GRAFT-PANEL1").as("panel_id"),
+          size(split(expr("substring(value, 12)"), "\t")).cast("long").as("n_genes"),
+          split(expr("substring(value, 12)"), "\t").getItem(0).as("first_gene"))
+    }),
+
+    // ---------------- O2/O3: numeric-desc sort + limit 1 -------------
+    "o2_o3_latest_release" -> ((s, dir) => {
+      // releases sorted by numeric (major, minor) desc; newest picked
+      // with limit(1) on a total order
+      val rel = t(s, dir, "orders")
+        .select((col("o_orderkey") % 5).as("major"), (col("o_orderkey") % 97).as("minor"))
+        .distinct()
+        .select(concat(col("major"), lit("."), col("minor")).as("name"),
+          col("major"), col("minor"))
+      rel.orderBy(col("major").cast("int").desc, col("minor").cast("int").desc)
+        .limit(1)
+        .select("name", "major", "minor")
+    }),
+
+    // ---------------- P7/P8/P9/P27: patient rule battery --------------
+    "p_battery_patient" -> ((s, dir) => {
+      // drives the REAL ClinicalFormat.patientRules through the oracle
+      val d = t(s, dir, "documents").select(
+        concat(lit("GENIE-C-"), lpad(col("doc_id").cast("string"), 6, "0")).as("PATIENT_ID"),
+        when(col("doc_id") % 6 === 0, lit(">89"))
+          .otherwise(concat(lit("19"),
+            lpad((col("doc_id") % 60 + 20).cast("string"), 2, "0"))).as("YEAR_CONTACT"),
+        when(col("doc_id") % 7 === 0, lit("1915"))
+          .when(col("doc_id") % 11 === 0, lit("Unknown"))
+          .otherwise(lit("1990")).as("YEAR_DEATH"),
+        element_at(array(lit("True"), lit("False"), lit("Unknown"), lit("Not Collected")),
+          (col("doc_id") % 4 + 1).cast("int")).as("DEAD"),
+        element_at(array(lit("Not Applicable"), lit("500"), lit("Unknown")),
+          (col("doc_id") % 3 + 1).cast("int")).as("INT_DOD"),
+        when(col("doc_id") % 9 === 0, lit(">32485")).otherwise(lit("20000")).as("INT_CONTACT"),
+        when(col("doc_id") % 31 === 0, lit(null).cast("string")).otherwise(lit("x")).as("COL_A"),
+        when(col("doc_id") % 31 === 0, lit(null).cast("string")).otherwise(lit("y")).as("COL_B"))
+      val rules = graft.formats.ClinicalFormat.patientRules("C")
+        .filter(r => Set("death_after_contact", "dead_dod_consistency",
+          "int_year_redaction_consistency").contains(r.name)) :+
+        RowRule("p27_empty_row", "error",
+          Rules.emptyRow(Seq(col("COL_A"), col("COL_B"))), col("PATIENT_ID"), "")
+      Rules.Battery.asDataFrame(d, rules)
+    }),
+
+    // ---------------- P10: SEX vs gendered-primary conflicts ----------
+    "p10_sex_primary_conflicts" -> ((s, dir) => {
+      import graft.sources.Oncotree
+      val tree = Oncotree.toDataFrame(s, Seq(
+        Oncotree.Node("PRAD", "PROSTATE", "", "Prostate Cancer", "Prostate Adenocarcinoma"),
+        Oncotree.Node("TGCT", "TESTIS", "", "Testicular Cancer", "TGCT"),
+        Oncotree.Node("UCEC", "UTERUS", "", "Endometrial Cancer", "UCEC"),
+        Oncotree.Node("HGSOC", "OVARY", "", "Ovarian Cancer", "HGSOC"),
+        Oncotree.Node("LUAD", "LUNG", "NSCLC", "NSCLC", "LUAD")))
+      val codes = array(lit("PRAD"), lit("TGCT"), lit("UCEC"), lit("HGSOC"), lit("LUAD"), lit("ZZZ"))
+      val sample = t(s, dir, "customer").select(
+        col("c_name").as("SAMPLE_ID"), col("c_custkey").as("PATIENT_ID"),
+        element_at(codes, (col("c_custkey") % 6 + 1).cast("int")).as("ONCOTREE_CODE"))
+      val patient = t(s, dir, "customer").select(col("c_custkey").as("PATIENT_ID"),
+        when(col("c_custkey") % 5 === 0, lit(""))
+          .otherwise((col("c_custkey") % 3).cast("string")).as("SEX"))
+      val male   = Seq("TESTIS", "PROSTATE", "PENIS")
+      val female = Seq("CERVIX", "VULVA", "UTERUS", "OVARY")
+      val sexD   = expr("try_cast(SEX as double)")
+      sample.join(broadcast(tree.select("ONCOTREE_CODE", "PRIMARY_CODE")), Seq("ONCOTREE_CODE"))
+        .join(patient, Seq("PATIENT_ID"))
+        .filter((col("PRIMARY_CODE").isInCollection(male) && !(sexD <=> 1.0)) ||
+          (col("PRIMARY_CODE").isInCollection(female) && !(sexD <=> 2.0)))
+        .groupBy(col("PRIMARY_CODE").as("primary_code"))
+        .agg(count(lit(1)).as("n_conflicts"), min(col("SAMPLE_ID")).as("example"))
+    }),
+
+    // ---------------- P13/P15/P14/P17: full MAF validate ---------------
+    "p13_p15_maf_validate" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") % 40 === 0).select(
+        when(col("l_partkey") % 30 === 0, lit("23"))
+          .otherwise(((col("l_partkey") % 22) + 1).cast("string")).as("CHROMOSOME"),
+        col("l_orderkey").cast("string").as("START_POSITION"),
+        when(col("l_linenumber") % 5 === 0, (col("l_orderkey") - 1).cast("string"))
+          .otherwise((col("l_orderkey") + 100).cast("string")).as("END_POSITION"),
+        element_at(array(lit("A"), lit("TT"), lit("NA"), lit("xx")),
+          (col("l_linenumber") % 4 + 1).cast("int")).as("REFERENCE_ALLELE"),
+        element_at(array(lit("C"), lit("GG"), lit("-"), lit("zz")),
+          (col("l_suppkey") % 4 + 1).cast("int")).as("TUMOR_SEQ_ALLELE2"),
+        when(col("l_suppkey") % 6 === 0, concat(lit("BAD-"), col("l_suppkey")))
+          .otherwise(concat(lit("GENIE-C-"), col("l_suppkey"))).as("TUMOR_SAMPLE_BARCODE"),
+        when(col("l_linenumber") % 7 === 0, lit("12x"))
+          .otherwise(col("l_quantity").cast("int").cast("string")).as("T_DEPTH"),
+        when(col("l_partkey") % 9 === 0, lit("NA")).otherwise(lit("30")).as("N_DEPTH"))
+      val maf = graft.sources.Maf.normalizeNa(base)
+      val full    = graft.formats.MafFormat.validate(maf, "C")
+      val missing = graft.formats.MafFormat.validate(
+        maf.drop("END_POSITION", "TUMOR_SEQ_ALLELE2"), "C")
+      (full.findings.map(f => ("full", f.rule, f.severity, f.count)) ++
+        missing.findings.map(f => ("missing", f.rule, f.severity, f.count)))
+        .toDF("variant", "rule", "severity", "n")
+    }),
+
+    // ---------------- P21: CNA value-domain battery --------------------
+    "p21_cna_values" -> ((s, dir) => {
+      val long = t(s, dir, "lineitem").filter(col("l_orderkey") % 20 === 0).select(
+        concat(lit("G"), (col("l_partkey") % 50).cast("string")).as("HUGO_SYMBOL"),
+        concat(lit("S"), (col("l_suppkey") % 30).cast("string")).as("SAMPLE_ID"),
+        when(col("l_linenumber") % 6 === 0, lit(0.3))
+          .otherwise(((col("l_linenumber") % 5) - 2).cast("double")).as("VALUE"))
+      graft.formats.CnaFormat.invalidValues(long)
+        .agg(count(lit(1)).as("n_invalid"),
+          min(col("VALUE")).as("min_bad"),
+          countDistinct(col("SAMPLE_ID")).as("n_samples"))
+    }),
+
+    // ---------------- P22: SEG battery ---------------------------------
+    "p22_seg_battery" -> ((s, dir) => {
+      val seg = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0).select(
+        when(col("o_custkey") % 13 === 0, concat(lit("BAD-"), col("o_custkey")))
+          .otherwise(concat(lit("GENIE-C-"), col("o_custkey"))).as("ID"),
+        concat(when(col("o_orderkey") % 4 === 0, lit("chr")).otherwise(lit("")),
+          ((col("o_custkey") % 26) + 1).cast("string")).as("CHROM"),
+        when(col("o_orderkey") % 7 === 0, lit("12.5"))
+          .otherwise(col("o_orderkey").cast("string")).as("LOC.START"),
+        (col("o_orderkey") + 500).cast("string").as("LOC.END"),
+        when(col("o_orderkey") % 11 === 0, lit("abc")).otherwise(lit("0.25")).as("SEG.MEAN"),
+        when(col("o_orderkey") % 17 === 0, lit(null).cast("string")).otherwise(lit("5")).as("NUM.MARK"))
+      Rules.Battery.asDataFrame(seg, graft.formats.SegFormat.rowRules("C"))
+    }),
+
+    // ---------------- P23: assay battery --------------------------------
+    "p23_assay_battery" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(
+        when(col("s_suppkey") % 4 === 0, concat(lit("X-"), col("s_name")))
+          .otherwise(concat(lit("C-"), col("s_name"))).as("SEQ_ASSAY_ID"),
+        element_at(array(lit("Hybrid Selection"), lit("PCR"), lit("Laser Capture")),
+          (col("s_suppkey") % 3 + 1).cast("int")).as("LIBRARY_SELECTION"),
+        when(col("s_suppkey") % 5 === 0, lit("abc")).otherwise(lit("150")).as("READ_LENGTH"),
+        when(col("s_suppkey") % 6 === 0, lit("20%")).otherwise(lit(">30%")).as("SPECIMEN_TUMOR_CELLULARITY"),
+        array(lit("snv"), when(col("s_suppkey") % 7 === 0, lit("bogus"))
+          .otherwise(lit("small_indels"))).as("ALTERATION_TYPES"))
+      Rules.Battery.asDataFrame(sup, graft.formats.AssayFormat.rowRules("C"))
+    }),
+
+    // ---------------- C14: canonical renames + NA contract -------------
+    "c14_canonical_renames" -> ((s, dir) => {
+      val legacy = t(s, dir, "lineitem").filter(col("l_orderkey") % 200 === 0).select(
+        ((col("l_partkey") % 22) + 1).cast("string").as("CHROM"),
+        col("l_orderkey").cast("string").as("START_POS"),
+        (col("l_orderkey") + 10).cast("string").as("END_POS"),
+        when(col("l_linenumber") % 3 === 0, lit("NA")).otherwise(lit("AT")).as("REF"),
+        lit("G").as("ALT"),
+        concat(lit("GENIE-C-"), col("l_suppkey")).as("SAMPLE_ID"),
+        when(col("l_linenumber") % 2 === 0, lit("NA")).otherwise(lit("p.V600E")).as("HGVSP"))
+      val canon = graft.sources.Maf.normalizeNa(graft.sources.Maf.canonicalize(legacy))
+      canon.groupBy(col("CHROMOSOME").as("chromosome"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("REFERENCE_ALLELE") === "NA", 1L).otherwise(0L)).as("n_ref_na"),
+          sum(when(col("HGVSP").isNull, 1L).otherwise(0L)).as("n_hgvsp_null"),
+          countDistinct(col("TUMOR_SAMPLE_BARCODE")).as("n_samples"))
+    }),
+
+    // ---------------- C15: oncotree JSON recursion ----------------------
+    "c15_oncotree_json" -> ((s, dir) => {
+      import graft.sources.Oncotree
+      // JSON built driver-side from region→nation (the tree is KBs),
+      // recursively flattened, level-1 nodes become PRIMARY codes
+      val rows = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name").collect().map(r => (r.getString(0), r.getString(1)))
+      val json = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (region, ns) =>
+        val kids = ns.map(_._2).sorted.map { n =>
+          s""""$n": {"code": "$n", "name": "$n node", "mainType": "ct_$region", "level": 2, "children": {}}"""
+        }.mkString(",")
+        s""""$region": {"code": "$region", "name": "$region node", "mainType": "ct_$region", "level": 1, "children": {$kids}}"""
+      }.mkString(",")
+      val full = s"""{"TISSUE": {"code": "TISSUE", "level": 0, "children": {$json}}}"""
+      Oncotree.toDataFrame(s, Oncotree.parse(full))
+        .select(col("ONCOTREE_CODE").as("code"), col("PRIMARY_CODE").as("primary_code"),
+          col("SECONDARY_CODE").as("secondary_code"), col("CANCER_TYPE").as("cancer_type"))
+    }),
+
+    // ---------------- P24/P25/P26: cross-file anti-joins ---------------
+    "p24_p25_p26_crossfile" -> ((s, dir) => {
+      import graft.rules.CrossFileChecks
+      val clinical = t(s, dir, "customer").select(
+        col("c_name").as("SAMPLE_ID"),
+        concat(lit("C_A"), (col("c_custkey") % 30).cast("string")).as("SEQ_ASSAY_ID"))
+      val assay = t(s, dir, "supplier").select(
+        concat(lit("C-A"), (col("s_suppkey") % 25).cast("string")).as("SEQ_ASSAY_ID"))
+      val p24a = CrossFileChecks.clinicalAssayIds(clinical, assay)
+      val maf = t(s, dir, "orders").filter(col("o_orderkey") % 30 === 0).select(
+        concat(lit("Customer#"),
+          lpad((col("o_custkey") * 2).cast("string"), 9, "0")).as("TUMOR_SAMPLE_BARCODE"))
+      val p24c = CrossFileChecks.mafSampleIds(maf, clinical)
+      val p25 = graft.formats.AssayFormat.missingAssayIds(assay, clinical)
+      val dbVariants = t(s, dir, "lineitem").filter(col("l_orderkey") % 40 === 0).select(
+        ((col("l_partkey") % 22) + 1).cast("string").as("Chromosome"),
+        col("l_orderkey").as("Start_Position"),
+        lit("A").as("Reference_Allele"),
+        concat(lit("GENIE-C-"), col("l_suppkey")).as("Tumor_Sample_Barcode"),
+        lit("T").as("Tumor_Seq_Allele2"))
+      val resub = t(s, dir, "lineitem").filter(col("l_orderkey") % 80 === 0).select(
+        ((col("l_partkey") % 22) + 1).cast("string").as("Chromosome"),
+        (col("l_orderkey") + when(col("l_linenumber") % 3 === 0, 1).otherwise(0)).as("Start_Position"),
+        lit("A").as("Reference_Allele"),
+        concat(lit("GENIE-C-"), col("l_suppkey")).as("Tumor_Sample_Barcode"),
+        lit("T").as("Tumor_Seq_Allele2"))
+      val p26 = CrossFileChecks.unknownCisVariants(resub, dbVariants)
+      p24a.agg(count(lit(1)).as("n")).select(lit("p24_clinical_assay").as("check"), col("n"))
+        .unionByName(p24c.agg(count(lit(1)).as("n")).select(lit("p24_maf_samples").as("check"), col("n")))
+        .unionByName(p25.agg(count(lit(1)).as("n")).select(lit("p25_db_assay").as("check"), col("n")))
+        .unionByName(p26.agg(count(lit(1)).as("n")).select(lit("p26_unknown_cis").as("check"), col("n")))
+    }),
+
+    // ---------------- P29/P30/J7: process-meta joins --------------------
+    "p29_p30_j7_status" -> ((s, dir) => {
+      // P29: (name, md5) metadata join → skip vs revalidate;
+      // J7: status × error-tracker × entity equi joins on file id;
+      // P30: duplicate clinical/seg filename-pattern thresholds
+      val files = t(s, dir, "part").filter(col("p_partkey") % 25 === 0).select(
+        col("p_partkey").as("id"),
+        concat(lit("file_"), col("p_partkey"), lit(".txt")).as("name"),
+        md5(col("p_name")).as("md5"))
+      val prior = files.filter(col("id") % 2 === 0)
+        .withColumn("md5", when(col("id") % 6 === 0, lit("stale")).otherwise(col("md5")))
+      val skip  = files.join(prior.select("name", "md5"), Seq("name", "md5"), "left_semi")
+      val reval = files.join(prior.select("name", "md5"), Seq("name", "md5"), "left_anti")
+      val errors = t(s, dir, "part").filter(col("p_partkey") % 175 === 0)
+        .select(col("p_partkey").as("id"), lit("boom").as("error"))
+      val withErr = files.join(errors, Seq("id")).join(prior.select("id"), Seq("id"))
+      val uploads = t(s, dir, "part").filter(col("p_partkey") % 100 === 0).select(
+        when(col("p_partkey") % 300 === 0, lit("data_clinical_supp_sample.txt"))
+          .when(col("p_partkey") % 200 === 0, concat(lit("batch_"), col("p_partkey"), lit(".seg")))
+          .otherwise(concat(lit("maf_"), col("p_partkey"), lit(".txt"))).as("name"))
+      val p30 = uploads.agg(
+        sum(when(col("name").startsWith("data_clinical_supp"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("name").endsWith(".seg"), 1L).otherwise(0L)).as("ns"))
+        .select((col("nc") > 2).cast("long").as("clinical_dup_flag"),
+          (col("ns") > 1).cast("long").as("seg_dup_flag"))
+      skip.agg(count(lit(1)).as("n_skip"))
+        .crossJoin(reval.agg(count(lit(1)).as("n_revalidate")))
+        .crossJoin(withErr.agg(count(lit(1)).as("n_with_errors")))
+        .crossJoin(p30)
+    }),
+
+    // ---------------- F5/F6: sample-level release filters ---------------
+    "f5_f6_sample_filters" -> ((s, dir) => {
+      import graft.sources.Oncotree
+      val codes = array(lit("LUAD"), lit("PRAD"), lit("UCEC"), lit("ZZZ"))
+      val clinical = t(s, dir, "customer").select(
+        col("c_name").as("SAMPLE_ID"),
+        concat(lit("C-A"), (col("c_custkey") % 30).cast("string")).as("SEQ_ASSAY_ID"),
+        element_at(codes, (col("c_custkey") % 4 + 1).cast("int")).as("ONCOTREE_CODE"))
+      val bedPanels = t(s, dir, "supplier")
+        .select(concat(lit("C-A"), (col("s_suppkey") % 25).cast("string")).as("SEQ_ASSAY_ID"))
+        .distinct()
+      val f5 = clinical.join(broadcast(bedPanels), Seq("SEQ_ASSAY_ID"), "left_semi")
+      val tree = Oncotree.toDataFrame(s, Seq(
+        Oncotree.Node("LUAD", "LUNG", "NSCLC", "NSCLC", "LUAD"),
+        Oncotree.Node("PRAD", "PROSTATE", "", "Prostate Cancer", "PRAD"),
+        Oncotree.Node("UCEC", "UTERUS", "", "Endometrial Cancer", "UCEC")))
+      val f6 = f5.join(broadcast(tree.select("ONCOTREE_CODE", "CANCER_TYPE")),
+          Seq("ONCOTREE_CODE"), "left")
+        .filter(col("CANCER_TYPE").isNotNull)
+      f6.groupBy(col("CANCER_TYPE").as("cancer_type"))
+        .agg(count(lit(1)).as("n_samples"), countDistinct(col("SEQ_ASSAY_ID")).as("n_assays"))
+    }),
+
+    // ---------------- F11: retraction with patient cascade --------------
+    "f11_retraction_cascade" -> ((s, dir) => {
+      val samples = t(s, dir, "orders").select(
+        col("o_orderkey").as("SAMPLE_ID"), col("o_custkey").as("PATIENT_ID"))
+      val retractSamples = t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("SAMPLE_ID"))
+      val retractPatients = t(s, dir, "customer").filter(col("c_custkey") % 40 === 0)
+        .select(col("c_custkey").as("PATIENT_ID"))
+      val afterS = Filters.retract(samples, retractSamples, "SAMPLE_ID")
+      val afterP = Filters.retract(afterS, retractPatients, "PATIENT_ID")
+      afterP.agg(count(lit(1)).as("n_kept"), countDistinct(col("PATIENT_ID")).as("n_patients"))
+    }),
+
+    // ---------------- F12/F13/F14: public conversion --------------------
+    "f12_f13_f14_public" -> ((s, dir) => {
+      import graft.release.PublicRelease
+      val months = array(Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul",
+        "Aug", "Sep", "Oct", "Nov", "Dec").map(lit): _*)
+      val clinical = t(s, dir, "customer").select(
+        col("c_name").as("SAMPLE_ID"),
+        concat(element_at(months, (col("c_custkey") % 12 + 1).cast("int")), lit("-"),
+          (lit(2024) + col("c_custkey") % 3).cast("string")).as("SEQ_DATE"),
+        col("c_mktsegment").as("CANCER_TYPE"),
+        col("c_acctbal").cast("string").as("PRIVATE_NOTES"))
+      val maf = t(s, dir, "customer").select(
+        col("c_name").as("TUMOR_SAMPLE_BARCODE"),
+        when(col("c_custkey") % 4 === 0, lit("common_variant")).otherwise(lit("ok")).as("FILTER"),
+        when(col("c_custkey") % 6 === 0, lit("GERMLINE"))
+          .when(col("c_custkey") % 6 === 1, lit("Germline")) // exact-match: kept
+          .otherwise(lit("SOMATIC")).as("Mutation_Status"))
+      val scope = Seq(PublicRelease.Scope("SAMPLE_ID", true),
+        PublicRelease.Scope("CANCER_TYPE", true),
+        PublicRelease.Scope("SEQ_DATE", false),
+        PublicRelease.Scope("PRIVATE_NOTES", false))
+      val (pubC, pubM) = PublicRelease.convert(clinical, maf, scope,
+        monthsOld = 12, asOf = "2026-01-01")
+      val pubM2 = Filters.dropGermline(pubM, "MUTATION_STATUS") // finds Mutation_Status
+      pubC.agg(count(lit(1)).as("n_clinical"), countDistinct(col("CANCER_TYPE")).as("n_types"))
+        .withColumn("n_clinical_cols", lit(pubC.columns.length.toLong))
+        .crossJoin(pubM2.agg(count(lit(1)).as("n_maf"),
+          sum(when(col("FILTER") === "PASS", 1L).otherwise(0L)).as("n_pass")))
+    }),
+
+    // ---------------- P3: row-index-bearing violation report ------------
+    "p3_row_index_report" -> ((s, dir) => {
+      // domain violations reported with deterministic row indices
+      // (the reference reports pandas row indices)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val indexed = graft.operators.RowIndex.byOrder(d, Seq("doc_id"))
+      indexed.filter(Rules.domain(col("lang"), Seq("de", "en", "es", "fr")))
+        .select(col("row_id"), col("doc_id"), col("lang"))
     })
   )
 
@@ -1395,7 +1867,352 @@ object SparkEntry {
         """SELECT doc_id, strlen(text) AS n_bytes,
                   strlen(text) % 64 + 1 AS fake_width,
                   strlen(text) % 7 + 1 AS fake_frames
-           FROM documents"""
+           FROM documents""",
+
+      "s4_p20_vcf_roundtrip" ->
+        """SELECT COUNT(*) AS n_rows,
+                  COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END) AS n_ref_na,
+                  COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END) AS n_alt_nan,
+                  COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END) AS n_filter_null,
+                  COUNT(CASE WHEN doc_id % 6 = 0 THEN 1 END) AS n_sample_missing,
+                  COUNT(CASE WHEN doc_id % 9 = 0 THEN 1 END) AS n_ws_rows,
+                  CAST(8 AS BIGINT) AS n_req_present
+           FROM documents""",
+
+      "s5_bed_readback" ->
+        """SELECT CAST(p_partkey % 22 + 1 AS VARCHAR) AS chromosome,
+                  COUNT(*) AS n,
+                  COUNT(CASE WHEN p_partkey % 2 = 0 THEN 1 END) AS n_in_panel,
+                  COUNT(DISTINCT p_brand) AS n_symbols,
+                  CAST(120 * COUNT(*) AS BIGINT) AS span_sum
+           FROM part GROUP BY 1""",
+
+      "s6_assay_yaml" ->
+        """SELECT n_name || '-A1' AS seq_assay_id,
+                  n_name || '-P1' AS pipeline_id,
+                  CAST(100 + n_nationkey AS BIGINT) AS read_length,
+                  CAST(10 * n_nationkey AS BIGINT) AS n_genes,
+                  CAST(10 AS BIGINT) AS gene_padding,
+                  'snv;small_indels' AS alteration_types
+           FROM nation""",
+
+      "s7_s8_csv_variants" ->
+        """SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 500 = 0) AS n_cis,
+                  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                   FROM orders WHERE o_orderkey % 500 = 0) AS sum_val,
+                  (SELECT COUNT(*) FROM customer WHERE c_custkey % 100 = 0) AS n_retracted,
+                  (SELECT MIN(c_name) FROM customer WHERE c_custkey % 100 = 0) AS first_retracted""",
+
+      "s13_cbio_clinical_sink" ->
+        """SELECT COUNT(*) AS n_data_rows,
+                  COUNT(DISTINCT c_mktsegment) AS n_segments,
+                  MIN(c_name) AS first_sample,
+                  CAST(4 AS BIGINT) AS n_meta_lines
+           FROM customer WHERE c_custkey % 50 = 0""",
+
+      "s14_case_lists" ->
+        """SELECT regexp_replace(lower(c_mktsegment), '[^a-z0-9]+', '_', 'g') AS slug,
+                  COUNT(DISTINCT c_name) AS n_ids
+           FROM customer GROUP BY 1""",
+
+      "s15_gene_panel" ->
+        """SELECT 'GRAFT-PANEL1' AS panel_id,
+                  CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_genes,
+                  MIN(p_brand) AS first_gene
+           FROM part WHERE p_partkey % 3 <> 0""",
+
+      "o2_o3_latest_release" ->
+        """SELECT CAST(major AS VARCHAR) || '.' || CAST(minor AS VARCHAR) AS name, major, minor
+           FROM (SELECT DISTINCT o_orderkey % 5 AS major, o_orderkey % 97 AS minor FROM orders)
+           ORDER BY major DESC, minor DESC LIMIT 1""",
+
+      "p_battery_patient" -> {
+        val p7 = """regexp_matches(year_death, '^\d{4}$') AND regexp_matches(year_contact, '^\d{4}$')
+                    AND CAST(year_death AS INT) < CAST(year_contact AS INT)"""
+        val p8 = """(dead = 'True' AND int_dod IS NOT DISTINCT FROM 'Not Applicable')
+                    OR (dead = 'False' AND int_dod IS DISTINCT FROM 'Not Applicable')
+                    OR (dead IN ('Unknown','Not Collected','Not Applicable','Not Released')
+                        AND dead IS DISTINCT FROM int_dod)"""
+        val p9 = """((int_contact = '>32485') <> (year_contact IN ('>89','cannotReleaseHIPAA')))
+                    OR ((int_contact = '<6570') <> (year_contact = '<18'))"""
+        val p27 = """col_a IS NULL AND col_b IS NULL"""
+        val rows = Seq(
+          ("death_after_contact", "error", p7),
+          ("dead_dod_consistency", "error", p8),
+          ("int_year_redaction_consistency", "error", p9),
+          ("p27_empty_row", "error", p27)
+        ).map { case (rule, sev, pred) =>
+          s"""SELECT '$rule' AS rule, '$sev' AS severity,
+              COUNT(CASE WHEN $pred THEN 1 END) AS n_violations,
+              MIN(CASE WHEN $pred THEN patient_id END) AS example FROM d"""
+        }.mkString("\n UNION ALL \n")
+        s"""WITH d AS (
+             SELECT 'GENIE-C-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS patient_id,
+                    CASE WHEN doc_id % 6 = 0 THEN '>89'
+                         ELSE '19' || lpad(CAST(doc_id % 60 + 20 AS VARCHAR), 2, '0') END AS year_contact,
+                    CASE WHEN doc_id % 7 = 0 THEN '1915'
+                         WHEN doc_id % 11 = 0 THEN 'Unknown' ELSE '1990' END AS year_death,
+                    (['True','False','Unknown','Not Collected'])[CAST(doc_id % 4 AS INT) + 1] AS dead,
+                    (['Not Applicable','500','Unknown'])[CAST(doc_id % 3 AS INT) + 1] AS int_dod,
+                    CASE WHEN doc_id % 9 = 0 THEN '>32485' ELSE '20000' END AS int_contact,
+                    CASE WHEN doc_id % 31 = 0 THEN NULL ELSE 'x' END AS col_a,
+                    CASE WHEN doc_id % 31 = 0 THEN NULL ELSE 'y' END AS col_b
+             FROM documents)
+           $rows"""
+      },
+
+      "p10_sex_primary_conflicts" ->
+        """WITH tree(code, primary_code) AS (
+             SELECT * FROM (VALUES ('PRAD','PROSTATE'), ('TGCT','TESTIS'), ('UCEC','UTERUS'),
+                                   ('HGSOC','OVARY'), ('LUAD','LUNG')) t),
+           s AS (SELECT c_name AS sample_id,
+                        (['PRAD','TGCT','UCEC','HGSOC','LUAD','ZZZ'])[CAST(c_custkey % 6 AS INT) + 1] AS code,
+                        CASE WHEN c_custkey % 5 = 0 THEN '' ELSE CAST(c_custkey % 3 AS VARCHAR) END AS sex
+                 FROM customer)
+           SELECT primary_code, COUNT(*) AS n_conflicts, MIN(sample_id) AS example
+           FROM s JOIN tree ON s.code = tree.code
+           WHERE (primary_code IN ('TESTIS','PROSTATE','PENIS')
+                    AND TRY_CAST(sex AS DOUBLE) IS DISTINCT FROM 1.0)
+              OR (primary_code IN ('CERVIX','VULVA','UTERUS','OVARY')
+                    AND TRY_CAST(sex AS DOUBLE) IS DISTINCT FROM 2.0)
+           GROUP BY 1""",
+
+      "p13_p15_maf_validate" -> {
+        val chromList = ((1 to 22).map(i => s"'$i'") ++ Seq("'X'", "'Y'", "'MT'")).mkString(", ")
+        val rules = Seq(
+          ("chromosome_domain", "error", s"chrom IS NULL OR chrom NOT IN ($chromList)"),
+          ("start_le_end", "warning",
+            "TRY_CAST(start_pos AS BIGINT) > TRY_CAST(end_pos AS BIGINT)"),
+          ("tsa2_allele", "error",
+            """tsa2 IS NOT NULL AND NOT regexp_matches(tsa2, '(?i)^([ATCGN]+|-+)$')"""),
+          ("ref_allele", "error",
+            """ref IS NOT NULL AND NOT regexp_matches(ref, '(?i)^([ATCGN]+|-+)$')"""),
+          ("barcode_prefix", "error",
+            "barcode IS NULL OR NOT starts_with(barcode, 'GENIE-C') OR length(barcode) >= 50"),
+          ("numeric_start_position", "error",
+            "start_pos IS NOT NULL AND TRY_CAST(start_pos AS DOUBLE) IS NULL"),
+          ("numeric_end_position", "error",
+            "end_pos IS NOT NULL AND TRY_CAST(end_pos AS DOUBLE) IS NULL"),
+          ("numeric_t_depth", "error",
+            "t_depth IS NOT NULL AND TRY_CAST(t_depth AS DOUBLE) IS NULL"),
+          ("numeric_n_depth", "error",
+            "n_depth IS NOT NULL AND TRY_CAST(n_depth AS DOUBLE) IS NULL")
+        ).map { case (rule, sev, pred) =>
+          s"""SELECT 'full' AS variant, '$rule' AS rule, '$sev' AS severity,
+              COUNT(CASE WHEN $pred THEN 1 END) AS n FROM d"""
+        }.mkString("\n UNION ALL \n")
+        s"""WITH d AS (
+             SELECT CASE WHEN l_partkey % 30 = 0 THEN '23'
+                         ELSE CAST(l_partkey % 22 + 1 AS VARCHAR) END AS chrom,
+                    CAST(l_orderkey AS VARCHAR) AS start_pos,
+                    CASE WHEN l_linenumber % 5 = 0 THEN CAST(l_orderkey - 1 AS VARCHAR)
+                         ELSE CAST(l_orderkey + 100 AS VARCHAR) END AS end_pos,
+                    (['A','TT','NA','xx'])[CAST(l_linenumber % 4 AS INT) + 1] AS ref,
+                    (['C','GG','-','zz'])[CAST(l_suppkey % 4 AS INT) + 1] AS tsa2,
+                    CASE WHEN l_suppkey % 6 = 0 THEN 'BAD-' || CAST(l_suppkey AS VARCHAR)
+                         ELSE 'GENIE-C-' || CAST(l_suppkey AS VARCHAR) END AS barcode,
+                    CASE WHEN l_linenumber % 7 = 0 THEN '12x'
+                         ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) END AS t_depth,
+                    CASE WHEN l_partkey % 9 = 0 THEN NULL ELSE '30' END AS n_depth
+             FROM lineitem WHERE l_orderkey % 40 = 0)
+           $rules
+           UNION ALL
+           SELECT 'full', 'duplicate_variants', 'error',
+             (SELECT COUNT(*) FROM (SELECT 1 FROM d
+               GROUP BY TRIM(chrom), TRIM(start_pos), TRIM(ref), TRIM(barcode), TRIM(tsa2)
+               HAVING COUNT(*) > 1))
+           UNION ALL
+           SELECT 'full', 'tsa2_equals_ref_everywhere', 'error',
+             (SELECT CASE WHEN BOOL_AND(COALESCE(tsa2 = ref, FALSE)) THEN 1 ELSE 0 END FROM d)
+           UNION ALL
+           SELECT 'missing', 'missing_headers', 'error', 2"""
+      },
+
+      "p21_cna_values" ->
+        """WITH long AS (
+             SELECT 'S' || CAST(l_suppkey % 30 AS VARCHAR) AS sample_id,
+                    CASE WHEN l_linenumber % 6 = 0 THEN 0.3
+                         ELSE CAST(l_linenumber % 5 - 2 AS DOUBLE) END AS value
+             FROM lineitem WHERE l_orderkey % 20 = 0)
+           SELECT COUNT(*) AS n_invalid, MIN(value) AS min_bad,
+                  COUNT(DISTINCT sample_id) AS n_samples
+           FROM long
+           WHERE value IS NOT NULL
+             AND value NOT IN (-2.0, -1.5, -1.0, 0.0, 0.5, 1.0, 1.5, 2.0)""",
+
+      "p22_seg_battery" -> {
+        val chromList = ((1 to 22).map(i => s"'$i'") ++ Seq("'X'", "'Y'", "'MT'")).mkString(", ")
+        val rules = Seq(
+          ("id_prefix", "error",
+            "id IS NULL OR NOT starts_with(id, 'GENIE-C') OR length(id) >= 50"),
+          ("chrom_domain", "error",
+            s"chrom IS NULL OR regexp_replace(chrom, '^chr', '') NOT IN ($chromList)"),
+          ("loc_integers", "error",
+            """(loc_start IS NOT NULL AND NOT regexp_matches(loc_start, '^-?\d+$'))
+               OR (loc_end IS NOT NULL AND NOT regexp_matches(loc_end, '^-?\d+$'))"""),
+          ("seg_mean_numeric", "error",
+            "seg_mean IS NOT NULL AND TRY_CAST(seg_mean AS DOUBLE) IS NULL"),
+          ("no_nulls", "error",
+            """id IS NULL OR chrom IS NULL OR loc_start IS NULL OR loc_end IS NULL
+               OR num_mark IS NULL OR seg_mean IS NULL""")
+        ).map { case (rule, sev, pred) =>
+          s"""SELECT '$rule' AS rule, '$sev' AS severity,
+              COUNT(CASE WHEN $pred THEN 1 END) AS n_violations,
+              MIN(CASE WHEN $pred THEN id END) AS example FROM d"""
+        }.mkString("\n UNION ALL \n")
+        s"""WITH d AS (
+             SELECT CASE WHEN o_custkey % 13 = 0 THEN 'BAD-' || CAST(o_custkey AS VARCHAR)
+                         ELSE 'GENIE-C-' || CAST(o_custkey AS VARCHAR) END AS id,
+                    (CASE WHEN o_orderkey % 4 = 0 THEN 'chr' ELSE '' END)
+                      || CAST(o_custkey % 26 + 1 AS VARCHAR) AS chrom,
+                    CASE WHEN o_orderkey % 7 = 0 THEN '12.5'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS loc_start,
+                    CAST(o_orderkey + 500 AS VARCHAR) AS loc_end,
+                    CASE WHEN o_orderkey % 11 = 0 THEN 'abc' ELSE '0.25' END AS seg_mean,
+                    CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE '5' END AS num_mark
+             FROM orders WHERE o_orderkey % 10 = 0)
+           $rules"""
+      },
+
+      "p23_assay_battery" -> {
+        val rules = Seq(
+          ("seq_assay_id_prefix", "error",
+            "NOT COALESCE(starts_with(upper(seq_assay_id), 'C'), FALSE)"),
+          ("library_selection", "error",
+            """library_selection IS NOT NULL AND library_selection NOT IN
+               ('Hybrid Selection','PCR','Affinity Enrichment','Poly-T Enrichment','Random')"""),
+          ("read_length_int", "error",
+            "read_length IS NOT NULL AND TRY_CAST(read_length AS INT) IS NULL"),
+          ("cellularity_format", "error",
+            """cellularity IS NOT NULL AND NOT regexp_matches(cellularity, '^>\d+%$')"""),
+          ("alteration_types", "error",
+            """alteration_types IS NOT NULL AND len(list_filter(alteration_types,
+               x -> x NOT IN ('snv','small_indels','gene_level_cna','intragenic_cna','structural_variants'))) > 0""")
+        ).map { case (rule, sev, pred) =>
+          s"""SELECT '$rule' AS rule, '$sev' AS severity,
+              COUNT(CASE WHEN $pred THEN 1 END) AS n_violations,
+              MIN(CASE WHEN $pred THEN seq_assay_id END) AS example FROM d"""
+        }.mkString("\n UNION ALL \n")
+        s"""WITH d AS (
+             SELECT CASE WHEN s_suppkey % 4 = 0 THEN 'X-' || s_name
+                         ELSE 'C-' || s_name END AS seq_assay_id,
+                    (['Hybrid Selection','PCR','Laser Capture'])[CAST(s_suppkey % 3 AS INT) + 1] AS library_selection,
+                    CASE WHEN s_suppkey % 5 = 0 THEN 'abc' ELSE '150' END AS read_length,
+                    CASE WHEN s_suppkey % 6 = 0 THEN '20%' ELSE '>30%' END AS cellularity,
+                    ['snv', CASE WHEN s_suppkey % 7 = 0 THEN 'bogus' ELSE 'small_indels' END] AS alteration_types
+             FROM supplier)
+           $rules"""
+      },
+
+      "c14_canonical_renames" ->
+        """SELECT CAST(l_partkey % 22 + 1 AS VARCHAR) AS chromosome,
+                  COUNT(*) AS n,
+                  COUNT(CASE WHEN l_linenumber % 3 = 0 THEN 1 END) AS n_ref_na,
+                  COUNT(CASE WHEN l_linenumber % 2 = 0 THEN 1 END) AS n_hgvsp_null,
+                  COUNT(DISTINCT l_suppkey) AS n_samples
+           FROM lineitem WHERE l_orderkey % 200 = 0
+           GROUP BY 1""",
+
+      "c15_oncotree_json" ->
+        """SELECT r_name AS code, r_name AS primary_code,
+                  '' AS secondary_code, 'ct_' || r_name AS cancer_type
+           FROM region
+           UNION ALL
+           SELECT n_name, r_name, n_name, 'ct_' || r_name
+           FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+      "p24_p25_p26_crossfile" ->
+        """WITH clin AS (SELECT DISTINCT 'C-A' || CAST(c_custkey % 30 AS VARCHAR) AS aid FROM customer),
+           assay AS (SELECT DISTINCT 'C-A' || CAST(s_suppkey % 25 AS VARCHAR) AS aid FROM supplier),
+           clin_raw AS (SELECT DISTINCT 'C_A' || CAST(c_custkey % 30 AS VARCHAR) AS aid FROM customer),
+           mafb AS (SELECT DISTINCT 'CUSTOMER#' || lpad(CAST(o_custkey * 2 AS VARCHAR), 9, '0') AS b
+                    FROM orders WHERE o_orderkey % 30 = 0),
+           dbk AS (SELECT DISTINCT CAST(l_partkey % 22 + 1 AS VARCHAR) || ' ' || CAST(l_orderkey AS VARCHAR)
+                     || ' A GENIE-C-' || CAST(l_suppkey AS VARCHAR) || ' T' AS k
+                   FROM lineitem WHERE l_orderkey % 40 = 0),
+           rek AS (SELECT DISTINCT CAST(l_partkey % 22 + 1 AS VARCHAR) || ' '
+                     || CAST(l_orderkey + CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+                     || ' A GENIE-C-' || CAST(l_suppkey AS VARCHAR) || ' T' AS k
+                   FROM lineitem WHERE l_orderkey % 80 = 0)
+           SELECT 'p24_clinical_assay' AS check,
+                  (SELECT COUNT(*) FROM clin WHERE aid NOT IN (SELECT aid FROM assay)) AS n
+           UNION ALL
+           SELECT 'p24_maf_samples',
+                  (SELECT COUNT(*) FROM mafb WHERE b NOT IN (SELECT upper(c_name) FROM customer))
+           UNION ALL
+           SELECT 'p25_db_assay',
+                  (SELECT COUNT(*) FROM clin_raw WHERE aid NOT IN (SELECT aid FROM assay))
+           UNION ALL
+           SELECT 'p26_unknown_cis',
+                  (SELECT COUNT(*) FROM rek WHERE k NOT IN (SELECT k FROM dbk))""",
+
+      "p29_p30_j7_status" ->
+        """WITH files AS (
+             SELECT p_partkey AS id,
+                    'file_' || CAST(p_partkey AS VARCHAR) || '.txt' AS name,
+                    md5(p_name) AS md5v
+             FROM part WHERE p_partkey % 25 = 0),
+           prior AS (SELECT id, name,
+                            CASE WHEN id % 6 = 0 THEN 'stale' ELSE md5v END AS md5v
+                     FROM files WHERE id % 2 = 0),
+           uploads AS (
+             SELECT CASE WHEN p_partkey % 300 = 0 THEN 'data_clinical_supp_sample.txt'
+                         WHEN p_partkey % 200 = 0 THEN 'batch_' || CAST(p_partkey AS VARCHAR) || '.seg'
+                         ELSE 'maf_' || CAST(p_partkey AS VARCHAR) || '.txt' END AS name
+             FROM part WHERE p_partkey % 100 = 0)
+           SELECT
+             (SELECT COUNT(*) FROM files f
+               WHERE EXISTS (SELECT 1 FROM prior p WHERE p.name = f.name AND p.md5v = f.md5v)) AS n_skip,
+             (SELECT COUNT(*) FROM files f
+               WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.name = f.name AND p.md5v = f.md5v)) AS n_revalidate,
+             (SELECT COUNT(*) FROM files f
+               JOIN (SELECT p_partkey AS id FROM part WHERE p_partkey % 175 = 0) e ON f.id = e.id
+               JOIN prior p ON f.id = p.id) AS n_with_errors,
+             (SELECT CAST(COUNT(CASE WHEN starts_with(name, 'data_clinical_supp') THEN 1 END) > 2 AS BIGINT)
+              FROM uploads) AS clinical_dup_flag,
+             (SELECT CAST(COUNT(CASE WHEN name LIKE '%.seg' THEN 1 END) > 1 AS BIGINT)
+              FROM uploads) AS seg_dup_flag""",
+
+      "f5_f6_sample_filters" ->
+        """WITH tree(code, cancer_type) AS (
+             SELECT * FROM (VALUES ('LUAD','NSCLC'), ('PRAD','Prostate Cancer'),
+                                   ('UCEC','Endometrial Cancer')) t),
+           panels AS (SELECT DISTINCT 'C-A' || CAST(s_suppkey % 25 AS VARCHAR) AS aid FROM supplier),
+           clin AS (SELECT c_name AS sample_id,
+                           'C-A' || CAST(c_custkey % 30 AS VARCHAR) AS aid,
+                           (['LUAD','PRAD','UCEC','ZZZ'])[CAST(c_custkey % 4 AS INT) + 1] AS code
+                    FROM customer)
+           SELECT cancer_type, COUNT(*) AS n_samples, COUNT(DISTINCT aid) AS n_assays
+           FROM clin JOIN tree ON clin.code = tree.code
+           WHERE aid IN (SELECT aid FROM panels)
+           GROUP BY 1""",
+
+      "f11_retraction_cascade" ->
+        """SELECT COUNT(*) AS n_kept, COUNT(DISTINCT o_custkey) AS n_patients
+           FROM orders
+           WHERE o_orderkey % 50 <> 0
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 40 = 0)""",
+
+      "f12_f13_f14_public" -> {
+        val monthsArr = "['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec']"
+        s"""WITH keep AS (
+             SELECT c_custkey, c_name, c_mktsegment FROM customer
+             WHERE date_diff('month',
+               strptime(($monthsArr)[CAST(c_custkey % 12 AS INT) + 1] || '-'
+                 || CAST(2024 + c_custkey % 3 AS VARCHAR), '%b-%Y'),
+               TIMESTAMP '2026-01-01 00:00:00') >= 12)
+           SELECT (SELECT COUNT(*) FROM keep) AS n_clinical,
+                  (SELECT COUNT(DISTINCT c_mktsegment) FROM keep) AS n_types,
+                  CAST(2 AS BIGINT) AS n_clinical_cols,
+                  (SELECT COUNT(*) FROM keep WHERE c_custkey % 4 <> 0 AND c_custkey % 6 <> 0) AS n_maf,
+                  (SELECT COUNT(*) FROM keep WHERE c_custkey % 4 <> 0 AND c_custkey % 6 <> 0) AS n_pass"""
+      },
+
+      "p3_row_index_report" ->
+        """SELECT row_id, doc_id, lang FROM (
+             SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id, doc_id, lang
+             FROM documents)
+           WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')"""
     )
   }
 }

@@ -28,7 +28,9 @@ object MafFormat {
         "maf: Please double check your CHROMOSOME column.  This column must only be these values: " +
           (1 to 22).mkString(", ") + ", X, Y, MT"),
       RowRule("start_le_end", "warning",
-        Rules.startAfterEnd(col("START_POSITION").cast("long"), col("END_POSITION").cast("long")), key,
+        // try_cast: ANSI mode throws on dirty position strings otherwise
+        Rules.startAfterEnd(col("START_POSITION").try_cast("long"),
+          col("END_POSITION").try_cast("long")), key,
         "Mutation: START_POSITION after END_POSITION ({count} rows, e.g. {example})"),
       RowRule("tsa2_allele", "error",
         Rules.badAllele(col("TUMOR_SEQ_ALLELE2")), key,
@@ -44,7 +46,15 @@ object MafFormat {
           "This is the list of accepted allele values that can only appear individually: -"),
       RowRule("barcode_prefix", "error",
         Rules.badIdentifier(col("TUMOR_SAMPLE_BARCODE"), s"GENIE-$center"), key,
-        s"maf: TUMOR_SAMPLE_BARCODE must start with GENIE-$center"))
+        s"maf: TUMOR_SAMPLE_BARCODE must start with GENIE-$center")) ++
+    // P15 (maf.py:300-327): each present numeric column must coerce to
+    // float; literal-NA values were nulled on read and pass like the
+    // reference's na_values path. One rule per column, skipped when the
+    // column is absent (requires), message verbatim.
+    numericColumns.map(c =>
+      RowRule(s"numeric_${c.toLowerCase}", "error",
+        col(c).isNotNull && col(c).try_cast("double").isNull, key,
+        s"maf: $c must be a numerical column.", requires = Seq(c)))
   }
 
   def validate(maf: DataFrame, center: String): ValidationResult = {

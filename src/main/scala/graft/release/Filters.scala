@@ -58,9 +58,15 @@ object Filters {
   def dropCommonVariants(df: DataFrame, filterCol: String): DataFrame =
     df.filter(!coalesce(col(filterCol).contains("common_variant"), lit(false)))
 
-  /** F14: drop germline-status rows, case-insensitive value
-    * (database_to_staging.py:862-881).
+  /** F14: drop germline-status rows (database_to_staging.py:862-881).
+    * The column NAME is searched case-insensitively (release files have
+    * no column-name validation) but the VALUE compare is exact
+    * `!= "GERMLINE"` like the reference; null status rows are kept
+    * (pandas NaN != "GERMLINE" is True). No matching column → no-op.
     */
   def dropGermline(df: DataFrame, statusCol: String): DataFrame =
-    df.filter(coalesce(upper(col(statusCol)) =!= "GERMLINE", lit(true)))
+    df.columns.find(_.equalsIgnoreCase(statusCol)) match {
+      case Some(c) => df.filter(coalesce(col(c) =!= "GERMLINE", lit(true)))
+      case None    => df
+    }
 }

@@ -8,11 +8,15 @@ import graft.rules.CrossFileChecks
 class FiltersSpec extends SparkSpec {
   import spark.implicits._
 
-  test("F14: germline-status rows dropped case-insensitively, nulls kept") {
-    val sv = Seq(("s1", "GERMLINE"), ("s2", "germline"), ("s3", "SOMATIC"), ("s4", null))
-      .toDF("SAMPLE_ID", "STATUS")
-    val kept = Filters.dropGermline(sv, "STATUS").select("SAMPLE_ID").as[String].collect().toSet
-    assert(kept == Set("s3", "s4"))
+  test("F14: column name searched case-insensitively, value matched exactly, nulls kept") {
+    // reference (database_to_staging.py:862-881): column lookup ignores
+    // case, but the value compare is exact != "GERMLINE"
+    val sv = Seq(("s1", "GERMLINE"), ("s2", "Germline"), ("s3", "SOMATIC"), ("s4", null))
+      .toDF("SAMPLE_ID", "SV_Status")
+    val kept = Filters.dropGermline(sv, "SV_STATUS").select("SAMPLE_ID").as[String].collect().toSet
+    assert(kept == Set("s2", "s3", "s4"))
+    // no matching column → no-op
+    assert(Filters.dropGermline(sv, "MUTATION_STATUS").count() == 4)
   }
 
   test("F11: retraction removes samples and leaves the rest") {
