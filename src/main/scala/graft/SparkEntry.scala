@@ -1237,6 +1237,49 @@ object SparkEntry {
       val indexed = graft.operators.RowIndex.byOrder(d, Seq("doc_id"))
       indexed.filter(Rules.domain(col("lang"), Seq("de", "en", "es", "fr")))
         .select(col("row_id"), col("doc_id"), col("lang"))
+    }),
+
+    // ---------------- dedup: BANDED embedding near-dup -----------------
+    "dedup_neardup_banded" -> ((s, dir) => {
+      // 3 bands × 8 bits OR-construction over the 64-dim embeddings —
+      // kills the single-table recall cliff of dedup_embedding_neardup
+      V.bandedNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        bands = 3, bitsPerBand = 8, minCos = 0.35)
+    }),
+
+    // ---------------- similarity: BANDED LSH top-k ---------------------
+    "sim_lsh_topk_banded" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      V.bandedLshTopK(q, c, "q_id", "c_id", "q_vec", "c_vec",
+        k = 3, bands = 3, bitsPerBand = 8)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
+    // ---------------- dashboard wiki-template stats --------------------
+    "dash_failed_annotations" -> ((s, dir) => {
+      val maf = t(s, dir, "lineitem").filter(col("l_orderkey") % 25 === 0).select(
+        concat(lit("C"), (col("l_suppkey") % 7).cast("string")).as("Center"),
+        when(col("l_partkey") % 5 === 0, lit("FAILED")).otherwise(lit("SUCCESS")).as("Annotation_Status"))
+      graft.stats.Dashboard.failedAnnotationCounts(maf, Seq("Center"), "n_failed")
+    }),
+
+    "dash_center_distribution" -> ((s, dir) => {
+      val clin = t(s, dir, "customer").select(
+        col("c_mktsegment").as("CENTER"),
+        (col("c_custkey") % 3).cast("string").as("SEX"))
+      graft.stats.Dashboard.centerCategoryDistribution(clin, "CENTER", "SEX")
+    }),
+
+    "dash_release_content" -> ((s, dir) => {
+      val samples = t(s, dir, "customer").select(
+        concat(lit("C"), (col("c_custkey") % 5).cast("string")).as("Center"),
+        col("c_custkey").as("SAMPLE_ID"))
+      val muts = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0).select(
+        concat(lit("C"), (col("o_custkey") % 7).cast("string")).as("Center"))
+      graft.stats.Dashboard.releaseContent(samples, muts, "Center", "SAMPLE_ID")
     })
   )
 
@@ -2212,7 +2255,94 @@ object SparkEntry {
         """SELECT row_id, doc_id, lang FROM (
              SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id, doc_id, lang
              FROM documents)
-           WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')"""
+           WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr')""",
+
+      "dedup_neardup_banded" -> {
+        def bandKey(b: Int) = (0 until 8)
+          .map(i => s"CASE WHEN embedding[${b * 8 + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        val cos =
+          """list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+                * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))"""
+        val bandCtes = (0 until 3)
+          .map(b => s"k$b AS (SELECT vec_id, ${bandKey(b)} AS bucket FROM embeddings)")
+          .mkString(",\n           ")
+        val unions = (0 until 3)
+          .map(b => s"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM k$b a JOIN k$b b2 USING (bucket) WHERE a.vec_id < b2.vec_id")
+          .mkString("\n             UNION\n             ")
+        s"""WITH $bandCtes,
+           cand AS (
+             $unions
+           )
+           SELECT id_a, id_b, cos FROM (
+             SELECT id_a, id_b, ROUND($cos, 6) AS cos
+             FROM cand
+             JOIN embeddings ea ON ea.vec_id = id_a
+             JOIN embeddings eb ON eb.vec_id = id_b)
+           WHERE cos >= 0.35"""
+      },
+
+      "sim_lsh_topk_banded" -> {
+        def qKey(b: Int) = (0 until 8)
+          .map(i => s"CASE WHEN q_vec[${b * 8 + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        def cKey(b: Int) = (0 until 8)
+          .map(i => s"CASE WHEN c_vec[${b * 8 + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        val unions = (0 until 3)
+          .map(b => s"""SELECT q_id, c_id FROM
+               (SELECT q_id, q_vec, ${qKey(b)} AS bucket FROM q0) qk
+               JOIN (SELECT c_id, c_vec, ${cKey(b)} AS bucket FROM c0) ck USING (bucket)
+               WHERE q_id <> c_id""")
+          .mkString("\n             UNION\n             ")
+        s"""WITH q0 AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+           c0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+           cand AS (
+             $unions
+           ),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))) AS score
+             FROM cand JOIN q0 USING (q_id) JOIN c0 USING (c_id))
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3"""
+      },
+
+      "dash_failed_annotations" ->
+        """SELECT 'C' || CAST(l_suppkey % 7 AS VARCHAR) AS Center, COUNT(*) AS n_failed
+           FROM lineitem
+           WHERE l_orderkey % 25 = 0 AND l_partkey % 5 = 0
+           GROUP BY 1""",
+
+      "dash_center_distribution" ->
+        """WITH c AS (
+             SELECT c_mktsegment AS center, CAST(c_custkey % 3 AS VARCHAR) AS sex,
+                    COUNT(*) AS n
+             FROM customer GROUP BY 1, 2)
+           SELECT center AS CENTER, sex AS SEX, n,
+                  ROUND(n / SUM(n) OVER (PARTITION BY center) * 100.0, 4) AS pct
+           FROM c""",
+
+      "dash_release_content" ->
+        """WITH s AS (SELECT 'C' || CAST(c_custkey % 5 AS VARCHAR) AS center,
+                             COUNT(DISTINCT c_custkey) AS samples
+                      FROM customer GROUP BY 1),
+           m AS (SELECT 'C' || CAST(o_custkey % 7 AS VARCHAR) AS center,
+                        COUNT(*) AS variants
+                 FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+           merged AS (
+             SELECT COALESCE(s.center, m.center) AS center,
+                    COALESCE(samples, 0) AS samples,
+                    COALESCE(variants, 0) AS variants
+             FROM s FULL OUTER JOIN m ON s.center = m.center)
+           SELECT center AS Center, samples AS Samples, variants AS Variants FROM merged
+           UNION ALL
+           SELECT 'Total', SUM(samples), SUM(variants) FROM merged"""
     )
   }
 }

@@ -43,7 +43,8 @@ object ProcessJob {
   }
 
   final case class RunResult(statuses: Seq[FileStatus], skipped: Seq[String],
-                             tables: Map[String, DataFrame])
+                             tables: Map[String, DataFrame],
+                             errors: Map[String, Seq[String]] = Map.empty)
 
   /** One center run. `priorStatuses` drives the md5 skip; `existing`
     * holds current table contents for the upsert.
@@ -60,9 +61,13 @@ object ProcessJob {
     var statuses = Vector.empty[FileStatus]
     var skipped  = Vector.empty[String]
     var tables   = Map.empty[String, DataFrame]
+    var errors   = Map.empty[String, Seq[String]]
 
     def record(name: String, md5: String, status: String): Unit =
       statuses :+= FileStatus(name, md5, status)
+
+    def recordErrors(name: String, res: graft.rules.ValidationResult): Unit =
+      if (!res.isValid) errors += name -> res.errors.map(_.message)
 
     // clinical pair handled jointly (S2)
     val samplePath  = paths.find(p => Paths.get(p).getFileName.toString.startsWith("data_clinical_supp_sample"))
@@ -81,6 +86,7 @@ object ProcessJob {
           val res = ClinicalFormat.validate(sample, patient, center)
           val st = if (res.isValid) "VALIDATED" else "INVALID"
           record(sn, sm, st); record(pn, pm, st)
+          recordErrors(sn, res)
           if (res.isValid) {
             val processed = ClinicalFormat.process(sample, patient, Map.empty)
             val merged = existing.get("clinical") match {
@@ -104,6 +110,7 @@ object ProcessJob {
           val res = MafFormat.validate(maf, center)
           val st = if (res.isValid) "VALIDATED" else "INVALID"
           record(name, m, st)
+          recordErrors(name, res)
           if (res.isValid) {
             val pk = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
               "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
@@ -117,11 +124,57 @@ object ProcessJob {
             tables += "maf" -> merged
           }
         }
+      } else if (name.startsWith(center) && name.endsWith(".md")) {
+        // workflow md passthrough (genie_registry/workflow.py:11-23):
+        // filename pattern IS the validation; file is stored as-is
+        record(name, md5Of(p), "VALIDATED")
       } else if (dups(name)) {
         record(name, md5Of(p), "DUPLICATE")
       }
     }
 
-    RunResult(statuses, skipped, tables)
+    // retraction files LAST — deletes apply to the final upserted tables
+    // (genie_registry/sampleRetraction.py:19-41, patientRetraction.py:8-9,
+    // toRetract.py:37-90: samples of retracted patients cascade)
+    import graft.release.Filters
+    import org.apache.spark.sql.functions.{col, lit}
+    def readRetraction(p: String, idCol: String): DataFrame =
+      spark.read.option("header", "false").csv(p).toDF(idCol)
+        .withColumn("retractionDate",
+          lit(Files.getLastModifiedTime(Paths.get(p)).toMillis))
+        .withColumn("center", lit(center))
+
+    paths.find(p => Paths.get(p).getFileName.toString == "sampleRetraction.csv").foreach { p =>
+      record("sampleRetraction.csv", md5Of(p), "VALIDATED")
+      tables += "sampleRetraction" -> readRetraction(p, "genieSampleId")
+    }
+    paths.find(p => Paths.get(p).getFileName.toString == "patientRetraction.csv").foreach { p =>
+      record("patientRetraction.csv", md5Of(p), "VALIDATED")
+      tables += "patientRetraction" -> readRetraction(p, "geniePatientId")
+    }
+    val sRet = tables.get("sampleRetraction")
+      .map(_.select(col("genieSampleId").as("SAMPLE_ID")))
+    val pRet = tables.get("patientRetraction")
+      .map(_.select(col("geniePatientId").as("PATIENT_ID")))
+    // patient cascade: the retracted patients' sample ids, captured from
+    // clinical BEFORE the clinical delete
+    val cascade = for { c <- tables.get("clinical"); r <- pRet }
+      yield c.join(r, Seq("PATIENT_ID"), "left_semi").select("SAMPLE_ID")
+    tables.get("clinical").foreach { c0 =>
+      var c = c0
+      sRet.foreach(r => c = Filters.retract(c, r, "SAMPLE_ID"))
+      pRet.foreach(r => c = Filters.retract(c, r, "PATIENT_ID"))
+      tables += "clinical" -> c
+    }
+    tables.get("maf").foreach { m0 =>
+      var m = m0
+      (sRet.toSeq ++ cascade.toSeq).foreach { r =>
+        m = Filters.retract(m,
+          r.withColumnRenamed("SAMPLE_ID", "TUMOR_SAMPLE_BARCODE"), "TUMOR_SAMPLE_BARCODE")
+      }
+      tables += "maf" -> m
+    }
+
+    RunResult(statuses, skipped, tables, errors)
   }
 }

@@ -19,7 +19,7 @@ import graft.sources.{Bed, Maf, Tsv, Vcf}
   */
 object ValidateCli {
 
-  def fileType(name: String): String = name match {
+  def fileType(name: String, center: String = ""): String = name match {
     case n if n.startsWith("data_clinical_supp_sample")  => "clinical_sample"
     case n if n.startsWith("data_clinical_supp_patient") => "clinical_patient"
     case n if n.endsWith(".maf") || n.startsWith("data_mutations") => "maf"
@@ -27,6 +27,12 @@ object ValidateCli {
     case n if n.endsWith(".bed")                          => "bed"
     case n if n.endsWith(".seg")                          => "seg"
     case n if n.endsWith(".yaml") || n.endsWith(".yml")   => "assay"
+    // exact-name retraction lists (sampleRetraction.py:26-27,
+    // patientRetraction.py:8-9: same class, different id column)
+    case "sampleRetraction.csv"                           => "sampleRetraction"
+    case "patientRetraction.csv"                          => "patientRetraction"
+    // workflow md passthrough: {center}*.md (workflow.py:16-19)
+    case n if n.endsWith(".md") && (center.isEmpty || n.startsWith(center)) => "workflow"
     case _                                                => "unknown"
   }
 
@@ -59,7 +65,7 @@ object ValidateCli {
 
     files.foreach { f =>
       val name = Paths.get(f).getFileName.toString
-      fileType(name) match {
+      fileType(name, center) match {
         case "maf" =>
           val res = MafFormat.validate(Maf.read(spark, f), center)
           res.findings.filter(_.count > 0).foreach(x =>
@@ -97,6 +103,13 @@ object ValidateCli {
           res.findings.filter(_.count > 0).foreach(x =>
             println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
           anyError ||= !res.isValid
+        case "sampleRetraction" | "patientRetraction" =>
+          // headerless single-column id list (S8); filename already
+          // carries the semantics, nothing else to validate
+          val n = spark.read.option("header", "false").csv(f).count()
+          println(s"$name info retraction_ids: $n ids to retract")
+        case "workflow" =>
+          println(s"$name info workflow: md passthrough")
         case _ => ()
       }
     }

@@ -65,6 +65,64 @@ object VectorFunctions {
       .select(col(qId), col(cId), col("score"), col("rank"))
   }
 
+  /** Banded sign buckets (OR-construction): `bands` independent
+    * 1-bit-per-dim hyperplane tables over disjoint dimension slices,
+    * returned as an array of `(band << 32) | bucket` keys to explode.
+    *
+    * One wide table has a recall cliff (a near-dup pair differing in a
+    * single hashed dimension is lost forever) and skew cliffs on
+    * correlated dimensions (one bucket swallows the corpus). The OR over
+    * b narrow bands keeps any pair that agrees on at least one slice,
+    * and each band's buckets stay 2^bitsPerBand-way partitioned — the
+    * same banding argument as MinHash-LSH.
+    */
+  def bandedSignBuckets(v: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        when(element_at(v, b * bitsPerBand + i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(b.toLong << 32)
+    }: _*)
+
+  /** Banded near-dup: explode band keys → per-band bucket equi-join →
+    * distinct pairs → exact cosine verify ONCE per pair → round+filter.
+    * Never all-pairs; at cluster scale each band join shuffles on its
+    * own bucket key and the distinct bounds the verify stage.
+    */
+  def bandedNearDup(df: DataFrame, id: String, vec: String, bands: Int,
+                    bitsPerBand: Int, minCos: Double, roundScale: Int = 6): DataFrame = {
+    val keyed = df.select(col(id), col(vec),
+      explode(bandedSignBuckets(col(vec), bands, bitsPerBand)).as("__bk"))
+    val a = keyed.select(col(id).as("id_a"), col(vec).as("vec_a"), col("__bk"))
+    val b = keyed.select(col(id).as("id_b"), col(vec).as("vec_b"), col("__bk"))
+    a.join(b, Seq("__bk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), roundScale))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Banded LSH top-k: candidates = union of per-band collisions
+    * (deduped), exact cosine rank once per candidate. Same contract as
+    * [[lshTopK]] with the single-table recall cliff removed.
+    */
+  def bandedLshTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+                    qVec: String, cVec: String, k: Int, bands: Int,
+                    bitsPerBand: Int): DataFrame = {
+    val q = queries.withColumn("__qn", norm(col(qVec)))
+      .withColumn("__bk", explode(bandedSignBuckets(col(qVec), bands, bitsPerBand)))
+    val c = corpus.withColumn("__cn", norm(col(cVec)))
+      .withColumn("__bk", explode(bandedSignBuckets(col(cVec), bands, bitsPerBand)))
+    val cand = c.join(broadcast(q), Seq("__bk"))
+      .filter(col(qId) =!= col(cId))
+      .dropDuplicates(qId, cId)
+      .withColumn("score", safeRatio(dot(col(qVec), col(cVec)), col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("score"), col("rank"))
+  }
+
   /** Bucketed (LSH) cosine top-k: candidates restricted to the query's
     * sign bucket → equi-join on bucket, then exact cosine rank. Recall
     * is approximate; cost drops from O(n·m) to O(n·m/2^bits) expected.

@@ -68,6 +68,91 @@ object CbioSinks {
     }.toSeq
   }
 
+  /** Meta files for a structurally complete cBioPortal release folder
+    * (database_to_staging.py:1960-2006 revises these per release; the
+    * formats are the cBioPortal meta conventions the reference study
+    * ships). Each is a handful of `key: value` lines — driver-side.
+    */
+  def writeMetaStudy(studyId: String, cohortName: String, description: String,
+                     genieVersion: String, outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val f = s"$outDir/meta_study.txt"
+    val content =
+      s"""type_of_cancer: mixed
+         |cancer_study_identifier: $studyId
+         |name: $cohortName Cohort v$genieVersion
+         |description: $description ($cohortName v$genieVersion)
+         |groups: PUBLIC
+         |short_name: $cohortName
+         |""".stripMargin
+    Files.write(Paths.get(f), content.getBytes(StandardCharsets.UTF_8))
+    f
+  }
+
+  /** meta_clinical_sample.txt / meta_clinical_patient.txt. */
+  def writeMetaClinical(studyId: String, patientLevel: Boolean, outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val (datatype, dataFile, name) =
+      if (patientLevel) ("PATIENT_ATTRIBUTES", "data_clinical_patient.txt", "meta_clinical_patient.txt")
+      else ("SAMPLE_ATTRIBUTES", "data_clinical_sample.txt", "meta_clinical_sample.txt")
+    val f = s"$outDir/$name"
+    val content =
+      s"""cancer_study_identifier: $studyId
+         |genetic_alteration_type: CLINICAL
+         |datatype: $datatype
+         |data_filename: $dataFile
+         |""".stripMargin
+    Files.write(Paths.get(f), content.getBytes(StandardCharsets.UTF_8))
+    f
+  }
+
+  /** meta_mutations_extended.txt. */
+  def writeMetaMaf(studyId: String, outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val f = s"$outDir/meta_mutations_extended.txt"
+    val content =
+      s"""cancer_study_identifier: $studyId
+         |genetic_alteration_type: MUTATION_EXTENDED
+         |datatype: MAF
+         |stable_id: mutations
+         |show_profile_in_analysis_tab: true
+         |profile_name: Mutations
+         |profile_description: Mutation data
+         |data_filename: data_mutations_extended.txt
+         |""".stripMargin
+    Files.write(Paths.get(f), content.getBytes(StandardCharsets.UTF_8))
+    f
+  }
+
+  /** Version revision over an existing meta file
+    * (database_to_staging.py:1977-1996): find the `... v<old>` version
+    * in the text, rewrite `Cohort v<old>` and ` v<old>` to the new one.
+    */
+  def reviseMetaVersion(path: String, newVersion: String): Unit = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    "name: .*Cohort v([\\w.\\-]+)".r.findFirstMatchIn(text).foreach { m =>
+      val old = m.group(1)
+      if (old != newVersion) {
+        val out = text
+          .replace(s"Cohort v$old", s"Cohort v$newVersion")
+          .replace(s" v$old", s" v$newVersion")
+        Files.write(Paths.get(path), out.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+  }
+
+  /** Versioned release folder layout (database_to_staging.py:2034-2125):
+    * `Release <major>/<version>/case_lists`. Returns (releaseDir,
+    * caseListsDir), both created.
+    */
+  def releaseFolderLayout(baseDir: String, genieVersion: String): (String, String) = {
+    val major = genieVersion.split("\\.").head
+    val releaseDir = s"$baseDir/Release $major/$genieVersion"
+    val caseLists = s"$releaseDir/case_lists"
+    Files.createDirectories(Paths.get(caseLists))
+    (releaseDir, caseLists)
+  }
+
   /** S15: data_gene_panel_<id>.txt — distinct panel genes. */
   def writeGenePanel(panelGenes: DataFrame, panelId: String, outDir: String): String = {
     Files.createDirectories(Paths.get(outDir))

@@ -52,6 +52,48 @@ object Dashboard {
       .filter(col("n_new") < col("n_old"))
   }
 
+  /** Wiki-template fn (R/dashboard_template_functions.R:31-44
+    * `get_failed_annotation_table_counts`): counts of
+    * Annotation_Status=="FAILED" rows by the group columns, sorted by
+    * those columns like the R `do.call(order, ...)`.
+    */
+  def failedAnnotationCounts(maf: DataFrame, groupCols: Seq[String],
+                             countsColName: String = "n_failed"): DataFrame =
+    maf.filter(col("Annotation_Status") === "FAILED")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(countsColName))
+      .orderBy(groupCols.map(col): _*)
+
+  /** Wiki-template shape behind plotCenterXRace/Ethnicity/Sex
+    * (templates/dashboardTemplate.Rmd:61-158): center × category counts
+    * with the within-center percentage.
+    */
+  def centerCategoryDistribution(df: DataFrame, centerCol: String,
+                                 attrCol: String): DataFrame = {
+    val counts = df.groupBy(col(centerCol), col(attrCol)).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(centerCol))
+    counts.withColumn("pct", round(col("n") / sum(col("n")).over(w) * 100.0, 4))
+  }
+
+  /** Wiki-template release-content table
+    * (templates/dashboardTemplate.Rmd:278-295): per-center distinct
+    * samples + variant counts full-outer merged, with a Total row.
+    */
+  def releaseContent(samples: DataFrame, mutations: DataFrame,
+                     centerCol: String, idCol: String): DataFrame = {
+    val s = samples.groupBy(col(centerCol).as("Center"))
+      .agg(countDistinct(col(idCol)).as("Samples"))
+    val m = mutations.groupBy(col(centerCol).as("Center"))
+      .agg(count(lit(1)).as("Variants"))
+    val merged = s.join(m, Seq("Center"), "full_outer")
+      .select(col("Center"),
+        coalesce(col("Samples"), lit(0L)).as("Samples"),
+        coalesce(col("Variants"), lit(0L)).as("Variants"))
+    merged.unionByName(
+      merged.agg(sum("Samples").as("Samples"), sum("Variants").as("Variants"))
+        .select(lit("Total").as("Center"), col("Samples"), col("Variants")))
+  }
+
   /** J8: sample-count diff between two releases per center
     * (dashboard_table_updater.py:429-461).
     */

@@ -65,6 +65,71 @@ class ProcessJobSpec extends SparkSpec {
       "data_clinical_supp_sample_A.txt", "data_clinical_supp_patient_A.txt", "a.seg")).isEmpty)
   }
 
+  test("workflow + retraction file types process end to end with patient cascade") {
+    val dir = tmpDir("process-retract")
+    stage(dir)
+    // second patient/sample so the cascade leaves something behind
+    Files.write(Paths.get(dir, "data_clinical_supp_sample_CTR.txt"),
+      ("SAMPLE_ID\tPATIENT_ID\tAGE_AT_SEQ_REPORT\tONCOTREE_CODE\tSAMPLE_TYPE\tSEQ_ASSAY_ID\n" +
+        "GENIE-CTR-p1-s1\tGENIE-CTR-p1\t1200\tLUAD\t1\tCTR-A1\n" +
+        "GENIE-CTR-p2-s2\tGENIE-CTR-p2\t900\tLUAD\t1\tCTR-A1\n" +
+        "GENIE-CTR-p3-s3\tGENIE-CTR-p3\t800\tLUAD\t1\tCTR-A1\n").getBytes)
+    Files.write(Paths.get(dir, "data_clinical_supp_patient_CTR.txt"),
+      ("PATIENT_ID\tSEX\tPRIMARY_RACE\tETHNICITY\tBIRTH_YEAR\n" +
+        "GENIE-CTR-p1\t1\t1\t1\t1950\nGENIE-CTR-p2\t2\t1\t1\t1960\n" +
+        "GENIE-CTR-p3\t1\t1\t1\t1970\n").getBytes)
+    Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),
+      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n" +
+        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\n" +
+        "2\t200\t201\tG\tGENIE-CTR-p2-s2\tC\n" +
+        "3\t300\t301\tC\tGENIE-CTR-p3-s3\tG\n").getBytes)
+    Files.write(Paths.get(dir, "sampleRetraction.csv"), "GENIE-CTR-p3-s3\n".getBytes)
+    Files.write(Paths.get(dir, "patientRetraction.csv"), "GENIE-CTR-p1\n".getBytes)
+    Files.write(Paths.get(dir, "CTR_workflow.md"), "# workflow\n".getBytes)
+
+    val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty)
+    // workflow md recorded as validated passthrough
+    assert(r.statuses.exists(s => s.name == "CTR_workflow.md" && s.status == "VALIDATED"))
+    // retraction tables carry the reference columns
+    assert(r.tables("sampleRetraction").columns.toSeq ==
+      Seq("genieSampleId", "retractionDate", "center"))
+    assert(r.tables("patientRetraction").columns.toSeq ==
+      Seq("geniePatientId", "retractionDate", "center"))
+    // p3's sample retracted directly, p1's via the patient cascade
+    assert(r.tables("clinical").select("SAMPLE_ID").as[String].collect().toSet ==
+      Set("GENIE-CTR-p2-s2"))
+    assert(r.tables("maf").select("TUMOR_SAMPLE_BARCODE").as[String].collect().toSet ==
+      Set("GENIE-CTR-p2-s2"))
+  }
+
+  test("invalid-reasons report: per-center files with reference formatting") {
+    val dir = tmpDir("invalid-reasons")
+    Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),
+      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n" +
+        "99\t100\t101\tQQ\tWRONG-1\tT\n").getBytes)
+    val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty)
+    assert(r.errors.contains("data_mutations_extended_CTR.maf"))
+
+    val out = tmpDir("invalid-reasons-out")
+    val written = InvalidReasons.write(Map(
+      "CTR"  -> r.errors.toSeq.map { case (n, e) => (n, e) },
+      "GOLD" -> Nil), out)
+    assert(written.map(f => Paths.get(f).getFileName.toString) ==
+      Seq("CTR_validation_errors.txt", "GOLD_validation_errors.txt"))
+    val ctr = new String(Files.readAllBytes(Paths.get(written.head)), "UTF-8")
+    assert(ctr.startsWith("\tdata_mutations_extended_CTR.maf:\n\n"))
+    assert(ctr.contains("CHROMOSOME"))
+    val gold = new String(Files.readAllBytes(Paths.get(written(1))), "UTF-8")
+    assert(gold == "No errors!")
+  }
+
+  test("file-type registry recognizes workflow and retraction patterns") {
+    assert(ValidateCli.fileType("sampleRetraction.csv") == "sampleRetraction")
+    assert(ValidateCli.fileType("patientRetraction.csv") == "patientRetraction")
+    assert(ValidateCli.fileType("CTR_workflow.md", "CTR") == "workflow")
+    assert(ValidateCli.fileType("OTHER_workflow.md", "CTR") == "unknown")
+  }
+
   test("invalid upload does not reach the tables") {
     val dir = tmpDir("process-bad")
     Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),

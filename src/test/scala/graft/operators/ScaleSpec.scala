@@ -54,4 +54,35 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("banded LSH: OR-construction recall + per-band bucket bounds on correlated vectors") {
+    import graft.functions.VectorFunctions
+    // adversarial corpus: dims 0-7 all positive (a single table hashing
+    // them collapses to ONE bucket — the skew/recall cliff); dims 8-15
+    // encode the id bits (spread). i and i+128 share all dims → true dups.
+    val vecs = (0 until 256).map { i =>
+      val base = i % 128
+      (i.toLong, Array.tabulate(16) { d =>
+        if (d < 8) 1.0f else if (((base >> (d - 8)) & 1) == 0) 1.0f else -1.0f
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+
+    // band 0 (dims 0-7) is degenerate: one bucket holds everything;
+    // band 1 (dims 8-15) splits into 128 buckets of exactly 2
+    val keyed = df.select($"vec_id",
+      explode(VectorFunctions.bandedSignBuckets($"embedding", 2, 8)).as("bk"))
+    val sizes = keyed.groupBy("bk").count()
+      .select(shiftright($"bk", 32).cast("int").as("band"), $"count")
+      .groupBy("band").agg(max("count").as("max_bucket"))
+      .as[(Int, Long)].collect().toMap
+    assert(sizes(0) == 256L) // the cliff a single table would hit
+    assert(sizes(1) == 2L)   // banding bounds candidates per band
+
+    // OR-construction recall: every true dup pair (i, i+128) survives
+    val pairs = VectorFunctions.bandedNearDup(df, "vec_id", "embedding",
+      bands = 2, bitsPerBand = 8, minCos = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 128).foreach { i => assert(pairs.contains((i.toLong, (i + 128).toLong))) }
+  }
 }

@@ -141,4 +141,34 @@ class SourcesSpec extends SparkSpec {
       Seq("EGFR", "TP53").toDF("HUGO_SYMBOL"), "CTR-A1", dir)
     assert(scala.io.Source.fromFile(panel).mkString.contains("gene_list: EGFR\tTP53"))
   }
+
+  test("meta sinks + versioned release folder make a structurally complete release") {
+    import java.nio.file.{Files, Paths}
+    val base = tmpDir("release-folder")
+    val (releaseDir, caseLists) = CbioSinks.releaseFolderLayout(base, "15.4-consortium")
+    assert(releaseDir.endsWith("Release 15/15.4-consortium"))
+    assert(Files.isDirectory(Paths.get(caseLists)))
+
+    val study = CbioSinks.writeMetaStudy("genie_ctr", "GENIE", "Test cohort",
+      "15.4-consortium", releaseDir)
+    val sampleMeta  = CbioSinks.writeMetaClinical("genie_ctr", patientLevel = false, releaseDir)
+    val patientMeta = CbioSinks.writeMetaClinical("genie_ctr", patientLevel = true, releaseDir)
+    val mafMeta     = CbioSinks.writeMetaMaf("genie_ctr", releaseDir)
+
+    val studyText = new String(Files.readAllBytes(Paths.get(study)), "UTF-8")
+    assert(studyText.contains("name: GENIE Cohort v15.4-consortium"))
+    assert(studyText.contains("cancer_study_identifier: genie_ctr"))
+    assert(new String(Files.readAllBytes(Paths.get(sampleMeta)), "UTF-8")
+      .contains("datatype: SAMPLE_ATTRIBUTES"))
+    assert(new String(Files.readAllBytes(Paths.get(patientMeta)), "UTF-8")
+      .contains("data_filename: data_clinical_patient.txt"))
+    assert(new String(Files.readAllBytes(Paths.get(mafMeta)), "UTF-8")
+      .contains("stable_id: mutations"))
+
+    // version revision (database_to_staging.py:1977-1996)
+    CbioSinks.reviseMetaVersion(study, "16.1-consortium")
+    val revised = new String(Files.readAllBytes(Paths.get(study)), "UTF-8")
+    assert(revised.contains("name: GENIE Cohort v16.1-consortium"))
+    assert(!revised.contains("15.4-consortium"))
+  }
 }

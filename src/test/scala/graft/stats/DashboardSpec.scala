@@ -40,4 +40,33 @@ class DashboardSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(diff == Map("CTR" -> -1L, "XYZ" -> 1L))
   }
+
+  test("template: failed-annotation counts match the R helper semantics") {
+    val maf = Seq(
+      ("CTR", "FAILED"), ("CTR", "FAILED"), ("CTR", "SUCCESS"),
+      ("XYZ", "FAILED"), ("ABC", "SUCCESS")
+    ).toDF("Center", "Annotation_Status")
+    val counts = Dashboard.failedAnnotationCounts(maf, Seq("Center"), "Number of failed annotations")
+      .as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("CTR", 2L), ("XYZ", 1L))) // sorted, SUCCESS-only centers absent
+  }
+
+  test("template: center × category distribution yields within-center percentages") {
+    val clin = Seq(("CTR", "1"), ("CTR", "1"), ("CTR", "2"), ("XYZ", "2"))
+      .toDF("CENTER", "SEX")
+    val dist = Dashboard.centerCategoryDistribution(clin, "CENTER", "SEX")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(dist(("CTR", "1")) == 66.6667) // 2 of 3, rounded to 4 places
+    assert(dist(("CTR", "2")) == 33.3333)
+    assert(dist(("XYZ", "2")) == 100.0)
+  }
+
+  test("template: release-content table merges sample + variant counts with Total") {
+    val samples = Seq(("CTR", "s1"), ("CTR", "s2"), ("XYZ", "s3")).toDF("CENTER", "SAMPLE_ID")
+    val muts = Seq("CTR", "CTR", "NEW").toDF("CENTER")
+    val rows = Dashboard.releaseContent(samples, muts, "CENTER", "SAMPLE_ID")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("CTR", 2L, 2L), ("XYZ", 1L, 0L), ("NEW", 0L, 1L), ("Total", 3L, 3L)))
+  }
 }
