@@ -1280,6 +1280,49 @@ object SparkEntry {
       val muts = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0).select(
         concat(lit("C"), (col("o_custkey") % 7).cast("string")).as("Center"))
       graft.stats.Dashboard.releaseContent(samples, muts, "Center", "SAMPLE_ID")
+    }),
+
+    // ---------------- C1/C2/J5: clinical processor cleanup -------------
+    "c2_clinical_process" -> ((s, dir) => {
+      import s.implicits._
+      val sample = t(s, dir, "customer").select(
+        col("c_name").as("SAMPLE_ID"),
+        col("c_custkey").cast("string").as("PATIENT_ID"),
+        concat(lit(" ctr_a"), (col("c_custkey") % 5).cast("string"), lit(" ")).as("SEQ_ASSAY_ID"),
+        when(col("c_custkey") % 7 === 0, lit("Release"))
+          .otherwise(concat(lit("jan-"), (lit(2015) + col("c_custkey") % 5).cast("string"))).as("SEQ_DATE"))
+      val patient = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("PATIENT_ID"),
+        (col("c_custkey") % 3 + 1).cast("string").as("SEX"),
+        concat((lit(1940) + col("c_custkey") % 40).cast("string"), lit(".0")).as("BIRTH_YEAR"))
+      val sexMap = Seq(("1", "Male", "Male"), ("2", "Female", "Female"),
+        ("3", "Unknown", "Not coded")).toDF("CODE", "CBIO_LABEL", "DESCRIPTION")
+      val out = graft.formats.ClinicalFormat.process(sample, patient,
+        Map("SEX" -> sexMap), center = "C")
+      out.groupBy(col("SEX").as("sex"), col("SEX_DETAILED").as("sex_detailed"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("SEQ_ASSAY_ID")).as("n_assays"),
+          sum(when(col("SEQ_YEAR").isNull, 1L).otherwise(0L)).as("n_release"),
+          min(col("BIRTH_YEAR")).as("min_birth"),
+          min(col("SEQ_YEAR")).as("min_seq_year"))
+    }),
+
+    // ---------------- curation: one-pass keep/drop decision ------------
+    "curate_docs" -> ((s, dir) => {
+      graft.functions.Curation.curate(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", keepLangs = Seq("de", "en", "es", "fr"), minQuality = 0.5)
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("keep"), col("drop_reason"))
+    }),
+
+    // ---------------- curation: sharded sequence packing ---------------
+    "pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), (col("doc_id") % 8).as("shard"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Curation.packByBudget(d, "shard", "doc_id", "n_tokens", budget = 2048L)
+        .select("doc_id", "shard", "n_tokens", "pack_id")
     })
   )
 
@@ -2342,7 +2385,77 @@ object SparkEntry {
              FROM s FULL OUTER JOIN m ON s.center = m.center)
            SELECT center AS Center, samples AS Samples, variants AS Variants FROM merged
            UNION ALL
-           SELECT 'Total', SUM(samples), SUM(variants) FROM merged"""
+           SELECT 'Total', SUM(samples), SUM(variants) FROM merged""",
+
+      "c2_clinical_process" ->
+        """WITH m(code, label, descr) AS (
+             SELECT * FROM (VALUES ('1','Male','Male'), ('2','Female','Female'),
+                                   ('3','Unknown','Not coded')) t),
+           d AS (SELECT c_custkey,
+                        CAST(c_custkey % 3 + 1 AS VARCHAR) AS sexcode,
+                        CASE WHEN c_custkey % 7 = 0 THEN 'Release'
+                             ELSE 'Jan-' || CAST(2015 + c_custkey % 5 AS VARCHAR) END AS seq_date,
+                        CAST(1940 + c_custkey % 40 AS VARCHAR) AS birth
+                 FROM customer)
+           SELECT label AS sex, descr AS sex_detailed, COUNT(*) AS n,
+                  COUNT(DISTINCT 'CTR-A' || CAST(c_custkey % 5 AS VARCHAR)) AS n_assays,
+                  COUNT(CASE WHEN seq_date = 'Release' THEN 1 END) AS n_release,
+                  MIN(birth) AS min_birth,
+                  MIN(CASE WHEN seq_date <> 'Release'
+                           THEN CAST(2015 + c_custkey % 5 AS INT) END) AS min_seq_year
+           FROM d JOIN m ON d.sexcode = m.code
+           GROUP BY 1, 2""",
+
+      "curate_docs" ->
+        """WITH sc AS (
+             SELECT doc_id, text,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             FROM documents),
+           hits AS (
+             SELECT doc_id, text,
+               len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','a','that'))) AS h_en,
+               len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','una'))) AS h_es,
+               len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','un','une'))) AS h_fr,
+               len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','mit','ein'))) AS h_de
+             FROM sc),
+           base AS (
+             SELECT doc_id,
+                    CASE WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                         WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de) THEN 'fr'
+                         WHEN h_es = GREATEST(h_en, h_es, h_fr, h_de) THEN 'es'
+                         WHEN h_en = GREATEST(h_en, h_es, h_fr, h_de) THEN 'en'
+                         ELSE 'de' END AS lang_pred,
+                    ROUND(
+                      LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                      + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 0.4
+                      + CASE WHEN CAST(length(text) AS DOUBLE)
+                                  / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality,
+                    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+             FROM hits)
+           SELECT doc_id, lang_pred, quality,
+                  (CASE WHEN lang_pred NOT IN ('de','en','es','fr') THEN 'lang'
+                        WHEN quality < 0.5 THEN 'quality'
+                        WHEN dup_rank > 1 THEN 'exact_dup' END) IS NULL AS keep,
+                  CASE WHEN lang_pred NOT IN ('de','en','es','fr') THEN 'lang'
+                       WHEN quality < 0.5 THEN 'quality'
+                       WHEN dup_rank > 1 THEN 'exact_dup' END AS drop_reason
+           FROM base""",
+
+      "pack_sequences" ->
+        """WITH d AS (
+             SELECT doc_id, doc_id % 8 AS shard,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             FROM documents),
+           c AS (
+             SELECT doc_id, shard, n_tokens,
+                    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+             FROM d)
+           SELECT doc_id, shard, n_tokens,
+                  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+           FROM c"""
     )
   }
 }

@@ -188,21 +188,81 @@ object ClinicalFormat {
       :+ dupFinding :+ orphanFinding)
   }
 
-  /** Processor: S2 pair join + C1/C2 cleanup + J5 remaps.
-    * `codeMaps` are small code→label tables (sex/race/ethnicity/
-    * sampletype), broadcast-joined like the reference's remap_clinical_values
-    * (clinical.py:321-382).
+  /** pandas-int normalization (update_clinical clinical.py:421-448 +
+    * checkInt): integral numeric strings lose their ".0"; everything
+    * else passes through.
+    */
+  private def intNormalize(c: Column): Column = {
+    val d = c.try_cast("double")
+    when(d.isNotNull && !isnan(d) && d === floor(d),
+      d.cast("decimal(30,0)").cast("string")).otherwise(c)
+  }
+
+  /** Processor: S2 pair join + remap_clinical_values (clinical.py:321-383)
+    * + update_clinical per-row cleanup (clinical.py:419-459) + template
+    * projection and CENTER stamp (_process clinical.py:486-525) — all
+    * pure column expressions, one codegen'd projection after the
+    * broadcast remap joins.
+    *
+    * `codeMaps` are small code→label tables per mapped column; a map
+    * with a DESCRIPTION column also yields the reference's
+    * `{col}_DETAILED` companion.
     */
   def process(sample: DataFrame, patient: DataFrame,
-              codeMaps: Map[String, DataFrame]): DataFrame = {
+              codeMaps: Map[String, DataFrame],
+              center: String = "",
+              templateCols: Seq[String] = Nil): DataFrame = {
     val joined = sample.join(patient, Seq("PATIENT_ID"), "inner")
-    codeMaps.foldLeft(joined) { case (df, (colName, mapDf)) =>
+
+    // J5 remaps: col → CBIO_LABEL; col_DETAILED → DESCRIPTION
+    val remapped = codeMaps.foldLeft(joined) { case (df, (colName, mapDf)) =>
       if (!df.columns.contains(colName)) df
-      else df
-        .join(broadcast(mapDf.withColumnRenamed("CODE", colName)
-          .withColumnRenamed("CBIO_LABEL", s"${colName}_LABEL")), Seq(colName), "left")
-        .withColumn(colName, coalesce(col(s"${colName}_LABEL"), col(colName).cast("string")))
-        .drop(s"${colName}_LABEL")
+      else {
+        val withLabel = df
+          .join(broadcast(mapDf.withColumnRenamed("CODE", colName)
+            .withColumnRenamed("CBIO_LABEL", s"${colName}_LABEL")
+            .withColumnsRenamed(Map("DESCRIPTION" -> s"${colName}_DESC"))),
+            Seq(colName), "left")
+        val withDetailed =
+          if (!withLabel.columns.contains(s"${colName}_DESC")) withLabel
+          else withLabel
+            .withColumn(s"${colName}_DETAILED",
+              coalesce(col(s"${colName}_DESC"), col(colName).cast("string")))
+            .drop(s"${colName}_DESC")
+        withDetailed
+          .withColumn(colName, coalesce(col(s"${colName}_LABEL"), col(colName).cast("string")))
+          .drop(s"${colName}_LABEL")
+      }
     }
+
+    // update_clinical: SEQ_ASSAY_ID dash+upper, SEQ_DATE title + SEQ_YEAR,
+    // int coercion, trim every string column
+    val cleaned0 = remapped.select(remapped.columns.map { c =>
+      val base = col(c)
+      c.toUpperCase match {
+        case "SEQ_ASSAY_ID" => upper(regexp_replace(trim(base), "_", "-")).as(c)
+        case "SEQ_DATE"     => initcap(trim(base)).as(c)
+        case "BIRTH_YEAR" | "AGE_AT_SEQ_REPORT" | "YEAR_CONTACT" | "YEAR_DEATH" =>
+          intNormalize(trim(base)).as(c)
+        case _ if remapped.schema(c).dataType == org.apache.spark.sql.types.StringType =>
+          trim(base).as(c)
+        case _ => base
+      }
+    }: _*)
+    val cleaned =
+      if (!cleaned0.columns.contains("SEQ_DATE")) cleaned0
+      else cleaned0.withColumn("SEQ_YEAR",
+        when(col("SEQ_DATE") === "Release", lit(null).cast("int"))
+          .otherwise(split(col("SEQ_DATE"), "-").getItem(1).try_cast("int")))
+
+    val stamped =
+      if (center.isEmpty) cleaned else cleaned.withColumn("CENTER", lit(center))
+
+    // template projection (_process: drop non-template columns), emitted
+    // in template order — the order the release artifact wants
+    if (templateCols.isEmpty) stamped
+    else stamped.select(templateCols
+      .flatMap(tc => stamped.columns.find(_.equalsIgnoreCase(tc)))
+      .map(col): _*)
   }
 }

@@ -69,9 +69,14 @@ object MafFormat {
           "sure to specify the 'quote=FALSE' parameter."))
     if (missing.nonEmpty) return ValidationResult(schemaFindings)
 
-    val battery = Rules.Battery.run(maf, rowRules(center))
+    // ONE scan: the whole row battery + the P17 cross-column bool
+    // aggregates (maf.py:14-123) fold into the same aggregation
+    val (battery, extras) = Rules.Battery.runWithExtras(maf, rowRules(center), Seq(
+      bool_and(coalesce(col("TUMOR_SEQ_ALLELE2") === col("REFERENCE_ALLELE"), lit(false))).as("tsa2_always_ref"),
+      bool_or(coalesce(col("REFERENCE_ALLELE") === col("TUMOR_SEQ_ALLELE2"), lit(false))).as("any_ref_eq_tsa2")))
 
-    // P14: duplicate variants on the 5-col PK (maf.py:273-299)
+    // P14: duplicate variants on the 5-col PK (maf.py:273-299) — the one
+    // unavoidable shuffle (groupBy on the key)
     val pkCols = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
       "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
     val pk = pkCols.map(c => trim(col(c)).as(c))
@@ -86,12 +91,8 @@ object MafFormat {
       "maf: Must not have duplicated variants. Samples with duplicated variants: " +
         dupSamples.mkString(", "))
 
-    // P17: cross-column allele validity as global bool aggregates (maf.py:14-123)
-    val g = maf.agg(
-      bool_and(coalesce(col("TUMOR_SEQ_ALLELE2") === col("REFERENCE_ALLELE"), lit(false))).as("tsa2_always_ref"),
-      bool_or(coalesce(col("REFERENCE_ALLELE") === col("TUMOR_SEQ_ALLELE2"), lit(false))).as("any_ref_eq_tsa2")
-    ).head()
-    val tsa2AlwaysRef = Option(g.getAs[Boolean]("tsa2_always_ref")).getOrElse(false)
+    val tsa2AlwaysRef = extras.get("tsa2_always_ref")
+      .collect { case b: Boolean => b }.getOrElse(false)
     val p17 = Finding("tsa2_equals_ref_everywhere", "error",
       if (tsa2AlwaysRef) 1 else 0, None,
       "Mutation: TUMOR_SEQ_ALLELE2 equals REFERENCE_ALLELE on every row — wrong column mapping")

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation composites: the per-document decisions a training-data
+  * pipeline makes before tokenization, expressed as single-pass Spark
+  * plans over the `documents`-shaped tables.
+  */
+object Curation {
+
+  /** One-pass keep/drop decision: language filter, quality floor, exact
+    * dedup (first id per md5(text) wins). The only exchange is the dedup
+    * hash shuffle on the 128-bit digest; language-ID and quality are
+    * codegen'd per-row expressions. Reason precedence mirrors the usual
+    * pipeline order: lang → quality → exact_dup.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             keepLangs: Seq[String], minQuality: Double): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    docs
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("__dup_rank", row_number().over(w))
+      .withColumn("drop_reason",
+        when(!col("lang_pred").isInCollection(keepLangs), lit("lang"))
+          .when(col("quality") < minQuality, lit("quality"))
+          .when(col("__dup_rank") > 1, lit("exact_dup"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .drop("__dup_rank")
+  }
+
+  /** Sequence packing by contiguous fill ("concat-then-chunk", the
+    * GPT-style packing pass): within each shard, documents in a total
+    * order accumulate tokens and a document's pack is the budget window
+    * it STARTS in — boundary docs overflow into the next pack exactly
+    * like real concat-packing.
+    *
+    * Sharding is what makes this 100 TB-safe: the running sum is a
+    * window per shard, so packing parallelizes across shards instead of
+    * serializing the corpus through one global window.
+    */
+  def packByBudget(docs: DataFrame, shardCol: String, orderCol: String,
+                   tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokensCol)) / lit(budget.toDouble)).cast("long"))
+      .drop("__cum")
+  }
+}

@@ -42,6 +42,20 @@ object Filters {
       .when(c.rlike("^-?\\d+$"), floor(c.cast("double") / 365.25).cast("string"))
       .otherwise(c)
 
+  /** F9 (process_functions.py:327-353 `seqDateFilter`): SAMPLE_IDs whose
+    * SEQ_DATE ("MMM-yyyy") falls within `days` of the processing date;
+    * the "Release" sentinel maps to Jan-1900 (always outside any
+    * release window, exactly the reference's rewrite).
+    */
+  def seqDateKeepSamples(clinical: DataFrame, processingDate: String, days: Int): DataFrame = {
+    val date = to_date(
+      when(col("SEQ_DATE") === "Release", lit("Jan-1900")).otherwise(col("SEQ_DATE")),
+      "MMM-yyyy")
+    clinical
+      .filter(datediff(to_date(lit(processingDate), "MMM-yyyy"), date) <= days)
+      .select("SAMPLE_ID")
+  }
+
   /** F10: sample-keep propagation — subset any artifact to the keep list
     * via a semi-join (database_to_staging.py:237-250). The keep list is
     * small relative to variant tables → broadcast semi-join, no shuffle

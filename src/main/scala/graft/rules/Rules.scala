@@ -93,21 +93,39 @@ object Rules {
   def emptyRow(cols: Seq[Column]): Column =
     cols.map(_.isNull).reduce(_ && _)
 
+  /** C2 (process_functions.py:307-324 `checkGenieId`): reformat an id
+    * into the GENIE-{center}- form. "{center}-x" → "GENIE-{center}-x";
+    * anything else not already "GENIE-{center}-"-prefixed →
+    * "GENIE-{center}-{id}"; correct ids pass through verbatim.
+    */
+  def checkGenieId(c: Column, center: String): Column =
+    when(c.startsWith(s"$center-"), concat(lit("GENIE-"), c))
+      .when(!c.startsWith(s"GENIE-$center-"), concat(lit(s"GENIE-$center-"), c))
+      .otherwise(c)
+
   // ---- the single-pass battery ------------------------------------------
 
   object Battery {
     /** Evaluate all rules in one aggregation over `df`; rules touching
       * absent columns are skipped.
       */
-    def run(df: DataFrame, allRules: Seq[RowRule]): ValidationResult = {
+    def run(df: DataFrame, allRules: Seq[RowRule]): ValidationResult =
+      runWithExtras(df, allRules, Nil)._1
+
+    /** Battery + caller-supplied extra aggregates (e.g. the MAF P17
+      * cross-column bool aggs) in the SAME single scan. The extras
+      * arrive back as a name→value map from the one result row.
+      */
+    def runWithExtras(df: DataFrame, allRules: Seq[RowRule],
+                      extras: Seq[Column]): (ValidationResult, Map[String, Any]) = {
       val rules = allRules.filter(_.applicableTo(df.columns.toSeq))
-      if (rules.isEmpty) return ValidationResult(Nil)
+      if (rules.isEmpty && extras.isEmpty) return (ValidationResult(Nil), Map.empty)
       val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
         Seq(
           sum(when(r.violation, 1L).otherwise(0L)).as(s"c$i"),
           min(when(r.violation, r.exampleKey.cast("string"))).as(s"e$i")
         )
-      }
+      } ++ extras
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       val findings = rules.zipWithIndex.map { case (r, i) =>
         val n  = Option(row.getAs[Long](s"c$i")).getOrElse(0L)
@@ -115,7 +133,9 @@ object Rules {
         Finding(r.name, r.severity, n, ex,
           r.messageTemplate.replace("{count}", n.toString).replace("{example}", ex.getOrElse("")))
       }
-      ValidationResult(findings)
+      val extraVals = row.schema.fieldNames.drop(rules.length * 2)
+        .map(n => n -> row.getAs[Any](n)).toMap
+      (ValidationResult(findings), extraVals)
     }
 
     /** Battery as a DataFrame (for pipelines that persist findings):

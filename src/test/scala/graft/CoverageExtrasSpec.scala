@@ -103,6 +103,40 @@ class CoverageExtrasSpec extends SparkSpec {
       "Patient Clinical File: DEAD value is inconsistent with INT_DOD"))
   }
 
+  test("clinical process: remap + DETAILED + update_clinical cleanup parity") {
+    // mirrors tests/test_clinical.py:26-48 mapping fixtures and
+    // clinical.py:419-459 update_clinical semantics
+    val sample = Seq(
+      ("GENIE-C-p1-s1", "GENIE-C-p1", " ctr_a1 ", "jan-2017", "1"),
+      ("GENIE-C-p2-s2", "GENIE-C-p2", "CTR-A2", "Release", "2")
+    ).toDF("SAMPLE_ID", "PATIENT_ID", "SEQ_ASSAY_ID", "SEQ_DATE", "SAMPLE_TYPE")
+    val patient = Seq(("GENIE-C-p1", "1", "1950.0"), ("GENIE-C-p2", "2", "1960"))
+      .toDF("PATIENT_ID", "SEX", "BIRTH_YEAR")
+    val sexMap = Seq(("1", "Male", "Male"), ("2", "Female", "Female"),
+      ("99", "Unknown", "Not coded")).toDF("CODE", "CBIO_LABEL", "DESCRIPTION")
+    val stMap = Seq(("1", "Test", "non"), ("2", "Why", "asdf"))
+      .toDF("CODE", "CBIO_LABEL", "DESCRIPTION")
+
+    val out = ClinicalFormat.process(sample, patient,
+      Map("SEX" -> sexMap, "SAMPLE_TYPE" -> stMap), center = "C")
+    val rows = out.select("SAMPLE_ID", "SEQ_ASSAY_ID", "SEQ_DATE", "SEX",
+        "SEX_DETAILED", "SAMPLE_TYPE", "SAMPLE_TYPE_DETAILED", "BIRTH_YEAR", "CENTER")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(rows("GENIE-C-p1-s1") ==
+      Seq("CTR-A1", "Jan-2017", "Male", "Male", "Test", "non", "1950", "C"))
+    assert(rows("GENIE-C-p2-s2") ==
+      Seq("CTR-A2", "Release", "Female", "Female", "Why", "asdf", "1960", "C"))
+    val years = out.select("SAMPLE_ID", "SEQ_YEAR").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(years("GENIE-C-p1-s1").contains(2017))
+    assert(years("GENIE-C-p2-s2").isEmpty) // "Release" → null SEQ_YEAR
+
+    // template projection drops everything not in the template
+    val projected = ClinicalFormat.process(sample, patient, Map.empty,
+      center = "C", templateCols = Seq("SAMPLE_ID", "PATIENT_ID", "CENTER"))
+    assert(projected.columns.toSeq == Seq("SAMPLE_ID", "PATIENT_ID", "CENTER"))
+  }
+
   test("F12: public scope projection + FILTER rewrite") {
     val clinical = Seq(("GENIE-C-s1", "GENIE-C-p1", "secret"))
       .toDF("SAMPLE_ID", "PATIENT_ID", "PRIVATE_NOTES")

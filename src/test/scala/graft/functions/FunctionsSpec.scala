@@ -91,4 +91,37 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh.contains(1L))   // same sign bucket
     assert(!lsh.contains(3L))  // opposite sign bucket pruned
   }
+
+  test("curation: keep/drop decision with reason precedence") {
+    val good = "the cat and the dog sat of the mat in a house that is big " * 8
+    val docs = Seq(
+      (1L, good),                   // keep
+      (2L, good),                   // exact dup of 1 → exact_dup
+      (3L, "der hund und die katze von dem haus mit einem garten zu gehen " * 8), // de → keep
+      (4L, "zz xx qq ww"),          // no stopword hits → 'und' → lang
+      (5L, "the ############################") // en but punct-heavy + tiny → quality
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text", Seq("de", "en", "es", "fr"), 0.5)
+      .select("doc_id", "keep", "drop_reason")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some("exact_dup")))
+    assert(out(3L) == (true, None))
+    assert(out(4L) == (false, Some("lang")))
+    assert(out(5L) == (false, Some("quality")))
+  }
+
+  test("curation: sharded budget packing fills contiguously per shard") {
+    val docs = Seq(
+      (1L, 0L, 1000L), (2L, 0L, 1000L), (3L, 0L, 1000L), // shard 0: cum 1000,2000,3000
+      (4L, 1L, 2500L), (5L, 1L, 100L)                    // shard 1: oversized doc then small
+    ).toDF("doc_id", "shard", "n_tokens")
+    val packs = Curation.packByBudget(docs, "shard", "doc_id", "n_tokens", budget = 2048L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(packs(1L) == 0L) // starts at 0
+    assert(packs(2L) == 0L) // starts at 1000
+    assert(packs(3L) == 0L) // starts at 2000 — still inside pack 0's window
+    assert(packs(4L) == 0L) // oversized doc starts pack 0, spills past it
+    assert(packs(5L) == 1L) // starts at 2500 → pack 1
+  }
 }

@@ -19,6 +19,25 @@ class FiltersSpec extends SparkSpec {
     assert(Filters.dropGermline(sv, "MUTATION_STATUS").count() == 4)
   }
 
+  test("F9: seq-date window keeps recent samples, Release maps to Jan-1900") {
+    val clinical = Seq(
+      ("s1", "Jan-2017"),  // 0 days before processing → kept
+      ("s2", "Jul-2016"),  // ~184 days before → outside a 180-day window
+      ("s3", "Release"),   // → Jan-1900, never kept
+      ("s4", "Dec-2016")   // 31 days before → kept
+    ).toDF("SAMPLE_ID", "SEQ_DATE")
+    val kept = Filters.seqDateKeepSamples(clinical, "Jan-2017", days = 180)
+      .as[String].collect().toSet
+    assert(kept == Set("s1", "s4"))
+  }
+
+  test("C2: checkGenieId reformatting matches the reference branches") {
+    val df = Seq("C-1", "GENIE-C-2", "3", "GENIE-X-4").toDF("id")
+    val out = df.select(graft.rules.Rules.checkGenieId(col("id"), "C"))
+      .as[String].collect().toSeq
+    assert(out == Seq("GENIE-C-1", "GENIE-C-2", "GENIE-C-3", "GENIE-C-GENIE-X-4"))
+  }
+
   test("F11: retraction removes samples and leaves the rest") {
     val db = Seq("s1", "s2", "s3").toDF("SAMPLE_ID")
     val retracted = Seq("s2").toDF("SAMPLE_ID")
