@@ -959,7 +959,7 @@ object SparkEntry {
         when(col("doc_id") % 31 === 0, lit(null).cast("string")).otherwise(lit("y")).as("COL_B"))
       val rules = graft.formats.ClinicalFormat.patientRules("C")
         .filter(r => Set("death_after_contact", "dead_dod_consistency",
-          "int_year_redaction_consistency").contains(r.name)) :+
+          "int_year_redaction_consistency", "int_dod_validity").contains(r.name)) :+
         RowRule("p27_empty_row", "error",
           Rules.emptyRow(Seq(col("COL_A"), col("COL_B"))), col("PATIENT_ID"), "")
       Rules.Battery.asDataFrame(d, rules)
@@ -2022,8 +2022,12 @@ object SparkEntry {
         val p9 = """((int_contact = '>32485') <> (year_contact IN ('>89','cannotReleaseHIPAA')))
                     OR ((int_contact = '<6570') <> (year_contact = '<18'))"""
         val p27 = """col_a IS NULL AND col_b IS NULL"""
+        val pInt = """TRY_CAST(int_dod AS DOUBLE) IS NOT NULL
+                      AND TRY_CAST(int_contact AS DOUBLE) IS NOT NULL
+                      AND TRY_CAST(int_dod AS DOUBLE) < TRY_CAST(int_contact AS DOUBLE)"""
         val rows = Seq(
           ("death_after_contact", "error", p7),
+          ("int_dod_validity", "error", pInt),
           ("dead_dod_consistency", "error", p8),
           ("int_year_redaction_consistency", "error", p9),
           ("p27_empty_row", "error", p27)

@@ -35,27 +35,42 @@ object ClinicalFormat {
   def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
     required.filterNot(df.columns.map(_.toUpperCase).contains)
 
-  /** Sample-file row rules (center-parameterized). */
+  /** Sample-file row rules (center-parameterized). Messages verbatim
+    * from the reference (clinical.py:904-906, 948-952, 1058-1061;
+    * process_functions.py:214-221).
+    */
   def sampleRules(center: String): Seq[RowRule] = {
     val sid = col("SAMPLE_ID")
     Seq(
       RowRule("sample_id_prefix", "error",
-        Rules.badIdentifier(sid, s"GENIE-$center"), sid,
-        s"Sample: SAMPLE_ID must start with GENIE-$center ({count} rows, e.g. {example})"),
+        sid.isNull || !sid.startsWith(s"GENIE-$center"), sid,
+        s"Sample Clinical File: SAMPLE_ID must start with GENIE-$center"),
+      RowRule("sample_id_length", "error",
+        length(sid) >= 50, sid,
+        "Sample Clinical File: SAMPLE_ID must have less than 50 characters."),
       // message verbatim incl. the reference's "much" typo (clinical.py:904-906)
       RowRule("patient_in_sample", "error",
         !coalesce(sid.contains(col("PATIENT_ID")), lit(false)), sid,
         "Sample Clinical File: PATIENT_ID's much be contained in the SAMPLE_ID's (ex. SAGE-1 <-> SAGE-1-2)"),
+      // clinical.py:938-952: only Unknown/>32485/<6570 are exempt from
+      // the integer check (NOT the full day-sentinel list)
       RowRule("age_at_seq_report", "error",
         Rules.notInteger(col("AGE_AT_SEQ_REPORT")) &&
-          !col("AGE_AT_SEQ_REPORT").isInCollection(daySentinels), sid,
-        "Sample: AGE_AT_SEQ_REPORT must be integer days or a sentinel ({count} rows, e.g. {example})"),
+          !col("AGE_AT_SEQ_REPORT").isInCollection(Seq("Unknown", ">32485", "<6570")), sid,
+        "Sample Clinical File: Please double check your AGE_AT_SEQ_REPORT. " +
+          "It must be an integer, 'Unknown', '>32485', '<6570'."),
       RowRule("oncotree_code_case", "warning",
         col("ONCOTREE_CODE") =!= upper(col("ONCOTREE_CODE")), sid,
         "Sample: ONCOTREE_CODE should be uppercase ({count} rows, e.g. {example})"),
+      RowRule("seq_assay_empty", "error",
+        col("SEQ_ASSAY_ID").isNull || trim(col("SEQ_ASSAY_ID")) === "", sid,
+        "Sample Clinical File: Please double check your SEQ_ASSAY_ID columns, there are empty rows.",
+        requires = Seq("SEQ_ASSAY_ID")),
       RowRule("seq_assay_id_prefix", "error",
-        !coalesce(upper(col("SEQ_ASSAY_ID")).startsWith(center), lit(false)), sid,
-        s"Sample: SEQ_ASSAY_ID must start with $center ({count} rows, e.g. {example})"),
+        col("SEQ_ASSAY_ID").isNotNull && trim(col("SEQ_ASSAY_ID")) =!= "" &&
+          !upper(col("SEQ_ASSAY_ID")).startsWith(center), sid,
+        "Sample Clinical File: Please make sure your SEQ_ASSAY_IDs start with " +
+          s"your center abbreviation: {example}."),
       RowRule("empty_row", "error",
         Rules.emptyRow(Seq(sid, col("PATIENT_ID"), col("ONCOTREE_CODE"))), lit("<empty>"),
         "Sample: {count} entirely empty rows"))
@@ -65,16 +80,31 @@ object ClinicalFormat {
     val pid = col("PATIENT_ID")
     Seq(
       RowRule("patient_id_prefix", "error",
-        Rules.badIdentifier(pid, s"GENIE-$center"), pid,
-        s"Patient: PATIENT_ID must start with GENIE-$center ({count} rows, e.g. {example})"),
+        pid.isNull || !pid.startsWith(s"GENIE-$center"), pid,
+        s"Patient Clinical File: PATIENT_ID must start with GENIE-$center"),
+      RowRule("patient_id_length", "error",
+        length(pid) >= 50, pid,
+        "Patient Clinical File: PATIENT_ID must have less than 50 characters."),
+      // _check_year (clinical.py:20-69) with the BIRTH_YEAR sentinel list
       RowRule("birth_year", "error",
         Rules.badYear(col("BIRTH_YEAR"), currentYear, yearSentinels :+ "cannotReleaseHIPAA"), pid,
-        "Patient: BIRTH_YEAR must be YYYY or a sentinel ({count} rows, e.g. {example})"),
+        "Patient Clinical File: Please double check your BIRTH_YEAR column, " +
+          s"it must be an integer in YYYY format <= $currentYear or " +
+          "'Unknown', 'Not Collected', 'Not Released', '>89', '<18'."),
       RowRule("death_after_contact", "error",
         col("YEAR_DEATH").rlike("^\\d{4}$") && col("YEAR_CONTACT").rlike("^\\d{4}$") &&
           col("YEAR_DEATH").cast("int") < col("YEAR_CONTACT").cast("int"), pid,
-        "Patient: YEAR_DEATH before YEAR_CONTACT ({count} rows, e.g. {example})",
+        "Patient Clinical File: Please double check your YEAR_DEATH and " +
+          "YEAR_CONTACT columns. YEAR_DEATH must be >= YEAR_CONTACT.",
         requires = Seq("YEAR_DEATH", "YEAR_CONTACT")),
+      // _check_int_dod_validity (clinical.py:1090-1118): numeric-only compare
+      RowRule("int_dod_validity", "error",
+        col("INT_DOD").try_cast("double").isNotNull &&
+          col("INT_CONTACT").try_cast("double").isNotNull &&
+          col("INT_DOD").try_cast("double") < col("INT_CONTACT").try_cast("double"), pid,
+        "Patient Clinical File: Please double check your INT_DOD and " +
+          "INT_CONTACT columns. INT_DOD must be >= INT_CONTACT.",
+        requires = Seq("INT_DOD", "INT_CONTACT")),
       // P8 (clinical.py:72-109): dead ⇒ INT_DOD ≠ "Not Applicable";
       // alive ⇒ INT_DOD = "Not Applicable" (any other value flags, not just
       // numeric); DEAD sentinel strings must equal INT_DOD verbatim.
@@ -134,8 +164,11 @@ object ClinicalFormat {
       }
 
     Seq(
+      // verbatim _validate_oncotree_code_mapping_message (clinical.py:676-691)
       Finding("oncotree_membership", "error", nUnmapped, unmappedCodes.headOption,
-        s"Sample: $nUnmapped samples carry unmapped oncotree codes (e.g. ${unmappedCodes.mkString(", ")})"),
+        "Sample Clinical File: Please double check that all your ONCOTREE " +
+          s"CODES exist in the mapping. You have $nUnmapped samples that " +
+          s"don't map. These are the codes that don't map: ${unmappedCodes.mkString(",")}"),
       Finding("sex_cancer_conflict", "warning", conflicts, conflictIds.headOption,
         "Sample Clinical File: Some SAMPLE_IDs have conflicting SEX and " +
           s"ONCOTREE_CODES: ${conflictIds.mkString(",")}"))
@@ -154,7 +187,11 @@ object ClinicalFormat {
           s"Sample Clinical File: Must have $c column.")) ++
       missingColumns(patient, patientRequired).map(c =>
         Finding(s"missing_col_$c", "error", 1, None,
-          s"Patient Clinical File: Must have $c column."))
+          s"Patient Clinical File: Must have $c column.")) ++
+      // P28 (clinical.py:780-797): deprecated columns must be absent
+      Seq("SEQ_DATE").filter(c => sample.columns.map(_.toUpperCase).contains(c)).map(c =>
+        Finding(s"deprecated_col_$c", "error", 1, None,
+          s"Sample Clinical File: $c is now deprecated. Please remove."))
     val sampleRes = Rules.Battery.run(sample, sampleRules(center))
     val patientRes = Rules.Battery.run(patient, patientRules(center))
 

@@ -52,6 +52,15 @@ class RulesSpec extends SparkSpec {
     assert(byRule("patient_in_sample") == 1) // BAD-ID doesn't contain its patient id
     assert(byRule("orphan_samples") == 1)
     assert(!res.isValid)
+    // golden message parity (process_functions.py:214-216)
+    assert(res.findings.find(_.rule == "sample_id_prefix").get.message ==
+      "Sample Clinical File: SAMPLE_ID must start with GENIE-CTR")
+
+    // P28: deprecated SEQ_DATE column flags with the verbatim message
+    val withSeqDate = sample.withColumn("SEQ_DATE", org.apache.spark.sql.functions.lit("Jan-2017"))
+    val res2 = ClinicalFormat.validate(withSeqDate, patient, "CTR")
+    assert(res2.findings.exists(f => f.rule == "deprecated_col_SEQ_DATE" &&
+      f.message == "Sample Clinical File: SEQ_DATE is now deprecated. Please remove."))
   }
 
   test("maf format: duplicates and bad alleles") {
