@@ -1323,6 +1323,16 @@ object SparkEntry {
         T.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.functions.Curation.packByBudget(d, "shard", "doc_id", "n_tokens", budget = 2048L)
         .select("doc_id", "shard", "n_tokens", "pack_id")
+    }),
+
+    // ---------------- release: data_gene_matrix artifact ----------------
+    "release_gene_matrix" -> ((s, dir) => {
+      val clinical = t(s, dir, "customer").select(
+        col("c_name").as("SAMPLE_ID"),
+        concat(lit("C-A"), (col("c_custkey") % 6).cast("string")).as("SEQ_ASSAY_ID"))
+      val cnaSamples = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0).select("c_name")
+      val svSamples  = t(s, dir, "customer").filter(col("c_custkey") % 7 === 0).select("c_name")
+      graft.apps.ReleaseJob.geneMatrix(clinical, cnaSamples, svSamples, Seq("C-A5"))
     })
   )
 
@@ -2459,7 +2469,23 @@ object SparkEntry {
              FROM d)
            SELECT doc_id, shard, n_tokens,
                   CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
-           FROM c"""
+           FROM c""",
+
+      "release_gene_matrix" ->
+        """WITH base AS (
+             SELECT c_name AS SAMPLE_ID,
+                    'C-A' || CAST(c_custkey % 6 AS VARCHAR) AS mutations,
+                    c_custkey
+             FROM customer
+             WHERE 'C-A' || CAST(c_custkey % 6 AS VARCHAR) <> 'C-A5'),
+           cnap AS (SELECT DISTINCT mutations FROM base WHERE c_custkey % 3 = 0),
+           svp  AS (SELECT DISTINCT mutations FROM base WHERE c_custkey % 7 = 0)
+           SELECT SAMPLE_ID, mutations,
+                  CASE WHEN mutations IN (SELECT mutations FROM cnap)
+                       THEN mutations ELSE 'NA' END AS cna,
+                  CASE WHEN mutations IN (SELECT mutations FROM svp)
+                       THEN mutations ELSE 'NA' END AS sv
+           FROM base"""
     )
   }
 }

@@ -121,6 +121,36 @@ object ReleaseJob {
     ReleaseOutputs(released, mafFinal, dropped)
   }
 
+  /** data_gene_matrix.txt (database_to_staging.py:1595-1653 +
+    * process_functions.py:1138-1157 `add_columns_to_data_gene_matrix`):
+    * one row per sample with its mutations panel; the cna/sv columns
+    * repeat the panel id when that PANEL has any CNA/SV sample (the
+    * reference flags panels, not samples) and "NA" otherwise; WES
+    * panels excluded; empty sample ids dropped.
+    */
+  def geneMatrix(clinical: DataFrame, cnaSamples: DataFrame, svSamples: DataFrame,
+                 wesAssayIds: Seq[String] = Nil): DataFrame = {
+    val base0 = clinical.select(col("SAMPLE_ID"), col("SEQ_ASSAY_ID").as("mutations"))
+      .filter(col("SAMPLE_ID").isNotNull && col("SAMPLE_ID") =!= "")
+      .dropDuplicates("SAMPLE_ID")
+    val base =
+      if (wesAssayIds.isEmpty) base0
+      else base0.filter(!col("mutations").isInCollection(wesAssayIds))
+
+    def flagColumn(df: DataFrame, samples: DataFrame, name: String): DataFrame = {
+      val idCol = samples.columns.head
+      // panels that have ≥1 flagged sample — tiny, broadcast both ways
+      val seqids = df
+        .join(broadcast(samples.select(col(idCol).as("SAMPLE_ID")).distinct()),
+          Seq("SAMPLE_ID"), "left_semi")
+        .select(col("mutations").as(s"__$name")).distinct()
+      df.join(broadcast(seqids), col("mutations") === col(s"__$name"), "left")
+        .withColumn(name, when(col(s"__$name").isNotNull, col("mutations")).otherwise(lit("NA")))
+        .drop(s"__$name")
+    }
+    flagColumn(flagColumn(base, cnaSamples, "cna"), svSamples, "sv")
+  }
+
   /** Write release artifacts in cBioPortal layout. */
   def writeArtifacts(out: ReleaseOutputs, outDir: String, studyId: String): Unit = {
     CbioSinks.writeClinical(

@@ -40,6 +40,46 @@ object ValidateStream {
       }
   }
 
+  /** Streaming exact-dedup for continuous corpus ingestion: state is
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`), so a
+    * forever-running dedup never accumulates unbounded digest state —
+    * the streaming twin of the batch md5-groupBy exact dedup. Dedup key
+    * = md5 of the content column.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
+  /** Streaming PK-upsert sink: each micro-batch merges into the parquet
+    * table via the same Upsert.merge the batch path uses (S12 semantics,
+    * exactly-once via checkpoint + idempotent overwrite).
+    */
+  def upsertStream(stream: DataFrame, pkCols: Seq[String], tablePath: String,
+                   checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(tablePath)).filter(_.columns.nonEmpty)
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val merged = existing match {
+          case Some(ex) => graft.operators.Upsert.merge(batch, ex, pkCols, allowDelete = false)
+          case None     => batch
+        }
+        // stage BEFORE overwrite (the merge plan reads the same path);
+        // both writes stay distributed — no driver materialization
+        val staging = tablePath + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        graft.operators.Upsert.overwrite(spark, spark.read.parquet(staging), tablePath)
+      }
+
   /** Watermarked tumbling-window counts over an event stream — the
     * streaming twin of SparkEntry's `stream_tumbling_counts` batch
     * query (same output schema, exactly-once via checkpoint).

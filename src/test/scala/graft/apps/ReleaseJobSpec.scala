@@ -79,4 +79,18 @@ class ReleaseJobSpec extends SparkSpec {
     assert(clinical.exists(_.contains("Non-Small Cell Lung Cancer")))
     assert(new java.io.File(s"$dir/case_lists").listFiles().nonEmpty)
   }
+
+  test("data_gene_matrix: panel-level cna/sv flags, WES panels excluded") {
+    val clinical = Seq(
+      ("s1", "P1"), ("s2", "P1"), ("s3", "P2"), ("s4", "WES1"), ("", "P2")
+    ).toDF("SAMPLE_ID", "SEQ_ASSAY_ID")
+    val cna = Seq("s1").toDF("SAMPLE_ID")      // panel P1 has CNA
+    val sv  = Seq("s3").toDF("SAMPLE_ID")      // panel P2 has SV
+    val m = ReleaseJob.geneMatrix(clinical, cna, sv, Seq("WES1"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(m.keySet == Set("s1", "s2", "s3")) // WES + empty id dropped
+    assert(m("s1") == ("P1", "P1", "NA"))
+    assert(m("s2") == ("P1", "P1", "NA"))     // panel-level: s2 inherits P1's cna flag
+    assert(m("s3") == ("P2", "NA", "P2"))
+  }
 }

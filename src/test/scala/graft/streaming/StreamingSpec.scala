@@ -49,4 +49,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((h0, "click", 2L)))
     assert(rows.contains((h1, "view", 1L)))
   }
+
+  test("streaming dedup: duplicate content within the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    mem.addData(
+      (at(0), 1L, "same text"), (at(1), 2L, "same text"), // dup within watermark
+      (at(2), 3L, "other text"))
+    val deduped = ValidateStream.dedupStream(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "text", watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val ids = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L)) // first copy wins, duplicate dropped
+  }
+
+  test("streaming upsert: micro-batches merge into the parquet table by PK") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("stream-upsert") + "/t"
+    val cp1 = tmpDir("stream-upsert-cp1")
+    val mem1 = MemoryStream[(Int, String)]
+    mem1.addData((1, "a"), (2, "b"))
+    val q1 = ValidateStream.upsertStream(
+      mem1.toDF().toDF("id", "v"), Seq("id"), table, cp1).start()
+    q1.awaitTermination(30000)
+
+    val cp2 = tmpDir("stream-upsert-cp2")
+    val mem2 = MemoryStream[(Int, String)]
+    mem2.addData((2, "B"), (3, "c")) // update 2, insert 3
+    val q2 = ValidateStream.upsertStream(
+      mem2.toDF().toDF("id", "v"), Seq("id"), table, cp2).start()
+    q2.awaitTermination(30000)
+
+    val rows = spark.read.parquet(table).as[(Int, String)].collect().toSet
+    assert(rows == Set((1, "a"), (2, "B"), (3, "c")))
+  }
 }
