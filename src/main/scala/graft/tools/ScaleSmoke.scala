@@ -88,6 +88,28 @@ object ScaleSmoke {
     time("ann_lsh_topk", nEmb) {
       V.lshTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 5, bits = 8).count()
     }
+    time("ann_banded_lsh_topk", nEmb) {
+      V.bandedLshTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 5, bands = 3, bitsPerBand = 8).count()
+    }
+
+    // 6. banded near-dup over the replicated embedding corpus
+    time("neardup_banded", nEmb) {
+      V.bandedNearDup(emb, "vec_id", "embedding", bands = 3, bitsPerBand = 8,
+        minCos = 0.95).count()
+    }
+
+    // 7. curation decision + sharded packing over the 10× corpus
+    time("curate_decision", nDocs) {
+      graft.functions.Curation.curate(docs.select("doc_id", "text"),
+        "doc_id", "text", Seq("de", "en", "es", "fr"), 0.5)
+        .filter(col("keep")).count()
+    }
+    time("pack_sequences", nDocs) {
+      val d = docs.select(col("doc_id"), (col("doc_id") % 256).as("shard"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Curation.packByBudget(d, "shard", "doc_id", "n_tokens", 2048L)
+        .groupBy("shard").agg(max("pack_id")).count()
+    }
 
     spark.stop()
   }
