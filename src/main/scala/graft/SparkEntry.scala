@@ -2144,12 +2144,17 @@ object SparkEntry {
         val chromList = ((1 to 22).map(i => s"'$i'") ++ Seq("'X'", "'Y'", "'MT'")).mkString(", ")
         val rules = Seq(
           ("id_prefix", "error",
-            "id IS NULL OR NOT starts_with(id, 'GENIE-C') OR length(id) >= 50"),
+            "id IS NULL OR NOT starts_with(id, 'GENIE-C')"),
+          ("id_length", "error", "length(id) >= 50"),
+          ("chr_prefix", "warning", "COALESCE(contains(chrom, 'chr'), FALSE)"),
           ("chrom_domain", "error",
             s"chrom IS NULL OR regexp_replace(chrom, '^chr', '') NOT IN ($chromList)"),
-          ("loc_integers", "error",
-            """(loc_start IS NOT NULL AND NOT regexp_matches(loc_start, '^-?\d+$'))
-               OR (loc_end IS NOT NULL AND NOT regexp_matches(loc_end, '^-?\d+$'))"""),
+          ("loc_start_int", "error",
+            """loc_start IS NOT NULL AND NOT regexp_matches(loc_start, '^-?\d+$')"""),
+          ("loc_end_int", "error",
+            """loc_end IS NOT NULL AND NOT regexp_matches(loc_end, '^-?\d+$')"""),
+          ("num_mark_int", "error",
+            """num_mark IS NOT NULL AND NOT regexp_matches(num_mark, '^-?\d+$')"""),
           ("seg_mean_numeric", "error",
             "seg_mean IS NOT NULL AND TRY_CAST(seg_mean AS DOUBLE) IS NULL"),
           ("no_nulls", "error",

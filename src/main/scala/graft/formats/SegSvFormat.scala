@@ -13,36 +13,52 @@ object SegFormat {
   val requiredColumns: Seq[String] = Seq(
     "ID", "CHROM", "LOC.START", "LOC.END", "NUM.MARK", "SEG.MEAN")
 
+  /** Messages verbatim from the reference incl. the "integars" typo
+    * (seg.py:63-90, validate.py:170-216, process_functions.py:692-705,
+    * 214-221).
+    */
   def rowRules(center: String): Seq[RowRule] = {
     val key = col("ID")
+    val chromVals = (1 to 22).map(_.toString) ++ Seq("X", "Y", "MT")
+    def intRule(c: String) =
+      RowRule(s"${c.toLowerCase.replace('.', '_')}_int", "error",
+        Rules.notInteger(col(s"`$c`")), key,
+        s"Seg: Only integars allowed in these column(s): $c.", requires = Seq(c))
     Seq(
       RowRule("id_prefix", "error",
-        Rules.badIdentifier(col("ID"), s"GENIE-$center"), key,
-        s"Seg: ID must start with GENIE-$center ({count} rows, e.g. {example})",
-        requires = Seq("ID")),
+        col("ID").isNull || !col("ID").startsWith(s"GENIE-$center"), key,
+        s"Seg: ID must start with GENIE-$center", requires = Seq("ID")),
+      RowRule("id_length", "error",
+        length(col("ID")) >= 50, key,
+        "Seg: ID must have less than 50 characters.", requires = Seq("ID")),
+      RowRule("chr_prefix", "warning",
+        coalesce(col("CHROM").contains("chr"), lit(false)), key,
+        "Seg: Should not have the chr prefix in front of chromosomes.",
+        requires = Seq("CHROM")),
       RowRule("chrom_domain", "error",
         Rules.badChromosome(col("CHROM"), allowChrPrefix = true), key,
-        "Seg: CHROM must be 1-22, X, Y, MT ({count} rows, e.g. {example})",
+        "Seg: Please double check your CHROM column.  This column must " +
+          s"only be these values: ${chromVals.mkString(", ")}",
         requires = Seq("CHROM")),
-      RowRule("loc_integers", "error",
-        Rules.notInteger(col("`LOC.START`")) || Rules.notInteger(col("`LOC.END`")), key,
-        "Seg: LOC.START/LOC.END must be integer ({count} rows, e.g. {example})",
-        requires = Seq("LOC.START", "LOC.END")),
+      intRule("LOC.START"), intRule("LOC.END"), intRule("NUM.MARK"),
       RowRule("seg_mean_numeric", "error",
         col("`SEG.MEAN`").isNotNull && col("`SEG.MEAN`").try_cast("double").isNull, key,
-        "Seg: SEG.MEAN must be numeric ({count} rows, e.g. {example})",
+        "Seg: Only numerical values allowed in SEG.MEAN.",
         requires = Seq("SEG.MEAN")),
       RowRule("no_nulls", "error",
         requiredColumns.map(c => col(s"`$c`").isNull).reduce(_ || _), key,
-        "Seg: null values are not allowed ({count} rows, e.g. {example})",
+        "Seg: No null or empty values allowed in column(s): {count} rows affected",
         requires = requiredColumns))
   }
 
   def validate(seg: DataFrame, center: String): ValidationResult = {
     import graft.rules.Finding
     val missing = requiredColumns.filterNot(seg.columns.map(_.toUpperCase).contains)
-    val schemaFindings = missing.map(c =>
-      Finding(s"missing_col_$c", "error", 1, None, s"Seg: missing required column $c"))
+    // verbatim seg.py:63-65
+    val schemaFindings =
+      if (missing.isEmpty) Nil
+      else Seq(Finding("missing_headers", "error", missing.length.toLong, None,
+        s"Your seg file is missing these headers: ${missing.mkString(", ")}."))
     if (missing.nonEmpty) ValidationResult(schemaFindings.toSeq)
     else {
       val battery = Rules.Battery.run(seg, rowRules(center))

@@ -94,4 +94,47 @@ class PropertySpec extends SparkSpec {
       assert(r.getSeq[String](0) == r.getSeq[String](1))
     }
   }
+
+  test("property: banded candidates ⊇ every single-band's candidates") {
+    import graft.functions.VectorFunctions
+    val vecGen = Gen.listOfN(30, Gen.listOfN(8, Gen.choose(-5, 5)))
+    forSamples(vecGen, n = 5) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(x => x.toFloat + 0.1f).toArray) }
+        .toDF("vec_id", "embedding")
+      val banded = VectorFunctions
+        .bandedNearDup(df, "vec_id", "embedding", bands = 2, bitsPerBand = 4, minCos = -1.0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // per-band candidate sets computed naively from the key arrays
+      val keyed = df.select(col("vec_id"),
+        VectorFunctions.bandedSignBuckets(col("embedding"), 2, 4).as("ks"))
+        .as[(Long, Seq[Long])].collect()
+      (0 until 2).foreach { b =>
+        val byBucket = keyed.toSeq.groupBy(_._2(b)).values
+        val expected = byBucket.flatMap { grp =>
+          val ids = grp.map(_._1).sorted.toList
+          for (i <- ids; j <- ids if i < j) yield (i, j)
+        }.toSet
+        assert(expected.subsetOf(banded), s"band $b candidates missing")
+      }
+    }
+  }
+
+  test("property: packing is contiguous and pack windows never skip") {
+    import graft.functions.Curation
+    val tokGen = Gen.listOfN(40, Gen.choose(1L, 900L))
+    forSamples(tokGen, n = 5) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, i.toLong % 4, t) }
+        .toDF("doc_id", "shard", "n_tokens")
+      val packed = Curation.packByBudget(df, "shard", "doc_id", "n_tokens", budget = 1000L)
+        .select("shard", "doc_id", "pack_id").as[(Long, Long, Long)].collect()
+        .groupBy(_._1)
+      packed.values.foreach { rows =>
+        val ids = rows.sortBy(_._2).map(_._3)
+        // pack ids start at 0 per shard and are non-decreasing in doc order
+        assert(ids.head == 0L)
+        assert(ids.zip(ids.tail).forall { case (a, b) => b >= a })
+      }
+    }
+  }
 }

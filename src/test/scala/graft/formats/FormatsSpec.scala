@@ -48,10 +48,17 @@ class FormatsSpec extends SparkSpec {
     val res = SegFormat.validate(seg, "CTR")
     val byRule = res.findings.map(f => f.rule -> f.count).toMap
     assert(byRule("id_prefix") == 1)
+    assert(byRule("chr_prefix") == 1)  // warning: chr1
     assert(byRule("chrom_domain") == 1)
-    assert(byRule("loc_integers") == 1)
+    assert(byRule("loc_start_int") == 1)
+    assert(byRule("num_mark_int") == 0)
     assert(byRule("seg_mean_numeric") == 1)
     assert(byRule("no_nulls") == 1)
+    // golden message parity incl. the reference's "integars" typo
+    assert(res.findings.find(_.rule == "loc_start_int").get.message ==
+      "Seg: Only integars allowed in these column(s): LOC.START.")
+    assert(res.findings.find(_.rule == "seg_mean_numeric").get.message ==
+      "Seg: Only numerical values allowed in SEG.MEAN.")
   }
 
   test("SV: duplicates + center extraction") {
