@@ -22,12 +22,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup (untimed): touch every table, run one aggregation
+    // warmup (untimed): touch every table, then run EVERY query once so
+    // timings measure steady-state execution, not whole-stage-codegen
+    // compilation (the big rule batteries cost seconds of janino compile
+    // on first run — a fixed cost, amortized at any real scale)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

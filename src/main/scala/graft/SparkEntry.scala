@@ -1333,6 +1333,22 @@ object SparkEntry {
       val cnaSamples = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0).select("c_name")
       val svSamples  = t(s, dir, "customer").filter(col("c_custkey") % 7 === 0).select("c_name")
       graft.apps.ReleaseJob.geneMatrix(clinical, cnaSamples, svSamples, Seq("C-A5"))
+    }),
+
+    // ---------------- multimodal: decode → feature pipeline ------------
+    "mm_feature_pipeline" -> ((s, dir) => {
+      // binary payload → mapPartitions stub decode + 16-dim byte-histogram
+      // feature → joined metadata; integer invariants (argmax bucket,
+      // active buckets) are float-layout independent
+      val docs = t(s, dir, "documents").withColumn("payload", col("text").cast("binary"))
+      val feats = graft.multimodal.Multimodal.extractFeatures(docs, "doc_id", "payload", 16).toDF()
+      val meta  = graft.multimodal.Multimodal.decodeMeta(docs, "doc_id", "payload").toDF()
+      feats.join(meta, Seq("id"))
+        .select(col("id").as("doc_id"),
+          array_position(col("feature"), array_max(col("feature"))).cast("long").as("top_bucket"),
+          size(filter(col("feature"), x => x > 0f)).cast("long").as("n_active"),
+          col("width").cast("long").as("width"),
+          col("n_frames").cast("long").as("n_frames"))
     })
   )
 
@@ -2490,7 +2506,21 @@ object SparkEntry {
                        THEN mutations ELSE 'NA' END AS cna,
                   CASE WHEN mutations IN (SELECT mutations FROM svp)
                        THEN mutations ELSE 'NA' END AS sv
-           FROM base"""
+           FROM base""",
+
+      "mm_feature_pipeline" ->
+        """WITH counts AS (
+             SELECT doc_id, length(text) AS n,
+                    list_transform(range(0, 16), j ->
+                      len(list_filter(range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1)) % 16 = j))) AS c
+             FROM documents)
+           SELECT doc_id,
+                  CAST(list_position(c, list_max(c)) AS BIGINT) AS top_bucket,
+                  CAST(len(list_filter(c, x -> x > 0)) AS BIGINT) AS n_active,
+                  CAST(n % 64 + 1 AS BIGINT) AS width,
+                  CAST(n % 7 + 1 AS BIGINT) AS n_frames
+           FROM counts"""
     )
   }
 }

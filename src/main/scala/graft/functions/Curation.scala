@@ -24,8 +24,10 @@ object Curation {
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("__dup_rank", row_number().over(w))
       .withColumn("drop_reason",
-        when(!col("lang_pred").isInCollection(keepLangs), lit("lang"))
-          .when(col("quality") < minQuality, lit("quality"))
+        // null-safe: null text → null lang/quality must DROP, not leak
+        // through three-valued logic as keep
+        when(!coalesce(col("lang_pred").isInCollection(keepLangs), lit(false)), lit("lang"))
+          .when(coalesce(col("quality") < minQuality, lit(true)), lit("quality"))
           .when(col("__dup_rank") > 1, lit("exact_dup"))
           .otherwise(lit(null).cast("string")))
       .withColumn("keep", col("drop_reason").isNull)

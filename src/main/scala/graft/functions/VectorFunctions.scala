@@ -42,7 +42,7 @@ object VectorFunctions {
     * equi-join.
     */
   def signBucket(v: Column, m: Int): Column =
-    (0 until m).map(i => when(element_at(v, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+    (0 until m).map(i => when(try_element_at(v, lit(i + 1)) >= 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
@@ -79,7 +79,10 @@ object VectorFunctions {
   def bandedSignBuckets(v: Column, bands: Int, bitsPerBand: Int): Column =
     array((0 until bands).map { b =>
       (0 until bitsPerBand).map { i =>
-        when(element_at(v, b * bitsPerBand + i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L))
+        // try_element_at: dims past the vector length hash to bit 0
+        // instead of an ANSI out-of-bounds error
+        when(try_element_at(v, lit(b * bitsPerBand + i + 1)) >= 0f, lit(1L << i))
+          .otherwise(lit(0L))
       }.reduce(_ + _) + lit(b.toLong << 32)
     }: _*)
 

@@ -97,4 +97,47 @@ class EdgeCaseSpec extends SparkSpec {
     val d = WindowOps.adjacentDeltas(df, Seq("k"), Seq("o"), Seq("v"))
     assert(d.filter(col("v_prev").isNull).count() == 2)
   }
+
+  test("curation on null/empty text and empty frames") {
+    import graft.functions.Curation
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text", Seq("en"), 0.5)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // null/empty text → 'und' language → dropped, never a crash
+    assert(out == Map(1L -> false, 2L -> false))
+    assert(Curation.curate(docs.limit(0), "doc_id", "text", Seq("en"), 0.5).count() == 0)
+  }
+
+  test("packing: zero-token docs and empty shards") {
+    import graft.functions.Curation
+    val docs = Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 1L, 5000L)).toDF("doc_id", "shard", "n_tokens")
+    val packs = Curation.packByBudget(docs, "shard", "doc_id", "n_tokens", 100L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(packs(1L) == 0L && packs(2L) == 0L) // zero-width docs stay in pack 0
+    assert(packs(3L) == 0L)                    // oversized doc still STARTS in pack 0
+    assert(Curation.packByBudget(docs.limit(0), "shard", "doc_id", "n_tokens", 100L).count() == 0)
+  }
+
+  test("banded buckets beyond the vector length treat missing dims as one bucket") {
+    import graft.functions.VectorFunctions
+    // 4-dim vectors hashed with 2 bands × 4 bits: band 1 reads dims 5-8
+    // (absent) → element_at null → every vector lands in band 1 bucket 0,
+    // deterministically (documented degenerate case, not a crash)
+    val df = Seq((1L, Array(1f, -1f, 1f, -1f)), (2L, Array(-1f, 1f, -1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val keys = df.select(VectorFunctions.bandedSignBuckets(col("embedding"), 2, 4).as("ks"))
+      .as[Seq[Long]].collect()
+    assert(keys.forall(_.length == 2))
+    assert(keys.map(_(1)).distinct.length == 1) // degenerate band: single bucket
+  }
+
+  test("gene matrix with empty cna/sv lists and empty clinical") {
+    import graft.apps.ReleaseJob
+    val clinical = Seq(("s1", "P1")).toDF("SAMPLE_ID", "SEQ_ASSAY_ID")
+    val empty = clinical.limit(0).select("SAMPLE_ID")
+    val m = ReleaseJob.geneMatrix(clinical, empty, empty)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(m.toSeq == Seq(("P1", "NA", "NA")))
+    assert(ReleaseJob.geneMatrix(clinical.limit(0), empty, empty).count() == 0)
+  }
 }
