@@ -79,9 +79,9 @@ object Upsert {
                  compareCols: Seq[String] = Nil): DataFrame =
     classify(incoming, existing, pkCols, compareCols)
       .agg(
-        sum(when(col("__kind") === "append", 1L).otherwise(0L)).as("__a"),
-        sum(when(col("__kind") === "update", 1L).otherwise(0L)).as("__u"),
-        sum(when(col("__kind") === "delete", 1L).otherwise(0L)).as("__d"))
+        coalesce(sum(when(col("__kind") === "append", 1L).otherwise(0L)), lit(0L)).as("__a"),
+        coalesce(sum(when(col("__kind") === "update", 1L).otherwise(0L)), lit(0L)).as("__u"),
+        coalesce(sum(when(col("__kind") === "delete", 1L).otherwise(0L)), lit(0L)).as("__d"))
       .selectExpr("stack(3, 'append', __a, 'update', __u, 'delete', __d) as (kind, n)")
 
   def diff(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
