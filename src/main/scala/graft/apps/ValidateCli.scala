@@ -73,14 +73,10 @@ object ValidateCli {
           anyError ||= !res.isValid
         case "vcf" =>
           try {
-            val df = Vcf.read(spark, f)
-            val need = Vcf.requiredHeaders.map(_.stripPrefix("#")) ++
-              (if (df.columns.length > 8) Seq("FORMAT") else Nil)
-            val missing = need.filterNot(df.columns.map(_.toUpperCase).contains)
-            missing.foreach(c => println(s"$name error missing_header: VCF missing required header $c"))
-            val ws = Vcf.whitespaceViolations(df)
-            if (ws > 0) println(s"$name warning whitespace: $ws rows contain whitespace in values")
-            anyError ||= missing.nonEmpty
+            val res = Vcf.validate(Vcf.read(spark, f), center)
+            res.findings.filter(_.count > 0).foreach(x =>
+              println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
+            anyError ||= !res.isValid
           } catch {
             case e: IllegalArgumentException =>
               println(s"$name error not_vcf: ${e.getMessage}"); anyError = true

@@ -57,7 +57,10 @@ object MafFormat {
         s"maf: $c must be a numerical column.", requires = Seq(c)))
   }
 
-  def validate(maf: DataFrame, center: String): ValidationResult = {
+  /** `sp` mirrors the reference's special-prep flag (maf.py:303): SP
+    * centers are exempt from the T_DEPTH/T_REF_COUNT requirement.
+    */
+  def validate(maf: DataFrame, center: String, sp: Boolean = false): ValidationResult = {
     import graft.rules.Finding
     val missing = requiredColumns.filterNot(maf.columns.map(_.toUpperCase).contains)
     // golden template verbatim (maf.py:253-265, incl. its "makesure" quirk)
@@ -91,12 +94,19 @@ object MafFormat {
       "maf: Must not have duplicated variants. Samples with duplicated variants: " +
         dupSamples.mkString(", "))
 
+    // maf.py:301-304: without T_DEPTH there must at least be T_REF_COUNT
+    val depthFindings =
+      if (!sp && !maf.columns.contains("T_DEPTH") && !maf.columns.contains("T_REF_COUNT"))
+        Seq(Finding("missing_t_depth", "error", 1, None,
+          "maf: If missing T_DEPTH, must have T_REF_COUNT!"))
+      else Nil
+
     val tsa2AlwaysRef = extras.get("tsa2_always_ref")
       .collect { case b: Boolean => b }.getOrElse(false)
     val p17 = Finding("tsa2_equals_ref_everywhere", "error",
       if (tsa2AlwaysRef) 1 else 0, None,
       "Mutation: TUMOR_SEQ_ALLELE2 equals REFERENCE_ALLELE on every row — wrong column mapping")
 
-    ValidationResult(schemaFindings ++ battery.findings :+ dupFinding :+ p17)
+    ValidationResult(schemaFindings ++ battery.findings ++ depthFindings :+ dupFinding :+ p17)
   }
 }

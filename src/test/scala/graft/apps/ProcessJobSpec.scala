@@ -14,8 +14,8 @@ class ProcessJobSpec extends SparkSpec {
     Files.write(Paths.get(dir, "data_clinical_supp_patient_CTR.txt"),
       "PATIENT_ID\tSEX\tPRIMARY_RACE\tETHNICITY\tBIRTH_YEAR\nGENIE-CTR-p1\t1\t1\t1\t1950\n".getBytes)
     Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),
-      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n" +
-        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\n").getBytes)
+      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n" +
+        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\t30\n").getBytes)
   }
 
   test("P29 md5-skip + validate + upsert flow, end to end twice") {
@@ -37,9 +37,9 @@ class ProcessJobSpec extends SparkSpec {
 
     // run 3: modified MAF (new variant) re-validates and upserts
     Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),
-      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n" +
-        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\n" +
-        "2\t500\t501\tG\tGENIE-CTR-p1-s1\tC\n").getBytes)
+      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n" +
+        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\t30\n" +
+        "2\t500\t501\tG\tGENIE-CTR-p1-s1\tC\t30\n").getBytes)
     val r3 = ProcessJob.run(spark, "CTR", dir, r1.statuses, r1.tables)
     assert(!r3.skipped.contains("data_mutations_extended_CTR.maf"))
     assert(r3.tables("maf").count() == 2)
@@ -47,11 +47,11 @@ class ProcessJobSpec extends SparkSpec {
 
   test("multiple MAF files from one center all accumulate") {
     val dir = tmpDir("process-multi")
-    val header = "CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n"
+    val header = "CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n"
     Files.write(Paths.get(dir, "data_mutations_a.maf"),
-      (header + "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\n").getBytes)
+      (header + "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\t30\n").getBytes)
     Files.write(Paths.get(dir, "data_mutations_b.maf"),
-      (header + "2\t200\t201\tG\tGENIE-CTR-p1-s1\tC\n").getBytes)
+      (header + "2\t200\t201\tG\tGENIE-CTR-p1-s1\tC\t30\n").getBytes)
     val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty)
     assert(r.tables("maf").count() == 2) // both files' variants present
   }
@@ -79,10 +79,10 @@ class ProcessJobSpec extends SparkSpec {
         "GENIE-CTR-p1\t1\t1\t1\t1950\nGENIE-CTR-p2\t2\t1\t1\t1960\n" +
         "GENIE-CTR-p3\t1\t1\t1\t1970\n").getBytes)
     Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),
-      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n" +
-        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\n" +
-        "2\t200\t201\tG\tGENIE-CTR-p2-s2\tC\n" +
-        "3\t300\t301\tC\tGENIE-CTR-p3-s3\tG\n").getBytes)
+      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n" +
+        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\t30\n" +
+        "2\t200\t201\tG\tGENIE-CTR-p2-s2\tC\t30\n" +
+        "3\t300\t301\tC\tGENIE-CTR-p3-s3\tG\t30\n").getBytes)
     Files.write(Paths.get(dir, "sampleRetraction.csv"), "GENIE-CTR-p3-s3\n".getBytes)
     Files.write(Paths.get(dir, "patientRetraction.csv"), "GENIE-CTR-p1\n".getBytes)
     Files.write(Paths.get(dir, "CTR_workflow.md"), "# workflow\n".getBytes)
@@ -105,8 +105,8 @@ class ProcessJobSpec extends SparkSpec {
   test("invalid-reasons report: per-center files with reference formatting") {
     val dir = tmpDir("invalid-reasons")
     Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),
-      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n" +
-        "99\t100\t101\tQQ\tWRONG-1\tT\n").getBytes)
+      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n" +
+        "99\t100\t101\tQQ\tWRONG-1\tT\t30\n").getBytes)
     val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty)
     assert(r.errors.contains("data_mutations_extended_CTR.maf"))
 
@@ -133,8 +133,8 @@ class ProcessJobSpec extends SparkSpec {
   test("invalid upload does not reach the tables") {
     val dir = tmpDir("process-bad")
     Files.write(Paths.get(dir, "data_mutations_extended_CTR.maf"),
-      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\n" +
-        "99\t100\t101\tQQ\tWRONG-1\tT\n").getBytes)
+      ("CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n" +
+        "99\t100\t101\tQQ\tWRONG-1\tT\t30\n").getBytes)
     val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty)
     assert(r.statuses.exists(s => s.name.endsWith(".maf") && s.status == "INVALID"))
     assert(!r.tables.contains("maf"))

@@ -142,6 +142,37 @@ class SourcesSpec extends SparkSpec {
     assert(scala.io.Source.fromFile(panel).mkString.contains("gene_list: EGFR\tTP53"))
   }
 
+  test("P20: VCF structured validation with verbatim messages") {
+    import graft.sources.Vcf
+    // 11-column tumor/normal VCF with a duplicate variant and a null FORMAT
+    val vcf = Seq(
+      ("1", "100", "rs1", "A", "T", ".", "PASS", "DP=4", "GT", "0/1", "0/0"),
+      ("1", "100", "rs2", "A", "T", ".", "PASS", "DP=5", "GT", "0/1", "0/0"), // dup (CHROM,POS,REF,ALT)
+      ("2", "200", "rs3", "G", "C", ".", "PASS", "DP=6", null, "0/1", "0/0")
+    ).toDF("CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT",
+      "GENIE-CTR-1-1", "NOTGENIE")
+    val res = Vcf.validate(vcf, "CTR")
+    val msgs = res.findings.map(f => f.rule -> f.message).toMap
+    assert(msgs("duplicate_variants") == "vcf: Must not have duplicate variants.")
+    assert(msgs("format_missing_values") == "vcf: Must not have missing values in FORMAT column.")
+    assert(msgs("normal_sample_column") == "vcf: normal sample column must start with GENIE-CTR")
+    assert(!msgs.contains("tumor_sample_column")) // tumor column is well-formed
+    assert(!res.isValid)
+
+    // 9 columns → too few; missing headers message when FORMAT absent
+    val nine = vcf.drop("GENIE-CTR-1-1", "NOTGENIE")
+    val res9 = Vcf.validate(nine, "CTR")
+    assert(res9.findings.exists(f => f.rule == "too_few_columns" &&
+      f.message.startsWith("vcf: Must have at least 10 columns.")))
+    val res8 = Vcf.validate(nine.drop("FORMAT"), "CTR")
+    assert(res8.findings.exists(_.rule == "missing_headers"))
+
+    // 10-column single-sample with TUMOR header is fine
+    val ten = vcf.drop("NOTGENIE").withColumnRenamed("GENIE-CTR-1-1", "TUMOR")
+      .na.fill("GT", Seq("FORMAT")).dropDuplicates("CHROM", "POS", "REF", "ALT")
+    assert(Vcf.validate(ten, "CTR").isValid)
+  }
+
   test("meta sinks + versioned release folder make a structurally complete release") {
     import java.nio.file.{Files, Paths}
     val base = tmpDir("release-folder")
