@@ -2262,7 +2262,9 @@ object SparkEntry {
                   (SELECT COUNT(*) FROM mafb WHERE b NOT IN (SELECT upper(c_name) FROM customer))
            UNION ALL
            SELECT 'p25_db_assay',
-                  (SELECT COUNT(*) FROM clin_raw WHERE aid NOT IN (SELECT aid FROM assay))
+                  (SELECT COUNT(*) FROM clin_raw
+                   WHERE upper(replace(aid, '_', '-')) NOT IN
+                     (SELECT upper(replace(aid, '_', '-')) FROM assay))
            UNION ALL
            SELECT 'p26_unknown_cis',
                   (SELECT COUNT(*) FROM rek WHERE k NOT IN (SELECT k FROM dbk))""",

@@ -25,47 +25,59 @@ object AssayFormat {
     val key = col("SEQ_ASSAY_ID")
     def multiDomain(c: String, allowed: Seq[String]) =
       col(c).isNotNull && !forall(col(c), v => v.isInCollection(allowed))
+    // message helper: check_col_and_values shape, lowercase column names,
+    // "Assay_information.yaml" filename — verbatim (process_functions
+    // .py:692-705, assay.py:144-148)
+    def domainMsg(c: String, vals: Seq[String]) =
+      s"Assay_information.yaml: Please double check your ${c.toLowerCase} " +
+        s"column.  This column must only be these values: ${vals.mkString(", ")}"
     Seq(
       RowRule("seq_assay_id_prefix", "error",
-        !coalesce(upper(col("SEQ_ASSAY_ID")).startsWith(center.toUpperCase), lit(false)), key,
-        s"Assay: SEQ_ASSAY_ID must start with $center ({count} rows, e.g. {example})",
+        // reference normalizes _→- and upper-cases before the prefix test
+        !coalesce(upper(regexp_replace(col("SEQ_ASSAY_ID"), "_", "-"))
+          .startsWith(center.toUpperCase), lit(false)), key,
+        "Assay_information.yaml: Please make sure all your SEQ_ASSAY_IDs " +
+          "start with your center abbreviation.",
         requires = Seq("SEQ_ASSAY_ID")),
       RowRule("library_selection", "error",
         Rules.domain(col("LIBRARY_SELECTION"), librarySelection), key,
-        "Assay: LIBRARY_SELECTION not in GDC enumeration ({count} rows, e.g. {example})",
+        domainMsg("LIBRARY_SELECTION", librarySelection),
         requires = Seq("LIBRARY_SELECTION")),
       RowRule("library_strategy", "error",
         Rules.domain(col("LIBRARY_STRATEGY"), libraryStrategy), key,
-        "Assay: LIBRARY_STRATEGY not in GDC enumeration ({count} rows, e.g. {example})",
+        domainMsg("LIBRARY_STRATEGY", libraryStrategy),
         requires = Seq("LIBRARY_STRATEGY")),
       RowRule("platform", "error",
         Rules.domain(col("PLATFORM"), platform), key,
-        "Assay: PLATFORM not in GDC enumeration ({count} rows, e.g. {example})",
+        domainMsg("PLATFORM", platform),
         requires = Seq("PLATFORM")),
       RowRule("read_length_int", "error",
         col("READ_LENGTH").isNotNull && col("READ_LENGTH").try_cast("int").isNull, key,
-        "Assay: READ_LENGTH must be an integer ({count} rows, e.g. {example})",
+        "Assay_information.yaml: Please double check your read_length.  " +
+          "It must be an integer or null.",
         requires = Seq("READ_LENGTH")),
       RowRule("number_of_genes_int", "error",
         col("NUMBER_OF_GENES").isNotNull && col("NUMBER_OF_GENES").try_cast("int").isNull, key,
-        "Assay: NUMBER_OF_GENES must be an integer ({count} rows, e.g. {example})",
+        "Assay_information.yaml: Please double check your number_of_genes. " +
+          "It must be an integer.",
         requires = Seq("NUMBER_OF_GENES")),
       RowRule("cellularity_format", "error",
         col("SPECIMEN_TUMOR_CELLULARITY").isNotNull &&
           !col("SPECIMEN_TUMOR_CELLULARITY").rlike("^>\\d+%$"), key,
-        "Assay: SPECIMEN_TUMOR_CELLULARITY must look like >NN% ({count} rows, e.g. {example})",
+        "Assay_information.yaml: Please double check your " +
+          "specimen_tumor_cellularity. It must in this format >(num)%. ie. >10%",
         requires = Seq("SPECIMEN_TUMOR_CELLULARITY")),
       RowRule("alteration_types", "error",
         multiDomain("ALTERATION_TYPES", alterationTypes), key,
-        "Assay: ALTERATION_TYPES outside allowed set ({count} rows, e.g. {example})",
+        domainMsg("ALTERATION_TYPES", alterationTypes),
         requires = Seq("ALTERATION_TYPES")),
       RowRule("preservation_technique", "error",
         multiDomain("PRESERVATION_TECHNIQUE", preservation), key,
-        "Assay: PRESERVATION_TECHNIQUE outside allowed set ({count} rows, e.g. {example})",
+        domainMsg("PRESERVATION_TECHNIQUE", preservation),
         requires = Seq("PRESERVATION_TECHNIQUE")),
       RowRule("coverage", "error",
         multiDomain("COVERAGE", coverage), key,
-        "Assay: COVERAGE outside allowed set ({count} rows, e.g. {example})",
+        domainMsg("COVERAGE", coverage),
         requires = Seq("COVERAGE")))
   }
 
@@ -75,8 +87,13 @@ object AssayFormat {
   /** P25 (assay.py:383-427): every SEQ_ASSAY_ID the clinical DB knows
     * must appear in the assay file.
     */
-  def missingAssayIds(assay: DataFrame, clinicalDb: DataFrame): DataFrame =
-    clinicalDb.select(upper(col("SEQ_ASSAY_ID")).as("SEQ_ASSAY_ID")).distinct()
-      .join(assay.select(upper(col("SEQ_ASSAY_ID")).as("SEQ_ASSAY_ID")).distinct(),
-        Seq("SEQ_ASSAY_ID"), "left_anti")
+  /** Ids compare after the reference's `_`→`-` + upper normalization
+    * (assay.py:140-143, 415-420); the db's ORIGINAL strings come back.
+    */
+  def missingAssayIds(assay: DataFrame, clinicalDb: DataFrame): DataFrame = {
+    def norm(c: org.apache.spark.sql.Column) = upper(regexp_replace(c, "_", "-"))
+    clinicalDb.select(col("SEQ_ASSAY_ID")).distinct()
+      .join(broadcast(assay.select(norm(col("SEQ_ASSAY_ID")).as("__n")).distinct()),
+        norm(col("SEQ_ASSAY_ID")) === col("__n"), "left_anti")
+  }
 }

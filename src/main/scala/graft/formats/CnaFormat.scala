@@ -35,6 +35,63 @@ object CnaFormat {
     long.filter(col("VALUE").isNotNull &&
       !col("VALUE").cast("double").isInCollection(allowedValues))
 
+  /** P21 (cna.py:178-279): full CNA validation — first-column name,
+    * sample-column identifiers, value domain over the melted long form
+    * (ONE pass, no per-column loop), and the no-duplicate-symbols-after-
+    * remap check against the center's bed genes (validateSymbol
+    * cna.py:14-66: exact match, else cleaned-symbol match, else dropped).
+    * Messages verbatim, including the reference's value list that its
+    * own message disagrees with.
+    */
+  def validate(wide: DataFrame, center: String,
+               bedGenes: Option[DataFrame] = None): graft.rules.ValidationResult = {
+    import graft.rules.Finding
+    var findings = Vector.empty[Finding]
+    val first = wide.columns.headOption.getOrElse("")
+    if (first.toUpperCase != "HUGO_SYMBOL")
+      findings :+= Finding("first_column", "error", 1, None,
+        "Your cnv file's first column must be Hugo_Symbol")
+    val sampleCols = wide.columns.drop(1).filterNot(_.toUpperCase == "ENTREZ_GENE_ID")
+    val badPrefix = sampleCols.filterNot(_.startsWith(s"GENIE-$center"))
+    if (badPrefix.nonEmpty)
+      findings :+= Finding("sample_columns", "error", badPrefix.length.toLong,
+        badPrefix.headOption, s"cnv: samples must start with GENIE-$center")
+    val tooLong = sampleCols.filter(_.length >= 50)
+    if (tooLong.nonEmpty)
+      findings :+= Finding("sample_columns_length", "error", tooLong.length.toLong,
+        tooLong.headOption, "cnv: samples must have less than 50 characters.")
+
+    if (sampleCols.nonEmpty) {
+      val long = melt(wide.select((wide.columns.head +: sampleCols).map(col): _*))
+      val nBad = invalidValues(long).count()
+      if (nBad > 0)
+        findings :+= Finding("value_domain", "error", nBad, None,
+          "All values must be NA/blank, -2, -1.5, -1, -0.5, 0, 0.5, 1, 1.5, or 2.")
+    }
+
+    bedGenes.foreach { bed =>
+      val bedSyms = bed.select(upper(col("HUGO_SYMBOL")).as("__b")).distinct()
+      val mapped = wide.select(upper(col(wide.columns.head)).as("sym"))
+        .withColumn("clean", graft.sources.Bed.cleanSymbol(col("sym")))
+        .join(broadcast(bedSyms), col("sym") === col("__b"), "left")
+        .withColumn("remapped", col("__b")).drop("__b")
+        .join(broadcast(bedSyms.withColumnRenamed("__b", "__b2")),
+          col("clean") === col("__b2"), "left")
+        .withColumn("remapped", coalesce(col("remapped"), col("__b2")))
+        .filter(col("remapped").isNotNull)
+      val dupRow = mapped.groupBy("remapped").count().filter(col("count") > 1)
+        .agg(coalesce(sum(col("count")), lit(0L)).as("n"),
+          sort_array(collect_set(col("remapped"))).as("syms")).head()
+      val nDup = dupRow.getAs[Long]("n")
+      if (nDup > 0) {
+        val syms = dupRow.getAs[scala.collection.Seq[String]]("syms").mkString(",")
+        findings :+= Finding("duplicate_symbols_after_remap", "error", nDup, None,
+          s"Your CNA file has duplicated Hugo_Symbols (After remapping of genes): -> $syms.")
+      }
+    }
+    graft.rules.ValidationResult(findings)
+  }
+
   /** A7 `mergeCNAvalues` (cna.py:86-105): after symbol remap two rows
     * may land on the same (gene, sample). Resolution: 1 distinct
     * non-null value → keep it; 2 distinct of which one is 0 → the

@@ -61,6 +61,29 @@ class FormatsSpec extends SparkSpec {
       "Seg: Only numerical values allowed in SEG.MEAN.")
   }
 
+  test("P21: full CNA validate — first column, sample ids, values, remap dups") {
+    val wide = Seq(
+      ("EGFR", "0", "1.5"),
+      ("EGFR;ALT", "0.3", "-2"),   // 0.3 bad value; cleans to EGFR → remap dup
+      ("UNKNOWN", "1", "2")        // not in bed → dropped from remap check
+    ).toDF("Hugo_Symbol", "GENIE-CTR-s1", "BADCOL")
+    val bed = Seq("EGFR", "TP53").toDF("HUGO_SYMBOL")
+    val res = CnaFormat.validate(wide, "CTR", Some(bed))
+    val byRule = res.findings.map(f => f.rule -> f).toMap
+    assert(!byRule.contains("first_column")) // Hugo_Symbol ok (case-insensitive)
+    assert(byRule("sample_columns").count == 1) // BADCOL
+    assert(byRule("sample_columns").message == "cnv: samples must start with GENIE-CTR")
+    assert(byRule("value_domain").count == 1)   // the 0.3 cell
+    assert(byRule("value_domain").message ==
+      "All values must be NA/blank, -2, -1.5, -1, -0.5, 0, 0.5, 1, 1.5, or 2.")
+    assert(byRule("duplicate_symbols_after_remap").count == 2) // both EGFR rows
+
+    val wrongFirst = Seq(("x", "0")).toDF("GENE", "GENIE-CTR-s1")
+    assert(CnaFormat.validate(wrongFirst, "CTR").findings
+      .exists(f => f.rule == "first_column" &&
+        f.message == "Your cnv file's first column must be Hugo_Symbol"))
+  }
+
   test("SV: duplicates + center extraction") {
     val sv = Seq(
       ("GENIE-CTR-1-01", "del"), ("GENIE-CTR-1-01", "del"), ("GENIE-XYZ-2-01", "dup")
