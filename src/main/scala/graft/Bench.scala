@@ -39,17 +39,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // sbt stdout gets truncated/noised; also write the line to a file the
-    // driver can always parse.
+    // stdout must stay small: the driver reads a truncated tail of the build
+    // log, so print only the total + the 10 slowest queries (rounded to ms).
+    val slowest = results.sortBy(-_._2).take(10)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(slowest)},"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
+    // Full per-query detail goes to a file for human inspection.
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out))
-      try w.println(json) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
   }

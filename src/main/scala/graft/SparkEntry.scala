@@ -965,6 +965,26 @@ object SparkEntry {
       Rules.Battery.asDataFrame(d, rules)
     }),
 
+    // ---------------- P28: deprecated-column finding (clinical.py:780-797)
+    "p28_deprecated_check" -> ((s, dir) => {
+      import s.implicits._
+      // sample file WITH the deprecated SEQ_DATE column, duplicated
+      // SAMPLE_IDs, and some orphan patients — exercises the three
+      // schema-level clinical findings through the REAL validate()
+      val sample = t(s, dir, "customer").select(
+        concat(lit("S"), (col("c_custkey") % 100).cast("string")).as("SAMPLE_ID"),
+        concat(lit("GENIE-C-"), col("c_custkey")).as("PATIENT_ID"),
+        lit("Jan-2015").as("SEQ_DATE"))
+      val patient = sample.filter(col("PATIENT_ID").substr(lit(9), lit(99)).cast("long") % 10 =!= 0)
+        .select("PATIENT_ID").distinct()
+      val res = graft.formats.ClinicalFormat.validate(sample, patient, "C")
+      res.findings
+        .filter(f => f.rule.startsWith("deprecated_col") ||
+          f.rule == "duplicate_sample_id" || f.rule == "orphan_samples")
+        .map(f => (f.rule, f.severity, f.count, f.message))
+        .toDF("rule", "severity", "n", "message")
+    }),
+
     // ---------------- P10: SEX vs gendered-primary conflicts ----------
     "p10_sex_primary_conflicts" -> ((s, dir) => {
       import graft.sources.Oncotree
@@ -1114,13 +1134,13 @@ object SparkEntry {
       val p24c = CrossFileChecks.mafSampleIds(maf, clinical)
       val p25 = graft.formats.AssayFormat.missingAssayIds(assay, clinical)
       val dbVariants = t(s, dir, "lineitem").filter(col("l_orderkey") % 40 === 0).select(
-        ((col("l_partkey") % 22) + 1).cast("string").as("Chromosome"),
+        concat(lit("p.A"), (col("l_partkey") % 22).cast("string")).as("HGVSp_Short"),
         col("l_orderkey").as("Start_Position"),
         lit("A").as("Reference_Allele"),
         concat(lit("GENIE-C-"), col("l_suppkey")).as("Tumor_Sample_Barcode"),
         lit("T").as("Tumor_Seq_Allele2"))
       val resub = t(s, dir, "lineitem").filter(col("l_orderkey") % 80 === 0).select(
-        ((col("l_partkey") % 22) + 1).cast("string").as("Chromosome"),
+        concat(lit("p.A"), (col("l_partkey") % 22).cast("string")).as("HGVSp_Short"),
         (col("l_orderkey") + when(col("l_linenumber") % 3 === 0, 1).otherwise(0)).as("Start_Position"),
         lit("A").as("Reference_Allele"),
         concat(lit("GENIE-C-"), col("l_suppkey")).as("Tumor_Sample_Barcode"),
@@ -2077,6 +2097,24 @@ object SparkEntry {
            $rows"""
       },
 
+      "p28_deprecated_check" ->
+        """WITH s AS (SELECT 'S' || CAST(c_custkey % 100 AS VARCHAR) AS sid, c_custkey AS ck
+                      FROM customer),
+           orph AS (SELECT sid FROM s WHERE ck % 10 = 0)
+           SELECT 'deprecated_col_SEQ_DATE' AS rule, 'error' AS severity, CAST(1 AS BIGINT) AS n,
+                  'Sample Clinical File: SEQ_DATE is now deprecated. Please remove.' AS message
+           UNION ALL
+           SELECT 'duplicate_sample_id', 'error',
+                  (SELECT CAST(COUNT(*) AS BIGINT)
+                   FROM (SELECT sid FROM s GROUP BY sid HAVING COUNT(*) > 1) t),
+                  'Sample Clinical File: No duplicated SAMPLE_ID allowed.' || chr(10) ||
+                  'If there are no duplicated SAMPLE_IDs, and both sample and patient files are uploaded, then please check to make sure no duplicated PATIENT_IDs exist in the patient clinical file.'
+           UNION ALL
+           SELECT 'orphan_samples', 'error',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM s WHERE ck % 10 = 0),
+                  'Patient Clinical File: All samples must have associated patient information and no null patient ids allowed. These samples are missing patient data: '
+                    || (SELECT string_agg(DISTINCT sid, ', ' ORDER BY sid) FROM orph)""",
+
       "p10_sex_primary_conflicts" ->
         """WITH tree(code, primary_code) AS (
              SELECT * FROM (VALUES ('PRAD','PROSTATE'), ('TGCT','TESTIS'), ('UCEC','UTERUS'),
@@ -2248,12 +2286,14 @@ object SparkEntry {
            clin_raw AS (SELECT DISTINCT 'C_A' || CAST(c_custkey % 30 AS VARCHAR) AS aid FROM customer),
            mafb AS (SELECT DISTINCT 'CUSTOMER#' || lpad(CAST(o_custkey * 2 AS VARCHAR), 9, '0') AS b
                     FROM orders WHERE o_orderkey % 30 = 0),
-           dbk AS (SELECT DISTINCT CAST(l_partkey % 22 + 1 AS VARCHAR) || ' ' || CAST(l_orderkey AS VARCHAR)
-                     || ' A GENIE-C-' || CAST(l_suppkey AS VARCHAR) || ' T' AS k
+           dbk AS (SELECT DISTINCT 'GENIE-C-' || CAST(l_suppkey AS VARCHAR)
+                     || ' p.A' || CAST(l_partkey % 22 AS VARCHAR)
+                     || ' ' || CAST(l_orderkey AS VARCHAR) || ' A T' AS k
                    FROM lineitem WHERE l_orderkey % 40 = 0),
-           rek AS (SELECT DISTINCT CAST(l_partkey % 22 + 1 AS VARCHAR) || ' '
-                     || CAST(l_orderkey + CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END AS VARCHAR)
-                     || ' A GENIE-C-' || CAST(l_suppkey AS VARCHAR) || ' T' AS k
+           rek AS (SELECT DISTINCT 'GENIE-C-' || CAST(l_suppkey AS VARCHAR)
+                     || ' p.A' || CAST(l_partkey % 22 AS VARCHAR)
+                     || ' ' || CAST(l_orderkey + CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+                     || ' A T' AS k
                    FROM lineitem WHERE l_orderkey % 80 = 0)
            SELECT 'p24_clinical_assay' AS check,
                   (SELECT COUNT(*) FROM clin WHERE aid NOT IN (SELECT aid FROM assay)) AS n
@@ -2422,7 +2462,8 @@ object SparkEntry {
              FROM s FULL OUTER JOIN m ON s.center = m.center)
            SELECT center AS Center, samples AS Samples, variants AS Variants FROM merged
            UNION ALL
-           SELECT 'Total', SUM(samples), SUM(variants) FROM merged""",
+           SELECT 'Total', CAST(SUM(samples) AS BIGINT), CAST(SUM(variants) AS BIGINT)
+           FROM merged""",
 
       "c2_clinical_process" ->
         """WITH m(code, label, descr) AS (

@@ -27,6 +27,12 @@ object ValidateCli {
     case n if n.endsWith(".bed")                          => "bed"
     case n if n.endsWith(".seg")                          => "seg"
     case n if n.endsWith(".yaml") || n.endsWith(".yml")   => "assay"
+    // exact registry names (cna.py:120-121, structural_variant.py:18-19,
+    // mutationsInCis.py:31-33)
+    case n if n.startsWith("data_CNA") && n.endsWith(".txt") &&
+              (center.isEmpty || n == s"data_CNA_$center.txt") => "cna"
+    case "data_sv.txt"                                    => "sv"
+    case "mutationsInCis_filtered_samples.csv"            => "mutationsInCis"
     // exact-name retraction lists (sampleRetraction.py:26-27,
     // patientRetraction.py:8-9: same class, different id column)
     case "sampleRetraction.csv"                           => "sampleRetraction"
@@ -42,7 +48,17 @@ object ValidateCli {
     val spark = GraftSession.builder(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val anyError = run(spark, center, inputDir)
+    println(if (anyError) "RESULT: INVALID" else "RESULT: VALID")
+    spark.stop()
+    if (anyError) sys.exit(1)
+  }
 
+  /** Validate every recognized file in `inputDir`; returns whether any
+    * error-severity finding fired (the CLI's exit-code source). Split
+    * from main() so specs can drive the full dispatch without sys.exit.
+    */
+  def run(spark: SparkSession, center: String, inputDir: String): Boolean = {
     val files = Files.list(Paths.get(inputDir)).iterator().asScala
       .map(_.toString).toSeq.sorted
     var anyError = false
@@ -99,6 +115,23 @@ object ValidateCli {
           res.findings.filter(_.count > 0).foreach(x =>
             println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
           anyError ||= !res.isValid
+        case "cna" =>
+          val res = graft.formats.CnaFormat.validate(Tsv.readAllString(spark, f), center)
+          res.findings.filter(_.count > 0).foreach(x =>
+            println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
+          anyError ||= !res.isValid
+        case "sv" =>
+          val res = graft.formats.SvFormat.validate(Tsv.readAllString(spark, f), center)
+          res.findings.filter(_.count > 0).foreach(x =>
+            println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
+          anyError ||= !res.isValid
+        case "mutationsInCis" =>
+          // csv with '#' comment lines (mutationsInCis.py:24-29)
+          val df = spark.read.option("header", "true").option("comment", "#").csv(f)
+          val res = graft.formats.MutationsInCisFormat.validate(df, center)
+          res.findings.filter(_.count > 0).foreach(x =>
+            println(s"$name ${x.severity} ${x.rule}: ${x.message}"))
+          anyError ||= !res.isValid
         case "sampleRetraction" | "patientRetraction" =>
           // headerless single-column id list (S8); filename already
           // carries the semantics, nothing else to validate
@@ -109,9 +142,6 @@ object ValidateCli {
         case _ => ()
       }
     }
-
-    println(if (anyError) "RESULT: INVALID" else "RESULT: VALID")
-    spark.stop()
-    if (anyError) sys.exit(1)
+    anyError
   }
 }

@@ -44,24 +44,29 @@ object ClinicalFormat {
     Seq(
       RowRule("sample_id_prefix", "error",
         sid.isNull || !sid.startsWith(s"GENIE-$center"), sid,
-        s"Sample Clinical File: SAMPLE_ID must start with GENIE-$center"),
+        s"Sample Clinical File: SAMPLE_ID must start with GENIE-$center",
+        requires = Seq("SAMPLE_ID")),
       RowRule("sample_id_length", "error",
         length(sid) >= 50, sid,
-        "Sample Clinical File: SAMPLE_ID must have less than 50 characters."),
+        "Sample Clinical File: SAMPLE_ID must have less than 50 characters.",
+        requires = Seq("SAMPLE_ID")),
       // message verbatim incl. the reference's "much" typo (clinical.py:904-906)
       RowRule("patient_in_sample", "error",
         !coalesce(sid.contains(col("PATIENT_ID")), lit(false)), sid,
-        "Sample Clinical File: PATIENT_ID's much be contained in the SAMPLE_ID's (ex. SAGE-1 <-> SAGE-1-2)"),
+        "Sample Clinical File: PATIENT_ID's much be contained in the SAMPLE_ID's (ex. SAGE-1 <-> SAGE-1-2)",
+        requires = Seq("SAMPLE_ID", "PATIENT_ID")),
       // clinical.py:938-952: only Unknown/>32485/<6570 are exempt from
       // the integer check (NOT the full day-sentinel list)
       RowRule("age_at_seq_report", "error",
         Rules.notInteger(col("AGE_AT_SEQ_REPORT")) &&
           !col("AGE_AT_SEQ_REPORT").isInCollection(Seq("Unknown", ">32485", "<6570")), sid,
         "Sample Clinical File: Please double check your AGE_AT_SEQ_REPORT. " +
-          "It must be an integer, 'Unknown', '>32485', '<6570'."),
+          "It must be an integer, 'Unknown', '>32485', '<6570'.",
+        requires = Seq("AGE_AT_SEQ_REPORT")),
       RowRule("oncotree_code_case", "warning",
         col("ONCOTREE_CODE") =!= upper(col("ONCOTREE_CODE")), sid,
-        "Sample: ONCOTREE_CODE should be uppercase ({count} rows, e.g. {example})"),
+        "Sample: ONCOTREE_CODE should be uppercase ({count} rows, e.g. {example})",
+        requires = Seq("ONCOTREE_CODE")),
       RowRule("seq_assay_empty", "error",
         col("SEQ_ASSAY_ID").isNull || trim(col("SEQ_ASSAY_ID")) === "", sid,
         "Sample Clinical File: Please double check your SEQ_ASSAY_ID columns, there are empty rows.",
@@ -70,10 +75,12 @@ object ClinicalFormat {
         col("SEQ_ASSAY_ID").isNotNull && trim(col("SEQ_ASSAY_ID")) =!= "" &&
           !upper(col("SEQ_ASSAY_ID")).startsWith(center), sid,
         "Sample Clinical File: Please make sure your SEQ_ASSAY_IDs start with " +
-          s"your center abbreviation: {example}."),
+          s"your center abbreviation: {example}.",
+        requires = Seq("SEQ_ASSAY_ID")),
       RowRule("empty_row", "error",
         Rules.emptyRow(Seq(sid, col("PATIENT_ID"), col("ONCOTREE_CODE"))), lit("<empty>"),
-        "Sample: {count} entirely empty rows"))
+        "Sample: {count} entirely empty rows",
+        requires = Seq("SAMPLE_ID", "PATIENT_ID", "ONCOTREE_CODE")))
   }
 
   def patientRules(center: String, currentYear: Int = 2026): Seq[RowRule] = {
@@ -81,16 +88,19 @@ object ClinicalFormat {
     Seq(
       RowRule("patient_id_prefix", "error",
         pid.isNull || !pid.startsWith(s"GENIE-$center"), pid,
-        s"Patient Clinical File: PATIENT_ID must start with GENIE-$center"),
+        s"Patient Clinical File: PATIENT_ID must start with GENIE-$center",
+        requires = Seq("PATIENT_ID")),
       RowRule("patient_id_length", "error",
         length(pid) >= 50, pid,
-        "Patient Clinical File: PATIENT_ID must have less than 50 characters."),
+        "Patient Clinical File: PATIENT_ID must have less than 50 characters.",
+        requires = Seq("PATIENT_ID")),
       // _check_year (clinical.py:20-69) with the BIRTH_YEAR sentinel list
       RowRule("birth_year", "error",
         Rules.badYear(col("BIRTH_YEAR"), currentYear, yearSentinels :+ "cannotReleaseHIPAA"), pid,
         "Patient Clinical File: Please double check your BIRTH_YEAR column, " +
           s"it must be an integer in YYYY format <= $currentYear or " +
-          "'Unknown', 'Not Collected', 'Not Released', '>89', '<18'."),
+          "'Unknown', 'Not Collected', 'Not Released', '>89', '<18'.",
+        requires = Seq("BIRTH_YEAR")),
       RowRule("death_after_contact", "error",
         col("YEAR_DEATH").rlike("^\\d{4}$") && col("YEAR_CONTACT").rlike("^\\d{4}$") &&
           col("YEAR_DEATH").cast("int") < col("YEAR_CONTACT").cast("int"), pid,

@@ -138,6 +138,82 @@ object VectorFunctions {
       .select(col(qId), col(cId), col("score"), col("rank"))
   }
 
+  // ---- learned-centroid IVF (Lloyd's k-means, deterministic) ----------
+
+  /** Nearest-centroid assignment: broadcast the k centroids, compute
+    * ||v||² − 2·v·c + ||c||² (three sequential folds — the exact op
+    * order the oracle replays), argmin with a cid tie-break. Adds `cid`.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
+    val joined = df.crossJoin(broadcast(centroids))
+      .withColumn("__dist",
+        dot(col(vecCol), col(vecCol)) - lit(2.0) * dot(col(vecCol), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cid").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__dist", "centroid")
+  }
+
+  /** Lloyd's k-means over an embedding column, shaped for a cluster:
+    * per iteration ONE broadcast-assign pass plus ONE map-side-combined
+    * (cid, dim) aggregation — the shuffle carries k·dim partial sums per
+    * task, never vectors. Deterministic end to end: seeds are the k
+    * lowest-id vectors, per-dim means go through DECIMAL(30,10) sums
+    * (partial-agg order can't change them), distance ties break on cid.
+    * Returns the k final centroids as (cid, centroid array<double>) —
+    * driver-small by construction (k·dim doubles).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+    var centroids: Seq[(Int, Seq[Double])] =
+      v.orderBy(col("__id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Double](1).toSeq
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("cid", "centroid")
+      val assigned = kmeansAssign(v, "__id", "__vec", cdf)
+      val sums = assigned
+        .select(col("cid"), posexplode(col("__vec")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("decimal(30,10)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      // mean = double(decimal sum) / n — the same two-step the oracle does
+      centroids = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(r => r.getDecimal(2).doubleValue() / r.getLong(3)).toSeq
+      }.toSeq.sortBy(_._1)
+    }
+    centroids.toDF("cid", "centroid")
+  }
+
+  /** IVF search with learned centroids: train k-means, assign every
+    * vector to its cell, probe only the query's cell, exact cosine
+    * rank inside it. The cell join is an equi-join on `cid` — the same
+    * all-shuffles-are-id-sized shape as the label-cell variant, with
+    * centroids learned instead of given.
+    */
+  def kmeansIvfTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryFilter: Column, k: Int, clusters: Int,
+                    iters: Int, roundScale: Int = 6): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, clusters, iters)
+    val cells = kmeansAssign(df, idCol, vecCol, cents)
+    val q = cells.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cid"))
+    val c = cells.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("cid"))
+    val joined = c.join(broadcast(q), Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("score"), roundScale).as("score"), col("rank"))
+  }
+
   /** Bucketed (LSH) cosine top-k: candidates restricted to the query's
     * sign bucket → equi-join on bucket, then exact cosine rank. Recall
     * is approximate; cost drops from O(n·m) to O(n·m/2^bits) expected.

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * Contract: image/audio/video payloads are opaque `binary` columns with
   * a typed metadata struct alongside. The Spark-side machinery — schema,
   * partition sizing, batch iteration via mapPartitions, deterministic
-  * output shape — is real and tested; the actual codec calls are STUBBED
-  * (this container ships no image/audio libraries) behind
-  * [[StubCodec]], clearly marked, with a deterministic fake so tests
-  * and downstream operators have stable inputs.
+  * output shape — is real and tested. IMAGES decode for real via the
+  * JDK's `javax.imageio` ([[ImageCodec]]: PNG/JPEG/GIF/BMP header +
+  * pixel decode, luminance features, resize); audio/video (no JDK
+  * codec) remain STUBBED behind [[StubCodec]], clearly marked, with a
+  * deterministic fake so tests and downstream operators have stable
+  * inputs.
   *
   * Scale notes: payloads never shuffle unless the caller asks for it;
   * decode/feature steps are mapPartitions (no per-row task overhead,
@@ -27,8 +29,82 @@ object Multimodal {
 
   final case class MediaFeature(id: Long, dim: Int, feature: Array[Float])
 
-  /** STUB codec — deterministic fake decode. A real deployment swaps
-    * this for JNI/FFI codec calls; the signature and batch shape stay.
+  /** Real JDK-only image codec (`javax.imageio` — PNG/JPEG/GIF/BMP ship
+    * with the JDK, no external library). Payloads whose magic bytes mark
+    * them as images get REAL header + pixel decode; everything else
+    * (audio/video — no JDK codec exists) falls through to [[StubCodec]]
+    * unchanged, flagged by `format`.
+    */
+  object ImageCodec {
+    /** Magic-byte sniff (PNG \x89PNG, JPEG FFD8FF, GIF8, BMP "BM"). */
+    def sniffFormat(p: Array[Byte]): Option[String] =
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+        Some("png")
+      else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff)
+        Some("jpeg")
+      else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+        Some("gif")
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Some("bmp")
+      else None
+
+    private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      catch { case _: Exception => None }
+
+    /** Real dims for decodable images; stub otherwise (a payload that
+      * merely *starts* like an image but fails decode also stubs, so
+      * synthetic test payloads can never flip behavior).
+      */
+    def decodeMeta(id: Long, payload: Array[Byte]): MediaMeta =
+      sniffFormat(payload).flatMap { fmt =>
+        readImage(payload).map(img =>
+          MediaMeta(id, payload.length, img.getWidth, img.getHeight, 1, fmt))
+      }.getOrElse(StubCodec.decodeMeta(id, payload))
+
+    /** Real pixel feature for images: L1-normalized luminance histogram
+      * over `dim` bins (deterministic — integer luma, fixed bin edges).
+      */
+    def extractFeature(id: Long, payload: Array[Byte], dim: Int): MediaFeature =
+      sniffFormat(payload).flatMap(_ => readImage(payload)).map { img =>
+        val hist = new Array[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(luma * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val total = math.max(1f, (w * h).toFloat)
+        var j = 0
+        while (j < dim) { hist(j) /= total; j += 1 }
+        MediaFeature(id, dim, hist)
+      }.getOrElse(StubCodec.extractFeature(id, payload, dim))
+
+    /** Real resize: area-averaging scale, re-encoded as PNG bytes.
+      * Returns None for non-image payloads (caller keeps the original).
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      sniffFormat(payload).flatMap(_ => readImage(payload)).map { img =>
+        val scaled = img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /** STUB codec — deterministic fake decode for modalities the JDK has
+    * no codec for (audio/video). A real deployment swaps this for
+    * JNI/FFI codec calls; the signature and batch shape stay.
     */
   object StubCodec {
     /** ??? real impl: decode header via imageio/ffprobe. Deterministic
@@ -64,8 +140,9 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: init codec here, once per partition
-        it.map { case (id, payload) => StubCodec.decodeMeta(id, Option(payload).getOrElse(Array.empty)) }
+        // codec init happens once per partition; images decode for real
+        // (ImageCodec), other modalities stub
+        it.map { case (id, payload) => ImageCodec.decodeMeta(id, Option(payload).getOrElse(Array.empty)) }
       }
   }
 
@@ -80,7 +157,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          StubCodec.extractFeature(id, Option(payload).getOrElse(Array.empty), dim)
+          ImageCodec.extractFeature(id, Option(payload).getOrElse(Array.empty), dim)
         }
       }
   }

@@ -38,11 +38,12 @@ object CrossFileChecks {
     missingFrom(maf, "TUMOR_SAMPLE_BARCODE", clinicalSample, "SAMPLE_ID")
 
   /** P26: resubmitted mutationsInCis rows must already exist in the DB
-    * (5-column concatenated key, mutationsInCis.py:50-110).
+    * (space-joined 5-column primary key in the reference's order,
+    * mutationsInCis.py:76-101).
     */
   def unknownCisVariants(resubmission: DataFrame, db: DataFrame): DataFrame = {
-    val keyCols = Seq("Chromosome", "Start_Position", "Reference_Allele",
-      "Tumor_Sample_Barcode", "Tumor_Seq_Allele2")
+    val keyCols = Seq("Tumor_Sample_Barcode", "HGVSp_Short", "Start_Position",
+      "Reference_Allele", "Tumor_Seq_Allele2")
     def keyed(df: DataFrame) = df.select(
       concat_ws(" ", keyCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("__key"))
     keyed(resubmission).distinct()

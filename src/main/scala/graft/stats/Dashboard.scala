@@ -89,9 +89,12 @@ object Dashboard {
       .select(col("Center"),
         coalesce(col("Samples"), lit(0L)).as("Samples"),
         coalesce(col("Variants"), lit(0L)).as("Variants"))
-    merged.unionByName(
-      merged.agg(sum("Samples").as("Samples"), sum("Variants").as("Variants"))
-        .select(lit("Total").as("Center"), col("Samples"), col("Variants")))
+    // Per-center rows + Total in ONE pass over `merged` (rollup = single
+    // Expand+Aggregate), instead of unioning a second full re-computation.
+    merged.rollup(col("Center"))
+      .agg(sum("Samples").as("Samples"), sum("Variants").as("Variants"))
+      .select(coalesce(col("Center"), lit("Total")).as("Center"),
+        col("Samples"), col("Variants"))
   }
 
   /** J8: sample-count diff between two releases per center

@@ -39,8 +39,8 @@ class CoverageExtrasSpec extends SparkSpec {
     val orphan = CrossFileChecks.mafSampleIds(maf, clinical).as[String].collect().toSeq
     assert(orphan == Seq("GENIE-C-S9")) // normalized form reported
 
-    val resub = Seq(("1", 100L, "A", "GENIE-C-s1", "T")).toDF(
-      "Chromosome", "Start_Position", "Reference_Allele", "Tumor_Sample_Barcode", "Tumor_Seq_Allele2")
+    val resub = Seq(("p.V600E", 100L, "A", "GENIE-C-s1", "T")).toDF(
+      "HGVSp_Short", "Start_Position", "Reference_Allele", "Tumor_Sample_Barcode", "Tumor_Seq_Allele2")
     val db = resub.limit(0)
     assert(CrossFileChecks.unknownCisVariants(resub, db).count() == 1)
     assert(CrossFileChecks.unknownCisVariants(resub, resub).count() == 0)

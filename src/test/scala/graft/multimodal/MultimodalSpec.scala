@@ -33,6 +33,66 @@ class MultimodalSpec extends SparkSpec {
     assert(f3.feature.sum == 0f) // empty payload → zero vector, no NaN
   }
 
+  // ---- real image path (javax.imageio) -------------------------------
+
+  /** Deterministic 8×5 RGB gradient, PNG-encoded. */
+  private def pngFixture(w: Int = 8, h: Int = 5): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 32 << 16) | (y * 48 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageCodec: real PNG decode — exact dims, format, single frame") {
+    val png = pngFixture()
+    assert(Multimodal.ImageCodec.sniffFormat(png).contains("png"))
+    val meta = Multimodal.ImageCodec.decodeMeta(7L, png)
+    assert(meta == Multimodal.MediaMeta(7L, png.length, 8, 5, 1, "png"))
+    // non-image bytes fall through to the stub (format flag differs)
+    val stub = Multimodal.ImageCodec.decodeMeta(7L, "not an image".getBytes)
+    assert(Set("img", "vid").contains(stub.format))
+  }
+
+  test("ImageCodec: pixel luminance histogram is real and L1-normalized") {
+    val png = pngFixture()
+    val f = Multimodal.ImageCodec.extractFeature(1L, png, dim = 16)
+    assert(f.feature.length == 16 && math.abs(f.feature.sum - 1f) < 1e-5)
+    // differs from the stub's byte histogram of the *encoded* bytes —
+    // proof the pixels were decoded
+    val stub = Multimodal.StubCodec.extractFeature(1L, png, 16)
+    assert(!f.feature.sameElements(stub.feature))
+    // all-black image → all luma in bucket 0
+    val black = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.ImageCodec.extractFeature(2L, bos.toByteArray, 16)
+    }
+    assert(black.feature(0) == 1f && black.feature.drop(1).forall(_ == 0f))
+  }
+
+  test("ImageCodec: resize produces a decodable PNG at the target dims") {
+    val resized = Multimodal.ImageCodec.resize(pngFixture(16, 10), 4, 3)
+    assert(resized.isDefined)
+    val meta = Multimodal.ImageCodec.decodeMeta(0L, resized.get)
+    assert(meta.width == 4 && meta.height == 3 && meta.format == "png")
+    assert(Multimodal.ImageCodec.resize("plain text".getBytes, 4, 3).isEmpty)
+  }
+
+  test("decodeMeta pipeline: mixed image + non-image partition") {
+    val png = pngFixture()
+    val mixed = Seq((10L, png), (11L, "audio-ish payload".getBytes))
+      .toDF("id", "payload")
+    val rows = Multimodal.decodeMeta(mixed, "id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(rows(10L).format == "png" && rows(10L).width == 8 && rows(10L).height == 5)
+    assert(Set("img", "vid").contains(rows(11L).format))
+  }
+
   test("frameSamplePlan: explodes frame indices with stride") {
     val meta = Multimodal.decodeMeta(docs, "id", "payload")
     val plan = Multimodal.frameSamplePlan(meta, stride = 2)
