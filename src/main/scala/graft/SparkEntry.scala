@@ -728,6 +728,15 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // ---------------- learned-centroid IVF (k-means) -----------------
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      // Lloyd iterations learn the coarse quantizer (deterministic:
+      // lowest-id seeds, decimal mean sums, cid tie-breaks), then probe
+      // only the query's learned cell
+      V.kmeansIvfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 3, clusters = 4, iters = 2)
+    }),
+
     // ---------------- CNA matrix lifecycle ---------------------------
     "cna_melt_merge" -> ((s, dir) => {
       // wide matrix → melt → A7 merge → long form (graft.formats.CnaFormat)
@@ -1956,6 +1965,52 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
            FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3""",
+
+      "sim_ivf_kmeans" -> {
+        // unrolled Lloyd iterations, replaying the engine's exact op
+        // order: three sequential folds for the distance, DECIMAL(30,10)
+        // per-dim sums, double(sum)/count means, cid tie-breaks
+        def dist(v: String, c: String) =
+          s"""list_sum(list_transform(range(1, 65), j -> $v[j] * $v[j]))
+              - 2 * list_sum(list_transform(range(1, 65), j -> $v[j] * $c[j]))
+              + list_sum(list_transform(range(1, 65), j -> $c[j] * $c[j]))"""
+        def assign(cents: String) =
+          s"""SELECT id, vec, cid FROM (
+                SELECT v.id, v.vec, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY v.id
+                         ORDER BY ${dist("v.vec", "c.cvec")} ASC, c.cid ASC) AS rn
+                FROM v CROSS JOIN $cents c) WHERE rn = 1"""
+        def means(assigned: String) =
+          s"""SELECT cid, list(m ORDER BY i) AS cvec FROM (
+                SELECT cid, i,
+                       CAST(SUM(CAST(vec[CAST(i AS INT)] AS DECIMAL(30,10))) AS DOUBLE)
+                         / COUNT(*) AS m
+                FROM $assigned CROSS JOIN range(1, 65) AS r(i)
+                GROUP BY cid, i) GROUP BY cid"""
+        s"""WITH v AS (SELECT vec_id AS id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                       FROM embeddings),
+           c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cid, vec AS cvec
+                  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 4)),
+           a0 AS (${assign("c0")}),
+           c1 AS (${means("a0")}),
+           a1 AS (${assign("c1")}),
+           c2 AS (${means("a1")}),
+           cells AS (${assign("c2")}),
+           cand AS (SELECT q.id AS q_id, c.id AS c_id, q.vec AS q_vec, c.vec AS c_vec
+                    FROM (SELECT * FROM cells WHERE id < 10) q
+                    JOIN cells c USING (cid) WHERE c.id <> q.id),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i]))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> q_vec[i] * q_vec[i])))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> c_vec[i] * c_vec[i])))) AS score
+             FROM cand)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3"""
+      },
 
       "cna_melt_merge" -> {
         val srcList = (0 until 20).map(i => s"'src$i'").mkString(", ")

@@ -151,6 +151,108 @@ object ReleaseJob {
     flagColumn(flagColumn(base, cnaSamples, "cna"), svSamples, "sv")
   }
 
+  /** Everything a structurally complete consortium release carries
+    * (database_to_staging.py:1358-1956). `bed` doubles as the
+    * genomic_information source and the per-assay gene-panel source.
+    */
+  final case class FullReleaseInputs(clinicalSample: DataFrame,
+                                     clinicalPatient: DataFrame,
+                                     maf: DataFrame, cnaLong: DataFrame,
+                                     seg: DataFrame, sv: DataFrame,
+                                     bed: DataFrame, assayInfo: DataFrame)
+
+  /** Write the COMPLETE release folder in the reference's versioned
+    * layout (`Release <major>/<version>/…`, database_to_staging.py:
+    * 2034-2125) and return the manifest (paths relative to the release
+    * dir, sorted). `public = true` applies the consortium→public
+    * differences (consortium_to_public.py:41-359): data_clinical.txt is
+    * consortium-only (database_to_staging.py:2085).
+    *
+    * Every artifact's CONTENT comes out of a distributed plan; the
+    * single-file names are the coalesce(1) publish step (release
+    * artifacts are panel/clinical-scale, orders smaller than the input).
+    */
+  def writeFullRelease(in: FullReleaseInputs, baseDir: String, studyId: String,
+                       genieVersion: String, public: Boolean = false): Seq[String] = {
+    import graft.sources.Tsv
+    val (releaseDir, caseListsDir) = CbioSinks.releaseFolderLayout(baseDir, genieVersion)
+
+    // ---- clinical trio (database_to_staging.py:1358-1392) ----
+    CbioSinks.writeClinical(in.clinicalSample,
+      Map("SAMPLE_ID" -> CbioSinks.ClinicalHeader("Sample Identifier", "A unique sample identifier", "STRING"),
+        "PATIENT_ID" -> CbioSinks.ClinicalHeader("Patient Identifier", "A unique patient identifier", "STRING")),
+      s"$releaseDir/data_clinical_sample.txt")
+    CbioSinks.writeClinical(in.clinicalPatient,
+      Map("PATIENT_ID" -> CbioSinks.ClinicalHeader("Patient Identifier", "A unique patient identifier", "STRING")),
+      s"$releaseDir/data_clinical_patient.txt")
+    if (!public)
+      Tsv.writeSingle(
+        in.clinicalSample.join(in.clinicalPatient, Seq("PATIENT_ID"), "left"),
+        s"$releaseDir/data_clinical.txt")
+
+    // ---- genomic artifacts ----
+    Tsv.writeSingle(in.maf, s"$releaseDir/data_mutations_extended.txt")
+    val cnaSampleIds = in.cnaLong.select("SAMPLE_ID").distinct()
+      .orderBy("SAMPLE_ID").collect().map(_.getString(0)).toSeq // matrix columns: panel-scale
+    Tsv.writeSingle(graft.formats.CnaFormat.toWide(in.cnaLong, cnaSampleIds),
+      s"$releaseDir/data_CNA.txt", naToken = "NA")
+    Tsv.writeSingle(in.seg, s"$releaseDir/data_cna_hg19.seg")
+    Tsv.writeSingle(in.sv, s"$releaseDir/data_sv.txt")
+    val gm = geneMatrix(in.clinicalSample,
+      in.cnaLong.select("SAMPLE_ID"), in.sv.select("SAMPLE_ID"))
+    Tsv.writeSingle(gm, s"$releaseDir/data_gene_matrix.txt")
+    Tsv.writeSingle(in.assayInfo, s"$releaseDir/assay_information.txt")
+    Tsv.writeSingle(in.bed, s"$releaseDir/genomic_information.txt")
+
+    // ---- case lists: per cancer type + the fixed five ----
+    CbioSinks.writeCaseLists(in.clinicalSample, "CANCER_TYPE", "SAMPLE_ID",
+      studyId, caseListsDir)
+    val allIds = in.clinicalSample.select("SAMPLE_ID").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val seqIds = in.maf.select(col("TUMOR_SAMPLE_BARCODE").as("SAMPLE_ID")).distinct()
+      .join(broadcast(in.clinicalSample.select("SAMPLE_ID").distinct()), Seq("SAMPLE_ID"), "left_semi")
+      .collect().map(_.getString(0)).toSeq
+    val cnaIds = cnaSampleIds
+    val svIds = in.sv.select("SAMPLE_ID").distinct().collect().map(_.getString(0)).toSeq
+    CbioSinks.writeCaseList(allIds, "all", "All samples", studyId, caseListsDir)
+    CbioSinks.writeCaseList(seqIds, "sequenced", "Sequenced Tumors", studyId, caseListsDir)
+    CbioSinks.writeCaseList(cnaIds, "cna", "Samples with CNA data", studyId, caseListsDir)
+    CbioSinks.writeCaseList(svIds, "sv", "Samples with SV data", studyId, caseListsDir)
+    CbioSinks.writeCaseList(cnaIds.intersect(seqIds), "cnaseq",
+      "Samples with CNA and mutation data", studyId, caseListsDir)
+
+    // ---- per-assay gene panels (store_gene_panel_files,
+    // database_to_staging.py:809-845): one groupBy pass, tiny output ----
+    val panelRows = in.bed
+      .groupBy("SEQ_ASSAY_ID")
+      .agg(sort_array(collect_set(graft.sources.Bed.cleanSymbol(col("HUGO_SYMBOL")))).as("genes"))
+      .collect()
+    panelRows.foreach { r =>
+      val assay = r.getString(0)
+      val genes = r.getAs[scala.collection.Seq[String]]("genes")
+      val content = s"stable_id: $assay\ndescription: ${genes.length} genes\n" +
+        s"gene_list: ${genes.mkString("\t")}\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$releaseDir/data_gene_panel_$assay.txt"),
+        content.getBytes("UTF-8"))
+    }
+
+    // ---- meta files (database_to_staging.py:1960-2006) ----
+    CbioSinks.writeMetaStudy(studyId, "GENIE-like", "Test cohort", genieVersion, releaseDir)
+    CbioSinks.writeMetaClinical(studyId, patientLevel = false, releaseDir)
+    CbioSinks.writeMetaClinical(studyId, patientLevel = true, releaseDir)
+    CbioSinks.writeMetaMaf(studyId, releaseDir)
+
+    // ---- manifest ----
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(releaseDir)
+    val walked = java.nio.file.Files.walk(base)
+    try walked.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => base.relativize(p).toString).toSeq.sorted
+    finally walked.close()
+  }
+
   /** Write release artifacts in cBioPortal layout. */
   def writeArtifacts(out: ReleaseOutputs, outDir: String, studyId: String): Unit = {
     CbioSinks.writeClinical(

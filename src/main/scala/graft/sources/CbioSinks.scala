@@ -68,6 +68,26 @@ object CbioSinks {
     }.toSeq
   }
 
+  /** One explicit case list from an id set — the fixed lists the
+    * reference writes besides the per-cancer-type ones
+    * (create_case_lists.py:144-247: cases_all, cases_sequenced,
+    * cases_cna, cases_sv, cases_cnaseq).
+    */
+  def writeCaseList(ids: Seq[String], slug: String, name: String,
+                    studyId: String, outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val f = s"$outDir/cases_$slug.txt"
+    val sorted = ids.sorted
+    val content =
+      s"""cancer_study_identifier: $studyId
+         |stable_id: ${studyId}_$slug
+         |case_list_name: $name
+         |case_list_description: $name (${sorted.length} samples)
+         |case_list_ids: ${sorted.mkString("\t")}""".stripMargin + "\n"
+    Files.write(Paths.get(f), content.getBytes(StandardCharsets.UTF_8))
+    f
+  }
+
   /** Meta files for a structurally complete cBioPortal release folder
     * (database_to_staging.py:1960-2006 revises these per release; the
     * formats are the cBioPortal meta conventions the reference study

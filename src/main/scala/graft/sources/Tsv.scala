@@ -51,7 +51,7 @@ object Tsv {
   def write(df: DataFrame, path: String, naToken: String = "",
             sep: String = "\t"): Unit = {
     val cleaned = df.select(df.schema.fields.map { f =>
-      val c = col(f.name)
+      val c = col(s"`${f.name}`") // backtick-quoted — survives dotted names (LOC.START)
       f.dataType match {
         case DoubleType | FloatType =>
           // "12.0" → "12"; NaN/Infinity/huge values fall through to the
@@ -71,5 +71,26 @@ object Tsv {
       .option("nullValue", naToken)
       .mode("overwrite")
       .csv(path)
+  }
+
+  /** Publish a DataFrame as ONE named flat file — the cBioPortal
+    * release-artifact shape (data_mutations_extended.txt etc.,
+    * database_to_staging.py:1011-1062 writes single files via pandas).
+    * The pipeline computes distributed; this coalesce(1)+rename is only
+    * the final publish step for a named artifact, never a compute path.
+    */
+  def writeSingle(df: DataFrame, outFile: String, naToken: String = "",
+                  sep: String = "\t"): Unit = {
+    val tmp = outFile + "_tmpdir"
+    write(df.coalesce(1), tmp, naToken, sep)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val target = java.nio.file.Paths.get(outFile)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.move(part.toPath, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
   }
 }

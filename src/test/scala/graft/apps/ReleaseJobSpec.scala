@@ -80,6 +80,76 @@ class ReleaseJobSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/case_lists").listFiles().nonEmpty)
   }
 
+  test("full consortium→public release: complete folder manifest parity") {
+    val base = tmpDir("full-release")
+    val out = ReleaseJob.run(inputs)
+
+    val clinicalSample = out.clinical
+      .select("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "AGE_AT_SEQ_REPORT", "SEQ_ASSAY_ID")
+    val clinicalPatient = out.clinical
+      .select("PATIENT_ID", "BIRTH_YEAR").dropDuplicates("PATIENT_ID")
+    val cna = Seq(("TP53", "GENIE-C-p1-s1", 2.0), ("EGFR", "GENIE-C-p1-s1", -1.0))
+      .toDF("HUGO_SYMBOL", "SAMPLE_ID", "VALUE")
+    val seg = Seq(("GENIE-C-p1-s1", "1", 100L, 200L, 5, 0.25))
+      .toDF("ID", "CHROM", "LOC.START", "LOC.END", "NUM.MARK", "SEG.MEAN")
+    val sv = Seq(("GENIE-C-p2-s2", "SOMATIC")).toDF("SAMPLE_ID", "SV_STATUS")
+    val bedWithGenes = Seq(
+      ("C-A1", "1", 100L, 300L, "TP53"), ("C-A1", "2", 100L, 1000L, "EGFR"))
+      .toDF("SEQ_ASSAY_ID", "CHROMOSOME", "START_POSITION", "END_POSITION", "HUGO_SYMBOL")
+    val assayInfo = Seq(("C-A1", "Illumina")).toDF("SEQ_ASSAY_ID", "PLATFORM")
+    val full = ReleaseJob.FullReleaseInputs(clinicalSample, clinicalPatient,
+      out.maf, cna, seg, sv, bedWithGenes, assayInfo)
+
+    // ---- consortium: the reference's complete artifact set ----
+    val manifest = ReleaseJob.writeFullRelease(full, base, "genie_test", "15.1-consortium")
+    val expectedFixed = Set(
+      // database_to_staging.py:942,1011,1174,1358-1392,1426,1546,1620,1681
+      "assay_information.txt", "data_CNA.txt", "data_clinical.txt",
+      "data_clinical_patient.txt", "data_clinical_sample.txt",
+      "data_cna_hg19.seg", "data_gene_matrix.txt",
+      "data_gene_panel_C-A1.txt", "data_mutations_extended.txt",
+      "data_sv.txt", "genomic_information.txt",
+      // meta files (database_to_staging.py:1960-2006)
+      "meta_clinical_patient.txt", "meta_clinical_sample.txt",
+      "meta_mutations_extended.txt", "meta_study.txt",
+      // create_case_lists.py:73-247: per-type + the fixed five
+      "case_lists/cases_all.txt", "case_lists/cases_sequenced.txt",
+      "case_lists/cases_cna.txt", "case_lists/cases_sv.txt",
+      "case_lists/cases_cnaseq.txt",
+      "case_lists/cases_non_small_cell_lung_cancer.txt")
+    assert(manifest.toSet == expectedFixed,
+      s"manifest mismatch:\n missing=${expectedFixed -- manifest.toSet}\n extra=${manifest.toSet -- expectedFixed}")
+    // versioned layout: Release <major>/<version> (database_to_staging.py:2034-2125)
+    assert(new java.io.File(s"$base/Release 15/15.1-consortium/data_clinical.txt").exists())
+
+    // spot-check content: gene panel carries the BED genes, case list the ids
+    val panel = scala.io.Source.fromFile(
+      s"$base/Release 15/15.1-consortium/data_gene_panel_C-A1.txt").mkString
+    assert(panel.contains("gene_list: EGFR\tTP53"))
+    val casesAll = scala.io.Source.fromFile(
+      s"$base/Release 15/15.1-consortium/case_lists/cases_all.txt").mkString
+    assert(casesAll.contains("GENIE-C-p1-s1"))
+
+    // ---- public: data_clinical.txt is consortium-only ----
+    val pubBase = tmpDir("public-release")
+    val scope = Seq(
+      graft.release.PublicRelease.Scope("SAMPLE_ID", public = true),
+      graft.release.PublicRelease.Scope("PATIENT_ID", public = true),
+      graft.release.PublicRelease.Scope("CANCER_TYPE", public = true),
+      graft.release.PublicRelease.Scope("AGE_AT_SEQ_REPORT", public = false),
+      graft.release.PublicRelease.Scope("SEQ_ASSAY_ID", public = true))
+    val (pubClin, pubMaf) = graft.release.PublicRelease.convert(
+      out.clinical, out.maf, scope)
+    val pubManifest = ReleaseJob.writeFullRelease(
+      full.copy(clinicalSample = pubClin
+        .join(clinicalSample.select("SAMPLE_ID", "AGE_AT_SEQ_REPORT"), Seq("SAMPLE_ID"), "left")
+        .select("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "AGE_AT_SEQ_REPORT", "SEQ_ASSAY_ID"),
+        maf = pubMaf),
+      pubBase, "genie_public", "15.1-public", public = true)
+    assert(!pubManifest.contains("data_clinical.txt"))
+    assert((manifest.toSet - "data_clinical.txt") == pubManifest.toSet)
+  }
+
   test("data_gene_matrix: panel-level cna/sv flags, WES panels excluded") {
     val clinical = Seq(
       ("s1", "P1"), ("s2", "P1"), ("s3", "P2"), ("s4", "WES1"), ("", "P2")

@@ -85,4 +85,45 @@ class ScaleSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     (0 until 128).foreach { i => assert(pairs.contains((i.toLong, (i + 128).toLong))) }
   }
+
+  test("k-means IVF: learned centroids recover planted clusters, top-1 recall bound") {
+    import graft.functions.VectorFunctions
+    // 4 planted clusters on orthogonal axes + deterministic jitter; the
+    // lowest-4-id seeds land one per cluster (ids 0-3 cycle through them)
+    val n = 400
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim) { d =>
+        val base = if (d == c * 2) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f // jitter << cluster separation
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+
+    val cents = VectorFunctions.kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 3)
+    assert(cents.count() == 4)
+    // every learned centroid is dominated by exactly one planted axis
+    val cRows = cents.collect().map(_.getSeq[Double](1).toArray)
+    val domAxes = cRows.map(c => c.indexOf(c.max) / 2).sorted
+    assert(domAxes.toSeq == Seq(0, 1, 2, 3))
+
+    // assignment is the planted partition (cluster sep >> jitter)
+    val cells = VectorFunctions.kmeansAssign(df, "vec_id", "embedding", cents)
+    val purity = cells.groupBy((col("vec_id") % 4).as("truth"), col("cid"))
+      .count().groupBy("truth").count().as[(Long, Long)].collect()
+    assert(purity.forall(_._2 == 1L), "each planted cluster maps to one learned cell")
+
+    // top-1 IVF recall vs brute force: identical inside well-separated cells
+    val ivf = VectorFunctions.kmeansIvfTopK(df, "vec_id", "embedding",
+      col("vec_id") < 20, k = 1, clusters = 4, iters = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val brute = VectorFunctions.bruteForceTopK(
+      df.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+      "q_id", "c_id", "q_vec", "c_vec", k = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val recall = brute.count { case (q, c) => ivf.get(q).contains(c) }.toDouble / brute.size
+    assert(recall >= 0.95, s"IVF top-1 recall $recall below bound")
+  }
 }
