@@ -396,6 +396,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), T.langId(col("text")).as("lang_pred"))
     }),
 
+    "text_winnow_fingerprint" -> ((s, dir) => {
+      // rolling-hash winnowing (k=5-gram base-31 hash, window w=4):
+      // per-doc selected-hash count + md5 of the sorted selection
+      val fp = T.winnowHashes(col("text"), k = 5, w = 4)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(fp).cast("long").as("n_selected"),
+        md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
+    }),
+
     // ---------------- similarity search ------------------------------
     "sim_pair_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1658,6 +1668,33 @@ object SparkEntry {
                   md5(array_to_string(list_sort(list_distinct(
                     regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
            FROM documents""",
+
+      "text_winnow_fingerprint" ->
+        """WITH t AS (SELECT doc_id,
+                             lower(regexp_replace(text, '[^ -~]', '', 'g')) AS s
+                      FROM documents),
+           c AS (SELECT doc_id,
+                        list_transform(string_split(s, ''), ch -> ascii(ch)) AS codes
+                 FROM t),
+           h AS (SELECT doc_id,
+                        CASE WHEN len(codes) >= 5 THEN
+                          list_transform(range(1, len(codes) - 3), i ->
+                            codes[i] * 923521 + codes[i+1] * 29791 + codes[i+2] * 961
+                              + codes[i+3] * 31 + codes[i+4])
+                        ELSE CAST([] AS BIGINT[]) END AS hs
+                 FROM c),
+           w AS (SELECT doc_id,
+                        CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                             WHEN len(hs) < 4 THEN [list_min(hs)]
+                             ELSE list_transform(range(1, len(hs) - 2), i ->
+                                    LEAST(hs[i], hs[i+1], hs[i+2], hs[i+3]))
+                        END AS sel
+                 FROM h)
+           SELECT doc_id,
+                  CAST(len(list_distinct(sel)) AS BIGINT) AS n_selected,
+                  md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
+                        x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+           FROM w""",
 
       "text_langid" ->
         """WITH sc AS (

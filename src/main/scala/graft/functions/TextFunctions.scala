@@ -88,6 +88,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
+  /** Winnowing fingerprint (rolling k-gram hash + window minima — the
+    * MOSS scheme): every window of `w` consecutive k-gram hashes
+    * contributes its minimum, so two documents sharing a run of ≥ w+k-1
+    * characters share a selected hash, while only ~1/w of positions are
+    * kept. Returns the sorted distinct selected hashes.
+    *
+    * Delegates to the codegen'd [[graft.plans.WinnowExpr]] — one O(n)
+    * rolling pass per row (the composed HOF form re-evaluates subtrees
+    * per element and goes O(n³); see the expression's scaladoc for the
+    * engine-portability rules the oracle replays).
+    */
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    graft.plans.WinnowExpr.winnow(text, k, w)
+
   /** Word n-gram (shingle) array, space-joined shingles of size n. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))
