@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.GraftSession
 import graft.functions.{DedupFunctions => D, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{RangeJoin, Upsert, WindowOps}
+import graft.operators.{ConnectedComponents, RangeJoin, Upsert, WindowOps}
 import graft.release.Filters
 import graft.rules.{Rules, RowRule}
 
@@ -380,6 +380,16 @@ object SparkEntry {
       val b  = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"), round(D.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    }),
+
+    "dedup_cluster_assign" -> ((s, dir) => {
+      // the full LSH→cluster dedup pipeline: minhash band collisions →
+      // connected components (large-star/small-star) → one canonical
+      // doc per cluster. Keeping is_canonical rows IS the dedup.
+      val d = t(s, dir, "documents")
+      val toks = array_distinct(T.tokens(lower(col("text"))))
+      val pairs = D.lshCandidatePairs(d, "doc_id", toks, k = 4, bands = 2)
+      ConnectedComponents.clusters(d.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
     }),
 
     // ---------------- text analysis ----------------------------------
@@ -1654,6 +1664,35 @@ object SparkEntry {
                         ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                              / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) END, 6) AS jaccard
            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
+      "dedup_cluster_assign" ->
+        """WITH RECURSIVE tok AS (
+             SELECT doc_id,
+                    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+             FROM documents),
+           sig AS (
+             SELECT doc_id,
+                    list_aggregate(list_transform(toks, t -> md5('0:' || t)), 'min') AS mh0,
+                    list_aggregate(list_transform(toks, t -> md5('1:' || t)), 'min') AS mh1,
+                    list_aggregate(list_transform(toks, t -> md5('2:' || t)), 'min') AS mh2,
+                    list_aggregate(list_transform(toks, t -> md5('3:' || t)), 'min') AS mh3
+             FROM tok),
+           bk AS (
+             SELECT doc_id, md5('band0:' || mh0 || '|' || mh1) AS k FROM sig
+             UNION ALL
+             SELECT doc_id, md5('band1:' || mh2 || '|' || mh3) AS k FROM sig),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+             FROM bk a JOIN bk b ON a.k = b.k AND a.doc_id < b.doc_id),
+           edges AS (SELECT ida AS u, idb AS v FROM pairs
+                     UNION SELECT idb, ida FROM pairs),
+           reach(id, lab) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.v, reach.lab FROM reach JOIN edges e ON e.u = reach.id)
+           SELECT id AS doc_id, MIN(lab) AS cluster_id,
+                  MIN(lab) = id AS is_canonical
+           FROM reach GROUP BY id""",
 
       "text_stats" ->
         """SELECT doc_id,
