@@ -215,6 +215,24 @@ object SparkEntry {
           (coalesce(col("n_cur"), lit(0L)) - coalesce(col("n_prior"), lit(0L))).as("diff"))
     }),
 
+    "j9_asof_attribution" -> ((s, dir) => {
+      // point-in-time attribution: for each click, the user's latest
+      // view at or before it. AsOfJoin = union+window, one shuffle on
+      // user_id, no join node; comparisons run on the raw ns timestamps
+      // (ms only in the output projection, so ms ties can't bite).
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts_ms"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("ts_ms").as("view_ts_ms"), col("event_id").as("view_event_id"))
+      graft.operators.AsOfJoin.backward(clicks, views, Seq("user_id"),
+          "ts", "vts", Seq("view_event_id", "view_ts_ms"), prefix = "")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("view_event_id"), col("view_ts_ms"),
+          (col("ts_ms") - col("view_ts_ms")).as("gap_ms"))
+    }),
+
     // ---------------- A: aggregations --------------------------------
     "a2_rollup_total" -> ((s, dir) => {
       // per-CENTER counts + Total row (dashboard_table_updater.py:127-175)
@@ -1545,6 +1563,14 @@ object SparkEntry {
                   COALESCE(n_cur, 0) AS n_cur, COALESCE(n_prior, 0) AS n_prior,
                   COALESCE(n_cur, 0) - COALESCE(n_prior, 0) AS diff
            FROM cur FULL OUTER JOIN prior USING (o_orderpriority)""",
+
+      "j9_asof_attribution" ->
+        """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+                  v.event_id AS view_event_id, epoch_ms(v.ts) AS view_ts_ms,
+                  epoch_ms(c.ts) - epoch_ms(v.ts) AS gap_ms
+           FROM (SELECT * FROM events WHERE event_type = 'click') c
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON c.user_id = v.user_id AND c.ts >= v.ts""",
 
       "a2_rollup_total" ->
         """SELECT COALESCE(o_orderstatus, 'Total') AS o_orderstatus, COUNT(*) AS n
