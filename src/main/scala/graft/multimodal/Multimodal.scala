@@ -102,8 +102,82 @@ object Multimodal {
       }
   }
 
+  /** Real JDK-only audio codec (`javax.sound.sampled` — WAV/AIFF/AU PCM
+    * ship with the JDK, no external library). Payloads whose magic bytes
+    * mark them as audio get REAL header + sample decode; everything else
+    * falls through to [[StubCodec]], flagged by `format`.
+    *
+    * [[MediaMeta]] field mapping for audio (documented, schema-stable):
+    * `width` = sample rate in Hz, `height` = channel count,
+    * `n_frames` = sample-frame count.
+    */
+  object AudioCodec {
+    /** Magic-byte sniff (WAV "RIFF….WAVE", AIFF "FORM….AIFF", AU ".snd"). */
+    def sniffFormat(p: Array[Byte]): Option[String] =
+      if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') Some("wav")
+      else if (p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F') Some("aiff")
+      else if (p.length >= 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd')
+        Some("au")
+      else None
+
+    private def open(p: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+      try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p)))
+      catch { case _: Exception => None }
+
+    /** Real header decode: sample rate / channels / frame count. */
+    def decodeMeta(id: Long, payload: Array[Byte]): MediaMeta =
+      sniffFormat(payload).flatMap { fmt =>
+        open(payload).map { in =>
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          try in.close() catch { case _: Exception => () }
+          MediaMeta(id, payload.length, width = f.getSampleRate.toInt,
+            height = f.getChannels, n_frames = math.max(frames, 0L).toInt,
+            format = fmt)
+        }
+      }.getOrElse(StubCodec.decodeMeta(id, payload))
+
+    /** Real sample feature: L1-normalized amplitude histogram over `dim`
+      * bins of the 16-bit PCM magnitude range (deterministic — integer
+      * sample values, fixed bin edges; mirrors the image luminance
+      * histogram so downstream ANN consumes one shape).
+      */
+    def extractFeature(id: Long, payload: Array[Byte], dim: Int): MediaFeature =
+      sniffFormat(payload).flatMap(_ => open(payload)).flatMap { raw =>
+        try {
+          val target = new javax.sound.sampled.AudioFormat(
+            raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+            true /* signed */, false /* little-endian */)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+          val hist = new Array[Float](dim)
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + 1 < n) {
+              val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt
+              val mag = math.min(math.abs(s), 32767)
+              hist(mag * dim / 32768) += 1f
+              total += 1
+              i += 2
+            }
+            n = in.read(buf)
+          }
+          try in.close() catch { case _: Exception => () }
+          var j = 0
+          val t = math.max(1f, total.toFloat)
+          while (j < dim) { hist(j) /= t; j += 1 }
+          Some(MediaFeature(id, dim, hist))
+        } catch { case _: Exception => None }
+      }.getOrElse(StubCodec.extractFeature(id, payload, dim))
+  }
+
   /** STUB codec — deterministic fake decode for modalities the JDK has
-    * no codec for (audio/video). A real deployment swaps this for
+    * no codec for (video). A real deployment swaps this for
     * JNI/FFI codec calls; the signature and batch shape stay.
     */
   object StubCodec {
@@ -140,9 +214,13 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // codec init happens once per partition; images decode for real
-        // (ImageCodec), other modalities stub
-        it.map { case (id, payload) => ImageCodec.decodeMeta(id, Option(payload).getOrElse(Array.empty)) }
+        // codec init happens once per partition; images and audio decode
+        // for real (ImageCodec/AudioCodec), video stubs
+        it.map { case (id, p) =>
+          val payload = Option(p).getOrElse(Array.empty[Byte])
+          if (ImageCodec.sniffFormat(payload).isDefined) ImageCodec.decodeMeta(id, payload)
+          else AudioCodec.decodeMeta(id, payload)
+        }
       }
   }
 
@@ -156,8 +234,11 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          ImageCodec.extractFeature(id, Option(payload).getOrElse(Array.empty), dim)
+        it.map { case (id, p) =>
+          val payload = Option(p).getOrElse(Array.empty[Byte])
+          if (ImageCodec.sniffFormat(payload).isDefined)
+            ImageCodec.extractFeature(id, payload, dim)
+          else AudioCodec.extractFeature(id, payload, dim)
         }
       }
   }

@@ -93,6 +93,78 @@ class MultimodalSpec extends SparkSpec {
     assert(Set("img", "vid").contains(rows(11L).format))
   }
 
+  // ---- real audio path (javax.sound.sampled) -------------------------
+
+  /** Deterministic mono 16-bit PCM WAV: a 440-ish integer ramp wave. */
+  private def wavFixture(nFrames: Int = 800, rate: Int = 8000,
+                         channels: Int = 1): Array[Byte] = {
+    val samples = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      val s = ((i * 331) % 16384 - 8192).toShort // deterministic ramp
+      samples(2 * i) = (s & 0xff).toByte
+      samples(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioCodec: real WAV decode — rate, channels, frame count") {
+    val wav = wavFixture(nFrames = 800, rate = 8000, channels = 2)
+    assert(Multimodal.AudioCodec.sniffFormat(wav).contains("wav"))
+    val meta = Multimodal.AudioCodec.decodeMeta(3L, wav)
+    assert(meta == Multimodal.MediaMeta(3L, wav.length,
+      width = 8000, height = 2, n_frames = 800, format = "wav"))
+    // non-audio bytes fall through to the stub
+    val stub = Multimodal.AudioCodec.decodeMeta(3L, "not audio".getBytes)
+    assert(Set("img", "vid").contains(stub.format))
+  }
+
+  test("AudioCodec: amplitude histogram is real and L1-normalized") {
+    val wav = wavFixture()
+    val f = Multimodal.AudioCodec.extractFeature(5L, wav, dim = 16)
+    assert(f.feature.length == 16 && math.abs(f.feature.sum - 1f) < 1e-4)
+    // ramp spans [-8192, 8191] of 32768 → all mass in bins 0-4 (the
+    // single i=0 sample hits |−8192| = bin-4 boundary exactly)
+    assert(f.feature.drop(5).forall(_ == 0f) && f.feature.take(5).sum > 0.99f)
+    // differs from the stub's byte histogram of the *encoded* bytes —
+    // proof the samples were decoded
+    val stub = Multimodal.StubCodec.extractFeature(5L, wav, 16)
+    assert(!f.feature.sameElements(stub.feature))
+    // silence → all mass in bin 0
+    val silent = Multimodal.AudioCodec.extractFeature(6L,
+      wavFixture(nFrames = 100).clone(), 16)
+    val silence = {
+      val z = new Array[Byte](200)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(z), fmt, 100L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Multimodal.AudioCodec.extractFeature(7L, bos.toByteArray, 16)
+    }
+    assert(silence.feature(0) == 1f && silence.feature.drop(1).forall(_ == 0f))
+  }
+
+  test("decodeMeta pipeline: image + audio + opaque in one partition") {
+    val mixed = Seq((20L, pngFixture()), (21L, wavFixture()),
+      (22L, "opaque video payload".getBytes))
+      .toDF("id", "payload")
+    val rows = Multimodal.decodeMeta(mixed, "id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(rows(20L).format == "png")
+    assert(rows(21L).format == "wav" && rows(21L).width == 8000)
+    assert(Set("img", "vid").contains(rows(22L).format))
+  }
+
   test("frameSamplePlan: explodes frame indices with stride") {
     val meta = Multimodal.decodeMeta(docs, "id", "payload")
     val plan = Multimodal.frameSamplePlan(meta, stride = 2)
