@@ -404,10 +404,12 @@ object SparkEntry {
       // the full LSH→cluster dedup pipeline: minhash band collisions →
       // connected components (large-star/small-star) → one canonical
       // doc per cluster. Keeping is_canonical rows IS the dedup.
+      // Edges are bucket STARS (member→bucket-min), not bucket cliques:
+      // identical components, linear instead of quadratic edge count.
       val d = t(s, dir, "documents")
       val toks = array_distinct(T.tokens(lower(col("text"))))
-      val pairs = D.lshCandidatePairs(d, "doc_id", toks, k = 4, bands = 2)
-      ConnectedComponents.clusters(d.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+      val edges = D.lshBucketStarEdges(d, "doc_id", toks, k = 4, bands = 2)
+      ConnectedComponents.clusters(d.select("doc_id"), "doc_id", edges, "id_a", "id_b")
     }),
 
     // ---------------- text analysis ----------------------------------

@@ -102,4 +102,31 @@ object DedupFunctions {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** MinHash-LSH star edges for CLUSTERING: per band bucket, connect
+    * every member to the bucket's minimum id instead of to every other
+    * member. Connected components over these edges are IDENTICAL to
+    * components over [[lshCandidatePairs]]'s full pairwise set (a
+    * bucket clique and a bucket star have the same connectivity), but
+    * the edge count is ≤ n_docs × bands instead of Σ m²/2 per bucket —
+    * linear vs quadratic in bucket size, which is the difference
+    * between a window shuffle and a blow-up when a hot bucket holds
+    * 10⁶ near-identical docs at 100 TB. Use [[lshCandidatePairs]] only
+    * when each candidate pair is verified individually (exact-Jaccard
+    * confirmation); use this when edges feed
+    * [[graft.operators.ConnectedComponents]].
+    */
+  def lshBucketStarEdges(df: DataFrame, idCol: String, elemsCol: Column,
+                         k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig  = df.select(col(idCol).as("id"),
+      graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
+    val keys = sig.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
+    val hub = min(col("id"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
+    keys.select(hub.as("id_a"), col("id").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+  }
 }

@@ -60,6 +60,27 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) || pairs.size < 6)
   }
 
+  test("lshBucketStarEdges: same components as pairwise candidates, fewer edges") {
+    // 60 docs in ~6 near-dup families (shared token sets) + singletons
+    val docs = (1L to 60L).map { i =>
+      val fam = i % 6
+      val noise = if (i % 3 == 0) s" extra$i" else ""
+      (i, s"family $fam shared tokens alpha$fam beta$fam gamma$fam delta$fam$noise")
+    }.toDF("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val cliquePairs = DedupFunctions.lshCandidatePairs(docs, "doc_id", toks, k = 8, bands = 4)
+    val starEdges   = DedupFunctions.lshBucketStarEdges(docs, "doc_id", toks, k = 8, bands = 4)
+    val nClique = cliquePairs.count()
+    val nStar   = starEdges.count()
+    assert(nStar < nClique, s"star $nStar should be < clique $nClique")
+    // identical connected components from either edge construction
+    import graft.operators.ConnectedComponents
+    def comp(e: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.clusters(docs.select("doc_id"), "doc_id", e, "id_a", "id_b")
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(comp(starEdges) == comp(cliquePairs))
+  }
+
   test("simhash: near-identical docs differ in few bits") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
