@@ -436,6 +436,52 @@ object SparkEntry {
         md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
     }),
 
+    // ---------------- deterministic sampling / mixing ----------------
+    "sample_split" -> ((s, dir) => {
+      // reproducible train/val/test assignment: pure hash of doc_id,
+      // no rand(), no shuffle — scan-side expression at any scale
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
+    "sample_mix_weighted" -> ((s, dir) => {
+      // weighted source mixing: per-language keep rates applied as a
+      // deterministic Bernoulli filter — downsampling 100 TB to a
+      // target mix is a scan-side filter, zero shuffle
+      val rate = when(col("lang") === "en", lit(0.3))
+        .when(col("lang") === "de", lit(1.0))
+        .when(col("lang") === "es", lit(0.8))
+        .when(col("lang") === "fr", lit(0.5))
+        .otherwise(lit(0.6))
+      t(s, dir, "documents")
+        .filter(graft.functions.Sampling.rateKeep(col("doc_id"), rate))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "sample_per_group" -> ((s, dir) => {
+      // deterministic k-per-(lang,source) sample by hash order — the
+      // "inspect 3 random docs per stratum" debugging query, reproducible
+      graft.functions.Sampling.perGroupSample(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          Seq("lang", "source"), "doc_id", k = 3)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("rn").cast("long").as("rn"))
+    }),
+
+    "sample_budget_select" -> ((s, dir) => {
+      // token-budget curation: best-quality docs first until 10k tokens
+      // are spent. Global running total via two-level prefix sum (bin
+      // agg + within-bin window) — no single-partition global window.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        T.qualityScore(col("text")).as("quality"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Sampling.budgetSelect(docs, col("quality"),
+          col("doc_id"), col("n_tokens"), budget = 10000L)
+        .select("doc_id", "quality", "n_tokens", "cum_cost")
+    }),
+
     // ---------------- similarity search ------------------------------
     "sim_pair_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1762,6 +1808,53 @@ object SparkEntry {
                   md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
                         x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
            FROM w""",
+
+      "sample_split" ->
+        """SELECT doc_id,
+                  CASE WHEN b < floor(0.8 * 4294967296.0) THEN 'train'
+                       WHEN b < floor((0.8 + 0.1) * 4294967296.0) THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+                 FROM documents)""",
+
+      "sample_mix_weighted" ->
+        """SELECT doc_id, lang, source
+           FROM (SELECT doc_id, lang, source,
+                        ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b,
+                        CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0
+                                  WHEN 'es' THEN 0.8 WHEN 'fr' THEN 0.5
+                                  ELSE 0.6 END AS rate
+                 FROM documents)
+           WHERE b < floor(rate * 4294967296.0)""",
+
+      "sample_per_group" ->
+        """SELECT doc_id, lang, source,
+                  ROW_NUMBER() OVER (PARTITION BY lang, source
+                    ORDER BY ('0x' || substr(md5('pg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                             doc_id) AS rn
+           FROM documents
+           QUALIFY rn <= 3""",
+
+      "sample_budget_select" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    ROUND(
+                      LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                      + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 0.4
+                      + CASE WHEN CAST(length(text) AS DOUBLE)
+                                  / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             FROM documents),
+           c AS (
+             SELECT doc_id, quality, n_tokens,
+                    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_cost
+             FROM t)
+           SELECT doc_id, quality, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+           FROM c WHERE cum_cost <= 10000""",
 
       "text_langid" ->
         """WITH sc AS (

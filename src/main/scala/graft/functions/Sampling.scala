@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mixing operators for training-data
+  * pipelines: reproducible splits, per-stratum rate sampling, per-group
+  * top-k, and token-budget selection.
+  *
+  * Everything here is hash-derived from the row's own id — NO
+  * `rand()`, no seed state, no driver round-trips — so a 100 TB run
+  * re-executed after a task failure (or next month, on a different
+  * cluster layout) assigns every document to the same split. Hashes
+  * are md5-based so any engine can reproduce the assignment
+  * bit-for-bit.
+  */
+object Sampling {
+
+  /** 32-bit deterministic bucket in [0, 2³²) from a salted id: the
+    * first 8 hex chars of md5("salt:id"). Pure per-row expression —
+    * computed inside the scan, never shuffles.
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Train/val/test-style split assignment: `weights` are
+    * (label, fraction) in declaration order, fractions summing to ~1.
+    * Every id gets exactly one label; the assignment is a pure
+    * function of (salt, id).
+    */
+  def splitAssign(id: Column, weights: Seq[(String, Double)],
+                  salt: String = "split"): Column = {
+    val b = hashBucket(id, salt)
+    val thresholds = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+    val cases = weights.map(_._1).zip(thresholds)
+    cases.init.foldRight(lit(cases.last._1): Column) { case ((label, t), rest) =>
+      when(b < t, label).otherwise(rest)
+    }
+  }
+
+  /** Deterministic Bernoulli keep at `rate` (a per-row Column, so
+    * per-stratum rates come from a CASE or a broadcast-joined rate
+    * table): keep ⇔ bucket < rate·2³². Downsampling a 100 TB corpus to
+    * a weighted source mix is a scan-side filter — no shuffle at all.
+    */
+  def rateKeep(id: Column, rate: Column, salt: String = "mix"): Column =
+    hashBucket(id, salt) < (rate * lit(4294967296.0)).cast("long")
+
+  /** Deterministic k-per-group sample: rank group members by
+    * (hash, id) and keep the first k. One shuffle on the group key;
+    * hash order makes the "random" choice reproducible.
+    */
+  def perGroupSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     k: Int, salt: String = "pg"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Greedy token-budget selection: order rows by (score DESC, id) and
+    * keep the prefix whose inclusive running `cost` total stays within
+    * `budget` — "best documents first until the token budget is
+    * spent", the standard curation step before training.
+    *
+    * The running total is computed WITHOUT a global-order window (a
+    * naive `SUM() OVER (ORDER BY …)` collapses to ONE partition — the
+    * classic 100 TB scale-killer). Instead, two-level prefix sum:
+    *  1. bin rows by score granularity (`binOf`, default score·1000 —
+    *     bins are score ranges, so bin order extends the global order);
+    *  2. aggregate cost per bin (tiny table), broadcast the exclusive
+    *     bin-prefix totals back;
+    *  3. window only WITHIN each bin (partitioned ⇒ parallel);
+    *     global running total = bin prefix + within-bin running total.
+    *
+    * Requires (score, id) unique per row for a total order (id unique
+    * suffices). Returns the selected rows + `cum_cost`.
+    */
+  def budgetSelect(df: DataFrame, scoreCol: Column, idCol: Column,
+                   costCol: Column, budget: Long,
+                   binOf: Column => Column = _ * 1000): DataFrame = {
+    val binned = df.withColumn("__score", scoreCol)
+      .withColumn("__cost", costCol.cast("long"))
+      .withColumn("__bin", floor(binOf(col("__score"))).cast("long"))
+    val binCum = binned.groupBy("__bin")
+      .agg(sum("__cost").as("__bin_cost"))
+      .withColumn("__bin_before",
+        coalesce(sum("__bin_cost").over(
+          Window.orderBy(col("__bin").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bin", "__bin_before")
+    // within-bin inclusive running total, partitioned by bin → parallel
+    val wInBin = Window.partitionBy("__bin")
+      .orderBy(col("__score").desc, idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .join(broadcast(binCum), Seq("__bin"))
+      .withColumn("cum_cost", col("__bin_before") + sum("__cost").over(wInBin))
+      .filter(col("cum_cost") <= budget)
+      .drop("__bin", "__score", "__cost", "__bin_before")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (1L to 2000L).toDF("id")
+
+  test("splitAssign: deterministic, total, and near the target fractions") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = ids.select(col("id"), Sampling.splitAssign(col("id"), w).as("s"))
+    val counts = assigned.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") - 1600L) < 100, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 200L) < 60 && math.abs(counts("test") - 200L) < 60)
+    // re-evaluation yields the identical assignment (pure hash, no rand)
+    val again = ids.select(col("id"), Sampling.splitAssign(col("id"), w).as("s"))
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+    // a different salt reshuffles the assignment
+    val salted = ids.select(col("id"), Sampling.splitAssign(col("id"), w, salt = "x").as("s"))
+    assert(salted.except(assigned).count() > 0)
+  }
+
+  test("rateKeep: keep fraction tracks the rate per stratum") {
+    val df = ids.withColumn("stratum", (col("id") % 2 === 0).cast("string"))
+    val rate = when(col("stratum") === "true", lit(0.2)).otherwise(lit(0.9))
+    val kept = df.filter(Sampling.rateKeep(col("id"), rate))
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("true") - 200L) < 60, s"got ${kept("true")}")
+    assert(math.abs(kept("false") - 900L) < 60, s"got ${kept("false")}")
+  }
+
+  test("perGroupSample: exactly min(k, group size) rows per group, stable") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 7}")).toDF("id", "g")
+    val s1 = Sampling.perGroupSample(df, Seq("g"), "id", k = 3)
+    val sizes = s1.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 3L) && sizes.size == 7)
+    val tiny = Sampling.perGroupSample(Seq((1L, "a"), (2L, "a")).toDF("id", "g"),
+      Seq("g"), "id", k = 5)
+    assert(tiny.count() == 2)
+    // deterministic across evaluations
+    val s2 = Sampling.perGroupSample(df, Seq("g"), "id", k = 3)
+    assert(s1.collect().toSet == s2.collect().toSet)
+  }
+
+  test("budgetSelect: two-level prefix sum == naive global-order window") {
+    // scores with heavy ties + varied costs; id is the tiebreak
+    val df = (1L to 500L).map { i =>
+      (i, math.floor((i * 37 % 100) / 10.0) / 10.0, (i * 13 % 50) + 1)
+    }.toDF("id", "score", "cost")
+    val got = Sampling.budgetSelect(df, col("score"), col("id"), col("cost"),
+        budget = 3000L)
+      .select("id", "cum_cost").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("cum",
+        sum(col("cost").cast("long")).over(Window.orderBy(col("score").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= 3000L)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    assert(got.nonEmpty && got.values.max <= 3000L)
+  }
+
+  test("budgetSelect: plan has no single-partition global window") {
+    val df = (1L to 100L).map(i => (i, i / 10.0, 5L)).toDF("id", "score", "cost")
+    val plan = Sampling.budgetSelect(df, col("score"), col("id"), col("cost"), 100L)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // an unpartitioned window (single task) may only run over the tiny
+    // per-bin aggregate — the row-data window must be partitioned by __bin
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty)
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty, s"unpartitioned window over raw rows:\n$w")
+      else
+        assert(w.partitionSpec.exists(_.toString.contains("__bin")))
+    }
+  }
+}
