@@ -436,6 +436,31 @@ object SparkEntry {
         md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher/C4-style repetition signals: top-token fraction +
+      // duplicate-bigram fraction + the keep verdict. Pure per-row
+      // expressions — computed inside the scan, zero shuffle.
+      val top = T.topTokenFraction(col("text"))
+      val dup = T.dupNgramFraction(col("text"), 2)
+      t(s, dir, "documents").select(
+        col("doc_id"), top.as("top_token_frac"), dup.as("dup_bigram_frac"),
+        (top <= 0.1 && dup <= 0.5).as("keep"))
+    }),
+
+    "decontam_overlap" -> ((s, dir) => {
+      // benchmark decontamination: flag training docs sharing any
+      // 5-gram with the eval set (doc_id % 97 == 0 stands in for the
+      // benchmark). Eval shingles are tiny vs the corpus → broadcast;
+      // the corpus side never shuffles payloads, only (doc_id, gram).
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(explode(T.shingles(col("text"), 5)).as("sh")).distinct()
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(T.shingles(col("text"), 5)).as("sh"))
+      train.join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_overlap"))
+    }),
+
     // ---------------- deterministic sampling / mixing ----------------
     "sample_split" -> ((s, dir) => {
       // reproducible train/val/test assignment: pure hash of doc_id,
@@ -1808,6 +1833,43 @@ object SparkEntry {
                   md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
                         x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
            FROM w""",
+
+      "text_repetition" ->
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                      FROM documents),
+           g AS (SELECT doc_id, toks,
+                        CASE WHEN len(toks) >= 2 THEN
+                          list_transform(range(0, len(toks) - 1),
+                            i -> array_to_string(toks[i+1:i+2], ' '))
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+                 FROM t),
+           f AS (SELECT doc_id,
+                        ROUND(COALESCE(CAST(list_max(list_transform(list_distinct(toks),
+                                x -> len(list_filter(toks, tk -> tk = x)))) AS DOUBLE), 0.0)
+                              / CAST(GREATEST(len(toks), 1) AS DOUBLE), 6) AS top_token_frac,
+                        ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+                              ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                         / CAST(len(grams) AS DOUBLE) END, 6) AS dup_bigram_frac
+                 FROM g)
+           SELECT doc_id, top_token_frac, dup_bigram_frac,
+                  top_token_frac <= 0.1 AND dup_bigram_frac <= 0.5 AS keep
+           FROM f""",
+
+      "decontam_overlap" ->
+        """WITH sh AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 5 THEN
+                      list_distinct(list_transform(range(0, len(toks) - 4),
+                        i -> array_to_string(toks[i+1:i+5], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                   FROM documents)),
+           bench AS (SELECT DISTINCT s AS sh
+                     FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0)),
+           train AS (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id % 97 <> 0)
+           SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_overlap
+           FROM train t JOIN bench b USING (sh)
+           GROUP BY t.doc_id""",
 
       "sample_split" ->
         """SELECT doc_id,

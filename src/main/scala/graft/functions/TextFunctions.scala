@@ -110,4 +110,31 @@ object TextFunctions {
       array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
     ).otherwise(array(array_join(toks, " ")))
   }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * Gopher-style "repetition" quality signal (a doc that is 40% the
+    * same word is boilerplate). Pure per-row expression, zero shuffle.
+    */
+  def topTokenFraction(text: Column): Column = {
+    val toks   = tokens(lower(text))
+    val maxCnt = array_max(transform(array_distinct(toks),
+      x => size(filter(toks, t => t === x))))
+    round(coalesce(maxCnt.cast("double"), lit(0.0)) /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** Fraction of duplicated n-grams: 1 − distinct/total. High values
+    * mean the doc repeats itself (C4/Gopher repetition filters drop
+    * docs above ~0.3 for 2-grams). Pure per-row expression.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks  = tokens(lower(text))
+    val idx   = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val grams = when(size(toks) >= n,
+      transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    round(when(size(grams) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams).cast("double")), 6)
+  }
 }

@@ -81,6 +81,21 @@ class FunctionsSpec extends SparkSpec {
     assert(comp(starEdges) == comp(cliquePairs))
   }
 
+  test("repetition signals: top-token and duplicate-bigram fractions") {
+    val df = Seq(
+      (1L, "spam spam spam spam eggs"),        // 4/5 top token; bigrams: 3×"spam spam" +1 → dup 2/4
+      (2L, "all words here are unique tokens"),
+      (3L, "")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.topTokenFraction(col("text")).as("top"),
+      TextFunctions.dupNgramFraction(col("text"), 2).as("dup"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((0.8, 0.5)))
+    assert(out(2L)._1 < 0.2 && out(2L)._2 == 0.0)
+    assert(out(3L)._2 == 0.0) // empty text → no NaN, no crash
+  }
+
   test("simhash: near-identical docs differ in few bits") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
