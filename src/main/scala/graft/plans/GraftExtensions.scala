@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectFunction(GraftExtensions.rangeOverlapFunction)
+    ext.injectFunction(GraftExtensions.dotProductFunction)
+    ext.injectFunction(GraftExtensions.winnowFunction)
     ext.injectOptimizerRule(_ => BinnedIntervalJoinRule())
   }
 }
@@ -45,12 +47,32 @@ object GraftExtensions {
       RangeOverlap(exprs(0), exprs(1), exprs(2), exprs(3))
     })
 
+  val dotProductFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "dot_product(vec_a, vec_b)")
+      DotProduct(exprs(0), exprs(1))
+    })
+
+  val winnowFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow"),
+    new ExpressionInfo(classOf[WinnowExpr].getName, "winnow"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3, "winnow(text, k, w)")
+      WinnowExpr(exprs(0), intLiteral(exprs(1), "k"), intLiteral(exprs(2), "w"))
+    })
+
   /** Runtime registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature", exprs => minhashFunction._3(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "range_overlap", exprs => rangeOverlapFunction._3(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => dotProductFunction._3(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow", exprs => winnowFunction._3(exprs), "scala_udf")
     val rule = BinnedIntervalJoinRule()
     if (!spark.sessionState.experimentalMethods.extraOptimizations.contains(rule))
       spark.sessionState.experimentalMethods.extraOptimizations =

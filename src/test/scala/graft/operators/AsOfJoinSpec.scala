@@ -70,4 +70,17 @@ class AsOfJoinSpec extends SparkSpec {
     }.toMap
     assert(got == expected)
   }
+
+  test("plan: no join node, exactly one shuffle on the key") {
+    val df = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("price"))
+    val logical = df.queryExecution.optimizedPlan
+    assert(logical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "as-of must not plan a join node")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = formatted.linesIterator.count(l =>
+      l.contains(") Exchange") && !l.contains("Reuse"))
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$formatted")
+  }
 }

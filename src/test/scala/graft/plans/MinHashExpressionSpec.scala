@@ -38,6 +38,20 @@ class MinHashExpressionSpec extends SparkSpec {
     assert(byId(1L) == byId(2L))   // identical docs → identical signatures
     assert(byId(1L) != byId(3L))
     assert(byId(1L).forall(_.length == 32)) // md5 hex
+
+    // the full SQL function surface: dot_product + winnow resolve and
+    // agree with their Column-API twins
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .collect()(0).getDouble(0)
+    assert(dp == 32.0)
+    val win = spark.sql(
+      """SELECT doc_id, winnow(text, 5, 4) AS sel FROM mh_docs""").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val colApi = docs.select(col("doc_id"),
+        TextFunctions.winnowHashes(col("text"), k = 5, w = 4).as("sel"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(win == colApi && win(3L).nonEmpty)
   }
 
   test("native lang_id matches the composed decision rule on every doc") {
