@@ -436,6 +436,18 @@ object SparkEntry {
         md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
     }),
 
+    "sessionize_batch" -> ((s, dir) => {
+      // gap-based sessionization (30-min gap): per-user session index →
+      // per-session event count + bounds. Batch twin of SessionizeStream.
+      val e = events(s, dir).select("user_id", "event_id", "ts_ms")
+      WindowOps.sessionize(e, Seq("user_id"), "ts_ms",
+          Seq("ts_ms", "event_id"), gap = 1800000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("session_start_ms"),
+          max(col("ts_ms")).as("session_end_ms"))
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-style repetition signals: top-token fraction +
       // duplicate-bigram fraction + the keep verdict. Pure per-row
@@ -1833,6 +1845,22 @@ object SparkEntry {
                   md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
                         x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
            FROM w""",
+
+      "sessionize_batch" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+           m AS (SELECT user_id, event_id, ts_ms,
+                        CASE WHEN lag(ts_ms) OVER w IS NULL
+                                  OR ts_ms - lag(ts_ms) OVER w > 1800000
+                             THEN 1 ELSE 0 END AS ns
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+           s AS (SELECT user_id, ts_ms,
+                        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                 FROM m)
+           SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                  COUNT(*) AS n_events,
+                  MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
+           FROM s GROUP BY 1, 2""",
 
       "text_repetition" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

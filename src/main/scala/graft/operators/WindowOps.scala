@@ -39,6 +39,25 @@ object WindowOps {
       abs(vafDelta) < maxVafDelta &&
       (codonDelta.isNull || codonDelta === 1)
 
+  /** Batch sessionization: gap-based session assignment per key — the
+    * batch twin of `streaming/SessionizeStream`. A session breaks when
+    * the gap to the previous event exceeds `gap` (same ts units as
+    * `tsCol`). Adds `session_idx` (1-based per key, in ts order).
+    *
+    * One shuffle on the key; the lag + running-sum pair runs in a
+    * single Window pass per partition — no self-join, no iteration,
+    * O(1) state per key. Pass a unique tie-break in `orderCols` after
+    * the timestamp for deterministic output.
+    */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 orderCols: Seq[String], gap: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull || col(tsCol) - prev > gap, lit(1L)).otherwise(lit(0L))
+    df.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** W2: keep the latest row per group by `orderCols` descending
     * (extract.py:144-159 drop_duplicates keep="last"). Callers must pass
     * a tie-breaking unique column last for deterministic results.

@@ -76,4 +76,16 @@ class OperatorsSpec extends SparkSpec {
       .select("k", "tag").as[(Int, String)].collect().toSet
     assert(latest == Set((1, "b"), (2, "c")))
   }
+
+  test("sessionize: gap break, 1-based per-key index, exact-gap stays") {
+    val df = Seq(
+      ("u1", 1L, 0L), ("u1", 2L, 100L),   // session 1
+      ("u1", 3L, 400L),                    // gap 300 > 200 → session 2
+      ("u1", 4L, 600L),                    // gap 200 == gap → stays in 2
+      ("u2", 5L, 50L)                      // separate key restarts at 1
+    ).toDF("user", "id", "ts")
+    val got = WindowOps.sessionize(df, Seq("user"), "ts", Seq("ts", "id"), gap = 200L)
+      .select("id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
 }
