@@ -436,6 +436,24 @@ object SparkEntry {
         md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
     }),
 
+    "vec_quantize_int8" -> ((s, dir) => {
+      // symmetric int8 quantization for the ANN corpus: 4× memory cut,
+      // per-row expressions in the scan. Output q as the quantized
+      // array + per-vector scale.
+      val qz = V.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(qz.getField("scale"), 6).as("scale"),
+        qz.getField("q").as("q"))
+    }),
+
+    "text_tfidf_top3" -> ((s, dir) => {
+      // corpus TF-IDF: token df shuffle + broadcast vocab IDF +
+      // per-doc ranking window
+      graft.functions.Curation.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
     "sessionize_batch" -> ((s, dir) => {
       // gap-based sessionization (30-min gap): per-user session index →
       // per-session event count + bounds. Batch twin of SessionizeStream.
@@ -1845,6 +1863,36 @@ object SparkEntry {
                   md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
                         x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
            FROM w""",
+
+      "vec_quantize_int8" ->
+        """SELECT vec_id,
+                  ROUND(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale,
+                  CASE WHEN list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) = 0.0
+                       THEN list_transform(embedding, x -> 0)
+                       ELSE list_transform(embedding, x ->
+                         CAST(ROUND(CAST(x AS DOUBLE)
+                           / (list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) / 127.0), 0) AS INTEGER))
+                  END AS q
+           FROM embeddings""",
+
+      "text_tfidf_top3" ->
+        """WITH tok AS (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+           dl AS (SELECT doc_id, SUM(c) AS n_tok FROM cnt GROUP BY 1),
+           df AS (SELECT token, COUNT(*) AS doc_freq FROM cnt GROUP BY 1),
+           n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+           scored AS (
+             SELECT cnt.doc_id, cnt.token,
+                    ROUND((CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                          * ln(CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+             FROM cnt JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n)
+           SELECT doc_id, token, tfidf,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token) AS rank
+           FROM scored
+           QUALIFY rank <= 3""",
 
       "sessionize_batch" ->
         """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -53,4 +53,40 @@ object Curation {
         floor((col("__cum") - col(tokensCol)) / lit(budget.toDouble)).cast("long"))
       .drop("__cum")
   }
+
+  /** Top-k TF-IDF terms per document. Corpus shape, not per-row:
+    * document frequencies come from an explode + token-keyed count
+    * (shuffle carries (doc_id, token) pairs only), IDF is a vocab-sized
+    * table broadcast back, ranking is a per-doc window. At 100 TB the
+    * vocab table is the only thing that must fit in memory — the corpus
+    * streams through.
+    *
+    * tfidf = (count/doc_len) · ln(n_docs/doc_freq), rounded to 6 dp
+    * BEFORE ranking so rank order is engine-portable (ties broken by
+    * token).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val cnt = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    val docLen = cnt.groupBy(col(idCol)).agg(sum("c").as("n_tok"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val docFreq = cnt.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val idf = docFreq.crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        log(col("n_docs").cast("double") / col("doc_freq").cast("double")).as("idf"))
+    // docLen is corpus-sized (one row per doc) → ordinary shuffle join;
+    // only the vocab-sized idf table gets broadcast
+    val scored = cnt
+      .join(docLen, Seq(idCol))
+      .join(broadcast(idf), Seq("token"))
+      .withColumn("tfidf",
+        round((col("c").cast("double") / col("n_tok").cast("double")) * col("idf"), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tfidf"), col("rank"))
+  }
 }

@@ -36,6 +36,22 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     safeRatio(dot(a, b), norm(a) * norm(b))
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127, q_i =
+    * round(x_i / scale). 4× memory cut for an ANN corpus (the index fits
+    * where floats wouldn't); dot products on int8 with one final
+    * rescale. Zero vectors quantize to zeros with scale 0. Pure per-row
+    * expressions — quantization happens inside the scan at any scale.
+    * Returns (scale, q) as a struct; elements arrive as ints for
+    * engine-portable comparison.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale  = maxAbs / lit(127.0)
+    val q = when(maxAbs === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x.cast("double") / scale, 0).cast("int")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
   /** Sign-pattern bucket over the first `m` dimensions — a 1-bit-per-dim
     * random-hyperplane LSH with axis-aligned planes. Vectors in the same
     * bucket are cosine-close candidates; used to turn ANN into an

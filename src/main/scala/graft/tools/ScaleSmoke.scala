@@ -111,6 +111,41 @@ object ScaleSmoke {
         .groupBy("shard").agg(max("pack_id")).count()
     }
 
+    // 8. LSH clustering: bucket-star edges + connected components over
+    // the 10× corpus (500k docs, heavy replication → big components)
+    time("cc_cluster_assign", nDocs) {
+      val toks = array_distinct(T.tokens(lower(col("text"))))
+      val edges = graft.functions.DedupFunctions.lshBucketStarEdges(
+        docs, "doc_id", toks, k = 4, bands = 2)
+      graft.operators.ConnectedComponents.clusters(
+        docs.select("doc_id"), "doc_id", edges, "id_a", "id_b").count()
+    }
+
+    // 9. as-of join: 6M clicks against 6M views, one shuffle
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = (0 until mult).map(i =>
+        ev0.withColumn("event_id", col("event_id") + i * 100000000L)
+          .withColumn("user_id", col("user_id") + i * 1000000L))
+      .reduce(_ unionByName _).persist()
+    val nEv = ev.count()
+    time("asof_join", nEv) {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"))
+      graft.operators.AsOfJoin.backward(clicks, views, Seq("user_id"),
+        "ts", "vts", Seq("vid")).count()
+    }
+
+    // 10. token-budget selection over the 10× corpus (two-level prefix)
+    time("budget_select", nDocs) {
+      val d = docs.select(col("doc_id"),
+        T.qualityScore(col("text")).as("q"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Sampling.budgetSelect(d, col("q"), col("doc_id"),
+        col("n_tokens"), budget = 1000000L).count()
+    }
+
     spark.stop()
   }
 }

@@ -81,6 +81,42 @@ class FunctionsSpec extends SparkSpec {
     assert(comp(starEdges) == comp(cliquePairs))
   }
 
+  test("quantizeInt8: reconstruction within half a step, zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(127.0f, -127.0f, 1.0f, -1.0f))
+    ).toDF("id", "vec")
+    val rows = df.select(col("id"), col("vec"),
+        VectorFunctions.quantizeInt8(col("vec")).as("qz"))
+      .select(col("id"), col("vec"), col("qz.scale"), col("qz.q"))
+      .as[(Long, Array[Float], Double, Array[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, v1, s1, q1) = rows(1L)
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    v1.zip(q1).foreach { case (x, q) =>
+      assert(math.abs(x - q * s1) <= s1 / 2 + 1e-9, s"x=$x q=$q scale=$s1")
+    }
+    val (_, _, s2, q2) = rows(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0)) // zero vector → zeros, no NaN
+    assert(rows(3L)._4.toSeq == Seq(127, -127, 1, -1)) // exact at extremes
+  }
+
+  test("tfidfTopTerms: rare terms outrank ubiquitous ones, k respected") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common common rare2"),
+      (3L, "common common common")
+    ).toDF("doc_id", "text")
+    val out = Curation.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Long)].collect()
+    assert(out.count(_._1 == 1L) == 2)
+    val top1 = out.filter(_._1 == 1L).minBy(_._4)
+    assert(top1._2 == "rare1" && top1._3 > 0.0) // df=1 term wins doc 1
+    // 'common' appears in every doc → idf = ln(1) = 0
+    assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
+  }
+
   test("repetition signals: top-token and duplicate-bigram fractions") {
     val df = Seq(
       (1L, "spam spam spam spam eggs"),        // 4/5 top token; bigrams: 3×"spam spam" +1 → dup 2/4
