@@ -81,24 +81,39 @@ object Sampling {
   def budgetSelect(df: DataFrame, scoreCol: Column, idCol: Column,
                    costCol: Column, budget: Long,
                    binOf: Column => Column = _ * 1000): DataFrame = {
-    val binned = df.withColumn("__score", scoreCol)
-      .withColumn("__cost", costCol.cast("long"))
-      .withColumn("__bin", floor(binOf(col("__score"))).cast("long"))
-    val binCum = binned.groupBy("__bin")
-      .agg(sum("__cost").as("__bin_cost"))
+    // the explicit isNotNull mirrors the filter Catalyst infers on the
+    // join side; without it the two exchange subtrees differ by that
+    // one inferred filter and AQE cannot reuse the shuffle stage
+    // (null-score rows could never join the bin table anyway)
+    val binned = df.withColumn("__bin", floor(binOf(scoreCol)).cast("long"))
+      .filter(col("__bin").isNotNull)
+    // within-bin inclusive running total, partitioned by bin → parallel.
+    // The bin-total branch re-derives the slim (id, score, cost, bin)
+    // projection — a second column-pruned scan. When the scoring
+    // expressions are the dominant cost, persist the slim projection
+    // before calling (a DISK_ONLY cache of 3 narrow columns), which
+    // collapses both branches onto one scan; the operator itself never
+    // needs the full payload twice.
+    val wInBin = Window.partitionBy(col("__bin"))
+      .orderBy(scoreCol.desc, idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumd = binned.withColumn("__cum_in_bin",
+      sum(costCol.cast("long")).over(wInBin))
+    // per-bin totals from the WINDOWED stream, not the raw one: the
+    // aggregate's required distribution (__bin) is already satisfied,
+    // so it adds no exchange (deriving totals from `binned` directly
+    // would always plan a second full scan of the scored corpus).
+    val binCum = cumd.groupBy("__bin")
+      .agg(max("__cum_in_bin").as("__bin_cost"))
       .withColumn("__bin_before",
         coalesce(sum("__bin_cost").over(
           Window.orderBy(col("__bin").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__bin", "__bin_before")
-    // within-bin inclusive running total, partitioned by bin → parallel
-    val wInBin = Window.partitionBy("__bin")
-      .orderBy(col("__score").desc, idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    binned
+    cumd
       .join(broadcast(binCum), Seq("__bin"))
-      .withColumn("cum_cost", col("__bin_before") + sum("__cost").over(wInBin))
+      .withColumn("cum_cost", col("__bin_before") + col("__cum_in_bin"))
       .filter(col("cum_cost") <= budget)
-      .drop("__bin", "__score", "__cost", "__bin_before")
+      .drop("__bin", "__bin_before", "__cum_in_bin")
   }
 }
