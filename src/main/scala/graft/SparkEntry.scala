@@ -1046,6 +1046,22 @@ object SparkEntry {
         .withColumn("n_meta_lines", lit(nMeta))
     }),
 
+    "s16_layout_roundtrip" -> ((s, dir) => {
+      // write events hive-partitioned by type + ts-sorted, read back
+      // through partition pruning, aggregate one pruned partition. The
+      // layout (partition dirs + row-group sort) is what's under test.
+      import graft.sources.Layout
+      val out = tmpPath(dir, "s16")
+      Layout.writePartitioned(
+        events(s, dir).select("event_id", "user_id", "event_type", "ts_ms"),
+        out, Seq("event_type"), Seq("ts_ms"))
+      Layout.read(s, out)
+        .filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms"))
+    }),
+
     // ---------------- S14: case-list sink round-trip -----------------
     "s14_case_lists" -> ((s, dir) => {
       import graft.sources.CbioSinks
@@ -2424,6 +2440,11 @@ object SparkEntry {
                    FROM orders WHERE o_orderkey % 500 = 0) AS sum_val,
                   (SELECT COUNT(*) FROM customer WHERE c_custkey % 100 = 0) AS n_retracted,
                   (SELECT MIN(c_name) FROM customer WHERE c_custkey % 100 = 0) AS first_retracted""",
+
+      "s16_layout_roundtrip" ->
+        """SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+                  MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+           FROM events WHERE event_type = 'click'""",
 
       "s13_cbio_clinical_sink" ->
         """SELECT COUNT(*) AS n_data_rows,
