@@ -80,6 +80,36 @@ object ValidateStream {
         graft.operators.Upsert.overwrite(spark, spark.read.parquet(staging), tablePath)
       }
 
+  /** Watermarked stream-stream interval join: each left event matches
+    * right events with the same key whose timestamp lies within
+    * `[leftTs - lookback, leftTs]` — streaming attribution (click ←
+    * preceding views). Emits ALL qualifying right rows, not just the
+    * latest: a streaming operator cannot know "latest" until the
+    * watermark closes; apply a downstream dedup for point-in-time
+    * semantics (the batch twin is `operators/AsOfJoin`).
+    *
+    * Both sides are watermarked, and the time-bound predicate lets
+    * Spark expire join state once `lookback + watermark` has passed —
+    * a forever-running join with bounded memory, the only shape that
+    * survives an unbounded 100 TB/day stream.
+    *
+    * Column names must be disjoint between the two sides (pass
+    * pre-renamed frames), mirroring Structured Streaming's own
+    * self-join restrictions.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   lookback: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+  }
+
   /** Watermarked tumbling-window counts over an event stream — the
     * streaming twin of SparkEntry's `stream_tumbling_counts` batch
     * query (same output schema, exactly-once via checkpoint).

@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L)) // first copy wins, duplicate dropped
   }
 
+  test("stream-stream interval join: views within lookback of each click") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val views  = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    clicks.addData((at(90), 1L, 100L))            // click by user 1
+    views.addData(
+      (at(80), 1L, 200L),                         // within 1h lookback → match
+      (at(85), 1L, 201L),                         // within lookback → match
+      (at(95), 1L, 202L),                         // AFTER the click → no match
+      (at(20), 1L, 203L),                         // too far back (>1h) → no match
+      (at(85), 2L, 204L))                         // other user → no match
+    val joined = ValidateStream.intervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user", "click_id"),
+      views.toDF().toDF("v_ts", "v_user", "view_id"),
+      "c_user", "v_user", "c_ts", "v_ts",
+      lookback = "1 hour", watermark = "2 hours")
+    val q = joined.select("click_id", "view_id").writeStream
+      .format("memory").queryName("attrib").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val got = spark.table("attrib").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 200L), (100L, 201L)))
+  }
+
   test("streaming upsert: micro-batches merge into the parquet table by PK") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmpDir("stream-upsert") + "/t"
