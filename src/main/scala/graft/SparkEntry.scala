@@ -438,13 +438,16 @@ object SparkEntry {
 
     "vec_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization for the ANN corpus: 4× memory cut,
-      // per-row expressions in the scan. Output q as the quantized
-      // array + per-vector scale.
+      // per-row expressions in the scan. The quantized array is projected
+      // to md5(comma-joined ints) so the oracle harness can sort/hash it
+      // (raw list columns are unhashable in the compare).
       val qz = V.quantizeInt8(col("embedding"))
       t(s, dir, "embeddings").select(
         col("vec_id"),
         round(qz.getField("scale"), 6).as("scale"),
-        qz.getField("q").as("q"))
+        size(qz.getField("q")).cast("long").as("n_dims"),
+        md5(array_join(transform(qz.getField("q"), x => x.cast("string")), ","))
+          .as("q_md5"))
     }),
 
     "text_tfidf_top3" -> ((s, dir) => {
@@ -1883,12 +1886,14 @@ object SparkEntry {
       "vec_quantize_int8" ->
         """SELECT vec_id,
                   ROUND(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale,
-                  CASE WHEN list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) = 0.0
-                       THEN list_transform(embedding, x -> 0)
-                       ELSE list_transform(embedding, x ->
-                         CAST(ROUND(CAST(x AS DOUBLE)
-                           / (list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) / 127.0), 0) AS INTEGER))
-                  END AS q
+                  CAST(len(embedding) AS BIGINT) AS n_dims,
+                  md5(array_to_string(
+                    CASE WHEN list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) = 0.0
+                         THEN list_transform(embedding, x -> '0')
+                         ELSE list_transform(embedding, x ->
+                           CAST(CAST(ROUND(CAST(x AS DOUBLE)
+                             / (list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) / 127.0), 0) AS INTEGER) AS VARCHAR))
+                    END, ',')) AS q_md5
            FROM embeddings""",
 
       "text_tfidf_top3" ->

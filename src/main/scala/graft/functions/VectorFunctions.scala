@@ -199,10 +199,13 @@ object VectorFunctions {
         .agg(sum(col("x").cast("decimal(30,10)")).as("s"), count(lit(1)).as("n"))
         .collect()
       // mean = double(decimal sum) / n — the same two-step the oracle does
-      centroids = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+      val updated = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
         cid -> rows.sortBy(_.getInt(1))
           .map(r => r.getDecimal(2).doubleValue() / r.getLong(3)).toSeq
-      }.toSeq.sortBy(_._1)
+      }
+      // a cid absent from the sums had an empty cluster this iteration:
+      // carry its previous centroid forward so k stays fixed
+      centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
     centroids.toDF("cid", "centroid")
   }

@@ -86,6 +86,10 @@ object ConnectedComponents {
       prev = cur
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did not converge in $maxIter iterations; " +
+          "component labels may be split — raise maxIter")
 
     // converged edge set is a union of stars (v, componentMin): label
     // every node with the min over itself and its neighbors.

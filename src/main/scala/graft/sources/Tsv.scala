@@ -83,14 +83,24 @@ object Tsv {
                   sep: String = "\t"): Unit = {
     val tmp = outFile + "_tmpdir"
     write(df.coalesce(1), tmp, naToken, sep)
-    val dir = new java.io.File(tmp)
-    val part = dir.listFiles().find(_.getName.startsWith("part-"))
+    // Hadoop FileSystem API, not java.io: the output path may be a
+    // non-local URI (HDFS/S3) where driver-local file listing would fail.
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = fs.listStatus(tmpPath).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    val target = java.nio.file.Paths.get(outFile)
-    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.move(part.toPath, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    dir.listFiles().foreach(_.delete())
-    dir.delete()
+    val target = new org.apache.hadoop.fs.Path(outFile)
+    Option(target.getParent).foreach(fs.mkdirs)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new IllegalStateException(s"rename $part -> $target failed")
+    // local ChecksumFileSystem renames the .crc sidecar alongside the
+    // part file — not a release artifact; no-op on filesystems without one
+    val crc = new org.apache.hadoop.fs.Path(
+      target.getParent, "." + target.getName + ".crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    fs.delete(tmpPath, true)
   }
 }
