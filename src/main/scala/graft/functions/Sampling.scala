@@ -106,6 +106,9 @@ object Sampling {
     val binCum = cumd.groupBy("__bin")
       .agg(max("__cum_in_bin").as("__bin_cost"))
       .withColumn("__bin_before",
+        // global window is safe HERE only: it runs over #bins rows
+        // (bounded by the score range, not the corpus), so the
+        // single-partition WindowExec touches a driver-small table
         coalesce(sum("__bin_cost").over(
           Window.orderBy(col("__bin").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

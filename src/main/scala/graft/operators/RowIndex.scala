@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic row indices for error messages (SURVEY §4 custom item
   * 3 / §2.2 P3; reference process_functions.py:1078-1083 reports pandas
@@ -19,36 +19,48 @@ import org.apache.spark.sql.functions._
   *    supplies (file order is only byte order — callers that need exact
   *    byte order should read via `spark.read.text` which preserves
   *    line offsets in `_metadata` too).
+  *
+  * Neither path uses a global (unpartitioned) window: a global
+  * `row_number()` moves every row to one partition, which is a
+  * single-executor bottleneck at scale. Both are two-phase instead —
+  * a driver-small per-unit count, then an offset + local position.
   */
 object RowIndex {
 
   /** Parquet-backed: exact (file, row) position → global index by file
-    * path order. One window over file-path (small cardinality) — the
-    * per-file index comes free from the reader.
+    * path order. Phase 1 is a per-file count (rows = #files,
+    * driver-small); phase 2 adds the broadcast file offset to the
+    * reader-provided in-file position. No sort, no window, no data
+    * shuffle — each partition writes its indices independently.
     */
   def forParquet(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
       .select(col("*"), col("_metadata.file_path").as("__file"),
         col("_metadata.row_index").as("__pos"))
-    val files = df.select("__file").distinct().orderBy("__file")
-      .collect().map(_.getString(0)).zipWithIndex.toMap
-    val fileRank = udfLessFileRank(files)
-    df.withColumn("__file_rank", fileRank(col("__file")))
-      .withColumn("row_id",
-        row_number().over(Window.orderBy(col("__file_rank"), col("__pos"))).cast("long") - 1)
-      .drop("__file", "__pos", "__file_rank")
+    val counts = df.groupBy("__file").count()
+      .orderBy("__file").collect()
+    var off = 0L
+    val offsets = counts.map { r =>
+      val pair = (r.getString(0), off); off += r.getLong(1); pair
+    }.toSeq
+    val offsetsDf = spark.createDataFrame(offsets).toDF("__file", "__off")
+    df.join(broadcast(offsetsDf), Seq("__file"))
+      .withColumn("row_id", col("__off") + col("__pos"))
+      .drop("__file", "__pos", "__off")
   }
 
-  private def udfLessFileRank(files: Map[String, Int]): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
-    // small map → when-chain, stays codegen'd (no UDF)
-    (c: org.apache.spark.sql.Column) =>
-      files.toSeq.sortBy(_._2).foldLeft(lit(-1)) { case (acc, (f, r)) =>
-        when(c === f, lit(r)).otherwise(acc)
-      }
+  /** Generic: deterministic index from a caller-supplied total order.
+    * Sort (range exchange) → per-partition offsets via zipWithIndex —
+    * the count job and the index job share the sort's shuffle output,
+    * so the data is ranged once and never funneled to one partition.
+    */
+  def byOrder(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(orderCols.map(col): _*)
+    val schema = sorted.schema.add("row_id", LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
   }
-
-  /** Generic: deterministic index from a caller-supplied total order. */
-  def byOrder(df: DataFrame, orderCols: Seq[String]): DataFrame =
-    df.withColumn("row_id",
-      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long") - 1)
 }
