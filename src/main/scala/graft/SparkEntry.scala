@@ -480,6 +480,79 @@ object SparkEntry {
         (top <= 0.1 && dup <= 0.5).as("keep"))
     }),
 
+    "text_pii_scrub" -> ((s, dir) => {
+      // PII scrubbing (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>).
+      // The corpus has no native PII, so each doc gets a deterministic
+      // synthetic contact block appended (same construction in the
+      // oracle); the scrub chain is the operator under test. Pure
+      // per-row regexes — a zero-shuffle scan at any scale.
+      val raw = concat(
+        substring(col("text"), 1, 80),
+        lit(" email "), col("lang"), col("doc_id").cast("string"),
+        lit("@mail.example ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" phone 555-"),
+        lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0"))
+      val counts = T.piiCounts(raw)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        counts.getField("n_emails").as("n_emails"),
+        counts.getField("n_ips").as("n_ips"),
+        counts.getField("n_phones").as("n_phones"),
+        md5(T.scrubPii(raw)).as("scrubbed_md5"))
+    }),
+
+    "text_c4_segments" -> ((s, dir) => {
+      // C4-style line filtering re-expressed on the synthetic corpus:
+      // segments split on a literal separator, keep only segments with
+      // >= 5 words; n_unique vs n_kept spots intra-doc duplicate
+      // segments (paragraph-level dedup). Per-row expressions only.
+      val segs = graft.functions.Curation.segments(col("text"), " the ")
+      val kept = graft.functions.Curation.keepSegments(col("text"), " the ", 5)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(segs).cast("long").as("n_segments"),
+        size(kept).cast("long").as("n_kept"),
+        size(array_distinct(kept)).cast("long").as("n_unique"),
+        md5(array_join(kept, " | ")).as("kept_md5"))
+    }),
+
+    "text_length_quantiles" -> ((s, dir) => {
+      // per-language exact length quartiles (corpus drift / QC report).
+      // Exact percentile sorts within each group — bounded by group
+      // count here; at 100 TB swap in percentile_approx with a stated
+      // epsilon (same query shape, no plan change).
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("lang"), col("n"),
+          round(element_at(col("qs"), 1), 6).as("q25"),
+          round(element_at(col("qs"), 2), 6).as("q50"),
+          round(element_at(col("qs"), 3), 6).as("q75"))
+    }),
+
+    "text_zscore" -> ((s, dir) => {
+      // per-language z-normalized length. The stats pass uses exact
+      // integer sums (sum, sum-of-squares) so mean/std are identical
+      // under any partial-agg order; the #langs-row stats table
+      // broadcasts back onto the scan — no second shuffle of the corpus.
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars").cast("long").as("len"))
+      val stats = d.groupBy("lang")
+        .agg(sum("len").as("s1"), sum(col("len") * col("len")).as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("lang"),
+          (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+          sqrt((col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double")
+                / col("n").cast("double"))
+            / (col("n").cast("double") - 1.0)).as("std"))
+      d.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          round((col("len").cast("double") - col("mean")) / col("std"), 6).as("z"))
+    }),
+
     "decontam_overlap" -> ((s, dir) => {
       // benchmark decontamination: flag training docs sharing any
       // 5-gram with the eval set (doc_id % 97 == 0 stands in for the
@@ -1951,6 +2024,58 @@ object SparkEntry {
            SELECT doc_id, top_token_frac, dup_bigram_frac,
                   top_token_frac <= 0.1 AND dup_bigram_frac <= 0.5 AS keep
            FROM f""",
+
+      "text_pii_scrub" ->
+        """WITH r AS (
+             SELECT doc_id,
+                    substr(text, 1, 80) || ' email ' || lang || CAST(doc_id AS VARCHAR)
+                      || '@mail.example ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || ' phone 555-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') AS raw
+             FROM documents)
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                  CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+                  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+           FROM r""",
+
+      "text_c4_segments" ->
+        """WITH s AS (SELECT doc_id, string_split(text, ' the ') AS segs FROM documents),
+           k AS (SELECT doc_id, segs,
+                        list_filter(segs, x -> len(string_split(x, ' ')) >= 5) AS kept
+                 FROM s)
+           SELECT doc_id,
+                  CAST(len(segs) AS BIGINT) AS n_segments,
+                  CAST(len(kept) AS BIGINT) AS n_kept,
+                  CAST(len(list_distinct(kept)) AS BIGINT) AS n_unique,
+                  md5(array_to_string(kept, ' | ')) AS kept_md5
+           FROM k""",
+
+      "text_length_quantiles" ->
+        """SELECT lang, count(*) AS n,
+                  ROUND(quantile_cont(n_chars, 0.25), 6) AS q25,
+                  ROUND(quantile_cont(n_chars, 0.50), 6) AS q50,
+                  ROUND(quantile_cont(n_chars, 0.75), 6) AS q75
+           FROM documents GROUP BY lang""",
+
+      "text_zscore" ->
+        """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS len FROM documents),
+           st AS (SELECT lang, CAST(SUM(len) AS BIGINT) AS s1,
+                         CAST(SUM(len * len) AS BIGINT) AS s2,
+                         count(*) AS n
+                  FROM d GROUP BY lang),
+           m AS (SELECT lang,
+                        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                        sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0)) AS std
+                 FROM st)
+           SELECT d.doc_id, d.lang, ROUND((CAST(len AS DOUBLE) - mean) / std, 6) AS z
+           FROM d JOIN m ON d.lang = m.lang""",
 
       "decontam_overlap" ->
         """WITH sh AS (

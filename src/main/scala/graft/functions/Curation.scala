@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,4 +89,21 @@ object Curation {
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tfidf"), col("rank"))
   }
+
+  /** C4-style segment filter: split a document on a literal separator,
+    * keep only segments with at least `minWords` whitespace-words
+    * (C4 drops lines under 5 words / without terminal punctuation —
+    * same shape, separator-parameterized). Trailing empty segments are
+    * KEPT by the split (limit −1) so the oracle's non-regex splitter
+    * sees the same segment list. Returns the kept-segment array; pure
+    * per-row expression, zero shuffle at any scale.
+    */
+  def keepSegments(text: Column, sep: String, minWords: Int): Column = {
+    val segs = split(text, java.util.regex.Pattern.quote(sep), -1)
+    filter(segs, s => size(split(s, " ", -1)) >= minWords)
+  }
+
+  /** Segment array for the same split (for n_segments-style stats). */
+  def segments(text: Column, sep: String): Column =
+    split(text, java.util.regex.Pattern.quote(sep), -1)
 }

@@ -137,4 +137,32 @@ object TextFunctions {
       .otherwise(lit(1.0) -
         size(array_distinct(grams)).cast("double") / size(grams).cast("double")), 6)
   }
+
+  /** PII patterns restricted to syntax valid in BOTH Java regex and
+    * RE2 (no lookaround, no backreferences) so the DuckDB oracle can
+    * replay the scrub byte-for-byte.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: emails, IPv4s, and phone-shaped tokens replaced with
+    * typed placeholders. Emails first (they can contain digit runs the
+    * later patterns would mangle), then IPs, then phones. Pure per-row
+    * regexp_replace chain — scrubbing 100 TB stays a scan-side map with
+    * zero shuffle.
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val noIp    = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    regexp_replace(noIp, phonePattern, "<PHONE>")
+  }
+
+  /** Per-type PII hit counts on the raw text (pre-scrub), for audit
+    * reports and drop-threshold policies.
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailPattern)).cast("long").as("n_emails"),
+    regexp_count(text, lit(ipv4Pattern)).cast("long").as("n_ips"),
+    regexp_count(text, lit(phonePattern)).cast("long").as("n_phones"))
 }

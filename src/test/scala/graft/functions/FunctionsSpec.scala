@@ -196,4 +196,36 @@ class FunctionsSpec extends SparkSpec {
     assert(packs(4L) == 0L) // oversized doc starts pack 0, spills past it
     assert(packs(5L) == 1L) // starts at 2500 → pack 1
   }
+
+  test("pii: scrub replaces emails, ips, phones; counts match") {
+    val df = Seq(
+      (1L, "write to a.user+tag@sub.example.com or 192.168.0.1 tel 555-1234 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.org plus 10.0.0.1")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.scrubPii(col("text")).as("clean"),
+        TextFunctions.piiCounts(col("text")).as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("clean") ==
+      "write to <EMAIL> or <IP> tel <PHONE> done")
+    assert(out(0).getStruct(2).getLong(0) == 1L) // emails
+    assert(out(0).getStruct(2).getLong(1) == 1L) // ips
+    assert(out(0).getStruct(2).getLong(2) == 1L) // phones
+    assert(out(1).getAs[String]("clean") == "no pii here at all")
+    assert(out(2).getAs[String]("clean") == "two mails <EMAIL> and <EMAIL> plus <IP>")
+  }
+
+  test("segments: literal split keeps trailing empties, filter by word count") {
+    val df = Seq(
+      (1L, "one two three four five the short the six seven eight nine ten")
+    ).toDF("id", "text")
+    val r = df.select(
+      Curation.segments(col("text"), " the ").as("segs"),
+      Curation.keepSegments(col("text"), " the ", 5).as("kept")).collect()(0)
+    assert(r.getSeq[String](0) ==
+      Seq("one two three four five", "short", "six seven eight nine ten"))
+    assert(r.getSeq[String](1) ==
+      Seq("one two three four five", "six seven eight nine ten"))
+  }
 }
