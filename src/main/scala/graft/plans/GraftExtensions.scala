@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rangeOverlapFunction)
     ext.injectFunction(GraftExtensions.dotProductFunction)
     ext.injectFunction(GraftExtensions.winnowFunction)
+    GraftExtensions.columnFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(GraftExtensions.getClass.getName, name), builder))
+    }
     ext.injectOptimizerRule(_ => BinnedIntervalJoinRule())
   }
 }
@@ -63,6 +67,38 @@ object GraftExtensions {
       WinnowExpr(exprs(0), intLiteral(exprs(1), "k"), intLiteral(exprs(2), "w"))
     })
 
+  /** SQL surface for the Column-composition text/vector API: each entry
+    * wraps a `Column => Column` builder into an expression-tree builder
+    * via the graftbridge, so `spark.sql("SELECT lang_id(text) ...")`
+    * plans the exact same codegen'd tree as the Scala API — no UDFs.
+    */
+  val columnFunctions: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression => expression}
+    def fn1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : (String, Seq[Expression] => Expression) =
+      name -> { exprs: Seq[Expression] =>
+        require(exprs.length == 1, s"$name(col)")
+        expression(f(column(exprs.head)))
+      }
+    Seq(
+      fn1("lang_id", graft.functions.TextFunctions.langId),
+      fn1("quality_score", graft.functions.TextFunctions.qualityScore),
+      fn1("token_count", graft.functions.TextFunctions.tokenCount),
+      fn1("bpeish_token_count", graft.functions.TextFunctions.bpeishTokenCount),
+      fn1("scrub_pii", graft.functions.TextFunctions.scrubPii),
+      fn1("doc_fingerprint", graft.functions.TextFunctions.fingerprint),
+      "simhash" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "simhash(tokens, bits)")
+        expression(graft.functions.DedupFunctions.simhash(
+          column(exprs.head), intLiteral(exprs(1), "bits")))
+      },
+      "cosine_sim" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "cosine_sim(vec_a, vec_b)")
+        expression(graft.functions.VectorFunctions.cosine(
+          column(exprs(0)), column(exprs(1))))
+      })
+  }
+
   /** Runtime registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -73,6 +109,10 @@ object GraftExtensions {
       "dot_product", exprs => dotProductFunction._3(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow", exprs => winnowFunction._3(exprs), "scala_udf")
+    columnFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => builder(exprs), "scala_udf")
+    }
     val rule = BinnedIntervalJoinRule()
     if (!spark.sessionState.experimentalMethods.extraOptimizations.contains(rule))
       spark.sessionState.experimentalMethods.extraOptimizations =

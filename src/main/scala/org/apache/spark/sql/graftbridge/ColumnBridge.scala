@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager node→Expression conversion. `expression` defers behind a
+    * lazy ColumnNodeExpression wrapper, which native expressions cannot
+    * type-check against when used as a child inside a FunctionBuilder;
+    * this converts the whole tree up front so the analyzer sees plain
+    * (possibly unresolved) catalyst expressions.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

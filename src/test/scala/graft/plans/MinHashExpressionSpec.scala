@@ -54,6 +54,31 @@ class MinHashExpressionSpec extends SparkSpec {
     assert(win == colApi && win(3L).nonEmpty)
   }
 
+  test("column-composition SQL surface matches the Scala API") {
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("mh_docs")
+    val sqlOut = spark.sql(
+      """SELECT doc_id, lang_id(text) AS lang, quality_score(text) AS q,
+                token_count(text) AS n, scrub_pii(text) AS clean,
+                doc_fingerprint(text) AS fp,
+                simhash(split(lower(trim(text)), '\\s+'), 8) AS sh
+         FROM mh_docs""").collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val colOut = docs.select(col("doc_id"),
+        TextFunctions.langId(col("text")),
+        TextFunctions.qualityScore(col("text")),
+        TextFunctions.tokenCount(col("text")),
+        TextFunctions.scrubPii(col("text")),
+        TextFunctions.fingerprint(col("text")),
+        graft.functions.DedupFunctions.simhash(
+          TextFunctions.tokens(lower(col("text"))), 8))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sqlOut == colOut)
+    val cs = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cs - 1.0) < 1e-12)
+  }
+
   test("native lang_id matches the composed decision rule on every doc") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cmp = d.select(
