@@ -124,6 +124,46 @@ object SparkEntry {
       Upsert.kindCounts(incoming, existing, Seq("o_orderkey"))
     }),
 
+    "scd2_merge" -> ((s, dir) => {
+      // type-2 versioned-table merge: closed history passes through,
+      // only the current slice joins the snapshot; changed keys close
+      // at ts and reopen, retired keys close, new keys open.
+      val c = t(s, dir, "customer")
+      val nullTo = lit(null).cast("long")
+      val hist = c.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(-10L).as("valid_from"), lit(0L).as("valid_to"))
+      val cur = c.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("valid_from"), nullTo.as("valid_to"))
+      val existing = hist.unionByName(cur)
+      val incoming = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      graft.operators.Scd2.merge(existing, incoming,
+        Seq("c_custkey"), Seq("c_mktsegment"), ts = 100L)
+    }),
+
+    "agg_incremental_refresh" -> ((s, dir) => {
+      // materialized-aggregate maintenance: the "stored" aggregate is
+      // built from 90% of lineitem, the day's delta is the other 10%;
+      // merging partials must equal the from-scratch aggregate (the
+      // oracle) without ever rescanning the base rows.
+      val li = t(s, dir, "lineitem")
+      val base  = li.filter(col("l_orderkey") % 10 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+      val sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price")
+      val stored = graft.operators.AggMaintain.partial(
+        base, Seq("l_returnflag"), sums, "cnt")
+      val part = graft.operators.AggMaintain.partial(
+        delta, Seq("l_returnflag"), sums, "cnt")
+      graft.operators.AggMaintain.merge(Seq(stored, part),
+          Seq("l_returnflag"), Seq("cnt", "sum_price", "sum_qty"))
+        .select(col("l_returnflag"), col("cnt"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_price").cast("double").as("sum_price"))
+    }),
+
     // ---------------- P: validation rule battery ---------------------
     "p_battery_orders" -> ((s, dir) => {
       val key = col("o_orderkey")
@@ -1667,6 +1707,38 @@ object SparkEntry {
            UNION ALL
            SELECT 'delete' AS kind, COUNT(*) AS n FROM ex
              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)""",
+
+      "scd2_merge" ->
+        """WITH hist AS (SELECT c_custkey, c_mktsegment,
+                                CAST(-10 AS BIGINT) AS valid_from, CAST(0 AS BIGINT) AS valid_to
+                         FROM customer WHERE c_custkey % 11 = 0),
+           cur AS (SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from
+                   FROM customer),
+           inc AS (SELECT c_custkey,
+                          CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+                   FROM customer WHERE c_custkey % 7 <> 0)
+           SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM hist
+           UNION ALL
+           SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, CAST(NULL AS BIGINT)
+           FROM cur JOIN inc USING (c_custkey)
+           WHERE cur.c_mktsegment = inc.c_mktsegment
+           UNION ALL
+           SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, CAST(100 AS BIGINT)
+           FROM cur JOIN inc USING (c_custkey)
+           WHERE cur.c_mktsegment <> inc.c_mktsegment
+           UNION ALL
+           SELECT cur.c_custkey, inc.c_mktsegment, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+           FROM cur JOIN inc USING (c_custkey)
+           WHERE cur.c_mktsegment <> inc.c_mktsegment
+           UNION ALL
+           SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, CAST(100 AS BIGINT)
+           FROM cur ANTI JOIN inc USING (c_custkey)""",
+
+      "agg_incremental_refresh" ->
+        """SELECT l_returnflag, COUNT(*) AS cnt,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+           FROM lineitem GROUP BY l_returnflag""",
 
       "p_battery_orders" ->
         """SELECT 'status_domain' AS rule, 'error' AS severity,

@@ -88,4 +88,49 @@ class OperatorsSpec extends SparkSpec {
       .select("id", "session_idx").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
+
+  test("scd2: unchanged passes, changed closes+reopens, retired closes, new opens") {
+    val nullTo: Option[Long] = None
+    val existing = Seq(
+      // closed history row must pass through untouched
+      (1L, "old-a", -5L, Some(0L)),
+      (1L, "a", 0L, nullTo),  // unchanged in snapshot
+      (2L, "b", 0L, nullTo),  // changed to b2
+      (3L, "c", 0L, nullTo)   // retired (absent from snapshot)
+    ).toDF("pk", "attr", "valid_from", "valid_to")
+    val incoming = Seq((1L, "a"), (2L, "b2"), (4L, "d"))
+      .toDF("pk", "attr")
+    val got = Scd2.merge(existing, incoming, Seq("pk"), Seq("attr"), ts = 7L)
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, "old-a", -5L, Some(0L)),
+      (1L, "a", 0L, nullTo),
+      (2L, "b", 0L, Some(7L)), (2L, "b2", 7L, nullTo),
+      (3L, "c", 0L, Some(7L)),
+      (4L, "d", 7L, nullTo)))
+  }
+
+  test("aggmaintain: merged partials equal from-scratch aggregate; negative delta retracts") {
+    val base  = Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("k", "v")
+    val delta = Seq(("x", 3.0), ("z", 1.5)).toDF("k", "v")
+    val sums = Map("v" -> "sum_v")
+    val merged = AggMaintain.merge(
+        Seq(AggMaintain.partial(base, Seq("k"), sums, "cnt"),
+          AggMaintain.partial(delta, Seq("k"), sums, "cnt")),
+        Seq("k"), Seq("cnt", "sum_v"))
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(merged == Set(("x", 3L, 6.0), ("y", 1L, 5.0), ("z", 1L, 1.5)))
+    // retraction: re-feed a delta row with negated measures and count
+    val retract = AggMaintain.partial(delta, Seq("k"), sums, "cnt")
+      .select(col("k"), (-col("cnt")).as("cnt"), (-col("sum_v")).as("sum_v"))
+    val back = AggMaintain.merge(
+        Seq(AggMaintain.partial(base, Seq("k"), sums, "cnt"),
+          AggMaintain.partial(delta, Seq("k"), sums, "cnt"), retract),
+        Seq("k"), Seq("cnt", "sum_v"))
+      .filter(col("cnt") =!= 0)
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(back == Set(("x", 2L, 3.0), ("y", 1L, 5.0)))
+  }
 }
