@@ -20,6 +20,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // runtime filtering: a selective build side injects a bloom filter
+      // (or semi-join keys) into the probe side's scan, cutting shuffle
+      // volume for the big joins (release filters, LSH pair joins) at
+      // 100 TB. Thresholds stay at Spark defaults; the spec asserts the
+      // injection fires on a selective join.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
+      // skew: let AQE split oversized partitions for the skewed joins
+      // the salting utilities don't already cover
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // harness `events` table carries parquet TIMESTAMP(NANOS) which
       // Spark cannot model; read as long nanoseconds instead

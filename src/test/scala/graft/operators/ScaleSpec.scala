@@ -126,4 +126,38 @@ class ScaleSpec extends SparkSpec {
     val recall = brute.count { case (q, c) => ivf.get(q).contains(c) }.toDouble / brute.size
     assert(recall >= 0.95, s"IVF top-1 recall $recall below bound")
   }
+
+  test("runtime bloom-filter injection fires on a selective shuffle join") {
+    import spark.implicits._
+    val dir = tmpDir("rtf")
+    (0L until 20000L).map(i => (i, s"p$i")).toDF("fk", "payload")
+      .write.mode("overwrite").parquet(s"$dir/facts")
+    (0L until 2000L).map(i => (i, i % 7)).toDF("pk", "grp")
+      .write.mode("overwrite").parquet(s"$dir/dims")
+    // GraftSession enables the feature; the size thresholds are tuned
+    // for 100 TB inputs, so shrink them to let the toy tables qualify
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force a shuffle join: broadcast would bypass runtime filtering
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = prev.map { case (k, _) => k -> spark.conf.getOption(k) }
+    prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val facts = spark.read.parquet(s"$dir/facts")
+      val dims = spark.read.parquet(s"$dir/dims").filter(col("grp") === 3)
+      val joined = facts.join(dims, col("fk") === col("pk"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("BloomFilterMightContain") ||
+        optimized.toLowerCase.contains("mightcontain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // and the filtered plan still returns the right rows
+      assert(joined.count() == dims.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
