@@ -54,6 +54,23 @@ object ValidateStream {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming curation: the batch curation decisions (language ID,
+    * quality score, PII scrub) applied to a live document stream. All
+    * three are per-row Column expressions, so this stage is stateless —
+    * no watermark, no shuffle, unbounded uptime. Chain [[dedupStream]]
+    * after it for the stateful exact-dedup step.
+    */
+  def curateStream(docs: DataFrame, textCol: String,
+                   keepLangs: Seq[String], minQuality: Double): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("clean_text", TextFunctions.scrubPii(col(textCol)))
+      .filter(coalesce(col("lang_pred").isInCollection(keepLangs), lit(false)) &&
+        coalesce(col("quality") >= minQuality, lit(false)))
+  }
+
   /** Streaming PK-upsert sink: each micro-batch merges into the parquet
     * table via the same Upsert.merge the batch path uses (S12 semantics,
     * exactly-once via checkpoint + idempotent overwrite).

@@ -68,6 +68,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L)) // first copy wins, duplicate dropped
   }
 
+  test("streaming curation: stateless per-row filter + scrub on a live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "the cat and the dog sit in a house that is big and the roof is red"),
+      (2L, "el gato y la casa de los perros en una calle"), // lang filtered
+      (3L, "zz"),                                           // quality filtered
+      (4L, "the mail is a.b@c.io and the code is fine that is the point of it all"))
+    val curated = ValidateStream.curateStream(
+      mem.toDF().toDF("doc_id", "text"), "text",
+      keepLangs = Seq("en"), minQuality = 0.3)
+    val q = curated.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val rows = spark.table("curate_stream")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L, 4L))
+    assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("a.b@c.io"))
+  }
+
   test("stream-stream interval join: views within lookback of each click") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
