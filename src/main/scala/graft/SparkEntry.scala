@@ -144,6 +144,32 @@ object SparkEntry {
         Seq("c_custkey"), Seq("c_mktsegment"), ts = 100L)
     }),
 
+    "dash_histogram" -> ((s, dir) => {
+      // fixed-bound bucketed histogram (dashboard distribution panel):
+      // width_bucket is a pure per-row expression, the groupBy shuffles
+      // only (status, bucket) pairs — histogramming 100 TB is one
+      // map-side-combined aggregation.
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          expr("width_bucket(o_totalprice, 0.0, 600000.0, 20)"))
+        .groupBy(col("o_orderstatus"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,2)")).cast("double").as("sum_price"))
+    }),
+
+    "approx_distinct_contract" -> ((s, dir) => {
+      // sketch accuracy contract: the HLL++ estimate (rsd 1%) must land
+      // within 5% of the exact distinct count. The oracle pins the
+      // exact count and the contract outcome — gating the sketch's
+      // guarantee without requiring cross-engine sketch equality.
+      t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"))
+        .select(col("exact_nd"),
+          (abs(col("approx_nd").cast("double") / col("exact_nd").cast("double")
+            - 1.0) <= 0.05).as("within_bound"))
+    }),
+
     "agg_incremental_refresh" -> ((s, dir) => {
       // materialized-aggregate maintenance: the "stored" aggregate is
       // built from 90% of lineitem, the day's delta is the other 10%;
@@ -1733,6 +1759,21 @@ object SparkEntry {
            UNION ALL
            SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, CAST(100 AS BIGINT)
            FROM cur ANTI JOIN inc USING (c_custkey)""",
+
+      "dash_histogram" ->
+        """SELECT o_orderstatus,
+                  CASE WHEN o_totalprice < 0.0 THEN 0
+                       WHEN o_totalprice >= 600000.0 THEN 21
+                       ELSE CAST(floor(o_totalprice / 30000.0) AS BIGINT) + 1
+                  END AS bucket,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+           FROM orders GROUP BY 1, 2""",
+
+      "approx_distinct_contract" ->
+        """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+                  TRUE AS within_bound
+           FROM lineitem""",
 
       "agg_incremental_refresh" ->
         """SELECT l_returnflag, COUNT(*) AS cnt,
