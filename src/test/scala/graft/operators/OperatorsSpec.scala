@@ -110,6 +110,20 @@ class OperatorsSpec extends SparkSpec {
       (4L, "d", 7L, nullTo)))
   }
 
+  test("scd2: plan joins only the current slice — one join, closed history union-only") {
+    val nullTo: Option[Long] = None
+    val existing = (1L to 100L).flatMap(i => Seq(
+      (i, s"v$i", -5L, Some(0L)),      // closed history
+      (i, s"w$i", 0L, nullTo)))        // current
+      .toDF("pk", "attr", "valid_from", "valid_to")
+    val incoming = (1L to 120L).map(i => (i, s"x$i")).toDF("pk", "attr")
+    val merged = Scd2.merge(existing, incoming, Seq("pk"), Seq("attr"), ts = 9L)
+    val plan = merged.queryExecution.optimizedPlan.toString
+    val joins = "(?i)join".r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one join (current vs snapshot):\n$plan")
+    assert(plan.contains("Union"), "closed history must union through, not join")
+  }
+
   test("aggmaintain: merged partials equal from-scratch aggregate; negative delta retracts") {
     val base  = Seq(("x", 1.0), ("x", 2.0), ("y", 5.0)).toDF("k", "v")
     val delta = Seq(("x", 3.0), ("z", 1.5)).toDF("k", "v")
