@@ -176,9 +176,85 @@ object Multimodal {
       }.getOrElse(StubCodec.extractFeature(id, payload, dim))
   }
 
+  /** Real JDK-only multi-frame codec: animated GIF is the one
+    * frame-sequence format `javax.imageio` decodes natively, so
+    * animated payloads get REAL per-frame decode — frame count from the
+    * reader, dims from frame 0, per-frame luminance features averaged,
+    * and a frame extractor that re-encodes sampled frames as PNG.
+    * Single-frame GIFs route through [[ImageCodec]]; true video
+    * containers (mp4/webm — no JDK codec) still fall to [[StubCodec]].
+    *
+    * Caveat (documented, not hidden): frames are read as the reader
+    * yields them; GIFs using partial-frame disposal composite smaller
+    * rasters, which this codec treats as standalone frames.
+    */
+  object VideoCodec {
+    private def withReader[A](p: Array[Byte])
+        (f: javax.imageio.ImageReader => A): Option[A] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some(f(r))
+          finally { r.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => None }
+
+    def frameCount(p: Array[Byte]): Int =
+      if (!ImageCodec.sniffFormat(p).contains("gif")) 0
+      else withReader(p)(_.getNumImages(true)).getOrElse(0)
+
+    def isAnimated(p: Array[Byte]): Boolean = frameCount(p) > 1
+
+    def decodeMeta(id: Long, payload: Array[Byte]): MediaMeta =
+      withReader(payload) { r =>
+        val n = r.getNumImages(true)
+        MediaMeta(id, payload.length, r.getWidth(0), r.getHeight(0),
+          n_frames = n, format = "gif-anim")
+      }.getOrElse(StubCodec.decodeMeta(id, payload))
+
+    /** Every `stride`-th frame, re-encoded as PNG bytes — the real
+      * frame-sample step behind [[frameSamplePlan]]'s index math.
+      */
+    def sampleFrames(payload: Array[Byte], stride: Int): Seq[(Int, Array[Byte])] =
+      withReader(payload) { r =>
+        val n = r.getNumImages(true)
+        (0 until n by stride).map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(r.read(i), "png", bos)
+          i -> bos.toByteArray
+        }
+      }.getOrElse(Seq.empty)
+
+    /** Mean of the sampled frames' luminance histograms (same bins as
+      * [[ImageCodec.extractFeature]] so downstream ANN sees one shape).
+      */
+    def extractFeature(id: Long, payload: Array[Byte], dim: Int,
+                       stride: Int = 1): MediaFeature = {
+      val frames = sampleFrames(payload, stride)
+      if (frames.isEmpty) StubCodec.extractFeature(id, payload, dim)
+      else {
+        val acc = new Array[Float](dim)
+        frames.foreach { case (_, png) =>
+          val f = ImageCodec.extractFeature(id, png, dim).feature
+          var j = 0
+          while (j < dim) { acc(j) += f(j); j += 1 }
+        }
+        var j = 0
+        while (j < dim) { acc(j) /= frames.size.toFloat; j += 1 }
+        MediaFeature(id, dim, acc)
+      }
+    }
+  }
+
   /** STUB codec — deterministic fake decode for modalities the JDK has
-    * no codec for (video). A real deployment swaps this for
-    * JNI/FFI codec calls; the signature and batch shape stay.
+    * no codec for (true video containers: mp4/webm). A real deployment
+    * swaps this for JNI/FFI codec calls; the signature and batch shape
+    * stay.
     */
   object StubCodec {
     /** ??? real impl: decode header via imageio/ffprobe. Deterministic
@@ -214,11 +290,12 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // codec init happens once per partition; images and audio decode
-        // for real (ImageCodec/AudioCodec), video stubs
+        // codec init happens once per partition; images, audio, and
+        // animated GIFs decode for real — only true video containers stub
         it.map { case (id, p) =>
           val payload = Option(p).getOrElse(Array.empty[Byte])
-          if (ImageCodec.sniffFormat(payload).isDefined) ImageCodec.decodeMeta(id, payload)
+          if (VideoCodec.isAnimated(payload)) VideoCodec.decodeMeta(id, payload)
+          else if (ImageCodec.sniffFormat(payload).isDefined) ImageCodec.decodeMeta(id, payload)
           else AudioCodec.decodeMeta(id, payload)
         }
       }
@@ -236,7 +313,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, p) =>
           val payload = Option(p).getOrElse(Array.empty[Byte])
-          if (ImageCodec.sniffFormat(payload).isDefined)
+          if (VideoCodec.isAnimated(payload))
+            VideoCodec.extractFeature(id, payload, dim)
+          else if (ImageCodec.sniffFormat(payload).isDefined)
             ImageCodec.extractFeature(id, payload, dim)
           else AudioCodec.extractFeature(id, payload, dim)
         }

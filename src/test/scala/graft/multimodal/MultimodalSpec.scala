@@ -174,4 +174,69 @@ class MultimodalSpec extends SparkSpec {
       assert(byId(id) == (nf + 1) / 2, s"id=$id frames=$nf")
     }
   }
+
+  /** Animated GIF fixture: `n` solid frames cycling R, G, B. */
+  private def animatedGif(n: Int, w: Int = 6, h: Int = 4): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    (0 until n).foreach { i =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(colors(i % 3))); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("VideoCodec: real animated-GIF decode — frame count, dims, sampling") {
+    val gif = animatedGif(5)
+    assert(Multimodal.VideoCodec.frameCount(gif) == 5)
+    assert(Multimodal.VideoCodec.isAnimated(gif))
+    val meta = Multimodal.VideoCodec.decodeMeta(3L, gif)
+    assert(meta == Multimodal.MediaMeta(3L, gif.length, 6, 4, 5, "gif-anim"))
+    // stride-2 sampling decodes frames 0, 2, 4 as real PNGs
+    val frames = Multimodal.VideoCodec.sampleFrames(gif, stride = 2)
+    assert(frames.map(_._1) == Seq(0, 2, 4))
+    frames.foreach { case (_, png) =>
+      assert(Multimodal.ImageCodec.sniffFormat(png).contains("png"))
+      val m = Multimodal.ImageCodec.decodeMeta(0L, png)
+      assert(m.width == 6 && m.height == 4)
+    }
+    // a single-frame GIF is NOT video — it stays on the image path
+    val single = animatedGif(1)
+    assert(!Multimodal.VideoCodec.isAnimated(single))
+  }
+
+  test("VideoCodec: frame-averaged luminance feature is real and L1-normalized") {
+    val gif = animatedGif(3) // one R, one G, one B frame
+    val feat = Multimodal.VideoCodec.extractFeature(9L, gif, dim = 8)
+    assert(feat.dim == 8)
+    assert(math.abs(feat.feature.sum - 1.0f) < 1e-3)
+    // luma bins: R=76 → bin 2, G=150 → bin 4, B=29 → bin 0; each 1/3
+    assert(math.abs(feat.feature(2) - 1f / 3) < 1e-3)
+    assert(math.abs(feat.feature(4) - 1f / 3) < 1e-3)
+    assert(math.abs(feat.feature(0) - 1f / 3) < 1e-3)
+  }
+
+  test("decodeMeta pipeline routes animated GIF to the video codec") {
+    val rows = Seq(
+      (1L, animatedGif(4)),
+      (2L, pngFixture()),
+      (3L, "opaque-bytes".getBytes)
+    ).toDF("id", "payload")
+    val meta = Multimodal.decodeMeta(rows, "id", "payload").collect()
+      .map(m => m.id -> m).toMap
+    assert(meta(1L).format == "gif-anim" && meta(1L).n_frames == 4)
+    assert(meta(2L).format == "png")
+    assert(Set("img", "vid").contains(meta(3L).format))
+  }
 }
