@@ -583,6 +583,36 @@ object SparkEntry {
         md5(array_join(kept, " | ")).as("kept_md5"))
     }),
 
+    "text_chunk_overlap" -> ((s, dir) => {
+      // overlapping-window chunking (RAG / context-window prep): chunks
+      // of 50 tokens with 10-token overlap (stride 40). Pure per-row
+      // array math + posexplode — chunking 100 TB never shuffles.
+      val toks = T.tokens(col("text"))
+      val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(40))
+      val chunks = transform(starts,
+        st => array_join(slice(toks, st + 1, lit(50)), " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(split(col("chunk"), " ", -1)).cast("long").as("n_chunk_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+    }),
+
+    "s17_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL (the training-data interchange format): serialize rows to
+      // JSON strings, parse back with an explicit schema — the oracle
+      // pins the parsed values to the source columns, proving the
+      // round-trip is lossless (incl. double shortest-repr).
+      val j = concat(
+        lit("{\"k\":"), col("o_orderkey").cast("string"),
+        lit(",\"s\":\""), col("o_orderstatus"),
+        lit("\",\"p\":"), col("o_totalprice").cast("string"), lit("}"))
+      t(s, dir, "orders")
+        .select(from_json(j,
+          org.apache.spark.sql.types.StructType.fromDDL("k long, s string, p double")).as("r"))
+        .select(col("r.k").as("k"), col("r.s").as("s"), col("r.p").as("p"))
+    }),
+
     "text_length_quantiles" -> ((s, dir) => {
       // per-language exact length quartiles (corpus drift / QC report).
       // Exact percentile sorts within each group — bounded by group
@@ -2167,6 +2197,26 @@ object SparkEntry {
                   CAST(len(list_distinct(kept)) AS BIGINT) AS n_unique,
                   md5(array_to_string(kept, ' | ')) AS kept_md5
            FROM k""",
+
+      "text_chunk_overlap" ->
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM documents),
+           c AS (SELECT doc_id,
+                        list_transform(range(0, len(toks), 40),
+                          st -> array_to_string(toks[CAST(st + 1 AS BIGINT):CAST(st + 50 AS BIGINT)], ' ')) AS chunks
+                 FROM t),
+           u AS (SELECT doc_id,
+                        unnest(list_transform(range(0, len(chunks)),
+                          i -> {'idx': i, 'chunk': chunks[CAST(i + 1 AS BIGINT)]})) AS r
+                 FROM c)
+           SELECT doc_id, CAST(r.idx AS BIGINT) AS chunk_idx,
+                  CAST(len(string_split(r.chunk, ' ')) AS BIGINT) AS n_chunk_tokens,
+                  md5(r.chunk) AS chunk_md5
+           FROM u""",
+
+      "s17_jsonl_roundtrip" ->
+        """SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+           FROM orders""",
 
       "text_length_quantiles" ->
         """SELECT lang, count(*) AS n,
