@@ -43,4 +43,30 @@ object Layout {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Streaming upserts and per-batch
+    * writes accrete small files; at 100 TB a scan of 10^6 small files
+    * is dominated by open/footer costs, not bytes. Returns the output
+    * file count. Write-to-temp + swap so a concurrent reader never sees
+    * a half-compacted directory on a filesystem with atomic rename.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(hPath, bak) || !fs.rename(tmp, hPath))
+      throw new IllegalStateException(s"compaction swap failed for $path")
+    fs.delete(bak, true)
+    nFiles
+  }
 }

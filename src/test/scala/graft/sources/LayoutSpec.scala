@@ -52,4 +52,31 @@ class LayoutSpec extends SparkSpec {
     assert(files >= 2, s"expected multiple files for the hot partition, got $files")
     assert(Layout.read(spark, dir).count() == 2000L)
   }
+
+  test("compact: many small files rewritten to the target count, contents identical") {
+    val dir = tmpDir("layout-compact") + "/t"
+    val df = (1L to 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    df.repartition(40).write.parquet(dir) // 40 deliberately tiny files
+    def parts = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts == 40)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val n = Layout.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1 && parts == 1, s"expected 1 compacted file, got $parts")
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after == before)
+  }
+
+  test("schema diff: added/removed/type/nullability changes reported") {
+    import graft.operators.SchemaDiff
+    val old = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val next = old.select(col("id").cast("int").as("id"), col("name"),
+      lit("x").as("tag"))
+    val changes = SchemaDiff.diff(old, next)
+    assert(changes.contains(SchemaDiff.Change("tag", "added", None, Some("string"))))
+    assert(changes.contains(SchemaDiff.Change("score", "removed", Some("double"), None)))
+    assert(changes.exists(c => c.column == "id" && c.kind == "type_changed" &&
+      c.before.contains("bigint") && c.after.contains("int")))
+    assert(SchemaDiff.diff(old, old).isEmpty)
+  }
 }
