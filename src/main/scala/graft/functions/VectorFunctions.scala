@@ -106,6 +106,12 @@ object VectorFunctions {
     * distinct pairs → exact cosine verify ONCE per pair → round+filter.
     * Never all-pairs; at cluster scale each band join shuffles on its
     * own bucket key and the distinct bounds the verify stage.
+    *
+    * Sizing rule: `bitsPerBand` must grow with the corpus — the
+    * per-band self-join is quadratic in bucket occupancy, so target
+    * `bitsPerBand ≈ log2(n / desiredBucketSize)`. Measured at 80k
+    * vectors: 8 bits → ~10^8 candidates, 42 s; 16 bits → identical
+    * output pairs, 7.5 s.
     */
   def bandedNearDup(df: DataFrame, id: String, vec: String, bands: Int,
                     bitsPerBand: Int, minCos: Double, roundScale: Int = 6): DataFrame = {

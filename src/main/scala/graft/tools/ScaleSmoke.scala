@@ -92,9 +92,13 @@ object ScaleSmoke {
       V.bandedLshTopK(q, c, "q_id", "c_id", "q_vec", "c_vec", 5, bands = 3, bitsPerBand = 8).count()
     }
 
-    // 6. banded near-dup over the replicated embedding corpus
+    // 6. banded near-dup over the replicated embedding corpus.
+    // bitsPerBand sizes the bucket space and MUST scale with the corpus:
+    // 8 bits (256 buckets) over 80k vectors put ~300 vectors per bucket
+    // and the per-band self-join enumerated ~10^8 candidates (42 s);
+    // 16 bits (65k buckets) emits the identical pair set in 7.5 s.
     time("neardup_banded", nEmb) {
-      V.bandedNearDup(emb, "vec_id", "embedding", bands = 3, bitsPerBand = 8,
+      V.bandedNearDup(emb, "vec_id", "embedding", bands = 3, bitsPerBand = 16,
         minCos = 0.95).count()
     }
 
@@ -144,6 +148,45 @@ object ScaleSmoke {
         T.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.functions.Sampling.budgetSelect(d, col("q"), col("doc_id"),
         col("n_tokens"), budget = 1000000L).count()
+    }
+
+    // 11. SCD2 merge: 6M-row current slice vs 4M-row snapshot (plus 6M
+    // closed history that must NOT enter the join)
+    time("scd2_merge", nLi) {
+      val nullTo = lit(null).cast("long")
+      val existing = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("string").as("attr"),
+          lit(-10L).as("valid_from"), lit(0L).as("valid_to"))
+        .unionByName(li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("string").as("attr"),
+          lit(0L).as("valid_from"), nullTo.as("valid_to")))
+      val incoming = li.filter(col("l_orderkey") % 3 =!= 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_orderkey") % 5 === 0, lit("CHANGED"))
+            .otherwise(col("l_quantity").cast("string")).as("attr"))
+      graft.operators.Scd2.merge(existing, incoming,
+        Seq("l_orderkey", "l_linenumber"), Seq("attr"), ts = 100L).count()
+    }
+
+    // 12. incremental aggregate refresh: delta-sized partial + tiny merge
+    time("agg_incremental", nLi) {
+      val sums = Map("l_quantity" -> "sum_qty")
+      val stored = graft.operators.AggMaintain.partial(
+        li.filter(col("l_orderkey") % 10 =!= 0), Seq("l_returnflag"), sums, "cnt")
+      val delta = graft.operators.AggMaintain.partial(
+        li.filter(col("l_orderkey") % 10 === 0), Seq("l_returnflag"), sums, "cnt")
+      graft.operators.AggMaintain.merge(Seq(stored, delta),
+        Seq("l_returnflag"), Seq("cnt", "sum_qty")).count()
+    }
+
+    // 13. overlapping chunking + PII scrub over the 10× corpus (pure
+    // per-row expressions — the cost IS the scan)
+    time("chunk_and_scrub", nDocs) {
+      val toks = T.tokens(col("text"))
+      val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(40))
+      val chunks = transform(starts, st => array_join(slice(toks, st + 1, lit(50)), " "))
+      docs.select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+        .select(md5(T.scrubPii(col("chunk")))).count()
     }
 
     spark.stop()
