@@ -144,6 +144,17 @@ object SparkEntry {
         Seq("c_custkey"), Seq("c_mktsegment"), ts = 100L)
     }),
 
+    "o4b_topk_agg" -> ((s, dir) => {
+      // window-free top-k: the custom bounded aggregate keeps k rows
+      // per (partition, group) with map-side combine — only k·|groups|
+      // rows reach the shuffle, vs sorting whole groups under a window
+      graft.plans.TopKAggregate.topKExploded(
+          t(s, dir, "orders"), Seq("o_orderstatus"),
+          col("o_totalprice"), col("o_orderkey"), k = 5)
+        .select(col("o_orderstatus"), round(col("score"), 2).as("score"),
+          col("id"), col("rank"))
+    }),
+
     "dash_histogram" -> ((s, dir) => {
       // fixed-bound bucketed histogram (dashboard distribution panel):
       // width_bucket is a pure per-row expression, the groupBy shuffles
@@ -1789,6 +1800,15 @@ object SparkEntry {
            UNION ALL
            SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, CAST(100 AS BIGINT)
            FROM cur ANTI JOIN inc USING (c_custkey)""",
+
+      "o4b_topk_agg" ->
+        """SELECT o_orderstatus, ROUND(o_totalprice, 2) AS score,
+                  o_orderkey AS id, CAST(rn AS BIGINT) AS rank
+           FROM (SELECT o_orderstatus, o_totalprice, o_orderkey,
+                        row_number() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                 FROM orders)
+           WHERE rn <= 5""",
 
       "dash_histogram" ->
         """SELECT o_orderstatus,

@@ -96,6 +96,17 @@ object GraftExtensions {
         require(exprs.length == 2, "cosine_sim(vec_a, vec_b)")
         expression(graft.functions.VectorFunctions.cosine(
           column(exprs(0)), column(exprs(1))))
+      },
+      "top_k" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 3 || exprs.length == 4,
+          "top_k(score, id, k[, descending])")
+        val desc = exprs.lift(3).forall {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"descending must be a boolean literal, got $other")
+        }
+        TopKAggregate(exprs(0), exprs(1), intLiteral(exprs(2), "k"), desc)
+          .toAggregateExpression()
       })
   }
 
