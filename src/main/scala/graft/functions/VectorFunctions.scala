@@ -61,10 +61,25 @@ object VectorFunctions {
     (0 until m).map(i => when(try_element_at(v, lit(i + 1)) >= 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Shared ranking tail for the ANN operators: per-query top-k via the
+    * bounded [[graft.plans.TopKAggregate]] — k rows per (partition,
+    * query) reach the shuffle with map-side combine, instead of the
+    * window formulation sorting every candidate per query. Tie-break
+    * (score desc, candidate id asc) is identical to the window form, so
+    * results are bit-equal. Candidate ids must be long-castable (they
+    * are vector ids throughout the engine).
+    */
+  private def rankTopK(scored: DataFrame, qId: String, cId: String,
+                       k: Int): DataFrame =
+    graft.plans.TopKAggregate.topKExploded(
+        scored.select(col(qId), col(cId), col("score")),
+        Seq(qId), col("score"), col(cId), k)
+      .select(col(qId), col("id").as(cId), col("score"), col("rank"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. Query side is broadcast (it is the small side by
-    * construction); ranking is windowed per query with a deterministic
-    * (score desc, id asc) tie-break.
+    * construction); ranking is the bounded top-k aggregate with a
+    * deterministic (score desc, id asc) tie-break.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
                      qVec: String, cVec: String, k: Int): DataFrame = {
@@ -74,11 +89,7 @@ object VectorFunctions {
     val joined = c
       .join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("score", safeRatio(dot(col(qVec), col(cVec)), col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("score"), col("rank"))
+    rankTopK(joined, qId, cId, k)
   }
 
   /** Banded sign buckets (OR-construction): `bands` independent
@@ -154,10 +165,7 @@ object VectorFunctions {
       .join(broadcast(queries.withColumn("__qn", norm(col(qVec)))), Seq(qId))
       .join(corpus.withColumn("__cn", norm(col(cVec))), Seq(cId))
       .withColumn("score", safeRatio(dot(col(qVec), col(cVec)), col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("score"), col("rank"))
+    rankTopK(scored, qId, cId, k)
   }
 
   // ---- learned-centroid IVF (Lloyd's k-means, deterministic) ----------
@@ -233,9 +241,7 @@ object VectorFunctions {
     val joined = c.join(broadcast(q), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(joined, "q_id", "c_id", k)
       .select(col("q_id"), col("c_id"), round(col("score"), roundScale).as("score"), col("rank"))
   }
 
@@ -253,10 +259,6 @@ object VectorFunctions {
       .join(broadcast(qb), Seq("bucket"))
       .filter(col(qId) =!= col(cId))
       .withColumn("score", safeRatio(dot(col(qVec), col(cVec)), col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("score"), col("rank"))
+    rankTopK(joined, qId, cId, k)
   }
 }
