@@ -26,7 +26,6 @@ object GraftSession {
       // 100 TB. Thresholds stay at Spark defaults; the spec asserts the
       // injection fires on a selective join.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
       // skew: let AQE split oversized partitions for the skewed joins
       // the salting utilities don't already cover
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -139,4 +139,18 @@ class ProcessJobSpec extends SparkSpec {
     assert(r.statuses.exists(s => s.name.endsWith(".maf") && s.status == "INVALID"))
     assert(!r.tables.contains("maf"))
   }
+
+  test("ProcessMain: file-backed state round-trips across two runs") {
+    val in = tmpDir("pm-in")
+    val state = tmpDir("pm-state")
+    stage(in)
+    ProcessMain.main(Array("CTR", in, state))
+    // state persisted: statuses + merged tables as parquet
+    assert(new java.io.File(s"$state/file_status.parquet").exists())
+    assert(spark.read.parquet(s"$state/tables/clinical").count() == 1)
+    assert(spark.read.parquet(s"$state/tables/maf").count() == 1)
+    // second run loads the state and md5-skips everything; tables intact
+    ProcessMain.main(Array("CTR", in, state))
+    assert(spark.read.parquet(s"$state/tables/maf").count() == 1)
+  }
 }
