@@ -137,4 +137,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: SCD2 invariants — one open row per live pk, none for retired") {
+    import graft.operators.Scd2
+    val caseGen = for {
+      existingPks <- Gen.listOfN(20, Gen.choose(1L, 12L)).map(_.distinct)
+      snapshotPks <- Gen.listOfN(20, Gen.choose(1L, 15L)).map(_.distinct)
+      changed     <- Gen.listOfN(6, Gen.choose(1L, 15L)).map(_.toSet)
+    } yield (existingPks, snapshotPks, changed)
+    forSamples(caseGen, n = 8) { case (ePks, sPks, changed) =>
+      val nullTo: Option[Long] = None
+      val existing = ePks.map(p => (p, s"v$p", 0L, nullTo))
+        .toDF("pk", "attr", "valid_from", "valid_to")
+      val incoming = sPks.map(p =>
+        (p, if (changed(p)) s"c$p" else s"v$p")).toDF("pk", "attr")
+      val out = Scd2.merge(existing, incoming, Seq("pk"), Seq("attr"), ts = 5L)
+        .as[(Long, String, Long, Option[Long])].collect()
+      val open = out.filter(_._4.isEmpty)
+      // exactly one open row per snapshot pk, carrying the snapshot attr
+      assert(open.map(_._1).sorted.toSeq == sPks.sorted)
+      open.foreach { case (p, a, _, _) =>
+        assert(a == (if (changed(p)) s"c$p" else s"v$p"))
+      }
+      // retired pks (existing but not in snapshot) have ONLY closed rows
+      val retired = ePks.toSet -- sPks.toSet
+      retired.foreach { p =>
+        val rows = out.filter(_._1 == p)
+        assert(rows.nonEmpty && rows.forall(_._4.contains(5L)))
+      }
+    }
+  }
+
+  test("property: bounded top-k equals sort-and-take on random scores") {
+    import graft.plans.TopKAggregate
+    val rowGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("a", "b", "c")
+      s <- Gen.choose(0, 9).map(_.toDouble) // coarse scores force ties
+    } yield (g, s))
+    forSamples(rowGen, n = 6) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+        .toDF("grp", "score", "id")
+      val got = TopKAggregate.topKExploded(df, Seq("grp"), col("score"), col("id"), k = 4)
+        .select("grp", "id", "rank").as[(String, Long, Long)].collect().toSet
+      val want = rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+        .groupBy(_._1).flatMap { case (g, rs) =>
+          rs.sortBy { case (_, s, i) => (-s, i) }.take(4).zipWithIndex
+            .map { case ((_, _, i), r) => (g, i, (r + 1).toLong) }
+        }.toSet
+      assert(got == want)
+    }
+  }
 }
