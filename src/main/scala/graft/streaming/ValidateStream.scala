@@ -97,6 +97,38 @@ object ValidateStream {
         graft.operators.Upsert.overwrite(spark, spark.read.parquet(staging), tablePath)
       }
 
+  /** Streaming SCD2 sink: each micro-batch of dimension snapshots
+    * merges into a versioned history table via the same
+    * [[graft.operators.Scd2.merge]] the batch path uses — changed keys
+    * close and reopen at the batch's `ts`, so the table answers
+    * "attribute value as of T" for any T. Same staging-then-overwrite
+    * discipline as [[upsertStream]]; exactly-once via checkpoint +
+    * idempotent overwrite.
+    */
+  def scd2Stream(stream: DataFrame, pkCols: Seq[String], attrCols: Seq[String],
+                 tsOf: Long => Long, tablePath: String,
+                 checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(tablePath)).filter(_.columns.nonEmpty)
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val merged = existing match {
+          case Some(ex) =>
+            graft.operators.Scd2.merge(ex, batch, pkCols, attrCols, tsOf(batchId))
+          case None => batch
+            .withColumn("valid_from", lit(tsOf(batchId)))
+            .withColumn("valid_to", lit(null).cast("long"))
+        }
+        val staging = tablePath + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        graft.operators.Upsert.overwrite(spark, spark.read.parquet(staging), tablePath)
+      }
+
   /** Watermarked stream-stream interval join: each left event matches
     * right events with the same key whose timestamp lies within
     * `[leftTs - lookback, leftTs]` — streaming attribution (click ←

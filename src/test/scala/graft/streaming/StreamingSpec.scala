@@ -89,6 +89,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("a.b@c.io"))
   }
 
+  test("streaming scd2: dimension history accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("scd2-stream")
+    val table = s"$dir/dim"
+    // batch 0: initial snapshot; batch 1: pk 2 changes, pk 3 retired, pk 4 new
+    val mem1 = MemoryStream[(Long, String)]
+    mem1.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    val q1 = ValidateStream.scd2Stream(mem1.toDF().toDF("pk", "attr"),
+      Seq("pk"), Seq("attr"), tsOf = _ + 10L, table, s"$dir/cp1").start()
+    q1.awaitTermination(30000)
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((1L, "a"), (2L, "b2"), (4L, "d"))
+    val q2 = ValidateStream.scd2Stream(mem2.toDF().toDF("pk", "attr"),
+      Seq("pk"), Seq("attr"), tsOf = _ + 11L, table, s"$dir/cp2").start()
+    q2.awaitTermination(30000)
+    val hist = spark.read.parquet(table)
+      .select("pk", "attr", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(hist == Set(
+      (1L, "a", 10L, None),                    // unchanged, still open
+      (2L, "b", 10L, Some(11L)),               // closed at batch-1 ts
+      (2L, "b2", 11L, None),                   // reopened with new attr
+      (3L, "c", 10L, Some(11L)),               // retired
+      (4L, "d", 11L, None)))                   // new key
+  }
+
   test("stream-stream interval join: views within lookback of each click") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
