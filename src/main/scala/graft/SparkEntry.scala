@@ -1046,9 +1046,7 @@ object SparkEntry {
       val joined = c.join(broadcast(q), Seq("label"))
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("score", V.cosine(col("q_vec"), col("c_vec")))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
-      joined.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      V.rankTopK(joined, "q_id", "c_id", 3)
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 

@@ -69,8 +69,8 @@ object VectorFunctions {
     * results are bit-equal. Candidate ids must be long-castable (they
     * are vector ids throughout the engine).
     */
-  private def rankTopK(scored: DataFrame, qId: String, cId: String,
-                       k: Int): DataFrame =
+  def rankTopK(scored: DataFrame, qId: String, cId: String,
+               k: Int): DataFrame =
     graft.plans.TopKAggregate.topKExploded(
         scored.select(col(qId), col(cId), col("score")),
         Seq(qId), col("score"), col(cId), k)
