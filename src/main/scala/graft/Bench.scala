@@ -38,8 +38,15 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // run the query's OWN plan (df.count() would execute a derived
+      // count plan that can skip column materialization — and leaves
+      // the shuffle metrics unpopulated)
+      val shuffleMb = try {
+        val df = fn(spark, sfDir)
+        graft.tools.PlanMetrics.runAndCount(df)
+        graft.tools.PlanMetrics.shuffleBytesWritten(df) / 1e6
+      } catch { case _: Throwable => -1.0 }
+      (name, (System.nanoTime() - t0) / 1e9, shuffleMb)
     }
     def fmt(v: Double): String = f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]): String =
@@ -47,13 +54,14 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // stdout must stay small: the driver reads a truncated tail of the build
     // log, so print only the total + the 10 slowest queries (rounded to ms).
-    val slowest = results.sortBy(-_._2).take(10)
+    val slowest = results.sortBy(-_._2).take(10).map(r => r._1 -> r._2)
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(slowest)},"n_queries":${results.size},"sf":"$sfDir"}"""
     println(compact)
-    // Full per-query detail goes to a file for human inspection.
+    // Full per-query detail (seconds + shuffle MB — the number that
+    // predicts 100 TB behavior) goes to a file for human inspection.
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results.map(r => r._1 -> r._2))},"shuffle_mb":${toJson(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out))
