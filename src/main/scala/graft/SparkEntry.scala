@@ -1102,6 +1102,17 @@ object SparkEntry {
           (octet_length(col("payload")) % 7 + 1).as("fake_frames"))
     }),
 
+    "mm_frame_sample" -> ((s, dir) => {
+      // real decodeMeta (mapPartitions, stub path for opaque payloads)
+      // feeding the stride-2 frame-sampling plan — the index math the
+      // VideoCodec frame extractor consumes
+      val meta = graft.multimodal.Multimodal.decodeMeta(
+        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")
+      graft.multimodal.Multimodal.frameSamplePlan(meta, stride = 2)
+        .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+
     // ---------------- S4/P20: VCF reader round-trip ------------------
     "s4_p20_vcf_roundtrip" -> ((s, dir) => {
       // VCF-shaped file (header line starts with #CHROM), written then
@@ -2717,6 +2728,11 @@ object SparkEntry {
                   strlen(text) % 64 + 1 AS fake_width,
                   strlen(text) % 7 + 1 AS fake_frames
            FROM documents""",
+
+      "mm_frame_sample" ->
+        """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+           FROM (SELECT doc_id, unnest(range(0, strlen(text) % 7 + 1, 2)) AS f
+                 FROM documents)""",
 
       "s4_p20_vcf_roundtrip" ->
         """SELECT COUNT(*) AS n_rows,
