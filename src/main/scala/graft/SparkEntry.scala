@@ -1323,6 +1323,22 @@ object SparkEntry {
       Rules.Battery.asDataFrame(d, rules)
     }),
 
+    "p_battery_sample_class" -> ((s, dir) => {
+      // drives the REAL cfDNA ⇔ SAMPLE_TYPE=8 rules (clinical.py:693-778)
+      val d = t(s, dir, "documents").select(
+        concat(lit("GENIE-C-"), col("doc_id").cast("string"), lit("-1")).as("SAMPLE_ID"),
+        element_at(array(lit("cfDNA"), lit("Tumor"), lit("Other")),
+          (col("doc_id") % 3 + 1).cast("int")).as("SAMPLE_CLASS"),
+        when(col("doc_id") % 4 === 0, lit("8"))
+          .when(col("doc_id") % 4 === 1, lit("2"))
+          .when(col("doc_id") % 4 === 2, lit("8.0"))
+          .otherwise(lit(null).cast("string")).as("SAMPLE_TYPE"))
+      val rules = graft.formats.ClinicalFormat.sampleRules("C")
+        .filter(r => Set("sample_class_requires_type8",
+          "sample_type8_requires_class").contains(r.name))
+      Rules.Battery.asDataFrame(d, rules)
+    }),
+
     // ---------------- P28: deprecated-column finding (clinical.py:780-797)
     "p28_deprecated_check" -> ((s, dir) => {
       import s.implicits._
@@ -1839,6 +1855,29 @@ object SparkEntry {
                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
            FROM lineitem GROUP BY l_returnflag""",
+
+      "p_battery_sample_class" ->
+        """WITH d AS (
+             SELECT 'GENIE-C-' || CAST(doc_id AS VARCHAR) || '-1' AS sid,
+                    (['cfDNA', 'Tumor', 'Other'])[CAST(doc_id % 3 AS INT) + 1] AS cls,
+                    CASE WHEN doc_id % 4 = 0 THEN '8'
+                         WHEN doc_id % 4 = 1 THEN '2'
+                         WHEN doc_id % 4 = 2 THEN '8.0'
+                         ELSE NULL END AS st
+             FROM documents),
+           v AS (SELECT sid,
+                        cls = 'cfDNA' AND TRY_CAST(st AS DOUBLE) IS DISTINCT FROM 8.0 AS v1,
+                        TRY_CAST(st AS DOUBLE) = 8.0 AND cls IS DISTINCT FROM 'cfDNA' AS v2
+                 FROM d)
+           SELECT 'sample_class_requires_type8' AS rule, 'error' AS severity,
+                  COUNT(CASE WHEN v1 THEN 1 END) AS n_violations,
+                  MIN(CASE WHEN v1 THEN sid END) AS example
+           FROM v
+           UNION ALL
+           SELECT 'sample_type8_requires_class', 'error',
+                  COUNT(CASE WHEN v2 THEN 1 END),
+                  MIN(CASE WHEN v2 THEN sid END)
+           FROM v""",
 
       "p_battery_orders" ->
         """SELECT 'status_domain' AS rule, 'error' AS severity,

@@ -71,6 +71,23 @@ object ClinicalFormat {
         col("SEQ_ASSAY_ID").isNull || trim(col("SEQ_ASSAY_ID")) === "", sid,
         "Sample Clinical File: Please double check your SEQ_ASSAY_ID columns, there are empty rows.",
         requires = Seq("SEQ_ASSAY_ID")),
+      // _validate_sample_class_and_type (clinical.py:693-778): cfDNA ⇔
+      // SAMPLE_TYPE 8, both directions. SAMPLE_TYPE coerces numerically
+      // (pandas to_numeric errors="coerce": non-numeric → NaN ≠ 8 flags);
+      // a null SAMPLE_CLASS ≠ 'cfDNA' flags likewise — both via null-safe
+      // comparisons. Runs only when both columns exist (clinical.py:1235-1244).
+      RowRule("sample_class_requires_type8", "error",
+        col("SAMPLE_CLASS") === "cfDNA" &&
+          !(expr("try_cast(SAMPLE_TYPE as double)") <=> 8.0), sid,
+        "Sample Clinical File: Invalid SAMPLE_TYPE values detected for " +
+          "SAMPLE_CLASS = 'cfDNA'. When SAMPLE_CLASS is 'cfDNA', SAMPLE_TYPE must be 8.",
+        requires = Seq("SAMPLE_CLASS", "SAMPLE_TYPE")),
+      RowRule("sample_type8_requires_class", "error",
+        (expr("try_cast(SAMPLE_TYPE as double)") <=> 8.0) &&
+          !(col("SAMPLE_CLASS") <=> "cfDNA"), sid,
+        "Sample Clinical File: Invalid SAMPLE_CLASS values detected for " +
+          "SAMPLE_TYPE = 8. When SAMPLE_TYPE is 8, SAMPLE_CLASS must be 'cfDNA'.",
+        requires = Seq("SAMPLE_CLASS", "SAMPLE_TYPE")),
       RowRule("seq_assay_id_prefix", "error",
         col("SEQ_ASSAY_ID").isNotNull && trim(col("SEQ_ASSAY_ID")) =!= "" &&
           !upper(col("SEQ_ASSAY_ID")).startsWith(center), sid,
