@@ -707,6 +707,16 @@ object SparkEntry {
           col("rn").cast("long").as("rn"))
     }),
 
+    "sample_weighted_wor" -> ((s, dir) => {
+      // weighted sampling without replacement (A-Res): inclusion
+      // probability ∝ weight, fully deterministic (hash uniforms), one
+      // bounded top-k aggregation per group
+      val d = t(s, dir, "documents")
+        .withColumn("w", (col("n_chars") % 50 + 1).cast("double"))
+      graft.functions.Sampling.weightedSampleWoR(
+        d, Seq("lang"), "doc_id", col("w"), k = 10)
+    }),
+
     "sample_budget_select" -> ((s, dir) => {
       // token-budget curation: best-quality docs first until 10k tokens
       // are spent. Global running total via two-level prefix sum (bin
@@ -2323,6 +2333,23 @@ object SparkEntry {
            SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_overlap
            FROM train t JOIN bench b USING (sh)
            GROUP BY t.doc_id""",
+
+      "sample_weighted_wor" ->
+        """WITH d AS (
+             SELECT lang, doc_id,
+                    CAST(n_chars % 50 + 1 AS DOUBLE) AS w,
+                    (CAST(('0x' || substr(md5('wor:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 0.5)
+                      / 4294967296.0 AS u
+             FROM documents),
+           kd AS (SELECT lang, doc_id,
+                         ROUND(ln(u) / w, 9) AS a_key
+                  FROM d),
+           r AS (SELECT lang, doc_id, a_key,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY a_key DESC, doc_id ASC) AS rank
+                 FROM kd)
+           SELECT lang, doc_id, a_key, CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 10""",
 
       "sample_split" ->
         """SELECT doc_id,

@@ -78,6 +78,27 @@ object Sampling {
     * Requires (score, id) unique per row for a total order (id unique
     * suffices). Returns the selected rows + `cum_cost`.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirtsos A-Res):
+    * every row draws a deterministic uniform u from the md5 hash of
+    * (salt, id), gets key = ln(u)/w, and the k LARGEST keys per group
+    * win — inclusion probability proportional to weight, no rand(), no
+    * driver state. Keys are rounded to 9 dp so the DuckDB oracle's libm
+    * ln() agrees bit-for-bit after rounding; ties (astronomically rare)
+    * break on id. One bounded top-k aggregation — at 100 TB only
+    * k·|groups| rows reach the shuffle.
+    */
+  def weightedSampleWoR(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        weightCol: Column, k: Int,
+                        salt: String = "wor"): DataFrame = {
+    val u = (hashBucket(col(idCol), salt).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = round(log(u) / weightCol.cast("double"), 9)
+    graft.plans.TopKAggregate.topKExploded(
+        df.withColumn("__akey", key), groupCols,
+        col("__akey"), col(idCol), k)
+      .select(groupCols.map(col) :+ col("id").as(idCol) :+
+        col("score").as("a_key") :+ col("rank"): _*)
+  }
+
   def budgetSelect(df: DataFrame, scoreCol: Column, idCol: Column,
                    costCol: Column, budget: Long,
                    binOf: Column => Column = _ * 1000): DataFrame = {

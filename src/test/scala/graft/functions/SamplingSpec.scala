@@ -83,4 +83,22 @@ class SamplingSpec extends SparkSpec {
         assert(w.partitionSpec.exists(_.toString.contains("__bin")))
     }
   }
+
+  test("weighted WoR: deterministic, and inclusion tracks weight across salts") {
+    import graft.functions.Sampling
+    val df = Seq((1L, "g", 9.0), (2L, "g", 1.0)).toDF("id", "grp", "w")
+    // deterministic: same salt → same winner
+    val first = Sampling.weightedSampleWoR(df, Seq("grp"), "id", col("w"), k = 1)
+      .select("id").as[Long].collect()
+    val second = Sampling.weightedSampleWoR(df, Seq("grp"), "id", col("w"), k = 1)
+      .select("id").as[Long].collect()
+    assert(first.sameElements(second) && first.length == 1)
+    // inclusion probability ∝ weight: the 9:1 heavy row should win the
+    // large majority of independent salts (expected 90%, bound loosely)
+    val wins = (0 until 40).count { s =>
+      Sampling.weightedSampleWoR(df, Seq("grp"), "id", col("w"), k = 1, salt = s"s$s")
+        .select("id").as[Long].collect().head == 1L
+    }
+    assert(wins >= 28, s"heavy row won only $wins/40")
+  }
 }
