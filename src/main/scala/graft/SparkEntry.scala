@@ -546,6 +546,20 @@ object SparkEntry {
           max(col("ts_ms")).as("session_end_ms"))
     }),
 
+    "sessionize_native" -> ((s, dir) => {
+      // the same gap sessionization through Spark's native session_window
+      // aggregation (no window functions, map-side session merge).
+      // Gap is 1800001 ms because session_window merges on ts < end
+      // (strict) while the lag-based twin keeps diff <= 1800000.
+      val e = events(s, dir).select(col("user_id"), col("ts_ms"))
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      e.groupBy(col("user_id"), session_window(col("ts"), "1800001 milliseconds"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("session_start_ms"),
+          max(col("ts_ms")).as("session_end_ms"))
+        .select("user_id", "n_events", "session_start_ms", "session_end_ms")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher/C4-style repetition signals: top-token fraction +
       // duplicate-bigram fraction + the keep verdict. Pure per-row
@@ -2224,6 +2238,21 @@ object SparkEntry {
                   COUNT(*) AS n_events,
                   MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
            FROM s GROUP BY 1, 2""",
+
+      "sessionize_native" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+           m AS (SELECT user_id, ts_ms,
+                        CASE WHEN lag(ts_ms) OVER w IS NULL
+                                  OR ts_ms - lag(ts_ms) OVER w > 1800000
+                             THEN 1 ELSE 0 END AS ns
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+           s AS (SELECT user_id, ts_ms,
+                        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                 FROM m)
+           SELECT user_id, COUNT(*) AS n_events,
+                  MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
+           FROM s GROUP BY user_id, session_idx""",
 
       "text_repetition" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
