@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("a.b@c.io"))
   }
 
+  test("streaming session_window: sessions close when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // u1: two sessions (gap 5m, break at 12m); u2: one; sentinel far in
+    // the future advances the watermark so every session closes
+    mem.addData((at(0), 1L), (at(2), 1L), (at(14), 1L), (at(1), 2L))
+    mem.addData((at(600), 99L))
+    val sessions = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "5 minutes"))
+      .count()
+      .select(col("user"), col("count"))
+    val q = sessions.writeStream.format("memory").queryName("sess_native")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val got = spark.table("sess_native").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) == Seq(1L, 2L)) // sessions of 2 events and 1 event
+    assert(got(2L) == Seq(1L))
+  }
+
   test("streaming scd2: dimension history accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("scd2-stream")
