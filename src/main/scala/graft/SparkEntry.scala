@@ -181,6 +181,23 @@ object SparkEntry {
             - 1.0) <= 0.05).as("within_bound"))
     }),
 
+    "approx_quantile_contract" -> ((s, dir) => {
+      // quantile-sketch accuracy contract, per group: percentile_approx
+      // (KLL-style, accuracy 10000 → rank error ≤ 0.01%) must land
+      // within 1% of the exact interpolated median. The oracle pins the
+      // exact side (quantile_cont) and the contract outcome — the
+      // sketch's guarantee is gated without cross-engine sketch
+      // equality. At 100 TB the approx path is the only viable one
+      // (exact percentile materializes whole groups); this query is the
+      // evidence the swap is safe.
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"))
+        .select(col("l_returnflag"), round(col("exact_p50"), 6).as("exact_p50"),
+          (abs(col("approx_p50") / col("exact_p50") - 1.0) <= 0.01).as("within_bound"))
+    }),
+
     "agg_incremental_refresh" -> ((s, dir) => {
       // materialized-aggregate maintenance: the "stored" aggregate is
       // built from 90% of lineitem, the day's delta is the other 10%;
@@ -455,6 +472,19 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_unique"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingest dedup: the corpus (doc_id % 10 != 7) reduces to a
+      // persisted digest index; the new batch (doc_id % 10 == 7) flags
+      // rows already present. Text never shuffles — only digests + ids.
+      val docs = t(s, dir, "documents")
+      D.incrementalExactDup(
+          docs.filter(col("doc_id") % 10 =!= 7),
+          docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text")
+        .groupBy("dup_in_corpus")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+    }),
+
     "dedup_minhash_sig" -> ((s, dir) => {
       // native one-pass Catalyst expression (graft.plans.MinHashSignature);
       // bit-identical to the composed md5 form the oracle reproduces
@@ -532,6 +562,19 @@ object SparkEntry {
       // per-doc ranking window
       graft.functions.Curation.tfidfTopTerms(
         t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    "text_rarity" -> ((s, dir) => {
+      // corpus-frequency rarity quality signals (integer-exact unigram
+      // surprisal core): OOV fraction vs the top-50 vocabulary + mean
+      // corpus token frequency, summarized per language
+      graft.functions.Curation.rarityStats(
+          t(s, dir, "documents"), "doc_id", "text", vocabK = 50)
+        .join(t(s, dir, "documents").select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(dsum(col("oov_frac"), 6) / count(lit(1)), 6).as("avg_oov_frac"),
+          round(dsum(col("mean_tok_freq"), 6) / count(lit(1)), 6).as("avg_tok_freq"))
     }),
 
     "sessionize_batch" -> ((s, dir) => {
@@ -1083,6 +1126,40 @@ object SparkEntry {
         col("vec_id") < 10, k = 3, clusters = 4, iters = 2)
     }),
 
+    "sim_pq_recall" -> ((s, dir) => {
+      // product-quantization ANN (ADC + exact re-rank) recall contract:
+      // PQ top-10 must recover ≥3 of the exact cosine top-10 per query —
+      // clearly above the ~2 hypergeometric chance line for a 20%
+      // shortlist. The oracle pins the query set and the contract
+      // outcome; OperatorsSpec asserts tighter recall on structured data.
+      // L2-normalize first: ADC is an L2-metric index, and on normalized
+      // vectors L2 ordering ≡ cosine ordering, so the PQ shortlist is
+      // hunting the same neighbors the exact cosine ranking defines
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val books = V.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, dim = 64, ksub = 16, iters = 2)
+      // the harness embeddings are near-random (label-agnostic, cosine
+      // concentrated around 0) — the adversarial case for ANY lossy ANN
+      // index, so the shortlist is sized as a corpus fraction (20%) and
+      // the bar is "clearly above the hypergeometric chance line", not
+      // the ~0.9 recall a clustered real-embedding corpus would give
+      val shortlist = math.max(50L, emb.count() / 5).toInt
+      val pq = V.pqTopK(queries, corpus, "q_id", "c_id", "q_vec", "c_vec",
+        books, m = 4, dim = 64, k = 10, shortlist = shortlist)
+      val exact = V.bruteForceTopK(queries, corpus, "q_id", "c_id",
+        "q_vec", "c_vec", k = 10)
+      val hits = pq.select("q_id", "c_id")
+        .join(exact.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"))
+    }),
+
     // ---------------- CNA matrix lifecycle ---------------------------
     "cna_melt_merge" -> ((s, dir) => {
       // wide matrix → melt → A7 merge → long form (graft.formats.CnaFormat)
@@ -1276,6 +1353,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
           min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms"))
+    }),
+
+    "s18_zorder_scan" -> ((s, dir) => {
+      // Z-order-clustered layout: events written range-partitioned by
+      // the Morton key of (user_id, value-bucket), then a 2-D range
+      // predicate aggregates over the clustered files. Every file covers
+      // a compact 2-D tile, so parquet min/max stats skip on BOTH
+      // columns (LayoutSpec proves the row-group skipping); the query
+      // gates the key math + layout round-trip end to end.
+      import graft.sources.Layout
+      val out = tmpPath(dir, "s18")
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          floor(col("value") * 10).cast("long").as("vbucket"))
+      Layout.writeZOrdered(e, out, "user_id", "vbucket", nFiles = 8)
+      Layout.read(s, out)
+        .filter(col("user_id").between(100, 2000) && col("vbucket").between(2, 7))
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_event"),
+          max("event_id").as("max_event"),
+          dsum(col("value"), 6).as("sum_value"))
+    }),
+
+    "zorder_key" -> ((s, dir) => {
+      // the Morton key itself, oracle-replayed bit by bit in SQL
+      events(s, dir).select(col("event_id"),
+        graft.sources.Layout.zorderKey2(col("user_id"),
+          floor(col("value") * 10).cast("long")).as("zkey"))
     }),
 
     // ---------------- S14: case-list sink round-trip -----------------
@@ -1873,6 +1977,75 @@ object SparkEntry {
         """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
                   TRUE AS within_bound
            FROM lineitem""",
+
+      "approx_quantile_contract" ->
+        """SELECT l_returnflag,
+                  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+                  TRUE AS within_bound
+           FROM lineitem GROUP BY l_returnflag""",
+
+      "dedup_incremental" ->
+        """WITH corpus AS (
+             SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 10 != 7),
+           batch AS (
+             SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 = 7)
+           SELECT (c.dg IS NOT NULL) AS dup_in_corpus,
+                  COUNT(*) AS n_docs, MIN(b.doc_id) AS min_id
+           FROM batch b LEFT JOIN corpus c ON b.dg = c.dg
+           GROUP BY 1""",
+
+      "text_rarity" ->
+        """WITH tok AS (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+           freq AS (SELECT token, SUM(c) AS corpus_freq, COUNT(*) AS doc_freq
+                    FROM cnt GROUP BY 1),
+           vocab AS (SELECT token FROM freq
+                     ORDER BY corpus_freq DESC, token ASC LIMIT 50),
+           per_doc AS (
+             SELECT c.doc_id, SUM(c.c) AS n_tok,
+                    SUM(CASE WHEN v.token IS NULL THEN c.c ELSE 0 END) AS oov,
+                    SUM(c.c * f.corpus_freq) AS freq_sum
+             FROM cnt c JOIN freq f USING (token)
+             LEFT JOIN vocab v ON c.token = v.token
+             GROUP BY 1),
+           r AS (
+             SELECT doc_id, n_tok,
+                    ROUND(CAST(oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS oov_frac,
+                    ROUND(CAST(freq_sum AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS mean_tok_freq
+             FROM per_doc)
+           SELECT d.lang, COUNT(*) AS n_docs,
+                  ROUND(CAST(SUM(CAST(oov_frac AS DECIMAL(30,6))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_oov_frac,
+                  ROUND(CAST(SUM(CAST(mean_tok_freq AS DECIMAL(30,6))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tok_freq
+           FROM r JOIN documents d USING (doc_id)
+           GROUP BY d.lang""",
+
+      "sim_pq_recall" ->
+        """SELECT vec_id AS q_id, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id % 100 = 0""",
+
+      "s18_zorder_scan" ->
+        """SELECT COUNT(*) AS n, MIN(event_id) AS min_event,
+                  MAX(event_id) AS max_event,
+                  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           FROM events
+           WHERE user_id BETWEEN 100 AND 2000
+             AND CAST(FLOOR(value * 10) AS BIGINT) BETWEEN 2 AND 7""",
+
+      "zorder_key" -> {
+        val terms = (0 until 16).map(i =>
+          s"(((ux >> $i) & 1) << ${2 * i}) | (((uy >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""WITH b AS (
+              SELECT event_id,
+                     CAST(user_id AS BIGINT) & 65535 AS ux,
+                     CAST(FLOOR(value * 10) AS BIGINT) & 65535 AS uy
+              FROM events)
+            SELECT event_id, $terms AS zkey FROM b"""
+      },
 
       "agg_incremental_refresh" ->
         """SELECT l_returnflag, COUNT(*) AS cnt,

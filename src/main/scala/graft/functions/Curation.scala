@@ -90,6 +90,50 @@ object Curation {
       .select(col(idCol), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** Corpus-frequency rarity signals — the integer-exact core of a
+    * perplexity-style quality score, without the float-log portability
+    * risk. Per document:
+    *   - `n_tok`      whitespace tokens;
+    *   - `oov_frac`   fraction of tokens outside the top-`vocabK`
+    *                  corpus vocabulary (high → gibberish / rare-script
+    *                  text, the usual LM-quality drop signal);
+    *   - `mean_tok_freq` mean corpus frequency of the doc's tokens
+    *                  (low → rare/unnatural tokens; the -log of this is
+    *                  a unigram surprisal proxy).
+    * Plan shape at 100 TB: one token-count aggregation (map-side
+    * combined, vocabulary-sized result), the top-K vocab is driver-small
+    * and broadcast; the corpus token stream joins the vocabulary-sized
+    * frequency table on an equi-key. All stats are integer sums divided
+    * once at the end — no partial-agg order sensitivity.
+    */
+  def rarityStats(docs: DataFrame, idCol: String, textCol: String,
+                  vocabK: Int): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    // per-(doc, token) counts first: shrinks the join input to distinct
+    // tokens per doc and makes the final per-doc agg a second map-side
+    // combine over the same key
+    val cnt = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    val freq = cnt.groupBy("token")
+      .agg(sum("c").as("corpus_freq"), count(lit(1)).as("doc_freq"))
+    // deterministic vocabulary: top-K by (freq desc, token asc)
+    val vocab = freq
+      .orderBy(col("corpus_freq").desc, col("token").asc).limit(vocabK)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    val scored = cnt
+      .join(freq.select("token", "corpus_freq"), Seq("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+    scored.groupBy(col(idCol))
+      .agg(sum("c").as("n_tok"),
+        sum(when(col("__in_vocab").isNull, col("c")).otherwise(lit(0L))).as("__oov"),
+        sum(col("c") * col("corpus_freq")).as("__freq_sum"))
+      .select(col(idCol), col("n_tok"),
+        round(col("__oov").cast("double") / col("n_tok").cast("double"), 6)
+          .as("oov_frac"),
+        round(col("__freq_sum").cast("double") / col("n_tok").cast("double"), 6)
+          .as("mean_tok_freq"))
+  }
+
   /** C4-style segment filter: split a document on a literal separator,
     * keep only segments with at least `minWords` whitespace-words
     * (C4 drops lines under 5 words / without terminal punctuation —

@@ -129,4 +129,48 @@ object DedupFunctions {
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
   }
+
+  /** Incremental EXACT dedup: flag each batch row whose content digest
+    * already exists in the corpus. This is the daily-ingest shape — the
+    * corpus side reduces to DISTINCT 128-bit digests (an index that is
+    * tiny relative to the corpus and can be persisted between runs);
+    * the batch left-joins it on the digest. Text never shuffles, and
+    * the corpus text is never re-read once the digest index exists.
+    */
+  def incrementalExactDup(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, contentCol: String): DataFrame = {
+    val index = corpus.select(md5(col(contentCol)).as("__digest")).distinct()
+      .withColumn("__hit", lit(1))
+    batch.select(col(idCol), md5(col(contentCol)).as("__digest"))
+      .join(index, Seq("__digest"), "left")
+      .select(col(idCol), col("__hit").isNotNull.as("dup_in_corpus"))
+  }
+
+  /** Incremental NEAR-dup candidates: batch docs that share a MinHash
+    * band bucket with any corpus doc. `corpusBandIndex` is the
+    * persisted (band_key, id) table from [[bandIndex]] — built once per
+    * corpus snapshot, joined by every subsequent batch. The join key is
+    * the 32-char band key; neither side's text moves. Returns one row
+    * per (batch id, corpus id) candidate for exact-Jaccard verification.
+    */
+  def incrementalNearDupCandidates(corpusBandIndex: DataFrame,
+                                   batch: DataFrame, idCol: String,
+                                   elemsCol: Column, k: Int = 16,
+                                   bands: Int = 4): DataFrame = {
+    val keys = bandIndex(batch, idCol, elemsCol, k, bands)
+    keys.as("b").join(corpusBandIndex.as("c"), Seq("band_key"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** The persistable LSH index side of incremental dedup: one
+    * (band_key, id) row per band per doc.
+    */
+  def bandIndex(df: DataFrame, idCol: String, elemsCol: Column,
+                k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
+    sig.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
+  }
 }

@@ -36,6 +36,17 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     safeRatio(dot(a, b), norm(a) * norm(b))
 
+  /** L2-normalize (zero vectors pass through unscaled rather than NaN).
+    * On normalized vectors L2 ordering ≡ cosine ordering — the
+    * precondition for using an L2-metric index (PQ/ADC, IVF) to answer
+    * cosine queries.
+    */
+  def l2normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, v.cast("array<double>"))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|x|/127, q_i =
     * round(x_i / scale). 4× memory cut for an ANN corpus (the index fits
     * where floats wouldn't); dot products on int8 with one final
@@ -243,6 +254,91 @@ object VectorFunctions {
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     rankTopK(joined, "q_id", "c_id", k)
       .select(col("q_id"), col("c_id"), round(col("score"), roundScale).as("score"), col("rank"))
+  }
+
+  // ---- product quantization (PQ) ------------------------------------
+
+  /** Contiguous subvector `sub` (0-based) of an m-way split of a
+    * dim-length vector, as array<double>. slice() is 1-based.
+    */
+  private def subVec(v: Column, sub: Int, m: Int, dim: Int): Column =
+    slice(v.cast("array<double>"), sub * (dim / m) + 1, dim / m)
+
+  /** Train per-subspace PQ codebooks: deterministic Lloyd's k-means
+    * (seeded by lowest ids, decimal sums) over each of the m contiguous
+    * subvector spaces. Returns (sub, cid, centroid). The driver loops
+    * over m (small); each subspace pass is fully distributed. Codebook
+    * size is m·ksub·(dim/m) doubles — driver-small by construction, the
+    * precondition for broadcasting it everywhere downstream.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, dim: Int, ksub: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    (0 until m).map { sub =>
+      val subDf = df.select(col(idCol), subVec(col(vecCol), sub, m, dim).as("__sv"))
+      kmeansCentroids(subDf, idCol, "__sv", ksub, iters)
+        .withColumn("sub", lit(sub))
+        .select(col("sub"), col("cid"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ-encode a corpus: each vector becomes m small codes (nearest
+    * codebook centroid per subspace). One row per (id, sub) with the
+    * code — 100 TB of float vectors compress to m bytes-ish per vector;
+    * the encode is a broadcast join + per-(id,sub) argmin, vectors
+    * never shuffle. Distance = ||v||²−2v·c+||c||² with sequential
+    * folds; ties break on cid, so codes are deterministic.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subs = df.select(col(idCol), posexplode(
+      array((0 until m).map(subVec(col(vecCol), _, m, dim)): _*)).as(Seq("sub", "__sv")))
+    val joined = subs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__dist",
+        dot(col("__sv"), col("__sv")) - lit(2.0) * dot(col("__sv"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("__dist").asc, col("cid").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub"), col("cid").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) PQ search with exact re-rank — the
+    * standard billion-scale ANN shape (Jégou et al., PAMI 2011):
+    *  1. distance table: per (query, sub, code) the exact L2² between
+    *     the query's subvector and the codebook centroid — query-count ×
+    *     m × ksub rows, driver-small, broadcast;
+    *  2. shortlist: corpus codes join the broadcast table on
+    *     (sub, code); per-(query, id) ADC distance is a DECIMAL sum of
+    *     the m looked-up entries (order-insensitive → deterministic),
+    *     bounded top-`shortlist` per query via [[rankTopK]];
+    *  3. re-rank: only shortlist candidates fetch their full vectors
+    *     (one equi-join on id) for exact cosine top-k.
+    * The corpus' float vectors are touched ONLY in step 3 for
+    * shortlist-sized candidate sets; steps 1-2 run entirely on codes.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+             qVec: String, cVec: String, codebooks: DataFrame,
+             m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
+    val qsubs = queries.select(col(qId), posexplode(
+      array((0 until m).map(subVec(col(qVec), _, m, dim)): _*)).as(Seq("sub", "__qv")))
+    val dtab = qsubs.join(broadcast(codebooks), Seq("sub"))
+      .select(col(qId), col("sub"), col("cid").as("code"),
+        (dot(col("__qv"), col("__qv")) - lit(2.0) * dot(col("__qv"), col("centroid")) +
+          dot(col("centroid"), col("centroid"))).cast("decimal(30,12)").as("__d"))
+    val codes = pqEncode(corpus, cId, cVec, codebooks, m, dim)
+    val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col(qId) =!= col(cId))
+      .groupBy(col(qId), col(cId))
+      .agg(sum("__d").cast("double").as("__adc"))
+    val short = rankTopK(adc.withColumn("score", -col("__adc")), qId, cId, shortlist)
+      .select(col(qId), col(cId))
+    val exact = short
+      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
+      .join(corpus.select(col(cId), col(cVec)), Seq(cId))
+      .withColumn("score", cosine(col(qVec), col(cVec)))
+    rankTopK(exact, qId, cId, k)
   }
 
   /** Bucketed (LSH) cosine top-k: candidates restricted to the query's

@@ -44,6 +44,40 @@ object Layout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-order (Morton) key over two non-negative integer columns, 16
+    * bits each: bit i of x lands at position 2i, bit i of y at 2i+1.
+    * Sorting/range-partitioning a table by this key clusters rows that
+    * are close in BOTH dimensions into the same files, so parquet
+    * min/max stats prune 2-D range predicates (x BETWEEN … AND y
+    * BETWEEN …) that a single-column sort can only prune on one axis.
+    * Pure bit arithmetic on longs — codegen'd per-row expression, no
+    * shuffle; inputs are masked to 16 bits so the key is total and
+    * stable regardless of out-of-range values.
+    */
+  def zorderKey2(x: org.apache.spark.sql.Column,
+                 y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xm = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val ym = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` clustered by the Z-order of (xCol, yCol) into `nFiles`
+    * range-partitioned, internally sorted parquet files. Each file then
+    * covers a compact Z-range = a compact 2-D tile, so a reader's 2-D
+    * range predicate touches only the intersecting tiles (file- and
+    * row-group-level min/max skipping on BOTH columns).
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String,
+                    yCol: String, nFiles: Int): Unit =
+    df.withColumn("__z", zorderKey2(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. Streaming upserts and per-batch
     * writes accrete small files; at 100 TB a scan of 10^6 small files

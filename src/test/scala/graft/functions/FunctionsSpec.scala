@@ -228,4 +228,47 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](1) ==
       Seq("one two three four five", "six seven eight nine ten"))
   }
+
+  test("rarityStats: OOV fraction vs top-K vocab, mean corpus frequency") {
+    val docs = Seq(
+      (1L, "the the cat"),   // 'the' freq 4, 'cat' freq 1
+      (2L, "the the dog"),   // 'dog' freq 1
+      (3L, "zyx")            // singleton OOV-ish token
+    ).toDF("doc_id", "text")
+    // vocabK = 1 → vocabulary is just 'the' (freq 4 beats all)
+    val out = Curation.rarityStats(docs, "doc_id", "text", vocabK = 1)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3L)                       // n_tok
+    assert(out(1L)._3 == 0.333333)                 // 1 of 3 tokens OOV
+    assert(out(1L)._4 == 3.0)                      // (4+4+1)/3
+    assert(out(3L)._3 == 1.0 && out(3L)._4 == 1.0) // fully OOV singleton
+  }
+
+  test("incremental dedup: exact digests and near-dup band index") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally different text here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"),   // exact dup of corpus 1
+      (11L, "brand new never seen")      // fresh
+    ).toDF("doc_id", "text")
+    val flags = DedupFunctions.incrementalExactDup(corpus, batch, "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(10L) && !flags(11L))
+
+    // near-dup: batch doc shares 3 of 4 words with corpus doc 1 →
+    // some MinHash band must collide; the fresh doc collides nowhere
+    val elems = org.apache.spark.sql.functions.split(col("text"), " ")
+    val index = DedupFunctions.bandIndex(corpus, "doc_id", elems, k = 16, bands = 8)
+    val nearBatch = Seq(
+      (20L, "alpha beta gamma epsilon"),
+      (21L, "qq ww ee rr")
+    ).toDF("doc_id", "text")
+    val cands = DedupFunctions.incrementalNearDupCandidates(
+        index, nearBatch, "doc_id", elems, k = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((20L, 1L)), s"expected (20,1) candidate in $cands")
+    assert(!cands.exists(_._1 == 21L), s"fresh doc must not collide: $cands")
+  }
 }

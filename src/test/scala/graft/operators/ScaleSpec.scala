@@ -127,6 +127,47 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.95, s"IVF top-1 recall $recall below bound")
   }
 
+  test("PQ: ADC shortlist + re-rank recovers exact neighbors on clustered data") {
+    import graft.functions.VectorFunctions
+    // same planted geometry as the k-means test: PQ should behave like a
+    // real-embedding corpus here (near-perfect recall), unlike the
+    // near-random harness embeddings where sim_pq_recall gates a
+    // lower above-chance bar
+    val n = 400
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim) { d =>
+        val base = if (d == c * 2) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), VectorFunctions.l2normalize(col("embedding")).as("embedding"))
+    val q = df.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+
+    val books = VectorFunctions.pqCodebooks(df, "vec_id", "embedding",
+      m = 4, dim = dim, ksub = 8, iters = 3)
+    assert(books.count() == 4 * 8)
+
+    // codes are deterministic: re-encoding yields the identical table
+    val codes1 = VectorFunctions.pqEncode(df, "vec_id", "embedding", books, 4, dim)
+    val codes2 = VectorFunctions.pqEncode(df, "vec_id", "embedding", books, 4, dim)
+    assert(codes1.except(codes2).isEmpty && codes2.except(codes1).isEmpty)
+    assert(codes1.count() == n * 4L)
+
+    val pq = VectorFunctions.pqTopK(q, c, "q_id", "c_id", "q_vec", "c_vec",
+      books, m = 4, dim = dim, k = 5, shortlist = 40)
+    val brute = VectorFunctions.bruteForceTopK(q, c, "q_id", "c_id",
+      "q_vec", "c_vec", k = 5)
+    val pqSet = pq.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val bruteSet = brute.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (pqSet intersect bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.9, s"PQ recall $recall below 0.9 on clustered data")
+  }
+
   test("runtime bloom-filter injection fires on a selective shuffle join") {
     import spark.implicits._
     val dir = tmpDir("rtf")

@@ -53,6 +53,60 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.read(spark, dir).count() == 2000L)
   }
 
+  test("zorderKey2 matches a scalar Morton reference") {
+    def morton(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((x & 0xFFFFL) >> i) & 1L) << (2 * i) | (((y & 0xFFFFL) >> i) & 1L) << (2 * i + 1)
+      z
+    }
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (-3L, 7L), (70000L, 2L))
+    val got = rows.toDF("x", "y")
+      .select(Layout.zorderKey2(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == rows.map { case (x, y) => morton(x, y) })
+    // interleave property: z-order of (x,y) and (x,y+1) differ only in y bits
+    assert(morton(5, 2) != morton(2, 5), "key must not be symmetric in x/y")
+  }
+
+  test("z-ordered layout: 2-D range predicate skips row groups on both axes") {
+    val dir = tmpDir("layout-z") + "/t"
+    // 256×256 grid — a 2-D range over it touches a small tile
+    val df = (0 until 256).flatMap(x => (0 until 256).map(y =>
+      (x.toLong * 1000 + y, x.toLong, y.toLong))).toDF("id", "x", "y")
+    Layout.writeZOrdered(df, dir, "x", "y", nFiles = 16)
+
+    val q = Layout.read(spark, dir)
+      .filter(col("x").between(10, 20) && col("y").between(200, 210))
+    // execute THIS queryExecution so its scan metrics populate
+    assert(graft.tools.PlanMetrics.runAndCount(q) == 11L * 11L)
+
+    // with Z-clustering the 11×11 tile intersects few files; a scan
+    // must read well under the full 65536 rows after row-group/file
+    // min-max skipping on BOTH x and y
+    val scanned = graft.tools.PlanMetrics.scanOutputRows(q)
+    assert(scanned < 65536L / 4,
+      s"scan read $scanned rows — Z-layout should skip most row groups")
+
+    // contrast on the axis a single-column sort CANNOT help: filter on
+    // y alone. The x-sorted layout has y spread uniformly through every
+    // row group (no skipping possible); the Z-layout clusters y, so
+    // whole files fall outside the y range
+    val flatDir = tmpDir("layout-flat") + "/t"
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(flatDir)
+    val yOnly = col("y").between(200, 210)
+    val zy = Layout.read(spark, dir).filter(yOnly)
+    val fy = spark.read.parquet(flatDir).filter(yOnly)
+    assert(graft.tools.PlanMetrics.runAndCount(zy) == 256L * 11L)
+    assert(graft.tools.PlanMetrics.runAndCount(fy) == 256L * 11L)
+    val scannedZ = graft.tools.PlanMetrics.scanOutputRows(zy)
+    val scannedFlat = graft.tools.PlanMetrics.scanOutputRows(fy)
+    assert(scannedZ < scannedFlat,
+      s"z-order ($scannedZ rows) should scan less than x-sort ($scannedFlat) on a y-only range")
+  }
+
   test("compact: many small files rewritten to the target count, contents identical") {
     val dir = tmpDir("layout-compact") + "/t"
     val df = (1L to 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
