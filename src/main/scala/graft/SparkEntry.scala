@@ -498,9 +498,15 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      // 3-gram Jaccard for adjacent doc pairs (deterministic candidate set)
+      // 3-gram Jaccard for adjacent doc pairs (deterministic candidate
+      // set). Shingles travel as native 64-bit gram hashes
+      // (graft.plans.ShingleHashExpr — one codegen'd pass per row,
+      // count-equivalent to the string shingle set), so intersect/union
+      // sizes — and hence Jaccard — are the oracle's string-set numbers
+      // while the join carries longs, not gram strings.
       val d  = t(s, dir, "documents")
-      val sh = d.select(col("doc_id"), T.shingles(col("text"), 3).as("sh"))
+      val sh = d.select(col("doc_id"),
+        graft.plans.ShingleHashExpr.shingleHashes(col("text"), 3).as("sh"))
       val a  = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b  = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
@@ -722,11 +728,16 @@ object SparkEntry {
       // 5-gram with the eval set (doc_id % 97 == 0 stands in for the
       // benchmark). Eval shingles are tiny vs the corpus → broadcast;
       // the corpus side never shuffles payloads, only (doc_id, gram).
+      // 5-grams travel as native 64-bit hashes (ShingleHashExpr):
+      // the broadcast build side is longs instead of ~40-byte gram
+      // strings and the probe side never materializes gram strings;
+      // overlap counts are identical to the string-set oracle
       val d = t(s, dir, "documents")
+      val sh = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 5)
       val bench = d.filter(col("doc_id") % 97 === 0)
-        .select(explode(T.shingles(col("text"), 5)).as("sh")).distinct()
+        .select(explode(sh).as("sh")).distinct()
       val train = d.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(T.shingles(col("text"), 5)).as("sh"))
+        .select(col("doc_id"), explode(sh).as("sh"))
       train.join(broadcast(bench), Seq("sh"))
         .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_overlap"))
     }),

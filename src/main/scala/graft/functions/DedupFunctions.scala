@@ -37,8 +37,6 @@ object DedupFunctions {
       md5(concat(lit(s"band$b:"), array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")))
     }: _*)
 
-  private val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-
   /** SimHash over a token array, `bits` wide (≤ 32).
     * Bit i votes +1 when hex digit i of md5(token) has its high bit set
     * (digit ≥ 8), −1 otherwise; the sign of the per-bit sum is the
@@ -51,16 +49,10 @@ object DedupFunctions {
     */
   def simhash(elems: Column, bits: Int): Column = {
     require(bits <= 32, "md5 has 32 hex digits")
-    val hashed = transform(array_distinct(elems), e => md5(e))
-    val zeros  = array_repeat(lit(0L), bits)
-    val votes = aggregate(
-      hashed,
-      zeros,
-      (acc, h) => zip_with(acc, sequence(lit(1), lit(bits)),
-        (a, i) => a + when(h.substr(i, lit(1)).isInCollection(highNibbles), lit(1L)).otherwise(lit(-1L))))
-    val weights = array((0 until bits).map(i => lit(1L << i)): _*)
-    aggregate(zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen'd expression (graft.plans.SimHashExpr) — one digest
+    // + nibble scan per distinct token, bit-identical to the interpreted
+    // aggregate/zip_with fold this used to compose
+    graft.plans.SimHashExpr.simhash(elems, bits)
   }
 
   /** Hamming distance between two simhash longs. */

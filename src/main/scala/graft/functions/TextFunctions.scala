@@ -116,11 +116,12 @@ object TextFunctions {
     * same word is boilerplate). Pure per-row expression, zero shuffle.
     */
   def topTokenFraction(text: Column): Column = {
-    val toks   = tokens(lower(text))
-    val maxCnt = array_max(transform(array_distinct(toks),
-      x => size(filter(toks, t => t === x))))
-    round(coalesce(maxCnt.cast("double"), lit(0.0)) /
-      greatest(size(toks), lit(1)).cast("double"), 6)
+    // native one-pass stats (graft.plans.TokenGramStatsExpr) — the HOF
+    // form filtered the token array once per distinct token. n=2 so a
+    // paired dupNgramFraction(text, 2) shares the subexpression.
+    val st = graft.plans.TokenGramStatsExpr.stats(text, 2)
+    round(coalesce(st.getField("max_tok_count").cast("double"), lit(0.0)) /
+      coalesce(st.getField("n_tok").cast("double"), lit(1.0)), 6)
   }
 
   /** Fraction of duplicated n-grams: 1 − distinct/total. High values
@@ -128,14 +129,14 @@ object TextFunctions {
     * docs above ~0.3 for 2-grams). Pure per-row expression.
     */
   def dupNgramFraction(text: Column, n: Int): Column = {
-    val toks  = tokens(lower(text))
-    val idx   = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    val grams = when(size(toks) >= n,
-      transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    round(when(size(grams) === 0, lit(0.0))
+    // native one-pass gram counting (rolling hash, counts identical to
+    // the gram-string form the oracle replays); null text → 0.0 like
+    // the HOF form it replaces
+    val st = graft.plans.TokenGramStatsExpr.stats(text, n)
+    round(when(coalesce(st.getField("n_grams"), lit(0L)) === 0, lit(0.0))
       .otherwise(lit(1.0) -
-        size(array_distinct(grams)).cast("double") / size(grams).cast("double")), 6)
+        st.getField("n_distinct_grams").cast("double") /
+          st.getField("n_grams").cast("double")), 6)
   }
 
   /** PII patterns restricted to syntax valid in BOTH Java regex and

@@ -210,29 +210,37 @@ object VectorFunctions {
                       k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // every Lloyd iteration runs 1-2 jobs over the SAME slim
+    // (id, vector) projection — persist it for the life of the loop so
+    // the source is scanned once, not 2·iters+1 times (at 100 TB train
+    // on a hash-sample so this cache is executor-memory-sized), and
+    // release it before returning: all consumers run inside this method.
     val v = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
-    var centroids: Seq[(Int, Seq[Double])] =
-      v.orderBy(col("__id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Double](1).toSeq
-      }.toSeq
-    for (_ <- 0 until iters) {
-      val cdf = centroids.toDF("cid", "centroid")
-      val assigned = kmeansAssign(v, "__id", "__vec", cdf)
-      val sums = assigned
-        .select(col("cid"), posexplode(col("__vec")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("x").cast("decimal(30,10)")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      // mean = double(decimal sum) / n — the same two-step the oracle does
-      val updated = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1))
-          .map(r => r.getDecimal(2).doubleValue() / r.getLong(3)).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[(Int, Seq[Double])] =
+        v.orderBy(col("__id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Double](1).toSeq
+        }.toSeq
+      for (_ <- 0 until iters) {
+        val cdf = centroids.toDF("cid", "centroid")
+        val assigned = kmeansAssign(v, "__id", "__vec", cdf)
+        val sums = assigned
+          .select(col("cid"), posexplode(col("__vec")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("x").cast("decimal(30,10)")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        // mean = double(decimal sum) / n — the same two-step the oracle does
+        val updated = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => r.getDecimal(2).doubleValue() / r.getLong(3)).toSeq
+        }
+        // a cid absent from the sums had an empty cluster this iteration:
+        // carry its previous centroid forward so k stays fixed
+        centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
       }
-      // a cid absent from the sums had an empty cluster this iteration:
-      // carry its previous centroid forward so k stays fixed
-      centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
-    }
-    centroids.toDF("cid", "centroid")
+      centroids.toDF("cid", "centroid")
+    } finally v.unpersist(blocking = false)
   }
 
   /** IVF search with learned centroids: train k-means, assign every

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native token-n-gram hash set: the DISTINCT 64-bit hashes of a
+  * document's whitespace-token n-grams, one O(len) pass per row.
+  *
+  * Hash-set semantics mirror [[graft.functions.TextFunctions.shingles]]
+  * exactly (so `count distinct` over these hashes equals `count
+  * distinct` over the string shingles, collision-negligibly):
+  *  - the text is space-trimmed, ASCII-lowercased, and split on runs of
+  *    Java-\s whitespace; a leading run yields one empty first token and
+  *    trailing runs yield none (Java split semantics);
+  *  - with fewer than n tokens the WHOLE token list is the single gram
+  *    (the `array_join(toks, " ")` branch of `shingles`);
+  *  - token hash = base-31 polynomial over byte codes; gram hash = base-
+  *    1000003 polynomial over token hashes with 64-bit wrap-around, so
+  *    an injective-in-practice stand-in for the joined gram string.
+  *
+  * Exists because the composed HOF form (`transform`+`slice`+
+  * `array_join` per gram) interprets its lambdas per element and
+  * materializes every gram STRING; downstream joins then broadcast and
+  * shuffle those strings. This expression inlines into whole-stage
+  * codegen and the join key becomes one long — at 100 TB the
+  * decontamination join's build side shrinks ~5× and the probe stream
+  * never allocates gram strings at all. ASCII-only lowering, like
+  * [[WinnowExpr]] (unicode lowering differs between engines).
+  */
+case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle_hashes: need n >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes needs string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashExpr.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHashExpr.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashExpr {
+
+  private final val GramBase = 1000003L
+
+  private def isWs(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // space-trim (Spark trim removes 0x20 only)
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+
+    // token hashes, Java-split semantics: leading ws run → one empty
+    // token; trailing ws runs → nothing. Empty string → one empty token.
+    val tokBuf = new java.util.ArrayList[java.lang.Long]()
+    if (hi == lo) tokBuf.add(0L)
+    else {
+      var i = lo
+      if (isWs(bytes(i) & 0xff)) tokBuf.add(0L) // leading empty field
+      while (i < hi) {
+        while (i < hi && isWs(bytes(i) & 0xff)) i += 1
+        if (i < hi) {
+          var h = 0L
+          while (i < hi && !isWs(bytes(i) & 0xff)) {
+            val b = bytes(i) & 0xff
+            val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+            h = h * 31L + c
+            i += 1
+          }
+          tokBuf.add(h)
+        }
+      }
+    }
+
+    val nTok = tokBuf.size
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nTok < n) {
+      // whole token list as the single gram (shingles' else-branch)
+      var g = 0L
+      var i = 0
+      while (i < nTok) { g = g * GramBase + tokBuf.get(i); i += 1 }
+      selected.add(g)
+    } else {
+      // rolling window: g' = (g - h_out·base^(n-1))·base + h_in, exact
+      // mod 2^64 via Long wrap-around
+      var top = 1L
+      var p = 0
+      while (p < n - 1) { top *= GramBase; p += 1 }
+      var g = 0L
+      var i = 0
+      while (i < nTok) {
+        if (i < n) {
+          g = g * GramBase + tokBuf.get(i)
+          if (i == n - 1) selected.add(g)
+        } else {
+          g = (g - tokBuf.get(i - n) * top) * GramBase + tokBuf.get(i)
+          selected.add(g)
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct n-gram hash array for `text` (see class doc). */
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n))
+}
