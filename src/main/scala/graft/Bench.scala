@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * startup so timings reflect steady-state execution.
   */
 object Bench {
+  private def dropCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,19 +40,33 @@ object Bench {
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      dropCaches(spark)
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // run the query's OWN plan (df.count() would execute a derived
-      // count plan that can skip column materialization — and leaves
-      // the shuffle metrics unpopulated)
-      val shuffleMb = try {
-        val df = fn(spark, sfDir)
-        graft.tools.PlanMetrics.runAndCount(df)
-        graft.tools.PlanMetrics.shuffleBytesWritten(df) / 1e6
-      } catch { case _: Throwable => -1.0 }
-      (name, (System.nanoTime() - t0) / 1e9, shuffleMb)
+      // min of two timed runs: single-run timings on a shared box carry
+      // ±seconds of transient noise (I/O neighbors, GC alignment) that
+      // lands on random queries; the min is the steady-state number the
+      // plan actually earns
+      val runs = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        // run the query's OWN plan (df.count() would execute a derived
+        // count plan that can skip column materialization — and leaves
+        // the shuffle metrics unpopulated)
+        val shuffleMb = try {
+          val df = fn(spark, sfDir)
+          graft.tools.PlanMetrics.runAndCount(df)
+          graft.tools.PlanMetrics.shuffleBytesWritten(df) / 1e6
+        } catch { case _: Throwable => -1.0 }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // a query's internal persists/localCheckpoints are dead once it
+        // returns; freeing them between queries keeps the block manager
+        // flat so later timings don't pay earlier queries' GC pressure
+        dropCaches(spark)
+        (elapsed, shuffleMb)
+      }
+      val best = runs.minBy(_._1)
+      (name, best._1, best._2)
     }
     def fmt(v: Double): String = f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]): String =

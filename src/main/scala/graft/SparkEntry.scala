@@ -173,9 +173,16 @@ object SparkEntry {
       // within 5% of the exact distinct count. The oracle pins the
       // exact count and the contract outcome — gating the sketch's
       // guarantee without requiring cross-engine sketch equality.
-      t(s, dir, "lineitem")
-        .agg(countDistinct(col("l_partkey")).as("exact_nd"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"))
+      // exact and approx sides as SEPARATE aggregates: mixing a
+      // distinct agg with a regular agg in one Aggregate plans an
+      // Expand that doubles the scanned rows; two single-column scans
+      // + a 1-row cross join is strictly cheaper at any scale
+      val li = t(s, dir, "lineitem")
+      val exact = li.select("l_partkey").distinct()
+        .agg(count(lit(1)).as("exact_nd"))
+      val approx = li
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_nd"))
+      exact.crossJoin(approx)
         .select(col("exact_nd"),
           (abs(col("approx_nd").cast("double") / col("exact_nd").cast("double")
             - 1.0) <= 0.05).as("within_bound"))

@@ -79,9 +79,21 @@ object ConnectedComponents {
     var prev = checksum(edges)
     var iter = 0
     var converged = edges.isEmpty
+    // each round's localCheckpoint persists its blocks; once the NEXT
+    // checkpoint is materialized (by checksum), the previous round's
+    // blocks are dead — free them, or an n-round run holds n copies of
+    // the edge set in the block manager (a leak at 100 TB, GC pressure
+    // even at bench scale)
+    val sc = edges.sparkSession.sparkContext
+    var prevCkptIds: Set[Int] = Set.empty
     while (!converged && iter < maxIter) {
+      val before = sc.getPersistentRDDs.keySet
       edges = smallStar(largeStar(edges)).localCheckpoint()
       val cur = checksum(edges)
+      val created = sc.getPersistentRDDs.keySet -- before
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = created.toSet
       converged = cur == prev
       prev = cur
       iter += 1
