@@ -556,6 +556,14 @@ object SparkEntry {
         md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
     }),
 
+    "text_span_dedup" -> ((s, dir) => {
+      // duplicated-passage pairs (MOSS winnowing): docs sharing ≥2
+      // selected rolling hashes after dropping boilerplate spans shared
+      // by >50 docs; containment = shared / min fingerprint size
+      D.spanContainment(t(s, dir, "documents"), "doc_id", "text",
+        k = 6, w = 16, maxDf = 20, minShared = 2L)
+    }),
+
     "vec_quantize_int8" -> ((s, dir) => {
       // symmetric int8 quantization for the ANN corpus: 4× memory cut,
       // per-row expressions in the scan. The quantized array is projected
@@ -2381,6 +2389,45 @@ object SparkEntry {
                   md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
                         x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
            FROM w""",
+
+      "text_span_dedup" ->
+        """WITH t AS (SELECT doc_id,
+                             lower(regexp_replace(text, '[^ -~]', '', 'g')) AS s
+                      FROM documents),
+           c AS (SELECT doc_id,
+                        list_transform(string_split(s, ''),
+                          ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+                 FROM t),
+           h AS (SELECT doc_id,
+                        CASE WHEN len(codes) >= 6 THEN
+                          list_transform(range(1, len(codes) - 4), i ->
+                            codes[i] * 28629151 + codes[i+1] * 923521
+                              + codes[i+2] * 29791 + codes[i+3] * 961
+                              + codes[i+4] * 31 + codes[i+5])
+                        ELSE CAST([] AS BIGINT[]) END AS hs
+                 FROM c),
+           w AS (SELECT doc_id,
+                        CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                             WHEN len(hs) < 16 THEN [list_min(hs)]
+                             ELSE list_transform(range(1, len(hs) - 14), i ->
+                                    list_min(hs[i:i+15]))
+                        END AS sel
+                 FROM h),
+           fp AS (SELECT doc_id, list_distinct(sel) AS fp FROM w),
+           sel AS (SELECT doc_id, unnest(fp) AS h FROM fp),
+           keep AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) <= 20),
+           pr AS (SELECT s.doc_id, s.h FROM sel s JOIN keep USING (h)),
+           shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             COUNT(*) AS n_shared
+                      FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           sz AS (SELECT doc_id, len(fp) AS n FROM fp)
+           SELECT id_a, id_b, n_shared,
+                  ROUND(CAST(n_shared AS DOUBLE)
+                        / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS containment
+           FROM shared
+           JOIN sz sa ON id_a = sa.doc_id
+           JOIN sz sb ON id_b = sb.doc_id""",
 
       "vec_quantize_int8" ->
         """SELECT vec_id,

@@ -165,4 +165,44 @@ object DedupFunctions {
       graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
     sig.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
   }
+
+  /** Duplicated-PASSAGE detection (MOSS-style): doc pairs sharing
+    * winnowing-selected rolling hashes. Whole-doc dedup misses a 100 TB
+    * corpus's real failure mode — distinct pages sharing long boilerplate
+    * or quoted passages; two docs sharing any run of ≥ w+k−1 characters
+    * share a selected hash by the winnowing guarantee.
+    *
+    * Returns (id_a, id_b, n_shared, containment) where containment =
+    * shared / min(|A|, |B|) — 1.0 means the smaller doc's fingerprint
+    * is fully contained in the larger's.
+    *
+    * Scale shape: explode the ~len/w selected hashes, drop hashes
+    * shared by more than `maxDf` docs FIRST (ubiquitous boilerplate —
+    * the stop-span guard that keeps any single hash bucket from going
+    * quadratic), then equi-join ids on the hash. Only (id, hash) longs
+    * ever shuffle.
+    */
+  def spanContainment(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, w: Int = 4, maxDf: Int = 50,
+                      minShared: Long = 2L): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      graft.plans.WinnowExpr.winnow(col(textCol), k, w).as("fp"))
+    val sizes = fp.select(col("id"), size(col("fp")).cast("long").as("n"))
+    val sel = fp.select(col("id"), explode(col("fp")).as("h"))
+    val keep = sel.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val pruned = sel.join(keep, Seq("h"))
+    val shared = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+  }
 }

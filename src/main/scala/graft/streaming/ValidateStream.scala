@@ -54,6 +54,25 @@ object ValidateStream {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Stream-vs-corpus incremental dedup: drop stream docs whose content
+    * digest already exists in a STATIC corpus index (the persisted
+    * digest table [[graft.functions.DedupFunctions.incrementalExactDup]]
+    * builds batch-side). A stream-static left-anti join is stateless —
+    * the static side is planned per micro-batch, so republishing the
+    * index parquet between batches picks up corpus growth without
+    * restarting the query. Chain [[dedupStream]] after it for
+    * within-stream duplicates; this stage only guards against
+    * re-ingesting what the corpus already holds.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, contentCol: String,
+                         corpusDigests: DataFrame,
+                         digestCol: String = "digest"): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(contentCol)))
+      .join(corpusDigests.select(col(digestCol).as("__digest")).distinct(),
+        Seq("__digest"), "left_anti")
+      .drop("__digest")
+
   /** Streaming curation: the batch curation decisions (language ID,
     * quality score, PII scrub) applied to a live document stream. All
     * three are per-row Column expressions, so this stage is stateless —

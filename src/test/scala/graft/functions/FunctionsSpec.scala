@@ -229,6 +229,36 @@ class FunctionsSpec extends SparkSpec {
       Seq("one two three four five", "six seven eight nine ten"))
   }
 
+  test("spanContainment: planted shared passage found; boilerplate dropped") {
+    val passage = "the quick brown fox jumped over the extremely lazy dog today"
+    val boiler  = "standard footer text appearing on every single page here"
+    val docs = Seq(
+      (1L, s"unique alpha content one. $passage and then some more words"),
+      (2L, s"totally different beta opening here. $passage closing words differ"),
+      (3L, s"nothing in common with anyone at all zebra xylophone"),
+      (4L, s"fourth doc $boiler"),
+      (5L, s"fifth doc $boiler"),
+      (6L, s"sixth doc $boiler")
+    ).toDF("doc_id", "text")
+    // maxDf = 2: the boilerplate span (in 3 docs) must be dropped; the
+    // passage (in 2 docs) must survive and link docs 1-2
+    val pairs = DedupFunctions.spanContainment(docs, "doc_id", "text",
+        k = 6, w = 4, maxDf = 2, minShared = 2L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2L),
+      s"planted passage pair (1,2) missing from ${pairs.toSeq}")
+    val boilerPairs = pairs.filter(p => p._1 >= 4L)
+    assert(boilerPairs.isEmpty,
+      s"boilerplate trio should be stop-span-pruned, got ${boilerPairs.toSeq}")
+    // identical docs → containment 1.0
+    val twins = Seq((10L, "exactly the same text content"),
+      (11L, "exactly the same text content")).toDF("doc_id", "text")
+    val tp = DedupFunctions.spanContainment(twins, "doc_id", "text",
+        k = 6, w = 4, maxDf = 5, minShared = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(tp.length == 1 && tp.head._4 == 1.0)
+  }
+
   test("rarityStats: OOV fraction vs top-K vocab, mean corpus frequency") {
     val docs = Seq(
       (1L, "the the cat"),   // 'the' freq 4, 'cat' freq 1

@@ -89,6 +89,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("a.b@c.io"))
   }
 
+  test("stream-static dedup: docs already in the corpus index are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "already ingested content"), (2L, "genuinely new content"),
+      (3L, "also already present"), (4L, "fresh again"))
+    val corpus = Seq("already ingested content", "also already present")
+      .toDF("text").select(md5(col("text")).as("digest"))
+    val out = ValidateStream.dedupAgainstCorpus(
+      mem.toDF().toDF("doc_id", "text"), "text", corpus)
+    val q = out.writeStream.format("memory").queryName("dedup_corpus")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val kept = spark.table("dedup_corpus").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), s"expected corpus dups dropped, got $kept")
+  }
+
   test("streaming session_window: sessions close when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
