@@ -556,6 +556,20 @@ object SparkEntry {
         md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
     }),
 
+    "text_gopher_rules" -> ((s, dir) => {
+      // Gopher-style quality rules (word-length band, alpha-word
+      // fraction, symbol ratio, bullet/ellipsis lines) — native
+      // one-pass word stats + literal line splits, scan-side
+      val g = T.gopherSignals(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("alpha_word_frac").as("alpha_word_frac"),
+        g.getField("symbol_word_ratio").as("symbol_word_ratio"),
+        g.getField("bullet_line_frac").as("bullet_line_frac"),
+        g.getField("ellipsis_line_frac").as("ellipsis_line_frac"),
+        g.getField("keep").as("keep"))
+    }),
+
     "text_span_dedup" -> ((s, dir) => {
       // duplicated-passage pairs (MOSS winnowing): docs sharing ≥2
       // selected rolling hashes after dropping boilerplate spans shared
@@ -1166,8 +1180,11 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      val books = V.pqCodebooks(emb, "vec_id", "embedding",
-        m = 4, dim = 64, ksub = 16, iters = 2)
+      // codebooks train on a deterministic 40% hash-sample — at 100 TB
+      // Lloyd's never sees the full corpus; encode/search still cover
+      // every vector
+      val books = V.pqCodebooks(emb.filter(col("vec_id") % 5 < 2),
+        "vec_id", "embedding", m = 4, dim = 64, ksub = 16, iters = 2)
       // the harness embeddings are near-random (label-agnostic, cosine
       // concentrated around 0) — the adversarial case for ANY lossy ANN
       // index, so the shortlist is sized as a corpus fraction (20%) and
@@ -2389,6 +2406,38 @@ object SparkEntry {
                   md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
                         x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
            FROM w""",
+
+      "text_gopher_rules" ->
+        """WITH t AS (
+             SELECT doc_id, text,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                    string_split(text, chr(10)) AS lines
+             FROM documents),
+           s AS (
+             SELECT doc_id,
+                    len(toks) AS n_tok,
+                    list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+                    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                    length(text) - length(replace(text, '#', '')) AS hash_cnt,
+                    (length(text) - length(replace(text, '...', ''))) / 3 AS dots_cnt,
+                    GREATEST(len(lines), 1) AS n_lines,
+                    len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS bullet_lines,
+                    len(list_filter(lines, l -> l LIKE '%...')) AS ellipsis_lines
+             FROM t),
+           r AS (
+             SELECT doc_id,
+                    ROUND(CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS mean_word_len,
+                    ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS alpha_word_frac,
+                    ROUND(CAST(hash_cnt + dots_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS symbol_word_ratio,
+                    ROUND(CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_line_frac,
+                    ROUND(CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_frac
+             FROM s)
+           SELECT doc_id, mean_word_len, alpha_word_frac, symbol_word_ratio,
+                  bullet_line_frac, ellipsis_line_frac,
+                  (mean_word_len BETWEEN 3.0 AND 10.0 AND alpha_word_frac > 0.8
+                   AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+                   AND ellipsis_line_frac < 0.3) AS keep
+           FROM r""",
 
       "text_span_dedup" ->
         """WITH t AS (SELECT doc_id,

@@ -139,6 +139,42 @@ object TextFunctions {
           st.getField("n_grams").cast("double")), 6)
   }
 
+  /** Gopher-style document quality signals (Rae et al. 2021 §A1.1),
+    * one struct per row:
+    *   - mean_word_len      sum(token chars)/n_tok — Gopher keeps [3,10]
+    *   - alpha_word_frac    words containing ≥1 [a-z] — keeps > 0.8
+    *   - symbol_word_ratio  '#' chars + '...' runs per word — keeps <0.1
+    *   - bullet_line_frac   lines starting - or * — keeps < 0.9
+    *   - ellipsis_line_frac lines ending "..." — keeps < 0.3
+    *   - keep               the conjunction of the five thresholds
+    * Word stats ride the native one-pass
+    * [[graft.plans.TokenGramStatsExpr]]; line signals split on literal
+    * newlines (documents have few lines — cheap HOFs). All ratios are
+    * integer-count divisions rounded to 6 dp, so the oracle replays
+    * them exactly. Scan-side at any scale, zero shuffle.
+    */
+  def gopherSignals(text: Column): Column = {
+    val st = graft.plans.TokenGramStatsExpr.stats(text, 2)
+    val nTok = st.getField("n_tok").cast("double")
+    val meanWordLen = round(st.getField("sum_tok_len").cast("double") / nTok, 6)
+    val alphaFrac = round(st.getField("n_alpha_words").cast("double") / nTok, 6)
+    // '#' count + '...' occurrence count via length deltas (portable)
+    val hashCnt = length(text) - length(regexp_replace(text, "#", ""))
+    val dotsCnt = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((hashCnt + dotsCnt).cast("double") / nTok, 6)
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("double")
+    val bulletFrac = round(size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*"))).cast("double") / nLines, 6)
+    val ellipsisFrac = round(size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nLines, 6)
+    val keep = meanWordLen.between(3.0, 10.0) && alphaFrac > 0.8 &&
+      symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3
+    struct(meanWordLen.as("mean_word_len"), alphaFrac.as("alpha_word_frac"),
+      symbolRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), keep.as("keep"))
+  }
+
   /** PII patterns restricted to syntax valid in BOTH Java regex and
     * RE2 (no lookaround, no backreferences) so the DuckDB oracle can
     * replay the scrub byte-for-byte.

@@ -8,8 +8,9 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One-pass token/gram statistics for the repetition quality signals:
-  * `struct(n_tok, max_tok_count, n_grams, n_distinct_grams)` over the
+/** One-pass token/gram statistics for the repetition + Gopher quality
+  * signals: `struct(n_tok, max_tok_count, n_grams, n_distinct_grams,
+  * sum_tok_len, n_alpha_words)` over the
   * whitespace tokens of the space-trimmed, ASCII-lowercased text
   * (identical token semantics to [[ShingleHashExpr]], Java-split edge
   * cases included).
@@ -55,7 +56,9 @@ object TokenGramStatsExpr {
     StructField("n_tok", LongType, nullable = false),
     StructField("max_tok_count", LongType, nullable = false),
     StructField("n_grams", LongType, nullable = false),
-    StructField("n_distinct_grams", LongType, nullable = false)))
+    StructField("n_distinct_grams", LongType, nullable = false),
+    StructField("sum_tok_len", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false)))
 
   private final val GramBase = 1000003L
 
@@ -70,6 +73,8 @@ object TokenGramStatsExpr {
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
 
     val tokBuf = new java.util.ArrayList[java.lang.Long]()
+    var sumLen = 0L
+    var nAlpha = 0L
     if (hi == lo) tokBuf.add(0L)
     else {
       var i = lo
@@ -78,13 +83,19 @@ object TokenGramStatsExpr {
         while (i < hi && isWs(bytes(i) & 0xff)) i += 1
         if (i < hi) {
           var h = 0L
+          var len = 0L
+          var hasAlpha = false
           while (i < hi && !isWs(bytes(i) & 0xff)) {
             val b = bytes(i) & 0xff
             val c = if (b >= 'A' && b <= 'Z') b + 32 else b
+            if (c >= 'a' && c <= 'z') hasAlpha = true
             h = h * 31L + c
+            len += 1
             i += 1
           }
           tokBuf.add(h)
+          sumLen += len
+          if (hasAlpha) nAlpha += 1
         }
       }
     }
@@ -121,7 +132,7 @@ object TokenGramStatsExpr {
       }
       nDistinct = seen.size.toLong
     }
-    InternalRow(nTok.toLong, maxCnt, nGrams, nDistinct)
+    InternalRow(nTok.toLong, maxCnt, nGrams, nDistinct, sumLen, nAlpha)
   }
 
   def stats(text: Column, n: Int): Column =
