@@ -244,19 +244,34 @@ object VectorFunctions {
   }
 
   /** IVF search with learned centroids: train k-means, assign every
-    * vector to its cell, probe only the query's cell, exact cosine
-    * rank inside it. The cell join is an equi-join on `cid` — the same
-    * all-shuffles-are-id-sized shape as the label-cell variant, with
-    * centroids learned instead of given.
+    * vector to its cell, probe the query's `nprobe` nearest cells,
+    * exact cosine rank inside them. The cell join is an equi-join on
+    * `cid` — the same all-shuffles-are-id-sized shape as the label-cell
+    * variant, with centroids learned instead of given. `nprobe` is the
+    * standard IVF recall/cost knob: boundary queries whose true
+    * neighbors sit in an adjacent cell are recovered at nprobe ≥ 2 for
+    * nprobe/clusters of the exhaustive cost.
     */
   def kmeansIvfTopK(df: DataFrame, idCol: String, vecCol: String,
                     queryFilter: Column, k: Int, clusters: Int,
-                    iters: Int, roundScale: Int = 6): DataFrame = {
+                    iters: Int, roundScale: Int = 6,
+                    nprobe: Int = 1): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, clusters, iters)
     val cells = kmeansAssign(df, idCol, vecCol, cents)
-    val q = cells.filter(queryFilter)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cid"))
     val c = cells.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("cid"))
+    // per-query nprobe nearest cells: the same distance expression (and
+    // cid tie-break) kmeansAssign ranks with, so nprobe=1 probes exactly
+    // the query's own cell
+    val q0 = df.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probed = q0.crossJoin(broadcast(cents))
+      .withColumn("__dist",
+        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__dist").asc, col("cid").asc)
+    val q = probed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cid"))
     val joined = c.join(broadcast(q), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))

@@ -107,6 +107,19 @@ object GraftExtensions {
         }
         TopKAggregate(exprs(0), exprs(1), intLiteral(exprs(2), "k"), desc)
           .toAggregateExpression()
+      },
+      "shingle_hashes" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "shingle_hashes(text, n)")
+        ShingleHashExpr(exprs.head, intLiteral(exprs(1), "n"))
+      },
+      "token_gram_stats" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "token_gram_stats(text, n)")
+        TokenGramStatsExpr(exprs.head, intLiteral(exprs(1), "n"))
+      },
+      "zorder_key" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "zorder_key(x, y)")
+        expression(graft.sources.Layout.zorderKey2(
+          column(exprs(0)), column(exprs(1))))
       })
   }
 

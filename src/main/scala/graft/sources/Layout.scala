@@ -78,6 +78,34 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** OPTIMIZE-style table maintenance: rewrite an existing parquet
+    * directory Z-order-clustered on (xCol, yCol), sized to
+    * ceil(bytes / targetBytes) files — compaction and 2-D clustering in
+    * one pass (a table accreting small unsorted files from streaming
+    * upserts gets both fixed together). Same temp-write + swap
+    * discipline as [[compact]]: readers never observe a half-rewritten
+    * directory on a filesystem with atomic rename. Returns the output
+    * file count.
+    */
+  def optimizeZOrdered(spark: SparkSession, path: String, xCol: String,
+                       yCol: String,
+                       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__zopt_tmp")
+    writeZOrdered(spark.read.parquet(path), tmp.toString, xCol, yCol, nFiles)
+    val bak = new org.apache.hadoop.fs.Path(path + "__zopt_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(hPath, bak) || !fs.rename(tmp, hPath))
+      throw new IllegalStateException(s"z-order optimize swap failed for $path")
+    fs.delete(bak, true)
+    nFiles
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. Streaming upserts and per-batch
     * writes accrete small files; at 100 TB a scan of 10^6 small files

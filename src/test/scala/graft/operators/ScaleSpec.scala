@@ -127,6 +127,50 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.95, s"IVF top-1 recall $recall below bound")
   }
 
+  test("IVF nprobe: probing a second cell recovers boundary-query neighbors") {
+    import graft.functions.VectorFunctions
+    // cells are L2 but ranking is cosine: plant 6 L2-clusters = 3
+    // directions × 2 magnitudes. A query's cosine neighbors are ALL
+    // same-direction vectors regardless of magnitude (cos ≈ 1), but
+    // k-means separates the two magnitude shells into different cells —
+    // and the query's second-nearest centroid is exactly the same-
+    // direction/other-magnitude cell (L2 distance 1.0 vs ≥ 1.41 to any
+    // other direction). Own-cell probing loses the other shell's
+    // neighbors; nprobe=2 recovers them.
+    val n = 300
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val dir = i % 3
+      val mag = 1 + (i / 3) % 2
+      (i.toLong, Array.tabulate(dim) { d =>
+        val base = if (d == dir * 2) mag.toFloat else 0.0f
+        // jitter ONLY the mag-1 shell: every mag-2 vector is the exact
+        // axis direction, so a mag-1 query's best cosines are the pure
+        // mag-2 vectors — which all live in the OTHER cell
+        base + (if (mag == 1) (((i * 31 + d * 7) % 97) - 48) * 0.002f else 0.0f)
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // mag-1 queries only (ids 0-2, 6-8 under the period-6 class layout)
+    val queryFilter = col("vec_id") % 6 < 3 && col("vec_id") < 12
+    def recallAt(nprobe: Int): Double = {
+      val ivf = VectorFunctions.kmeansIvfTopK(df, "vec_id", "embedding",
+        queryFilter, k = 3, clusters = 6, iters = 3, nprobe = nprobe)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      val brute = VectorFunctions.bruteForceTopK(
+        df.filter(queryFilter).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "q_id", "c_id", "q_vec", "c_vec", k = 3)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      (ivf intersect brute).size.toDouble / brute.size
+    }
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    assert(r1 < 1.0, s"overlap too weak: own-cell recall already $r1")
+    assert(r2 > r1, s"nprobe=2 recall $r2 must beat own-cell $r1")
+    assert(r2 >= 0.8, s"nprobe=2 recall $r2 below 0.8")
+  }
+
   test("PQ: ADC shortlist + re-rank recovers exact neighbors on clustered data") {
     import graft.functions.VectorFunctions
     // same planted geometry as the k-means test: PQ should behave like a

@@ -77,6 +77,19 @@ class MinHashExpressionSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
       .collect()(0).getDouble(0)
     assert(math.abs(cs - 1.0) < 1e-12)
+
+    // round-4 additions: shingle hashes, token/gram stats, z-order key
+    val extra = spark.sql(
+      """SELECT doc_id, shingle_hashes(text, 3) AS sh,
+                token_gram_stats(text, 2).n_tok AS nt,
+                zorder_key(doc_id, doc_id + 1) AS zk
+         FROM mh_docs""").collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val extraCol = docs.select(col("doc_id"),
+        ShingleHashExpr.shingleHashes(col("text"), 3),
+        TokenGramStatsExpr.stats(col("text"), 2).getField("n_tok"),
+        graft.sources.Layout.zorderKey2(col("doc_id"), col("doc_id") + 1))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(extra == extraCol)
   }
 
   test("native lang_id matches the composed decision rule on every doc") {

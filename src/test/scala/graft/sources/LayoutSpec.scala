@@ -107,6 +107,28 @@ class LayoutSpec extends SparkSpec {
       s"z-order ($scannedZ rows) should scan less than x-sort ($scannedFlat) on a y-only range")
   }
 
+  test("optimizeZOrdered: small unsorted files → few z-clustered files, contents identical") {
+    val dir = tmpDir("layout-zopt") + "/t"
+    val df = (0 until 128).flatMap(x => (0 until 128).map(y =>
+      (x.toLong * 1000 + y, x.toLong, y.toLong))).toDF("id", "x", "y")
+    df.orderBy(rand(7)).repartition(30).write.parquet(dir) // messy layout
+    def files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 30)
+
+    val n = Layout.optimizeZOrdered(spark, dir, "x", "y", targetBytes = 24L * 1024)
+    assert(files == n && n < 30, s"expected few compacted files, got $n")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 128L * 128L)
+
+    // clustering took effect: a 2-D tile reads a fraction of the rows
+    val q = back.filter(col("x").between(5, 12) && col("y").between(100, 108))
+    assert(graft.tools.PlanMetrics.runAndCount(q) == 8L * 9L)
+    val scanned = graft.tools.PlanMetrics.scanOutputRows(q)
+    assert(scanned < 128L * 128L / 2,
+      s"scan read $scanned of ${128 * 128} rows — z-optimize should cluster")
+  }
+
   test("compact: many small files rewritten to the target count, contents identical") {
     val dir = tmpDir("layout-compact") + "/t"
     val df = (1L to 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
