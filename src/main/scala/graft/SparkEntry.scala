@@ -982,6 +982,57 @@ object SparkEntry {
     }),
 
     // ---------------- streaming-shaped agg ---------------------------
+    "w5_session_paths" -> ((s, dir) => {
+      // funnel/path analysis: per-session ordered event-type path →
+      // top-10 paths by frequency. The path builds from a collect_list
+      // sorted IN the row (array_sort on (ts, id, type) structs) — the
+      // per-session window already exists for sessionization; no second
+      // ordering shuffle. Total order: (n_sessions desc, path).
+      val e = events(s, dir).select("user_id", "event_id", "event_type", "ts_ms")
+      WindowOps.sessionize(e, Seq("user_id"), "ts_ms",
+          Seq("ts_ms", "event_id"), gap = 1800000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    }),
+
+    "w4_sliding_rates" -> ((s, dir) => {
+      // sliding 10-min windows, 5-min slide: each event lands in 2
+      // windows (its 5-min-floor start and the one before). The window
+      // memberships are a scan-side explode of 2 arithmetic starts —
+      // no window function, no single-partition risk; the groupBy is
+      // the only shuffle, map-side combined. Batch twin of the
+      // streaming sliding-window rate monitor.
+      val slide = 300000L
+      val win = 600000L
+      events(s, dir)
+        .withColumn("__fl", col("ts_ms") - pmod(col("ts_ms"), lit(slide)))
+        .select(col("event_type"), col("value"),
+          explode(array(col("__fl"), col("__fl") - slide)).as("win_start_ms"))
+        .filter(col("win_start_ms") + win > col("ts_ms") &&
+          col("win_start_ms") <= col("ts_ms"))
+        .groupBy("win_start_ms", "event_type")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    }),
+
+    "sample_temperature" -> ((s, dir) => {
+      // temperature (T=2) source rebalance: per-language keep rates ∝
+      // √N targeting half the corpus, applied as the deterministic
+      // hash-Bernoulli filter; reports size, rate, kept per language
+      val docs = t(s, dir, "documents")
+      val rates = graft.functions.Sampling.temperatureMixRates(
+        docs.select("lang", "doc_id"), "lang", targetFrac = 0.5)
+      docs.join(broadcast(rates), Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), max(col("rate")).as("rate"),
+          sum(when(graft.functions.Sampling.rateKeep(
+            col("doc_id"), col("rate"), "temp"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
     "stream_tumbling_counts" -> ((s, dir) => {
       // tumbling 1h window counts — same aggregation the streaming module
       // (graft.streaming) runs via readStream+watermark; batch-equivalent
@@ -2869,6 +2920,60 @@ object SparkEntry {
                   COUNT(*) AS n_events,
                   CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
            FROM e GROUP BY 1, 2""",
+
+      "w5_session_paths" ->
+        """WITH e AS (SELECT epoch_ms(ts) AS ts_ms, event_id, user_id, event_type
+                      FROM events),
+           s AS (SELECT *,
+                        CASE WHEN lag(ts_ms) OVER w IS NULL
+                               OR ts_ms - lag(ts_ms) OVER w > 1800000
+                             THEN 1 ELSE 0 END AS brk
+                 FROM e
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+           s2 AS (SELECT *,
+                         SUM(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM s),
+           p AS (SELECT user_id, session_idx,
+                        string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+                 FROM s2 GROUP BY 1, 2)
+           SELECT path, COUNT(*) AS n_sessions
+           FROM p GROUP BY 1
+           ORDER BY n_sessions DESC, path LIMIT 10""",
+
+      "w4_sliding_rates" ->
+        """WITH e AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events),
+           f AS (SELECT *, ts_ms - (ts_ms % 300000) AS fl FROM e),
+           x AS (SELECT event_type, value, ts_ms,
+                        unnest([fl, fl - 300000]) AS win_start_ms
+                 FROM f)
+           SELECT win_start_ms, event_type, COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+           FROM x
+           WHERE win_start_ms + 600000 > ts_ms AND win_start_ms <= ts_ms
+           GROUP BY 1, 2""",
+
+      "sample_temperature" ->
+        """WITH counts AS (
+             SELECT lang, COUNT(*) AS n,
+                    CAST(ROUND(sqrt(COUNT(*)), 6) AS DECIMAL(30,6)) AS num
+             FROM documents GROUP BY 1),
+           tot AS (SELECT SUM(n) AS n_tot, SUM(num) AS denom FROM counts),
+           rates AS (
+             SELECT lang, n,
+                    ROUND(LEAST(1.0,
+                      0.5 * CAST(n_tot AS DOUBLE)
+                        * (CAST(num AS DOUBLE) / CAST(denom AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 6) AS rate
+             FROM counts, tot)
+           SELECT d.lang, COUNT(*) AS n_docs, MAX(r.rate) AS rate,
+                  CAST(SUM(CASE WHEN
+                    ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      < floor(r.rate * 4294967296.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM documents d JOIN rates r USING (lang)
+           GROUP BY 1""",
 
       "dedup_simhash" -> {
         val bitExprs = (0 until 16).map { i =>

@@ -99,6 +99,34 @@ object Sampling {
         col("score").as("a_key") :+ col("rank"): _*)
   }
 
+  /** Temperature-based source mixing (the multilingual-corpus rebalance
+    * from the mBERT/mT5 recipes, T=2 i.e. weights ∝ √N): per-group keep
+    * rates such that the kept corpus targets `targetFrac` of the total
+    * with group shares ∝ √(group size) — big sources downsampled hard,
+    * small sources kept nearly whole.
+    *
+    * Returns (group, n, rate). Determinism across engines: per-group
+    * √N is rounded to 6 dp and summed as DECIMAL (order-free); the
+    * rate is a fixed-order double expression rounded to 6 dp, so the
+    * downstream [[rateKeep]] filter keeps the identical id set in any
+    * engine. The group table is aggregate-sized — at 100 TB this whole
+    * computation is one map-side-combined count plus driver-small math;
+    * the corpus itself is touched only by the final scan-side filter.
+    */
+  def temperatureMixRates(df: DataFrame, groupCol: String,
+                          targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("num", round(sqrt(col("n")), 6).cast("decimal(30,6)"))
+    val tot = counts.agg(sum("n").as("n_tot"), sum("num").as("denom"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("n_tot").cast("double") *
+            (col("num").cast("double") / col("denom").cast("double")) /
+            col("n").cast("double")), 6).as("rate"))
+  }
+
   def budgetSelect(df: DataFrame, scoreCol: Column, idCol: Column,
                    costCol: Column, budget: Long,
                    binOf: Column => Column = _ * 1000): DataFrame = {
