@@ -572,10 +572,15 @@ object SparkEntry {
 
     "text_span_dedup" -> ((s, dir) => {
       // duplicated-passage pairs (MOSS winnowing): docs sharing ≥2
-      // selected rolling hashes after dropping boilerplate spans shared
-      // by >50 docs; containment = shared / min fingerprint size
-      D.spanContainment(t(s, dir, "documents"), "doc_id", "text",
-        k = 6, w = 16, maxDf = 20, minShared = 2L)
+      // selected rolling hashes after dropping boilerplate stop-spans;
+      // containment = shared / min fingerprint size. The (id, hash)
+      // index is materialized once (persist) — the analysis has three
+      // consumers (sizes, stop-span df, pair join) and re-winnowing the
+      // text per consumer would be 4 full corpus passes at 100 TB.
+      val idx = D.winnowIndex(t(s, dir, "documents"), "doc_id", "text",
+          k = 6, w = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      D.spanContainmentFromIndex(idx, maxDf = 20, minShared = 2L)
     }),
 
     "vec_quantize_int8" -> ((s, dir) => {

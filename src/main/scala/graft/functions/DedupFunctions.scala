@@ -184,11 +184,32 @@ object DedupFunctions {
     */
   def spanContainment(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, w: Int = 4, maxDf: Int = 50,
-                      minShared: Long = 2L): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
-      graft.plans.WinnowExpr.winnow(col(textCol), k, w).as("fp"))
-    val sizes = fp.select(col("id"), size(col("fp")).cast("long").as("n"))
-    val sel = fp.select(col("id"), explode(col("fp")).as("h"))
+                      minShared: Long = 2L): DataFrame =
+    spanContainmentFromIndex(winnowIndex(df, idCol, textCol, k, w),
+      maxDf, minShared)
+
+  /** The persistable winnow fingerprint index: one (id, h) row per
+    * selected hash per doc. Build once per corpus snapshot, persist or
+    * write it out, and feed [[spanContainmentFromIndex]] — the
+    * containment analysis then never re-reads document text. (The
+    * one-shot [[spanContainment]] convenience re-computes this subtree
+    * once per plan consumer — 4 text passes; production callers should
+    * materialize the index.)
+    */
+  def winnowIndex(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.plans.WinnowExpr.winnow(col(textCol), k, w)).as("h"))
+
+  /** Span-containment pairs from a prebuilt (id, h) winnow index — see
+    * [[spanContainment]] for semantics. Fingerprint sizes derive from
+    * the index itself (a groupBy on id), so text is never touched here;
+    * every shuffle carries (long, long) rows.
+    */
+  def spanContainmentFromIndex(index: DataFrame, maxDf: Int,
+                               minShared: Long): DataFrame = {
+    val sel = index.select(col("id"), col("h"))
+    val sizes = sel.groupBy("id").agg(count(lit(1)).as("n"))
     val keep = sel.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     val pruned = sel.join(keep, Seq("h"))
