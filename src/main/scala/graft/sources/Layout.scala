@@ -78,6 +78,24 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Write with parquet BLOOM FILTERS on the named columns: point
+    * (equality) predicates on a high-cardinality column scattered
+    * through the table — the case min/max stats cannot prune because
+    * every row group spans the full value range — skip row groups via
+    * the bloom instead. This is a pure write-side option (parquet-mr
+    * builds the filters); readers get the skipping for free through
+    * Spark's pushed equality filters. ~1 byte/value of extra file
+    * footprint at the default FPP.
+    */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     expectedDistinct: Long = 100000L): Unit = {
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedDistinct.toString)
+    }
+    w.parquet(path)
+  }
+
   /** OPTIMIZE-style table maintenance: rewrite an existing parquet
     * directory Z-order-clustered on (xCol, yCol), sized to
     * ceil(bytes / targetBytes) files — compaction and 2-D clustering in

@@ -140,4 +140,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m.toSeq == Seq(("P1", "NA", "NA")))
     assert(ReleaseJob.geneMatrix(clinical.limit(0), empty, empty).count() == 0)
   }
+
+  test("gopher signals on null, empty, and single-word text") {
+    import graft.functions.TextFunctions
+    val df = Seq((1L, null: String), (2L, ""), (3L, "word"),
+      (4L, "aa bb cc dd")).toDF("id", "text")
+    val g = TextFunctions.gopherSignals(col("text"))
+    val rows = df.select(col("id"), g.getField("mean_word_len").as("mwl"),
+        g.getField("alpha_word_frac").as("awf"), g.getField("keep").as("keep"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows(1L)._1.isEmpty && rows(1L)._3.isEmpty) // null text → null signals
+    assert(rows(2L)._1.contains(0.0))                  // "" → one empty token, len 0
+    assert(rows(3L)._1.contains(4.0) && rows(3L)._2.contains(1.0))
+    assert(rows(4L)._1.contains(2.0) && rows(4L)._3.contains(false)) // mwl < 3 → drop
+  }
+
+  test("temperature mixing: single group gets min(1, target) rate; rates cap at 1") {
+    import graft.functions.Sampling
+    val one = (1 to 100).map(i => ("en", i.toLong)).toDF("lang", "doc_id")
+    val r1 = Sampling.temperatureMixRates(one, "lang", targetFrac = 0.5)
+      .as[(String, Long, Double)].collect()
+    assert(r1.toSeq == Seq(("en", 100L, 0.5))) // single group → exactly targetFrac
+    // tiny group's rate capped at 1.0, never oversampled
+    val skewed = ((1 to 1000).map(i => ("big", i.toLong)) ++ Seq(("tiny", 9999L)))
+      .toDF("lang", "doc_id")
+    val rates = Sampling.temperatureMixRates(skewed, "lang", targetFrac = 0.8)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(rates("tiny") == 1.0, s"tiny group rate ${rates("tiny")} must cap at 1")
+    assert(rates("big") < 1.0 && rates("big") > 0.0)
+  }
+
+  test("span containment from an empty index and winnow of empty docs") {
+    import graft.functions.DedupFunctions
+    val docs = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    // k=6 grams of sub-6-char docs → empty fingerprints → empty index
+    val idx = DedupFunctions.winnowIndex(docs, "doc_id", "text", k = 6, w = 4)
+    assert(idx.count() == 0)
+    assert(DedupFunctions.spanContainmentFromIndex(idx, 50, 1L).count() == 0)
+  }
 }

@@ -129,6 +129,46 @@ class LayoutSpec extends SparkSpec {
       s"scan read $scanned of ${128 * 128} rows — z-optimize should cluster")
   }
 
+  test("bloom-filter layout: point lookup skips row groups min/max cannot prune") {
+    val dir = tmpDir("layout-bloom") + "/t"
+    // high-cardinality ids scattered so every row group spans the full
+    // range — min/max stats are useless for equality predicates here
+    val n = 200000
+    val df = (0 until n).map { i =>
+      val id = (i.toLong * 2654435761L) % 1000003L // scatter
+      (id, s"payload$i")
+    }.toDF("uid", "payload")
+    // small row groups so there are several to skip
+    df.repartition(1).write
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.bloom.filter.enabled#uid", "true")
+      .option("parquet.bloom.filter.expected.ndv#uid", "200000")
+      .mode("overwrite").parquet(dir)
+
+    val probe = spark.read.parquet(dir).filter(col("uid") === 2654435761L % 1000003L)
+    assert(graft.tools.PlanMetrics.runAndCount(probe) >= 1L)
+    val scanned = graft.tools.PlanMetrics.scanOutputRows(probe)
+
+    // control: same layout without blooms reads everything (min/max
+    // can't prune scattered ids)
+    val dir2 = tmpDir("layout-nobloom") + "/t"
+    df.repartition(1).write
+      .option("parquet.block.size", (256 * 1024).toString)
+      .mode("overwrite").parquet(dir2)
+    val probe2 = spark.read.parquet(dir2).filter(col("uid") === 2654435761L % 1000003L)
+    assert(graft.tools.PlanMetrics.runAndCount(probe2) >= 1L)
+    val scannedControl = graft.tools.PlanMetrics.scanOutputRows(probe2)
+
+    assert(scanned < scannedControl,
+      s"bloom scan read $scanned rows vs control $scannedControl — blooms should skip row groups")
+
+    // the Layout API round-trips (default row-group size: one group —
+    // the skipping mechanism itself is proven above)
+    val dir3 = tmpDir("layout-bloom-api") + "/t"
+    Layout.writeWithBloom(df, dir3, Seq("uid"), expectedDistinct = 200000L)
+    assert(spark.read.parquet(dir3).count() == n.toLong)
+  }
+
   test("compact: many small files rewritten to the target count, contents identical") {
     val dir = tmpDir("layout-compact") + "/t"
     val df = (1L to 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
