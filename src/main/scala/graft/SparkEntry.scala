@@ -520,6 +520,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(D.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
     }),
 
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      // the sketch property LSH banding rests on: signature agreement
+      // estimates Jaccard. Per adjacent pair: est = matching components
+      // / 16 next to the exact token-set Jaccard — both deterministic,
+      // both oracle-replayed (the estimate from the same md5 minhash,
+      // the truth from set ops). At 100 TB only the 16-hash signature
+      // (not the token sets) needs to reach a pair comparison.
+      val d = t(s, dir, "documents")
+      val toks = array_distinct(T.tokens(lower(col("text"))))
+      val sig = d.select(col("doc_id"), toks.as("toks"),
+        graft.plans.MinHashSignature.signature(toks, 16).as("sig"))
+      val a = sig.select(col("doc_id").as("id_a"), col("toks").as("t_a"), col("sig").as("s_a"))
+      val b = sig.select(col("doc_id").as("id_b"), col("toks").as("t_b"), col("sig").as("s_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(aggregate(zip_with(col("s_a"), col("s_b"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+            lit(0), _ + _).cast("double") / 16.0, 6).as("est_jaccard"),
+          round(D.jaccard(col("t_a"), col("t_b")), 6).as("exact_jaccard"))
+    }),
+
     "dedup_cluster_assign" -> ((s, dir) => {
       // the full LSH→cluster dedup pipeline: minhash band collisions →
       // connected components (large-star/small-star) → one canonical
@@ -2392,6 +2413,26 @@ object SparkEntry {
                         ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                              / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) END, 6) AS jaccard
            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+
+      "dedup_minhash_estimate" -> {
+        val mhs = (0 until 16).map(i =>
+          s"list_aggregate(list_transform(toks, t -> md5('$i:' || t)), 'min') AS mh$i")
+          .mkString(", ")
+        val agree = (0 until 16).map(i =>
+          s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+             SELECT doc_id,
+                    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+             FROM documents),
+           sig AS (SELECT doc_id, toks, $mhs FROM tok)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  ROUND(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard,
+                  ROUND(CASE WHEN len(list_distinct(a.toks || b.toks)) = 0 THEN 1.0
+                        ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                             / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) END, 6)
+                    AS exact_jaccard
+           FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1"""
+      },
 
       "dedup_cluster_assign" ->
         """WITH RECURSIVE tok AS (

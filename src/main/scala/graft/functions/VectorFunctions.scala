@@ -184,6 +184,13 @@ object VectorFunctions {
   /** Nearest-centroid assignment: broadcast the k centroids, compute
     * ||v||² − 2·v·c + ||c||² (three sequential folds — the exact op
     * order the oracle replays), argmin with a cid tie-break. Adds `cid`.
+    *
+    * Shape note (measured, EncodeProbe 80k×64d, ksub=16): a pure
+    * per-row expression over LITERAL centroids (struct-per-centroid +
+    * array_min) was 8× SLOWER than this broadcast join — per-row
+    * literal-array/struct allocation dominates, while Spark rewrites
+    * the rank<=1 window into a map-side WindowGroupLimit, so the join
+    * form already avoids a full sort and never shuffles vectors.
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame): DataFrame = {
@@ -308,9 +315,11 @@ object VectorFunctions {
   /** PQ-encode a corpus: each vector becomes m small codes (nearest
     * codebook centroid per subspace). One row per (id, sub) with the
     * code — 100 TB of float vectors compress to m bytes-ish per vector;
-    * the encode is a broadcast join + per-(id,sub) argmin, vectors
-    * never shuffle. Distance = ||v||²−2v·c+||c||² with sequential
-    * folds; ties break on cid, so codes are deterministic.
+    * the encode is a broadcast join + per-(id,sub) argmin (rewritten by
+    * Spark into a map-side WindowGroupLimit — see [[kmeansAssign]]'s
+    * shape note for why this beats a literal-centroid expression),
+    * vectors never shuffle. Distance = ||v||²−2v·c+||c||² with
+    * sequential folds; ties break on cid, so codes are deterministic.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebooks: DataFrame, m: Int, dim: Int): DataFrame = {

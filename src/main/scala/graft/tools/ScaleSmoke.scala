@@ -189,6 +189,62 @@ object ScaleSmoke {
         .select(md5(T.scrubPii(col("chunk")))).count()
     }
 
+    // ---- round-4 operators ------------------------------------------
+
+    // 14. native one-pass text signals over the 10× corpus (the HOF
+    // forms these replaced were the round-3 bench's slowest rows)
+    time("native_text_signals", nDocs) {
+      docs.select(
+        graft.plans.ShingleHashExpr.shingleHashes(col("text"), 5).as("sh"),
+        T.topTokenFraction(col("text")).as("ttf"),
+        T.dupNgramFraction(col("text"), 2).as("dnf"),
+        graft.functions.DedupFunctions.simhash(
+          T.tokens(lower(col("text"))), 16).as("sim"))
+        .select(size(col("sh")) + col("sim")).count()
+    }
+
+    // 15. span dedup over the 10× corpus from a persisted winnow index
+    time("span_dedup", nDocs) {
+      val idx = graft.functions.DedupFunctions.winnowIndex(
+          docs, "doc_id", "text", k = 6, w = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.functions.DedupFunctions
+        .spanContainmentFromIndex(idx, maxDf = 20, minShared = 2L).count()
+      finally idx.unpersist(blocking = false)
+    }
+
+    // 16. PQ ANN over the 40× embedding corpus: sample-trained
+    // codebooks, code-only ADC, exact re-rank
+    time("pq_topk", nEmb) {
+      val embN = emb.select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
+      val books = V.pqCodebooks(embN.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", m = 4, dim = 64, ksub = 16, iters = 2)
+      val qn = embN.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cn = embN.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      V.pqTopK(qn, cn, "q_id", "c_id", "q_vec", "c_vec", books,
+        m = 4, dim = 64, k = 10, shortlist = 200).count()
+    }
+
+    // 17. incremental dedup: batch vs corpus digest index at 10×
+    time("incremental_dedup", nDocs) {
+      graft.functions.DedupFunctions.incrementalExactDup(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text").filter(col("dup_in_corpus")).count()
+    }
+
+    // 18. z-order write + 2-D pruned readback over 6M events
+    time("zorder_write_read", nEv) {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_smoke_zorder"
+      val e = ev.select(col("event_id"), col("user_id"),
+        floor(col("value") * 10).cast("long").as("vbucket"))
+      graft.sources.Layout.writeZOrdered(e, out, "user_id", "vbucket", nFiles = 64)
+      spark.read.parquet(out)
+        .filter(col("user_id").between(100, 5000) && col("vbucket").between(2, 7))
+        .count()
+    }
+
     spark.stop()
   }
 }
