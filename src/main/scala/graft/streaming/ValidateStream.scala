@@ -73,6 +73,26 @@ object ValidateStream {
         Seq("__digest"), "left_anti")
       .drop("__digest")
 
+  /** Streaming MinHash band-index maintenance: each micro-batch of new
+    * documents appends its (band_key, id) rows to the persisted LSH
+    * index that [[graft.functions.DedupFunctions.incrementalNearDupCandidates]]
+    * (and [[dedupAgainstCorpus]]'s digest twin) consume — the index
+    * grows by batch-sized appends, the corpus is never re-indexed.
+    * Parquet append per batch is idempotent-enough for at-least-once
+    * sinks only if ids are deduped downstream; exactly-once callers
+    * should point `path` at a table format with atomic appends.
+    */
+  def bandIndexStream(docs: DataFrame, idCol: String, elemsCol: org.apache.spark.sql.Column,
+                      path: String, checkpoint: String,
+                      k: Int = 16, bands: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.functions.DedupFunctions.bandIndex(batch, idCol, elemsCol, k, bands)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Streaming curation: the batch curation decisions (language ID,
     * quality score, PII scrub) applied to a live document stream. All
     * three are per-row Column expressions, so this stage is stateless —

@@ -203,13 +203,16 @@ object ScaleSmoke {
         .select(size(col("sh")) + col("sim")).count()
     }
 
-    // 15. span dedup over the 10× corpus from a persisted winnow index
+    // 15. span dedup over the 10× corpus from a persisted winnow index.
+    // maxDf scales with the replication factor: every span's df is
+    // multiplied by `mult` here, and a fixed threshold would classify
+    // the whole corpus as stop-spans (0 pairs — the round-4 first run).
     time("span_dedup", nDocs) {
       val idx = graft.functions.DedupFunctions.winnowIndex(
           docs, "doc_id", "text", k = 6, w = 16)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try graft.functions.DedupFunctions
-        .spanContainmentFromIndex(idx, maxDf = 20, minShared = 2L).count()
+        .spanContainmentFromIndex(idx, maxDf = 20 * mult, minShared = 2L).count()
       finally idx.unpersist(blocking = false)
     }
 

@@ -106,6 +106,30 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 4L), s"expected corpus dups dropped, got $kept")
   }
 
+  test("streaming band-index maintenance: appended index finds near-dups of streamed docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "alpha beta gamma delta epsilon"),
+      (2L, "completely different words entirely here"))
+    val dir = tmpDir("bandidx")
+    val elems = split(col("text"), " ")
+    val q = ValidateStream.bandIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", elems,
+      s"$dir/index", s"$dir/ckpt", k = 16, bands = 8)
+    mem.addData((3L, "alpha beta gamma delta zeta")) // near-dup of 1
+    q.processAllAvailable()
+    q.stop()
+
+    val index = spark.read.parquet(s"$dir/index")
+    assert(index.select("id").distinct().count() == 3)
+    // a later batch probes the persisted index exactly like the batch path
+    val probe = Seq((10L, "alpha beta gamma delta theta")).toDF("doc_id", "text")
+    val cands = graft.functions.DedupFunctions.incrementalNearDupCandidates(
+        index, probe, "doc_id", elems, k = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.exists(_._2 == 1L), s"expected near-dup hit on doc 1, got $cands")
+  }
+
   test("streaming session_window: sessions close when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
