@@ -15,8 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly (so `count distinct` over these hashes equals `count
   * distinct` over the string shingles, collision-negligibly):
   *  - the text is space-trimmed, ASCII-lowercased, and split on runs of
-  *    Java-\s whitespace; a leading run yields one empty first token and
-  *    trailing runs yield none (Java split semantics);
+  *    Java-\s whitespace; leading AND trailing runs each yield one
+  *    empty token (Spark split = Pattern.split limit -1 — property-
+  *    tested against the composed form);
   *  - with fewer than n tokens the WHOLE token list is the single gram
   *    (the `array_join(toks, " ")` branch of `shingles`);
   *  - token hash = base-31 polynomial over byte codes; gram hash = base-
@@ -75,8 +76,10 @@ object ShingleHashExpr {
     while (lo < hi && bytes(lo) == ' ') lo += 1
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
 
-    // token hashes, Java-split semantics: leading ws run → one empty
-    // token; trailing ws runs → nothing. Empty string → one empty token.
+    // token hashes, Spark-split (Pattern.split limit -1) semantics:
+    // a leading ws run yields one empty first field AND a trailing ws
+    // run yields one empty last field (unlike Java's default split,
+    // which drops trailing empties). Empty string → one empty token.
     val tokBuf = new java.util.ArrayList[java.lang.Long]()
     if (hi == lo) tokBuf.add(0L)
     else {
@@ -95,6 +98,7 @@ object ShingleHashExpr {
           tokBuf.add(h)
         }
       }
+      if (isWs(bytes(hi - 1) & 0xff)) tokBuf.add(0L) // trailing empty field
     }
 
     val nTok = tokBuf.size

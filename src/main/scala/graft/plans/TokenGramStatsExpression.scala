@@ -72,6 +72,10 @@ object TokenGramStatsExpr {
     while (lo < hi && bytes(lo) == ' ') lo += 1
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
 
+    // Spark-split (Pattern.split limit -1) semantics: leading AND
+    // trailing whitespace runs each yield one empty field (see
+    // ShingleHashExpr — Java's default split drops trailing empties,
+    // Spark's split keeps them)
     val tokBuf = new java.util.ArrayList[java.lang.Long]()
     var sumLen = 0L
     var nAlpha = 0L
@@ -98,6 +102,7 @@ object TokenGramStatsExpr {
           if (hasAlpha) nAlpha += 1
         }
       }
+      if (isWs(bytes(hi - 1) & 0xff)) tokBuf.add(0L)
     }
 
     val nTok = tokBuf.size

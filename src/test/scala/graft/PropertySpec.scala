@@ -187,4 +187,60 @@ class PropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  // random ASCII text with the whitespace shapes that stress Java-split
+  // edge semantics (leading runs, tabs/newlines, empty, repeats)
+  private val asciiTextGen: Gen[String] = for {
+    n     <- Gen.choose(0, 12)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaChar), Gen.oneOf("a", "BB", "x1", "##", "..."),
+      Gen.stringOfN(1, Gen.numChar)))
+    seps  <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "\t", "\n", " \t "))
+    lead  <- Gen.oneOf("", " ", "\t", "  ")
+    trail <- Gen.oneOf("", " ", "\n ")
+  } yield lead + words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString + trail
+
+  test("property: ShingleHashExpr set size == string shingle set size") {
+    forSamples(Gen.listOfN(12, asciiTextGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      for (n <- Seq(2, 3, 5)) {
+        val bad = df.select(
+          size(graft.plans.ShingleHashExpr.shingleHashes(col("text"), n)).as("h"),
+          size(array_distinct(TextFunctions.shingles(col("text"), n))).as("s"))
+          .filter(col("h") =!= col("s")).count()
+        assert(bad == 0, s"n=$n diverged on $texts")
+      }
+    }
+  }
+
+  test("property: TokenGramStatsExpr matches the HOF repetition forms") {
+    // the replaced HOF implementations, inlined as the reference
+    def hofTopTokenFraction(text: org.apache.spark.sql.Column) = {
+      val toks = TextFunctions.tokens(lower(text))
+      val maxCnt = array_max(transform(array_distinct(toks),
+        x => size(filter(toks, t => t === x))))
+      round(coalesce(maxCnt.cast("double"), lit(0.0)) /
+        greatest(size(toks), lit(1)).cast("double"), 6)
+    }
+    def hofDupNgramFraction(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = TextFunctions.tokens(lower(text))
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      val grams = when(size(toks) >= n,
+        transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      round(when(size(grams) === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(grams)).cast("double") / size(grams).cast("double")), 6)
+    }
+    forSamples(Gen.listOfN(12, asciiTextGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val bad = df.select(
+        TextFunctions.topTokenFraction(col("text")).as("nt"),
+        hofTopTokenFraction(col("text")).as("ht"),
+        TextFunctions.dupNgramFraction(col("text"), 2).as("nd"),
+        hofDupNgramFraction(col("text"), 2).as("hd"))
+        .filter(col("nt") =!= col("ht") || col("nd") =!= col("hd")).count()
+      assert(bad == 0, s"diverged on $texts")
+    }
+  }
 }
