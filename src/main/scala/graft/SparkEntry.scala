@@ -577,6 +577,26 @@ object SparkEntry {
         md5(array_join(transform(fp, x => x.cast("string")), ",")).as("fp_md5"))
     }),
 
+    "corpus_report" -> ((s, dir) => {
+      // data-card summary per language, ONE aggregation pass over the
+      // corpus (no joins): volume, exact-dup rate, token total, median
+      // length, Gopher keep fraction. The corpus audit a training run
+      // starts from — every input is a per-row expression, the only
+      // shuffle is the per-language agg.
+      val keep = T.gopherSignals(col("text")).getField("keep")
+      t(s, dir, "documents")
+        .select(col("lang"), md5(col("text")).as("dg"), col("n_chars"),
+          T.tokenCount(col("text")).cast("long").as("n_tok"), keep.as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(lit(1.0) - countDistinct(col("dg")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("dup_rate"),
+          sum("n_tok").as("total_tokens"),
+          round(percentile(col("n_chars"), lit(0.5)), 6).as("med_chars"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("keep_frac"))
+    }),
+
     "text_gopher_rules" -> ((s, dir) => {
       // Gopher-style quality rules (word-length band, alpha-word
       // fraction, symbol ratio, bullet/ellipsis lines) — native
@@ -1241,6 +1261,24 @@ object SparkEntry {
       // only the query's learned cell
       V.kmeansIvfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 3, clusters = 4, iters = 2)
+    }),
+
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive-training hard-negative mining: per query, the top-3
+      // highest-cosine vectors with a DIFFERENT label — the negatives
+      // that actually teach a contrastive model. Query side broadcast,
+      // bounded top-k ranking; same shuffle shape as brute-force ANN.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("label").as("c_label"))
+      val joined = c.join(broadcast(q),
+          col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+        .withColumn("score", V.cosine(col("q_vec"), col("c_vec")))
+      V.rankTopK(joined, "q_id", "c_id", 3)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
     "sim_pq_recall" -> ((s, dir) => {
@@ -2504,6 +2542,41 @@ object SparkEntry {
                         x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
            FROM w""",
 
+      "corpus_report" ->
+        """WITH t AS (
+             SELECT doc_id, lang, n_chars, text,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                    string_split(text, chr(10)) AS lines
+             FROM documents),
+           s AS (
+             SELECT doc_id, lang, n_chars, text, len(toks) AS n_tok,
+                    list_sum(list_transform(toks, x -> len(x))) AS sum_len,
+                    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                    length(text) - length(replace(text, '#', '')) AS hash_cnt,
+                    (length(text) - length(replace(text, '...', ''))) / 3 AS dots_cnt,
+                    GREATEST(len(lines), 1) AS n_lines,
+                    len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS bullet_lines,
+                    len(list_filter(lines, l -> l LIKE '%...')) AS ellipsis_lines
+             FROM t),
+           r AS (
+             SELECT lang, n_chars, n_tok, md5(text) AS dg,
+                    ROUND(CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS mwl,
+                    ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS awf,
+                    ROUND(CAST(hash_cnt + dots_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS swr,
+                    ROUND(CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS blf,
+                    ROUND(CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS elf
+             FROM s)
+           SELECT lang, COUNT(*) AS n_docs,
+                  ROUND(1.0 - CAST(COUNT(DISTINCT dg) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+                  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS med_chars,
+                  ROUND(CAST(SUM(CASE WHEN mwl BETWEEN 3.0 AND 10.0 AND awf > 0.8
+                                       AND swr < 0.1 AND blf < 0.9 AND elf < 0.3
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS keep_frac
+           FROM r GROUP BY lang""",
+
       "text_gopher_rules" ->
         """WITH t AS (
              SELECT doc_id, text,
@@ -2840,6 +2913,22 @@ object SparkEntry {
                     / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE))))
                        * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE))))), 6) AS cos
            FROM b JOIN a ON id_b > id_a AND id_b <= id_a + 25""",
+
+      "sim_hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+                      FROM embeddings WHERE vec_id % 100 = 0),
+                c AS (SELECT vec_id AS c_id, embedding AS c_vec, label AS c_label
+                      FROM embeddings),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))) AS score
+             FROM q JOIN c ON q_id <> c_id AND q_label <> c_label)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3""",
 
       "sim_topk_bruteforce" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),

@@ -243,4 +243,32 @@ class PropertySpec extends SparkSpec {
       assert(bad == 0, s"diverged on $texts")
     }
   }
+
+  test("property: SimHashExpr matches the md5 hex-digit vote fold") {
+    val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    def hofSimhash(elems: org.apache.spark.sql.Column, bits: Int) = {
+      val hashed = transform(array_distinct(elems), e => md5(e))
+      val zeros = array_repeat(lit(0L), bits)
+      val votes = aggregate(hashed, zeros,
+        (acc, h) => zip_with(acc, sequence(lit(1), lit(bits)),
+          (a, i) => a + when(h.substr(i, lit(1)).isInCollection(highNibbles), lit(1L))
+            .otherwise(lit(-1L))))
+      val weights = array((0 until bits).map(i => lit(1L << i)): _*)
+      aggregate(zip_with(votes, weights, (v, w) => when(v > 0, w).otherwise(lit(0L))),
+        lit(0L), _ + _)
+    }
+    val tokensGen = Gen.listOfN(8, Gen.oneOf(
+      Gen.stringOfN(4, Gen.alphaNumChar), Gen.const(""), Gen.const("dup"),
+      Gen.stringOfN(2, Gen.asciiPrintableChar)))
+    forSamples(Gen.listOfN(10, tokensGen)) { lists =>
+      val df = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "toks")
+      for (bits <- Seq(8, 16, 32)) {
+        val bad = df.select(
+          graft.plans.SimHashExpr.simhash(col("toks"), bits).as("n"),
+          hofSimhash(col("toks"), bits).as("h"))
+          .filter(col("n") =!= col("h")).count()
+        assert(bad == 0, s"bits=$bits diverged on $lists")
+      }
+    }
+  }
 }
