@@ -1263,6 +1263,38 @@ object SparkEntry {
         col("vec_id") < 10, k = 3, clusters = 4, iters = 2)
     }),
 
+    "vec_normalize" -> ((s, dir) => {
+      // L2 normalization audit: unit norms after normalize (zero
+      // vectors pass through), projected to a comparable digest
+      val e = t(s, dir, "embeddings")
+      val nv = V.l2normalize(col("embedding"))
+      e.select(col("vec_id"),
+        round(V.norm(nv), 6).as("unit_norm"),
+        // + 0.0 canonicalizes -0.0 (a component rounding to zero from
+        // below would otherwise print "-0.0" in one engine and "0.0"
+        // in the other)
+        // decimal render: Java prints doubles < 1e-3 in scientific
+        // notation, DuckDB prints plain — DECIMAL(10,6) renders with a
+        // fixed scale in both
+        md5(array_join(transform(nv,
+          x => (round(x, 6) + lit(0.0)).cast("decimal(10,6)").cast("string")), ","))
+          .as("nv_md5"))
+    }),
+
+    "sim_label_centroids" -> ((s, dir) => {
+      // per-label mean embedding (class centroids / prototype vectors):
+      // posexplode to (label, dim, x) → DECIMAL sums per cell — the
+      // shuffle carries labels × dims partial sums, never vectors;
+      // deterministic under any partial-agg order
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("double").cast("decimal(30,10)")).as("s"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("s").cast("double") / col("n").cast("double"), 6).as("centroid"))
+    }),
+
     "sim_hard_negatives" -> ((s, dir) => {
       // contrastive-training hard-negative mining: per query, the top-3
       // highest-cosine vectors with a DIFFERENT label — the negatives
@@ -2913,6 +2945,35 @@ object SparkEntry {
                     / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE))))
                        * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE))))), 6) AS cos
            FROM b JOIN a ON id_b > id_a AND id_b <= id_a + 25""",
+
+      "vec_normalize" ->
+        """WITH n AS (
+             SELECT vec_id,
+                    SQRT(list_sum(list_transform(range(1, 65),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+                    embedding
+             FROM embeddings),
+           v AS (
+             SELECT vec_id, nrm,
+                    CASE WHEN nrm = 0.0
+                         THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+                    END AS nv
+             FROM n)
+           SELECT vec_id,
+                  ROUND(SQRT(list_sum(list_transform(nv, x -> x * x))), 6) AS unit_norm,
+                  md5(array_to_string(list_transform(nv,
+                    x -> CAST(CAST(ROUND(x, 6) + 0.0 AS DECIMAL(10,6)) AS VARCHAR)), ',')) AS nv_md5
+           FROM v""",
+
+      "sim_label_centroids" ->
+        """SELECT label, CAST(dim - 1 AS BIGINT) AS dim,
+                  ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+           FROM (SELECT label, unnest(embedding) AS x,
+                        unnest(range(1, len(embedding) + 1)) AS dim
+                 FROM embeddings)
+           GROUP BY label, dim""",
 
       "sim_hard_negatives" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
