@@ -251,10 +251,88 @@ object Multimodal {
     }
   }
 
+  /** Real ISO-BMFF (mp4/mov/m4v) CONTAINER metadata — pure byte-walk of
+    * the box tree, no codec library: the video track's tkhd dimensions
+    * (16.16 fixed point) and its stsz sample count (= frame count).
+    * This makes `decodeMeta` REAL for mp4 at the metadata level; frame
+    * PIXEL decode genuinely needs an external codec and still falls to
+    * [[StubCodec]] (as does webm/EBML).
+    */
+  object Mp4Meta {
+
+    private def be32(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+
+    private def be64(p: Array[Byte], o: Int): Long =
+      (be32(p, o) << 32) | be32(p, o + 4)
+
+    def isMp4(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+    private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    /** Depth-first box walk over [from, to); visit(type, bodyFrom, boxEnd). */
+    private def walk(p: Array[Byte], from: Long, to: Long,
+                     visit: (String, Long, Long) => Unit): Unit = {
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= to) {
+        var size = be32(p, off.toInt)
+        val typ = new String(p, off.toInt + 4, 4, "ISO-8859-1")
+        var hdr = 8L
+        if (size == 1 && off + 16 <= to) { size = be64(p, off.toInt + 8); hdr = 16 }
+        else if (size == 0) size = to - off
+        if (size < hdr || off + size > to) ok = false
+        else {
+          visit(typ, off + hdr, off + size)
+          if (containers(typ)) walk(p, off + hdr, off + size, visit)
+          off += size
+        }
+      }
+    }
+
+    def decodeMeta(id: Long, p: Array[Byte]): Option[MediaMeta] = {
+      if (!isMp4(p)) return None
+      // collect the direct trak ranges, then parse each trak's
+      // hdlr/tkhd/stsz so dimensions and frame count come from the
+      // VIDEO track, not an audio track's sample count
+      val traks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      walk(p, 0, p.length.toLong, (t, b, e) => if (t == "trak") traks += ((b, e)))
+      var best: Option[(Int, Int, Int)] = None
+      traks.foreach { case (tb, te) =>
+        var isVideo = false
+        var w = 0; var h = 0; var frames = 0
+        walk(p, tb, te, { (t, b, _) =>
+          val o = b.toInt
+          t match {
+            case "hdlr" if p.length >= o + 12 =>
+              isVideo = isVideo ||
+                new String(p, o + 8, 4, "ISO-8859-1") == "vide"
+            case "tkhd" =>
+              val v = p(o) & 0xff
+              val wOff = o + (if (v == 1) 88 else 76)
+              if (p.length >= wOff + 8) {
+                w = (be32(p, wOff) >> 16).toInt      // 16.16 fixed
+                h = (be32(p, wOff + 4) >> 16).toInt
+              }
+            case "stsz" if p.length >= o + 12 =>
+              frames = be32(p, o + 8).toInt          // sample_count
+            case _ => ()
+          }
+        })
+        if (isVideo && best.isEmpty) best = Some((w, h, frames))
+      }
+      best.map { case (w, h, n) =>
+        MediaMeta(id, p.length, w, h, n_frames = n, format = "mp4")
+      }
+    }
+  }
+
   /** STUB codec — deterministic fake decode for modalities the JDK has
-    * no codec for (true video containers: mp4/webm). A real deployment
-    * swaps this for JNI/FFI codec calls; the signature and batch shape
-    * stay.
+    * no codec for (frame pixels of true video containers; webm/EBML
+    * metadata). A real deployment swaps this for JNI/FFI codec calls;
+    * the signature and batch shape stay.
     */
   object StubCodec {
     /** ??? real impl: decode header via imageio/ffprobe. Deterministic
@@ -296,7 +374,8 @@ object Multimodal {
           val payload = Option(p).getOrElse(Array.empty[Byte])
           if (VideoCodec.isAnimated(payload)) VideoCodec.decodeMeta(id, payload)
           else if (ImageCodec.sniffFormat(payload).isDefined) ImageCodec.decodeMeta(id, payload)
-          else AudioCodec.decodeMeta(id, payload)
+          else Mp4Meta.decodeMeta(id, payload)
+            .getOrElse(AudioCodec.decodeMeta(id, payload))
         }
       }
   }

@@ -239,4 +239,55 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(2L).format == "png")
     assert(Set("img", "vid").contains(meta(3L).format))
   }
+
+  test("Mp4Meta: real ISO-BMFF box walk — video-track dims + frame count") {
+    // hand-built minimal container: ftyp + moov(mvhd, audio trak,
+    // video trak(tkhd 640×360, hdlr 'vide', mdia>minf>stbl>stsz n=48))
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+      bb.array()
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](84) // version 0 layout
+      val bb = java.nio.ByteBuffer.wrap(b)
+      bb.position(76); bb.putInt(w << 16); bb.putInt(h << 16)
+      b
+    }
+    def hdlr(kind: String): Array[Byte] = {
+      val b = new Array[Byte](24)
+      System.arraycopy(kind.getBytes("ISO-8859-1"), 0, b, 8, 4)
+      b
+    }
+    def stsz(n: Int): Array[Byte] = {
+      val b = new Array[Byte](12)
+      java.nio.ByteBuffer.wrap(b, 8, 4).putInt(n)
+      b
+    }
+    def hdlrBox(kind: String) = box("hdlr", hdlr(kind))
+    val videoTrak = box("trak", box("tkhd", tkhd(640, 360)) ++
+      box("mdia", hdlrBox("vide") ++
+        box("minf", box("stbl", box("stsz", stsz(48))))))
+    val audioTrak = box("trak", box("tkhd", tkhd(0, 0)) ++
+      box("mdia", hdlrBox("soun") ++
+        box("minf", box("stbl", box("stsz", stsz(9999))))))
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", new Array[Byte](100)) ++ audioTrak ++ videoTrak)
+
+    assert(Multimodal.Mp4Meta.isMp4(mp4))
+    val m = Multimodal.Mp4Meta.decodeMeta(7L, mp4)
+    assert(m.isDefined, "mp4 metadata must parse")
+    // video track wins: 640×360 and 48 frames — NOT the audio track's
+    // 9999 samples
+    assert(m.get.width == 640 && m.get.height == 360)
+    assert(m.get.n_frames == 48 && m.get.format == "mp4")
+
+    // non-mp4 bytes pass through to the stub path
+    assert(Multimodal.Mp4Meta.decodeMeta(8L, Array[Byte](1, 2, 3, 4)).isEmpty)
+
+    // the pipeline dispatcher routes mp4 payloads to the real parser
+    val df = Seq((7L, mp4)).toDF("id", "payload")
+    val viaPipeline = Multimodal.decodeMeta(df, "id", "payload").collect().head
+    assert(viaPipeline.format == "mp4" && viaPipeline.n_frames == 48)
+  }
 }
