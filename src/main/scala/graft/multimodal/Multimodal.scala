@@ -329,10 +329,105 @@ object Multimodal {
     }
   }
 
+  /** Real webm/Matroska (EBML) CONTAINER metadata — pure varint/element
+    * walk, no codec: the first video TrackEntry's PixelWidth/Height.
+    * Like [[Mp4Meta]] this makes `decodeMeta` real at the metadata
+    * level; EBML carries no frame count in its headers, so n_frames
+    * stays 0 and frame PIXEL decode still needs an external codec.
+    */
+  object WebmMeta {
+
+    def isEbml(p: Array[Byte]): Boolean =
+      p.length >= 4 && (p(0) & 0xff) == 0x1a && (p(1) & 0xff) == 0x45 &&
+        (p(2) & 0xff) == 0xdf && (p(3) & 0xff) == 0xa3
+
+    /** EBML varint: leading-zero count of the first byte gives the
+      * length; returns (value-with-marker-kept?, nBytes) — `keepMarker`
+      * distinguishes element IDs (marker kept by convention) from sizes
+      * (marker stripped).
+      */
+    private def varint(p: Array[Byte], o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= p.length) return None
+      val b0 = p(o) & 0xff
+      if (b0 == 0) return None
+      val len = Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+      if (o + len > p.length) return None
+      var v = if (keepMarker) b0.toLong else (b0 & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (p(o + i) & 0xffL); i += 1 }
+      Some((v, len))
+    }
+
+    private val SegmentId = 0x18538067L
+    private val TracksId = 0x1654AE6BL
+    private val TrackEntryId = 0xAEL
+    private val VideoId = 0xE0L
+    private val TrackTypeId = 0x83L
+    private val PixelWidthId = 0xB0L
+    private val PixelHeightId = 0xBAL
+    private val containers = Set(SegmentId, TracksId, TrackEntryId, VideoId)
+
+    private def uint(p: Array[Byte], o: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (p(o + i) & 0xffL); i += 1 }
+      v
+    }
+
+    private def walk(p: Array[Byte], from: Int, to: Int,
+                     visit: (Long, Int, Int) => Unit): Unit = {
+      var off = from
+      var ok = true
+      while (ok && off < to) {
+        (for {
+          (id, idLen) <- varint(p, off, keepMarker = true)
+          (sz, szLen) <- varint(p, off + idLen, keepMarker = false)
+        } yield (id, idLen, sz, szLen)) match {
+          case Some((id, idLen, sz, szLen)) =>
+            val body = off + idLen + szLen
+            val end = body + sz.toInt
+            if (sz < 0 || end > to) ok = false
+            else {
+              visit(id, body, end)
+              if (containers(id)) walk(p, body, end, visit)
+              off = end
+            }
+          case None => ok = false
+        }
+      }
+    }
+
+    def decodeMeta(id: Long, p: Array[Byte]): Option[MediaMeta] = {
+      if (!isEbml(p)) return None
+      // per TrackEntry: TrackType 1 = video; first video entry's
+      // Video>PixelWidth/Height wins
+      var w = 0L; var h = 0L
+      var curType = -1L; var curW = 0L; var curH = 0L
+      var found = false
+      // field order inside a TrackEntry is unspecified — capture as soon
+      // as all three are known for the current (pre-order) entry
+      def maybeCapture(): Unit =
+        if (!found && curType == 1 && curW > 0 && curH > 0) {
+          w = curW; h = curH; found = true
+        }
+      walk(p, 0, p.length, { (eid, b, e) =>
+        eid match {
+          case TrackEntryId => curType = -1; curW = 0; curH = 0
+          case TrackTypeId => curType = uint(p, b, e - b); maybeCapture()
+          case PixelWidthId => curW = uint(p, b, e - b); maybeCapture()
+          case PixelHeightId => curH = uint(p, b, e - b); maybeCapture()
+          case _ => ()
+        }
+      })
+      if (found) Some(MediaMeta(id, p.length, w.toInt, h.toInt, 0, "webm"))
+      else None
+    }
+  }
+
   /** STUB codec — deterministic fake decode for modalities the JDK has
-    * no codec for (frame pixels of true video containers; webm/EBML
-    * metadata). A real deployment swaps this for JNI/FFI codec calls;
-    * the signature and batch shape stay.
+    * no codec for (frame pixels of true video containers). A real
+    * deployment swaps this for JNI/FFI codec calls; the signature and
+    * batch shape stay.
     */
   object StubCodec {
     /** ??? real impl: decode header via imageio/ffprobe. Deterministic
@@ -375,6 +470,7 @@ object Multimodal {
           if (VideoCodec.isAnimated(payload)) VideoCodec.decodeMeta(id, payload)
           else if (ImageCodec.sniffFormat(payload).isDefined) ImageCodec.decodeMeta(id, payload)
           else Mp4Meta.decodeMeta(id, payload)
+            .orElse(WebmMeta.decodeMeta(id, payload))
             .getOrElse(AudioCodec.decodeMeta(id, payload))
         }
       }

@@ -290,4 +290,34 @@ class MultimodalSpec extends SparkSpec {
     val viaPipeline = Multimodal.decodeMeta(df, "id", "payload").collect().head
     assert(viaPipeline.format == "mp4" && viaPipeline.n_frames == 48)
   }
+
+  test("WebmMeta: real EBML walk — video TrackEntry pixel dims") {
+    // hand-built: EBML header + Segment(Tracks(audio entry, video entry))
+    def el(id: Array[Int], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127)
+      id.map(_.toByte) ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val audioEntry = el(Array(0xAE),
+      el(Array(0x83), Array(2.toByte)))             // TrackType 2 = audio
+    val videoEntry = el(Array(0xAE),
+      el(Array(0x83), Array(1.toByte)) ++           // TrackType 1 = video
+        el(Array(0xE0),                             // Video
+          el(Array(0xB0), u16(1280)) ++             // PixelWidth
+            el(Array(0xBA), u16(720))))             // PixelHeight
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), audioEntry ++ videoEntry)
+    val webm = el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), "webm".getBytes)) ++    // EBML header + DocType
+      el(Array(0x18, 0x53, 0x80, 0x67), tracks)     // Segment
+
+    assert(Multimodal.WebmMeta.isEbml(webm))
+    val m = Multimodal.WebmMeta.decodeMeta(9L, webm)
+    assert(m.isDefined, "webm metadata must parse")
+    assert(m.get.width == 1280 && m.get.height == 720 && m.get.format == "webm")
+    assert(Multimodal.WebmMeta.decodeMeta(9L, "nope".getBytes).isEmpty)
+
+    val viaPipeline = Multimodal.decodeMeta(
+      Seq((9L, webm)).toDF("id", "payload"), "id", "payload").collect().head
+    assert(viaPipeline.format == "webm" && viaPipeline.width == 1280)
+  }
 }
