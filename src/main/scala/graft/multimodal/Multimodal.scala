@@ -385,9 +385,14 @@ object Multimodal {
         } yield (id, idLen, sz, szLen)) match {
           case Some((id, idLen, sz, szLen)) =>
             val body = off + idLen + szLen
-            val end = body + sz.toInt
-            if (sz < 0 || end > to) ok = false
+            // Long math: a 56-bit EBML size would overflow an Int end
+            // offset to NEGATIVE, slip past the bounds guard, and walk
+            // the next iteration off the front of the array (found by
+            // the adversarial-bytes fuzz spec)
+            val endL = body.toLong + sz
+            if (sz < 0 || endL > to || endL < body) ok = false
             else {
+              val end = endL.toInt
               visit(id, body, end)
               if (containers(id)) walk(p, body, end, visit)
               off = end

@@ -320,4 +320,37 @@ class MultimodalSpec extends SparkSpec {
       Seq((9L, webm)).toDF("id", "payload"), "id", "payload").collect().head
     assert(viaPipeline.format == "webm" && viaPipeline.width == 1280)
   }
+
+  test("container parsers never throw on malformed or adversarial bytes") {
+    val mp4ish = "....ftyp".getBytes
+    val ebmlMagic = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)
+    val adversarial: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      mp4ish,                                          // header only
+      mp4ish ++ Array.fill(4)(0xff.toByte),            // giant box size
+      mp4ish ++ Array[Byte](0, 0, 0, 1),               // 64-bit size, truncated
+      mp4ish ++ Array[Byte](0, 0, 0, 0),               // size-0 box to EOF
+      ebmlMagic,                                       // magic only
+      ebmlMagic ++ Array[Byte](0),                     // invalid varint (0x00)
+      ebmlMagic ++ Array(0xAE.toByte, 0xFF.toByte),    // size runs past end
+      Array.fill(64)(0xAB.toByte)                      // noise
+    )
+    // deterministic pseudo-random fuzz: corrupt valid-looking prefixes
+    val rnd = new scala.util.Random(42)
+    val fuzz = (0 until 200).map { _ =>
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      if (n >= 8 && rnd.nextBoolean())
+        System.arraycopy("ftyp".getBytes, 0, b, 4, 4)
+      else if (n >= 4 && rnd.nextBoolean())
+        System.arraycopy(ebmlMagic, 0, b, 0, 4)
+      b
+    }
+    (adversarial ++ fuzz).zipWithIndex.foreach { case (p, i) =>
+      // must return cleanly (Some or None), never throw
+      Multimodal.Mp4Meta.decodeMeta(i.toLong, p)
+      Multimodal.WebmMeta.decodeMeta(i.toLong, p)
+    }
+  }
 }
