@@ -50,6 +50,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((h1, "view", 1L)))
   }
 
+  test("sliding windows on a stream: each event lands in two overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    mem.addData((base, "click", 1.0),
+      (new java.sql.Timestamp(base.getTime + 120000L), "click", 2.0))
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val rows = spark.table("sliding")
+      .as[(Long, String, Long)].collect().toSet
+    val m05 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00").getTime
+    val m10 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00").getTime
+    // both events in [00:05,00:15) and [00:10,00:20) — 2 windows each
+    assert(rows == Set((m05, "click", 2L), (m10, "click", 2L)),
+      s"unexpected sliding windows: $rows")
+  }
+
   test("streaming dedup: duplicate content within the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
