@@ -1565,6 +1565,22 @@ object SparkEntry {
           dsum(col("value"), 6).as("sum_value"))
     }),
 
+    "s19_bloom_scan" -> ((s, dir) => {
+      // bloom-filter layout round-trip: write with parquet blooms on
+      // the scattered high-cardinality user_id, point-probe one user.
+      // At 100 TB the bloom skips the row groups min/max can't
+      // (LayoutSpec measures the skipping; this gates the round-trip).
+      import graft.sources.Layout
+      val out = tmpPath(dir, "s19")
+      Layout.writeWithBloom(
+        events(s, dir).select("event_id", "user_id", "value"),
+        out, Seq("user_id"))
+      s.read.parquet(out).filter(col("user_id") === 100)
+        .agg(count(lit(1)).as("n"),
+          coalesce(dsum(col("value"), 6), lit(0.0)).as("sum_value"),
+          coalesce(min("event_id"), lit(-1L)).as("min_event"))
+    }),
+
     "zorder_key" -> ((s, dir) => {
       // the Morton key itself, oracle-replayed bit by bit in SQL
       events(s, dir).select(col("event_id"),
@@ -2216,6 +2232,12 @@ object SparkEntry {
       "sim_pq_recall" ->
         """SELECT vec_id AS q_id, TRUE AS recall_ok
            FROM embeddings WHERE vec_id % 100 = 0""",
+
+      "s19_bloom_scan" ->
+        """SELECT COUNT(*) AS n,
+                  CAST(COALESCE(SUM(CAST(value AS DECIMAL(30,6))), 0) AS DOUBLE) AS sum_value,
+                  COALESCE(MIN(event_id), -1) AS min_event
+           FROM events WHERE user_id = 100""",
 
       "s18_zorder_scan" ->
         """SELECT COUNT(*) AS n, MIN(event_id) AS min_event,
