@@ -529,7 +529,12 @@ object SparkEntry {
       // (not the token sets) needs to reach a pair comparison.
       val d = t(s, dir, "documents")
       val toks = array_distinct(T.tokens(lower(col("text"))))
-      val sig = d.select(col("doc_id"), toks.as("toks"),
+      // exact side carries token HASHES (ShingleHashExpr n=1 ≡ the
+      // distinct token set, property-proven): intersect/union sizes —
+      // hence Jaccard — are identical, and the pair join shuffles
+      // 8-byte longs instead of token strings
+      val sig = d.select(col("doc_id"),
+        graft.plans.ShingleHashExpr.shingleHashes(col("text"), 1).as("toks"),
         graft.plans.MinHashSignature.signature(toks, 16).as("sig"))
       val a = sig.select(col("doc_id").as("id_a"), col("toks").as("t_a"), col("sig").as("s_a"))
       val b = sig.select(col("doc_id").as("id_b"), col("toks").as("t_b"), col("sig").as("s_b"))
