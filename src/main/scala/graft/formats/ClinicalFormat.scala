@@ -301,7 +301,7 @@ object ClinicalFormat {
 
     // update_clinical: SEQ_ASSAY_ID dash+upper, SEQ_DATE title + SEQ_YEAR,
     // int coercion, trim every string column
-    val cleaned0 = remapped.select(remapped.columns.map { c =>
+    val cleaned0 = remapped.select(remapped.columns.toIndexedSeq.map { c =>
       val base = col(c)
       c.toUpperCase match {
         case "SEQ_ASSAY_ID" => upper(regexp_replace(trim(base), "_", "-")).as(c)

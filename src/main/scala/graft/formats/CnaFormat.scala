@@ -62,7 +62,7 @@ object CnaFormat {
         tooLong.headOption, "cnv: samples must have less than 50 characters.")
 
     if (sampleCols.nonEmpty) {
-      val long = melt(wide.select((wide.columns.head +: sampleCols).map(col): _*))
+      val long = melt(wide.select((wide.columns.head +: sampleCols).toIndexedSeq.map(col): _*))
       val nBad = invalidValues(long).count()
       if (nBad > 0)
         findings :+= Finding("value_domain", "error", nBad, None,

@@ -90,7 +90,7 @@ object ConnectedComponents {
       val before = sc.getPersistentRDDs.keySet
       edges = smallStar(largeStar(edges)).localCheckpoint()
       val cur = checksum(edges)
-      val created = sc.getPersistentRDDs.keySet -- before
+      val created = sc.getPersistentRDDs.keySet.toSet -- before
       prevCkptIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevCkptIds = created.toSet

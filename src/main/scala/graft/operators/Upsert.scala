@@ -90,7 +90,7 @@ object Upsert {
 
     def side(kind: String, alias: String, cols: Array[String]) =
       classified.filter(col("__kind") === kind)
-        .select(cols.map(c => col(s"$alias.$c")): _*)
+        .select(cols.toIndexedSeq.map(c => col(s"$alias.$c")): _*)
 
     Diff(
       appends = side("append", "__l", incoming.columns),
@@ -111,7 +111,7 @@ object Upsert {
         .join(incoming.alias("__l"),
           pkCols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _),
           "left_anti")
-      incoming.unionByName(kept.select(incoming.columns.map(col): _*))
+      incoming.unionByName(kept.select(incoming.columns.toIndexedSeq.map(col): _*))
     }
 
   /** Write a merged table back as parquet (full overwrite). */

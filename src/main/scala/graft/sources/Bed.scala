@@ -31,7 +31,7 @@ object Bed {
     val ok = first.matches("^(chr)?([0-9]+|X|Y|MT).*") || first.forall(_.isDigit)
     if (!ok) throw new IllegalArgumentException(
       s"$path: first BED value '$first' looks like a header — BED files are headerless")
-    val named = raw.toDF(schema.fieldNames.take(raw.columns.length): _*)
+    val named = raw.toDF(schema.fieldNames.take(raw.columns.length).toIndexedSeq: _*)
     named
       .withColumn("CHROMOSOME", regexp_replace(col("CHROMOSOME"), "^chr", ""))
       .withColumn("START_POSITION", col("START_POSITION").cast(LongType))

@@ -31,7 +31,7 @@ object CbioSinks {
       cols.map(c => headers.get(c).map(_.dtype).getOrElse("STRING")).mkString("#", "\t", ""),
       cols.map(c => headers.get(c).map(_.priority.toString).getOrElse("1")).mkString("#", "\t", ""))
     val dataLines = df
-      .select(cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      .select(cols.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
       .collect()
       .map(_.toSeq.mkString("\t"))
     val content = (meta ++ Seq(cols.mkString("\t")) ++ dataLines).mkString("\n") + "\n"

@@ -57,7 +57,7 @@ object Maf {
     */
   def normalizeNa(df: DataFrame): DataFrame = {
     val exempt = alleleColumns.toSet
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       if (exempt.contains(c.toUpperCase) || df.schema(c).dataType != org.apache.spark.sql.types.StringType)
         col(c)
       else

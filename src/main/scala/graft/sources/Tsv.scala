@@ -41,7 +41,7 @@ object Tsv {
       .option("comment", "#")
       .option("nullValue", "")
       .csv(path)
-    df.toDF(df.columns.map(_.toUpperCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toUpperCase): _*)
   }
 
   /** S11: write a TSV without pandas float artifacts: integral
@@ -50,7 +50,7 @@ object Tsv {
     */
   def write(df: DataFrame, path: String, naToken: String = "",
             sep: String = "\t"): Unit = {
-    val cleaned = df.select(df.schema.fields.map { f =>
+    val cleaned = df.select(df.schema.fields.toIndexedSeq.map { f =>
       val c = col(s"`${f.name}`") // backtick-quoted — survives dotted names (LOC.START)
       f.dataType match {
         case DoubleType | FloatType =>

@@ -44,7 +44,7 @@ object Vcf {
       .csv(path)
       .toDF(cols: _*)
     val exempt = Set("REF", "ALT")
-    body.select(body.columns.map { c =>
+    body.select(body.columns.toIndexedSeq.map { c =>
       if (exempt.contains(c.toUpperCase)) col(c)
       else when(col(c).isin(Maf.naStrings: _*), lit(null)).otherwise(col(c)).as(c)
     }: _*)
