@@ -244,6 +244,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: zorderKey2 matches the scalar Morton reference on random coords") {
+    def morton(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((x & 0xFFFFL) >> i) & 1L) << (2 * i) |
+          (((y & 0xFFFFL) >> i) & 1L) << (2 * i + 1)
+      z
+    }
+    val coordGen = Gen.listOfN(50, for {
+      x <- Gen.choose(Long.MinValue, Long.MaxValue)
+      y <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (x, y))
+    forSamples(coordGen, n = 5) { coords =>
+      val got = coords.toDF("x", "y")
+        .select(graft.sources.Layout.zorderKey2(col("x"), col("y")).as("z"))
+        .as[Long].collect().toSeq
+      assert(got == coords.map { case (x, y) => morton(x, y) })
+    }
+  }
+
   test("property: SimHashExpr matches the md5 hex-digit vote fold") {
     val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     def hofSimhash(elems: org.apache.spark.sql.Column, bits: Int) = {
