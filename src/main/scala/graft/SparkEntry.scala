@@ -602,6 +602,18 @@ object SparkEntry {
             / count(lit(1)).cast("double"), 6).as("keep_frac"))
     }),
 
+    "text_intradoc_dedup" -> ((s, dir) => {
+      // C4-style intra-document duplicate-segment removal on sentence
+      // boundaries: first occurrence kept in order, rejoined — the
+      // cleaned text digest + segment counts gate the rewrite
+      val segs = graft.functions.Curation.segments(col("text"), ". ")
+      t(s, dir, "documents").select(col("doc_id"),
+        size(segs).cast("long").as("n_segments"),
+        size(array_distinct(segs)).cast("long").as("n_unique"),
+        md5(graft.functions.Curation.dropDuplicateSegments(col("text"), ". "))
+          .as("cleaned_md5"))
+    }),
+
     "text_gopher_rules" -> ((s, dir) => {
       // Gopher-style quality rules (word-length band, alpha-word
       // fraction, symbol ratio, bullet/ellipsis lines) — native
@@ -2635,6 +2647,24 @@ object SparkEntry {
                                       THEN 1 ELSE 0 END) AS DOUBLE)
                         / CAST(COUNT(*) AS DOUBLE), 6) AS keep_frac
            FROM r GROUP BY lang""",
+
+      "text_intradoc_dedup" ->
+        """WITH s AS (
+             SELECT doc_id, string_split(text, '. ') AS segs FROM documents),
+           k AS (
+             SELECT doc_id, segs,
+                    -- first-occurrence filter: DuckDB's list_distinct
+                    -- does NOT preserve order, list_position does
+                    list_transform(
+                      list_filter(range(1, len(segs) + 1),
+                        i -> list_position(segs, segs[i]) = i),
+                      i -> segs[i]) AS uniq
+             FROM s)
+           SELECT doc_id,
+                  CAST(len(segs) AS BIGINT) AS n_segments,
+                  CAST(len(uniq) AS BIGINT) AS n_unique,
+                  md5(array_to_string(uniq, '. ')) AS cleaned_md5
+           FROM k""",
 
       "text_gopher_rules" ->
         """WITH t AS (

@@ -150,4 +150,13 @@ object Curation {
   /** Segment array for the same split (for n_segments-style stats). */
   def segments(text: Column, sep: String): Column =
     split(text, java.util.regex.Pattern.quote(sep), -1)
+
+  /** Intra-document duplicate-segment REMOVAL (the C4 "discard
+    * duplicate three-sentence spans" cleaning step, separator-
+    * parameterized): keep each segment's FIRST occurrence in order,
+    * rejoin. `array_distinct` preserves first-occurrence order, so
+    * this is a pure per-row expression — cleaning 100 TB is a scan.
+    */
+  def dropDuplicateSegments(text: Column, sep: String): Column =
+    array_join(array_distinct(segments(text, sep)), sep)
 }

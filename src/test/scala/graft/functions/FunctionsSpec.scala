@@ -229,6 +229,20 @@ class FunctionsSpec extends SparkSpec {
       Seq("one two three four five", "six seven eight nine ten"))
   }
 
+  test("dropDuplicateSegments: first occurrence kept in order, rejoined") {
+    val df = Seq(
+      (1L, "alpha beta. gamma delta. alpha beta. epsilon"),
+      (2L, "one. one. one"),
+      (3L, "no dups here at all")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        Curation.dropDuplicateSegments(col("text"), ". ").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha beta. gamma delta. epsilon")
+    assert(out(2L) == "one")
+    assert(out(3L) == "no dups here at all")
+  }
+
   test("spanContainment: planted shared passage found; boilerplate dropped") {
     val passage = "the quick brown fox jumped over the extremely lazy dog today"
     val boiler  = "standard footer text appearing on every single page here"
