@@ -1,8 +1,9 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over a candidate-pair edge list —
   * the step that turns near-duplicate PAIRS into dedup CLUSTERS (pick
@@ -10,21 +11,90 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: alternating large-star / small-star (Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC'14) — the
-  * standard O(log² n)-round scheme. Each half-round is expressed as a
-  * window-min over the edge list itself (`min(v) OVER (PARTITION BY u)`)
-  * so adjacency lists are NEVER materialized: a component hub with 10⁸
-  * members costs a sort partition, not a 10⁸-element `collect_list`.
+  * standard O(log² n)-round scheme. Each half-round computes the
+  * per-node neighborhood minimum with a `groupBy(key).agg(min(...))`
+  * that is joined back onto the edge list. The aggregate combines
+  * map-side (partial min before the shuffle), so a zipf hub with 10⁸
+  * neighbors ships ~one row per upstream partition — NOT 10⁸ rows into
+  * a single sort task, which is what the previous window-based
+  * (`min(v) OVER (PARTITION BY u)`) formulation cost: window aggregates
+  * cannot partial-aggregate, and AQE skew splitting does not apply to
+  * window partitions. The join back is salted (`Skew.saltedJoin`), so a
+  * hub key's edge rows fan out across `ccSalts` reducer keys
+  * deterministically.
   *
   * 100 TB design notes:
-  *  - per round: one shuffle for the window + one for `distinct` —
-  *    both on (long, long) edge rows only;
+  *  - per half-round: one map-side-combined shuffle for the min, one
+  *    shuffle for the join-back, one for `distinct` — all on
+  *    (long, long) rows only; adjacency lists are never materialized;
   *  - lineage is truncated every round (`localCheckpoint`; swap for
   *    `checkpoint` + a checkpoint dir on a real cluster) so the plan
-  *    does not grow exponentially across iterations;
+  *    does not grow across iterations; the previous round's blocks are
+  *    freed by walking the checkpointed RDD handle directly (never by
+  *    diffing the global persistent-RDD registry, which would race with
+  *    concurrent jobs on a shared SparkContext);
   *  - convergence is detected from a one-row aggregate checksum of the
   *    edge multiset, not by collecting edges.
   */
 object ConnectedComponents {
+
+  /** Salt fan-out for the min join-back: a hub key's edge rows spread
+    * across this many reducer keys instead of one. Deterministic (does
+    * not depend on AQE detecting the skew at runtime — AQE's skew-join
+    * rewrite only matches a shuffle stage DIRECTLY under the join, and
+    * the mins side here sits behind a final HashAggregate, so it would
+    * never fire). Cost: the mins side is replicated `ccSalts`× before
+    * its shuffle — one (long,long,int) row per node per salt, cheap next
+    * to the edge side it is protecting.
+    */
+  private val ccSalts = 16
+
+  /** large-star half-round: connect every neighbor larger than u to u's
+    * minimum neighborhood label; keeps large components shrinking in
+    * parallel. Exposed for plan-shape tests (no WindowExec).
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    // per-node min over the full symmetric neighborhood; partial-aggregates
+    // map-side, so a hub key arrives at the reducer pre-combined
+    val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u", least($"u", $"mn").as("m"))
+    Skew.saltedJoin(sym.filter($"v" > $"u"), mins, "u", ccSalts)
+      .select($"v".as("a"), $"m".as("b"))
+      .filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .distinct()
+  }
+
+  /** small-star half-round: edges are normalized (u=small, v=big);
+    * around each big endpoint v, point every small neighbor and v
+    * itself at the minimum small neighbor.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val mins = e.groupBy($"v").agg(min($"u").as("m"))
+    val reattached = Skew.saltedJoin(e, mins, "v", ccSalts)
+      .filter($"u" =!= $"m").select($"u".as("a"), $"m".as("b"))
+    // one center row per distinct v suffices (the trailing distinct
+    // would collapse the per-edge duplicates anyway)
+    val center = mins.select($"v".as("a"), $"m".as("b"))
+    reattached.union(center)
+      .filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .distinct()
+  }
+
+  /** The RDDs actually holding a checkpointed Dataset's blocks: walk the
+    * physical RDD's dependency chain down to the first persisted
+    * ancestors. Public RDD API only; deterministic (no global-registry
+    * snapshot diffing).
+    */
+  private def persistedAncestors(rdd: RDD[_]): Seq[RDD[_]] =
+    if (rdd.getStorageLevel != StorageLevel.NONE) Seq(rdd)
+    else rdd.dependencies.flatMap(d => persistedAncestors(d.rdd)).toSeq
 
   /** Component assignment for every node appearing in `pairs`:
     * (id, component) where component = smallest node id reachable.
@@ -49,51 +119,21 @@ object ConnectedComponents {
         .as[(Long, Long)].first()
     }
 
-    // large-star: connect every neighbor larger than u to u's minimum
-    // neighborhood label; keeps large components shrinking in parallel.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
-      val m = least(min($"v").over(Window.partitionBy($"u")), $"u")
-      sym.select($"u", $"v", m.as("m"))
-        .filter($"v" > $"u")
-        .select($"v".as("a"), $"m".as("b"))
-        .filter($"a" =!= $"b")
-        .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
-        .distinct()
-    }
-
-    // small-star: edges are normalized (u=small, v=big); around each big
-    // endpoint v, point every small neighbor and v itself at the minimum
-    // small neighbor.
-    def smallStar(e: DataFrame): DataFrame = {
-      val withMin = e.select($"u", $"v",
-        min($"u").over(Window.partitionBy($"v")).as("m"))
-      val reattached = withMin.filter($"u" =!= $"m").select($"u".as("a"), $"m".as("b"))
-      val center     = withMin.select($"v".as("a"), $"m".as("b"))
-      reattached.union(center)
-        .filter($"a" =!= $"b")
-        .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
-        .distinct()
-    }
-
     var prev = checksum(edges)
     var iter = 0
     var converged = edges.isEmpty
     // each round's localCheckpoint persists its blocks; once the NEXT
-    // checkpoint is materialized (by checksum), the previous round's
-    // blocks are dead — free them, or an n-round run holds n copies of
-    // the edge set in the block manager (a leak at 100 TB, GC pressure
-    // even at bench scale)
-    val sc = edges.sparkSession.sparkContext
-    var prevCkptIds: Set[Int] = Set.empty
+    // checkpoint is materialized, the previous round's blocks are dead —
+    // free them, or an n-round run holds n copies of the edge set in the
+    // block manager (a leak at 100 TB, GC pressure even at bench scale).
+    // We hold the prior round's checkpointed RDDs directly.
+    var prevCkpt: Seq[RDD[_]] = persistedAncestors(edges.queryExecution.toRdd)
     while (!converged && iter < maxIter) {
-      val before = sc.getPersistentRDDs.keySet
       edges = smallStar(largeStar(edges)).localCheckpoint()
       val cur = checksum(edges)
-      val created = sc.getPersistentRDDs.keySet.toSet -- before
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevCkptIds = created.toSet
+      val curCkpt = persistedAncestors(edges.queryExecution.toRdd)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = curCkpt
       converged = cur == prev
       prev = cur
       iter += 1

@@ -212,6 +212,83 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall below 0.9 on clustered data")
   }
 
+  test("CC mega-cluster: star rounds window-free, hub never lands on one task") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // zipf shape of web-scale dedup graphs: ONE component holds 60% of the
+    // edges (hub 0 → 1..12000) over a uniform background of disjoint pairs
+    val hubSize = 12000
+    val hub = (1 to hubSize).map(i => (0L, i.toLong))
+    val background = (20000 until 36000 by 2).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (hub ++ background).toDF("a", "b").repartition(8)
+
+    // plan shape: both half-rounds are groupBy-min + join-back — window
+    // aggregates cannot partial-aggregate and AQE skew splitting does not
+    // apply to window partitions, so any WindowExec here is a regression
+    val e0 = edges.select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+    for (step <- Seq(ConnectedComponents.largeStar(e0), ConnectedComponents.smallStar(e0))) {
+      val plan = step.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"CC half-round plans a window sort:\n$plan")
+    }
+
+    // simulate the 100 TB shape: mins side too big to broadcast, and
+    // advisory partition sizes small enough that AQE does not coalesce
+    // the toy shuffles into single partitions (which it would never do
+    // at real scale)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val taskRows = new scala.collection.concurrent.TrieMap[Long, (Int, Long)]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          taskRows.put(t.taskInfo.taskId, (t.stageId, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.addSparkListener(listener)
+    val labels =
+      try {
+        val got = ConnectedComponents.assign(edges, "a", "b")
+          .as[(Long, Long)].collect()
+        // listener delivery is async; give the bus a beat to drain
+        var waited = 0
+        while (taskRows.isEmpty && waited < 50) { Thread.sleep(100); waited += 1 }
+        Thread.sleep(300)
+        got
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      }
+
+    // correctness first: hub component labels to 0, background pairs to
+    // their even endpoint
+    val byId = labels.toMap
+    assert((0 to hubSize).forall(i => byId(i.toLong) == 0L))
+    assert((20000 until 36000 by 2).forall(i =>
+      byId(i.toLong) == i.toLong && byId((i + 1).toLong) == i.toLong))
+
+    // straggler bound, per stage (a global mean would be dragged down by
+    // the one-row checksum stages): in every shuffle-read stage that
+    // moved real data, no task may read the whole hub or >2x the stage
+    // mean — the salted join-back is what spreads the hub's edge rows
+    val byStage = taskRows.values.groupBy(_._1)
+      .map { case (st, ts) => st -> ts.map(_._2).toSeq }
+      .filter { case (_, rows) => rows.size >= 2 && rows.sum > 2000 }
+    assert(byStage.nonEmpty, s"listener captured no multi-task data stages: $taskRows")
+    byStage.foreach { case (stage, rows) =>
+      val mean = rows.sum.toDouble / rows.size
+      val max = rows.max
+      assert(max <= 2.0 * mean,
+        s"stage $stage: max task rows $max exceeds 2x mean $mean (rows: ${rows.sorted.reverse})")
+    }
+  }
+
   test("runtime bloom-filter injection fires on a selective shuffle join") {
     import spark.implicits._
     val dir = tmpDir("rtf")
