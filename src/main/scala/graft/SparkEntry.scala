@@ -58,6 +58,12 @@ object SparkEntry {
   // Query implementations
   // =====================================================================
 
+  /** Caller contract: a builder may `persist` a shared intermediate when
+    * the query fans one expensive analysis into several consumers (e.g.
+    * text_span_dedup's winnow index). Harness consumers (Bench, Verify)
+    * call `spark.catalog.clearCache()` after executing each query; any
+    * other consumer should do the same or the cache outlives the query.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- headline TPC-H-ish analytics -------------------
     "q1_pricing_summary" -> ((s, dir) => {
@@ -1353,8 +1359,12 @@ object SparkEntry {
       // concentrated around 0) — the adversarial case for ANY lossy ANN
       // index, so the shortlist is sized as a corpus fraction (20%) and
       // the bar is "clearly above the hypergeometric chance line", not
-      // the ~0.9 recall a clustered real-embedding corpus would give
-      val shortlist = math.max(50L, emb.count() / 5).toInt
+      // the ~0.9 recall a clustered real-embedding corpus would give.
+      // Corpus size comes from parquet footers (catalog stats), NOT a
+      // count() action: at 100 TB that count would be a pointless full
+      // scan inside query construction
+      val corpusRows = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
+      val shortlist = math.max(50L, corpusRows / 5).toInt
       val pq = V.pqTopK(queries, corpus, "q_id", "c_id", "q_vec", "c_vec",
         books, m = 4, dim = 64, k = 10, shortlist = shortlist)
       val exact = V.bruteForceTopK(queries, corpus, "q_id", "c_id",

@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query builders may persist shared intermediates (the documented
+      // SparkEntry.queries contract, e.g. text_span_dedup's winnow
+      // index); free them between queries like Bench.dropCaches does
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -116,12 +116,39 @@ object Layout {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__zopt_tmp")
     writeZOrdered(spark.read.parquet(path), tmp.toString, xCol, yCol, nFiles)
-    val bak = new org.apache.hadoop.fs.Path(path + "__zopt_old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(hPath, bak) || !fs.rename(tmp, hPath))
-      throw new IllegalStateException(s"z-order optimize swap failed for $path")
-    fs.delete(bak, true)
+    swapDirs(fs, hPath, tmp, new org.apache.hadoop.fs.Path(path + "__zopt_old"),
+      "z-order optimize")
     nFiles
+  }
+
+  /** Two-rename directory swap: path → bak, tmp → path, delete bak.
+    * Even on a filesystem with atomic rename there is a window between
+    * the two renames where `path` does not exist — concurrent readers
+    * must tolerate a transient missing directory (or the table must be
+    * fronted by a catalog pointer, which is how Delta/Iceberg avoid
+    * this). If the second rename fails, the original directory is
+    * renamed back so the table is never left stranded in `bak`.
+    */
+  private[sources] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+                       path: org.apache.hadoop.fs.Path,
+                       tmp: org.apache.hadoop.fs.Path,
+                       bak: org.apache.hadoop.fs.Path, what: String): Unit = {
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(path, bak))
+      throw new IllegalStateException(s"$what swap failed for $path (rename to $bak)")
+    // some FileSystem impls return false on a failed rename, others
+    // throw — rollback must cover both
+    val second = scala.util.Try(fs.rename(tmp, path))
+    if (!second.getOrElse(false)) {
+      val rolledBack = scala.util.Try(fs.rename(bak, path)).getOrElse(false)
+      val ex = new IllegalStateException(
+        s"$what swap failed for $path (rename from $tmp); " +
+          (if (rolledBack) s"original restored from $bak"
+           else s"ROLLBACK ALSO FAILED — data stranded in $bak"))
+      second.failed.foreach(ex.addSuppressed)
+      throw ex
+    }
+    fs.delete(bak, true)
   }
 
   /** Small-file compaction: rewrite a parquet directory into
@@ -142,11 +169,8 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(hPath, bak) || !fs.rename(tmp, hPath))
-      throw new IllegalStateException(s"compaction swap failed for $path")
-    fs.delete(bak, true)
+    swapDirs(fs, hPath, tmp, new org.apache.hadoop.fs.Path(path + "__compact_old"),
+      "compaction")
     nFiles
   }
 }
