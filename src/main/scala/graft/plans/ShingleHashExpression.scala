@@ -30,8 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffle those strings. This expression inlines into whole-stage
   * codegen and the join key becomes one long — at 100 TB the
   * decontamination join's build side shrinks ~5× and the probe stream
-  * never allocates gram strings at all. ASCII-only lowering, like
-  * [[WinnowExpr]] (unicode lowering differs between engines).
+  * never allocates gram strings at all. Lowering matches Spark's
+  * `lower()` exactly: pure-ASCII tokens take a zero-allocation byte
+  * loop; a token containing any non-ASCII byte is lowered via
+  * `UTF8String.toLowerCase` (bit-identical to `lower()` by
+  * construction) and hashed over the lowered bytes, so the hash set
+  * stays consistent with pipelines built on `tokens(lower(text))` for
+  * any corpus, not just ASCII.
   */
 case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
 
@@ -68,6 +73,22 @@ object ShingleHashExpr {
   private def isWs(b: Int): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
+  /** Spark-`lower()`-identical lowering of the token at bytes[from,until):
+    * goes through `UTF8String.toLowerCase` itself, so any Unicode corpus
+    * hashes the exact tokens `tokens(lower(text))` would produce.
+    * Shared with [[TokenGramStatsExpr]].
+    */
+  private[plans] def lowered(bytes: Array[Byte], from: Int, until: Int): UTF8String =
+    UTF8String.fromBytes(bytes, from, until - from).toLowerCase
+
+  /** base-31 polynomial over unsigned bytes — the token hash. */
+  private[plans] def hashBytes(tb: Array[Byte]): Long = {
+    var h = 0L
+    var j = 0
+    while (j < tb.length) { h = h * 31L + (tb(j) & 0xff); j += 1 }
+    h
+  }
+
   def compute(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
     // space-trim (Spark trim removes 0x20 only)
@@ -88,13 +109,18 @@ object ShingleHashExpr {
       while (i < hi) {
         while (i < hi && isWs(bytes(i) & 0xff)) i += 1
         if (i < hi) {
+          val start = i
           var h = 0L
+          var ascii = true
           while (i < hi && !isWs(bytes(i) & 0xff)) {
             val b = bytes(i) & 0xff
+            if (b >= 0x80) ascii = false
             val c = if (b >= 'A' && b <= 'Z') b + 32 else b
             h = h * 31L + c
             i += 1
           }
+          // non-ASCII token: redo via Spark's own lowering (slow path)
+          if (!ascii) h = hashBytes(lowered(bytes, start, i).getBytes)
           tokBuf.add(h)
         }
       }

@@ -11,9 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /** One-pass token/gram statistics for the repetition + Gopher quality
   * signals: `struct(n_tok, max_tok_count, n_grams, n_distinct_grams,
   * sum_tok_len, n_alpha_words)` over the
-  * whitespace tokens of the space-trimmed, ASCII-lowercased text
+  * whitespace tokens of the space-trimmed, `lower()`-cased text
   * (identical token semantics to [[ShingleHashExpr]], Java-split edge
-  * cases included).
+  * cases included; pure-ASCII tokens take a zero-allocation byte loop,
+  * non-ASCII tokens go through `UTF8String.toLowerCase` so lengths,
+  * alpha flags and counts match the `tokens(lower(text))` pipelines on
+  * any corpus).
   *
   * Replaces the composed HOF forms of `topTokenFraction` (which filters
   * the full token array once per DISTINCT token — O(d·t) interpreted
@@ -86,16 +89,34 @@ object TokenGramStatsExpr {
       while (i < hi) {
         while (i < hi && isWs(bytes(i) & 0xff)) i += 1
         if (i < hi) {
+          val start = i
           var h = 0L
           var len = 0L
           var hasAlpha = false
+          var ascii = true
           while (i < hi && !isWs(bytes(i) & 0xff)) {
             val b = bytes(i) & 0xff
+            if (b >= 0x80) ascii = false
             val c = if (b >= 'A' && b <= 'Z') b + 32 else b
             if (c >= 'a' && c <= 'z') hasAlpha = true
             h = h * 31L + c
             len += 1
             i += 1
+          }
+          if (!ascii) {
+            // non-ASCII token: length is codepoints of the lower()-cased
+            // token, hash/alpha over its UTF-8 bytes (Spark-lowering via
+            // ShingleHashExpr.lowered — shared slow path)
+            val tok = ShingleHashExpr.lowered(bytes, start, i)
+            val tb = tok.getBytes
+            h = ShingleHashExpr.hashBytes(tb)
+            len = tok.numChars().toLong
+            hasAlpha = false
+            var j = 0
+            while (j < tb.length) {
+              if (tb(j) >= 'a' && tb(j) <= 'z') hasAlpha = true
+              j += 1
+            }
           }
           tokBuf.add(h)
           sumLen += len

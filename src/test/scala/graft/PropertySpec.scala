@@ -200,8 +200,26 @@ class PropertySpec extends SparkSpec {
     trail <- Gen.oneOf("", " ", "\n ")
   } yield lead + words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString + trail
 
+  // non-ASCII words that stress Unicode lowering: bicameral scripts
+  // (Greek incl. final sigma, Cyrillic), combining-mark producers
+  // (İ → i + U+0307 under Java full lowering), caseless scripts (CJK),
+  // and Latin with diacritics
+  private val unicodeTextGen: Gen[String] = for {
+    n     <- Gen.choose(0, 10)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      Gen.oneOf("Ärger", "ÖL", "ΣΟΦΟΣ", "ΑΣ", "МОСКВА", "İstanbul", "ß",
+        "日本語", "naïve", "ÉLÈVE", "ĞÜŞ", "ǅungla"),
+      Gen.stringOfN(3, Gen.alphaChar),
+      Gen.oneOf("a", "BB", "##", "...")))
+    seps  <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "\t", "\n"))
+    lead  <- Gen.oneOf("", " ", "\t")
+    trail <- Gen.oneOf("", " ", "\n ")
+  } yield lead + words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString + trail
+
+  private val mixedTextGen: Gen[String] = Gen.oneOf(asciiTextGen, unicodeTextGen)
+
   test("property: ShingleHashExpr set size == string shingle set size") {
-    forSamples(Gen.listOfN(12, asciiTextGen)) { texts =>
+    forSamples(Gen.listOfN(12, mixedTextGen)) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
       for (n <- Seq(2, 3, 5)) {
         val bad = df.select(
@@ -210,6 +228,27 @@ class PropertySpec extends SparkSpec {
           .filter(col("h") =!= col("s")).count()
         assert(bad == 0, s"n=$n diverged on $texts")
       }
+    }
+  }
+
+  test("property: token stats + token hashes match composed forms on Unicode text") {
+    forSamples(Gen.listOfN(12, mixedTextGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val st = graft.plans.TokenGramStatsExpr.stats(col("text"), 2)
+      val toks = TextFunctions.tokens(lower(col("text")))
+      val bad = df.select(
+        st.getField("n_tok").as("nt"),
+        size(toks).cast("long").as("ht"),
+        st.getField("sum_tok_len").as("nl"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).as("hl"),
+        st.getField("n_alpha_words").as("na"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("ha"),
+        // n=1 shingle hashes ≡ the distinct lowered-token set
+        size(graft.plans.ShingleHashExpr.shingleHashes(col("text"), 1)).as("nsh"),
+        size(array_distinct(toks)).as("hsh"))
+        .filter(col("nt") =!= col("ht") || col("nl") =!= col("hl") ||
+          col("na") =!= col("ha") || col("nsh") =!= col("hsh")).count()
+      assert(bad == 0, s"diverged on $texts")
     }
   }
 
@@ -232,7 +271,7 @@ class PropertySpec extends SparkSpec {
         .otherwise(lit(1.0) -
           size(array_distinct(grams)).cast("double") / size(grams).cast("double")), 6)
     }
-    forSamples(Gen.listOfN(12, asciiTextGen)) { texts =>
+    forSamples(Gen.listOfN(12, mixedTextGen)) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
       val bad = df.select(
         TextFunctions.topTokenFraction(col("text")).as("nt"),
