@@ -1420,6 +1420,34 @@ object SparkEntry {
           (octet_length(col("payload")) % 7 + 1).as("fake_frames"))
     }),
 
+    "mm_video_keyframes" -> ((s, dir) => {
+      // TRUE-video keyframe byte-range index: real ISO-BMFF payloads
+      // (Mp4Fixture: per-sample stsz, two-chunk stsc/stco, odd-sample
+      // stss) synthesized per doc, parsed back by the stss/stsz/stsc/
+      // stco walk (Multimodal.Mp4Meta.keyframes). rel_offset = offset −
+      // data start, which the oracle replays as the cumulative sizes of
+      // the preceding samples. Payloads never shuffle (mapPartitions);
+      // only the small index rows do.
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 5 + 4).toInt
+            val sizes = (0 until n).map(j => 10 + ((id + j) % 4).toInt)
+            (id, graft.multimodal.Mp4Fixture.build(
+              sizes, chunkSplit = 3, syncSamples = 1 to n by 2,
+              width = 64, height = 48, seed = id))
+          }
+        }.toDF("doc_id", "payload")
+      val idx = graft.multimodal.Multimodal
+        .videoKeyframes(payloads, "doc_id", "payload").toDF()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      idx.select(col("id").as("doc_id"),
+        col("sample").cast("long").as("sample"),
+        (col("offset") - min("offset").over(w)).as("rel_offset"),
+        col("n_bytes"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       // real decodeMeta (mapPartitions, stub path for opaque payloads)
       // feeding the stride-2 frame-sampling plan — the index math the
@@ -3483,6 +3511,15 @@ object SparkEntry {
         """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
            FROM (SELECT doc_id, unnest(range(0, strlen(text) % 7 + 1, 2)) AS f
                  FROM documents)""",
+
+      "mm_video_keyframes" ->
+        """WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS n FROM documents),
+           k AS (SELECT doc_id, unnest(range(1, n + 1, 2)) AS s FROM d)
+           SELECT doc_id, CAST(s AS BIGINT) AS sample,
+                  CAST(COALESCE(list_sum(list_transform(range(0, s - 1),
+                         j -> 10 + ((doc_id + j) % 4))), 0) AS BIGINT) AS rel_offset,
+                  CAST(10 + ((doc_id + s - 1) % 4) AS BIGINT) AS n_bytes
+           FROM k""",
 
       "s4_p20_vcf_roundtrip" ->
         """SELECT COUNT(*) AS n_rows,

@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * partition sizing, batch iteration via mapPartitions, deterministic
   * output shape — is real and tested. IMAGES decode for real via the
   * JDK's `javax.imageio` ([[ImageCodec]]: PNG/JPEG/GIF/BMP header +
-  * pixel decode, luminance features, resize); audio/video (no JDK
-  * codec) remain STUBBED behind [[StubCodec]], clearly marked, with a
-  * deterministic fake so tests and downstream operators have stable
-  * inputs.
+  * pixel decode, luminance features, resize), as do animated GIFs
+  * ([[VideoCodec]]), WAV/AIFF/AU audio ([[AudioCodec]]), mp4 container
+  * metadata + the keyframe byte-range index ([[Mp4Meta]]), and webm
+  * container metadata ([[WebmMeta]]). TRUE-video FRAME PIXELS
+  * (H.264/VP9 — no JDK codec exists) are delegated to an external
+  * decoder through the per-partition pipe seam
+  * ([[sampleKeyframesPipe]]); payloads with no real path left fall to
+  * [[StubCodec]], clearly marked, with a deterministic fake so tests
+  * and downstream operators have stable inputs.
   *
   * Scale notes: payloads never shuffle unless the caller asks for it;
   * decode/feature steps are mapPartitions (no per-row task overhead,
@@ -28,6 +33,9 @@ object Multimodal {
                              n_frames: Int, format: String)
 
   final case class MediaFeature(id: Long, dim: Int, feature: Array[Float])
+
+  /** One keyframe byte range of a video payload (see [[Mp4Meta.keyframes]]). */
+  final case class VideoKeyframe(id: Long, sample: Int, offset: Long, n_bytes: Long)
 
   /** Real JDK-only image codec (`javax.imageio` — PNG/JPEG/GIF/BMP ship
     * with the JDK, no external library). Payloads whose magic bytes mark
@@ -327,6 +335,106 @@ object Multimodal {
         MediaMeta(id, p.length, w, h, n_frames = n, format = "mp4")
       }
     }
+
+    /** One keyframe's byte range inside the container file. */
+    final case class KeyframeRange(sample: Int, offset: Long, nBytes: Long)
+
+    /** The keyframe → byte-range index of the first VIDEO track: a walk
+      * of the sample tables — stss (sync samples; absent = every sample
+      * is sync, per ISO 14496-12 §8.6.2), stsz (sizes), stsc
+      * (sample→chunk runs), stco/co64 (chunk offsets). This is the part
+      * of "decode video at 100 TB" that belongs INSIDE the engine: the
+      * index tells an external decoder (via the pipe seam,
+      * [[Multimodal.sampleKeyframesPipe]]) exactly which byte slices to
+      * fetch, so frame sampling never decodes — or even ships — the
+      * stream between keyframes. Malformed tables yield an empty index
+      * (fuzz-safe), never a throw.
+      */
+    def keyframes(p: Array[Byte]): Seq[KeyframeRange] =
+      try keyframesUnsafe(p)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+    private def keyframesUnsafe(p: Array[Byte]): Seq[KeyframeRange] = {
+      if (!isMp4(p)) return Seq.empty
+      val traks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      walk(p, 0, p.length.toLong, (t, b, e) => if (t == "trak") traks += ((b, e)))
+      traks.iterator.map { case (tb, te) =>
+        var isVideo = false
+        var stsz = -1L; var stsc = -1L; var stco = -1L; var co64 = -1L; var stss = -1L
+        var stszEnd = 0L; var stscEnd = 0L; var stcoEnd = 0L; var co64End = 0L; var stssEnd = 0L
+        walk(p, tb, te, { (t, b, e) =>
+          t match {
+            case "hdlr" if p.length >= b + 12 =>
+              isVideo = isVideo || new String(p, b.toInt + 8, 4, "ISO-8859-1") == "vide"
+            case "stsz" => stsz = b; stszEnd = e
+            case "stsc" => stsc = b; stscEnd = e
+            case "stco" => stco = b; stcoEnd = e
+            case "co64" => co64 = b; co64End = e
+            case "stss" => stss = b; stssEnd = e
+            case _ => ()
+          }
+        })
+        (isVideo, stsz, stszEnd, stsc, stscEnd, stco, stcoEnd, co64, co64End, stss, stssEnd)
+      }.collectFirst {
+        case (true, stsz, stszEnd, stsc, stscEnd, stco, stcoEnd, co64, co64End, stss, stssEnd)
+          if stsz >= 0 && stsc >= 0 && (stco >= 0 || co64 >= 0) =>
+
+          // stsz: version/flags, sample_size (0 = per-sample table), count
+          val constSize = be32(p, stsz.toInt + 4)
+          val n = be32(p, stsz.toInt + 8).toInt
+          require(n >= 0 && (constSize != 0 || stsz + 12 + 4L * n <= stszEnd), "stsz truncated")
+          def sizeOf(i: Int): Long =
+            if (constSize != 0) constSize else be32(p, (stsz + 12 + 4L * i).toInt)
+
+          // stsc runs: (first_chunk, samples_per_chunk, sdi)
+          val nRuns = be32(p, stsc.toInt + 4).toInt
+          require(nRuns >= 1 && stsc + 8 + 12L * nRuns <= stscEnd, "stsc truncated")
+          def runFirstChunk(r: Int): Long = be32(p, (stsc + 8 + 12L * r).toInt)
+          def runPerChunk(r: Int): Long = be32(p, (stsc + 8 + 12L * r + 4).toInt)
+
+          // chunk offsets (stco 32-bit / co64 64-bit)
+          val useCo64 = stco < 0
+          val coBody = if (useCo64) co64 else stco
+          val coEnd = if (useCo64) co64End else stcoEnd
+          val nChunks = be32(p, coBody.toInt + 4).toInt
+          val width = if (useCo64) 8L else 4L
+          require(nChunks >= 0 && coBody + 8 + width * nChunks <= coEnd, "stco truncated")
+          def chunkOffset(c: Int): Long =
+            if (useCo64) be64(p, (coBody + 8 + 8L * c).toInt)
+            else be32(p, (coBody + 8 + 4L * c).toInt)
+
+          // lay samples into chunks in order, accumulating intra-chunk
+          // offsets — O(n), no per-sample table lookups beyond stsz
+          val offsets = new Array[Long](n)
+          var sample = 0
+          var run = 0
+          var chunk = 1
+          while (chunk <= nChunks && sample < n) {
+            while (run + 1 < nRuns && runFirstChunk(run + 1) <= chunk) run += 1
+            val perChunk = runPerChunk(run)
+            var within = 0L
+            var off = chunkOffset(chunk - 1)
+            while (within < perChunk && sample < n) {
+              offsets(sample) = off
+              off += sizeOf(sample)
+              sample += 1
+              within += 1
+            }
+            chunk += 1
+          }
+
+          // sync table (1-based sample numbers); absent = all sync
+          val sync: Seq[Int] =
+            if (stss < 0) (1 to sample)
+            else {
+              val k = be32(p, stss.toInt + 4).toInt
+              require(k >= 0 && stss + 8 + 4L * k <= stssEnd, "stss truncated")
+              (0 until k).map(i => be32(p, (stss + 8 + 4L * i).toInt).toInt)
+            }
+          sync.filter(s => s >= 1 && s <= sample)
+            .map(s => KeyframeRange(s, offsets(s - 1), sizeOf(s - 1)))
+      }.getOrElse(Seq.empty)
+    }
   }
 
   /** Real webm/Matroska (EBML) CONTAINER metadata — pure varint/element
@@ -385,17 +493,28 @@ object Multimodal {
         } yield (id, idLen, sz, szLen)) match {
           case Some((id, idLen, sz, szLen)) =>
             val body = off + idLen + szLen
-            // Long math: a 56-bit EBML size would overflow an Int end
-            // offset to NEGATIVE, slip past the bounds guard, and walk
-            // the next iteration off the front of the array (found by
-            // the adversarial-bytes fuzz spec)
-            val endL = body.toLong + sz
-            if (sz < 0 || endL > to || endL < body) ok = false
-            else {
-              val end = endL.toInt
-              visit(id, body, end)
-              if (containers(id)) walk(p, body, end, visit)
-              off = end
+            // the all-ones VINT_DATA value is the standard "unknown
+            // size" (streamed webm uses it on Segment/Cluster): the
+            // element extends to the end of its parent — treating it as
+            // a literal size aborted the walk and misrouted valid webm
+            // to the audio decoder
+            if (sz == (1L << (7 * szLen)) - 1) {
+              visit(id, body, to)
+              if (containers(id)) walk(p, body, to, visit)
+              off = to // consumes the rest of this level by definition
+            } else {
+              // Long math: a 56-bit EBML size would overflow an Int end
+              // offset to NEGATIVE, slip past the bounds guard, and walk
+              // the next iteration off the front of the array (found by
+              // the adversarial-bytes fuzz spec)
+              val endL = body.toLong + sz
+              if (sz < 0 || endL > to || endL < body) ok = false
+              else {
+                val end = endL.toInt
+                visit(id, body, end)
+                if (containers(id)) walk(p, body, end, visit)
+                off = end
+              }
             }
           case None => ok = false
         }
@@ -425,7 +544,10 @@ object Multimodal {
         }
       })
       if (found) Some(MediaMeta(id, p.length, w.toInt, h.toInt, 0, "webm"))
-      else None
+      // a valid EBML stream with no parseable video track is still
+      // EBML — report zero dimensions rather than falling through to
+      // the audio decoder (which would misclassify the payload)
+      else Some(MediaMeta(id, p.length, 0, 0, 0, "webm"))
     }
   }
 
@@ -510,4 +632,75 @@ object Multimodal {
     meta.toDF()
       .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("id", "frame_idx")
+
+  /** Keyframe → byte-range index over a column of mp4 payloads: one row
+    * per sync sample (id, sample, offset, n_bytes). mapPartitions over
+    * the payloads in place — the heavy binary column never shuffles;
+    * what flows on is the small index table an external decoder (or a
+    * storage-side ranged read at 100 TB) consumes.
+    */
+  def videoKeyframes(df: DataFrame, idCol: String, payloadCol: String): Dataset[VideoKeyframe] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val payload = Option(p).getOrElse(Array.empty[Byte])
+          Mp4Meta.keyframes(payload)
+            .map(k => VideoKeyframe(id, k.sample, k.offset, k.nBytes))
+        }
+      }
+  }
+
+  /** TRUE-video frame sampling through the external-decoder pipe seam
+    * (the same contract as [[graft.operators.PipeAnnotator]]): every
+    * `stride`-th keyframe's byte slice is piped — base64 TSV lines
+    * `id \t sample \t b64(slice)` — to `command`, one process per
+    * partition, which answers `id \t sample \t result` per line. JDK
+    * has no H.264/VP9 codec; the engine's job is the index + the
+    * partition-local plumbing, the decoder plugs in per deployment.
+    *
+    * mp4 payloads ship only their keyframe slices (the whole point of
+    * the index); a webm/EBML payload has no byte-accurate frame index
+    * in its headers, so it ships whole with sample = -1 and the decoder
+    * owns frame extraction. Payloads never shuffle: the pipe runs on
+    * the scan partitions.
+    */
+  def sampleKeyframesPipe(df: DataFrame, idCol: String, payloadCol: String,
+                          command: Seq[String], stride: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .rdd
+      .mapPartitions { it =>
+        val enc = java.util.Base64.getEncoder
+        it.flatMap { case (id, p) =>
+          val payload = Option(p).getOrElse(Array.empty[Byte])
+          val kfs = Mp4Meta.keyframes(payload)
+          if (kfs.nonEmpty)
+            kfs.zipWithIndex.collect {
+              case (k, i) if i % stride == 0 &&
+                k.offset >= 0 && k.offset + k.nBytes <= payload.length =>
+                val slice = java.util.Arrays.copyOfRange(
+                  payload, k.offset.toInt, (k.offset + k.nBytes).toInt)
+                s"$id\t${k.sample}\t${enc.encodeToString(slice)}"
+            }
+          else if (WebmMeta.isEbml(payload))
+            Seq(s"$id\t-1\t${enc.encodeToString(payload)}")
+          else Seq.empty
+        }
+      }
+      .pipe(command)
+      .map { line =>
+        val q = line.split("\t", 3)
+        org.apache.spark.sql.Row(q(0).toLong, q(1).toInt,
+          if (q.length > 2) q(2) else "")
+      }
+    spark.createDataFrame(lines, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sample", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("decoded", org.apache.spark.sql.types.StringType))))
+  }
 }

@@ -321,6 +321,111 @@ class MultimodalSpec extends SparkSpec {
     assert(viaPipeline.format == "webm" && viaPipeline.width == 1280)
   }
 
+  test("Mp4Meta.keyframes: stss/stsz/stsc/stco walk yields exact byte ranges") {
+    // 5 samples of sizes 10..14 in two chunks (3+2), sync samples 1,3,5
+    val sizes = Seq(10, 11, 12, 13, 14)
+    val mp4 = Mp4Fixture.build(sizes, chunkSplit = 3,
+      syncSamples = Seq(1, 3, 5), width = 64, height = 48, seed = 100L)
+
+    // the metadata walk still sees the same container
+    val meta = Multimodal.Mp4Meta.decodeMeta(1L, mp4).get
+    assert(meta.width == 64 && meta.height == 48 && meta.n_frames == 5)
+
+    val kfs = Multimodal.Mp4Meta.keyframes(mp4)
+    assert(kfs.map(_.sample) == Seq(1, 3, 5))
+    assert(kfs.map(_.nBytes) == Seq(10L, 12L, 14L))
+    // offsets are cumulative sums of the preceding sample sizes —
+    // including across the chunk boundary (samples 4,5 live in chunk 2)
+    val rel = kfs.map(_.offset - kfs.head.offset)
+    assert(rel == Seq(0L, 21L, 46L), s"got $rel")
+    // and absolutely correct: each keyframe's slice is its fill byte
+    kfs.foreach { k =>
+      val slice = mp4.slice(k.offset.toInt, (k.offset + k.nBytes).toInt)
+      val expect = ((100L + k.sample - 1) % 251).toByte
+      assert(slice.forall(_ == expect), s"sample ${k.sample} slice wrong")
+    }
+
+    // single-chunk variant + malformed bytes
+    val one = Mp4Fixture.build(Seq(8, 8, 8), chunkSplit = 99,
+      syncSamples = Seq(2), width = 8, height = 8)
+    val k1 = Multimodal.Mp4Meta.keyframes(one)
+    assert(k1.map(_.sample) == Seq(2) && k1.head.nBytes == 8L)
+    assert(Multimodal.Mp4Meta.keyframes("....ftyp12345678".getBytes).isEmpty)
+  }
+
+  test("videoKeyframes: index flows as rows, payloads stay in the scan") {
+    val rows = (0 until 6).map { i =>
+      val n = i % 3 + 2
+      (i.toLong, Mp4Fixture.build((0 until n).map(j => 10 + j), chunkSplit = 2,
+        syncSamples = (1 to n by 2), width = 32, height = 32, seed = i.toLong))
+    }
+    val df = rows.toDF("id", "payload")
+    val idx = Multimodal.videoKeyframes(df, "id", "payload")
+    val got = idx.collect().groupBy(_.id).view.mapValues(_.map(_.sample).toSeq.sorted).toMap
+    rows.foreach { case (id, _) =>
+      val n = (id % 3 + 2).toInt
+      assert(got(id) == (1 to n by 2).toSeq, s"id $id")
+    }
+  }
+
+  test("sampleKeyframesPipe: keyframe slices reach the external decoder per-partition") {
+    // `cat` is the identity decoder: the engine's side of the contract
+    // (index → slice → base64 TSV line per keyframe) comes back verbatim
+    val sizes = Seq(10, 11, 12, 13, 14)
+    val mp4 = Mp4Fixture.build(sizes, chunkSplit = 3,
+      syncSamples = Seq(1, 3, 5), width = 64, height = 48, seed = 7L)
+    val df = Seq((42L, mp4)).toDF("id", "payload")
+    val out = Multimodal.sampleKeyframesPipe(df, "id", "payload", Seq("cat"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._2)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((42L, 1), (42L, 3), (42L, 5)))
+    // the slice the decoder received is the actual keyframe byte range
+    val dec = java.util.Base64.getDecoder
+    assert(out.map(t => dec.decode(t._3).length).toSeq == Seq(10, 12, 14))
+    assert(dec.decode(out(1)._3).forall(_ == ((7L + 2) % 251).toByte))
+
+    // stride skips keyframes; webm ships whole with sample = -1
+    val strided = Multimodal.sampleKeyframesPipe(df, "id", "payload", Seq("cat"), stride = 2)
+      .collect().map(_.getInt(1)).sorted
+    assert(strided.toSeq == Seq(1, 5))
+    val webm = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++ Array[Byte](0x42.toByte)
+    val wout = Multimodal.sampleKeyframesPipe(
+      Seq((9L, webm)).toDF("id", "payload"), "id", "payload", Seq("cat")).collect()
+    assert(wout.length == 1 && wout.head.getInt(1) == -1)
+  }
+
+  test("WebmMeta: unknown-size Segment (streamed webm) still parses; no audio fallthrough") {
+    def el(id: Array[Int], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127)
+      id.map(_.toByte) ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val videoEntry = el(Array(0xAE),
+      el(Array(0x83), Array(1.toByte)) ++
+        el(Array(0xE0), el(Array(0xB0), u16(320)) ++ el(Array(0xBA), u16(200))))
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), videoEntry)
+    // Segment with the all-ones 1-byte size (0xFF = unknown): standard
+    // for live-streamed webm — must extend to end of input, not abort
+    val segment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      Array(0xFF.toByte) ++ tracks
+    val webm = el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), "webm".getBytes)) ++ segment
+
+    val m = Multimodal.WebmMeta.decodeMeta(3L, webm)
+    assert(m.isDefined && m.get.width == 320 && m.get.height == 200,
+      s"unknown-size segment failed: $m")
+
+    // EBML with NO parseable video track: webm with zero dims — never
+    // misclassified as audio by the dispatcher
+    val noVideo = el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), "webm".getBytes))
+    val m2 = Multimodal.WebmMeta.decodeMeta(4L, noVideo)
+    assert(m2.isDefined && m2.get.format == "webm" && m2.get.width == 0)
+    val viaPipeline = Multimodal.decodeMeta(
+      Seq((4L, noVideo)).toDF("id", "payload"), "id", "payload").collect().head
+    assert(viaPipeline.format == "webm")
+  }
+
   test("container parsers never throw on malformed or adversarial bytes") {
     val mp4ish = "....ftyp".getBytes
     val ebmlMagic = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)
