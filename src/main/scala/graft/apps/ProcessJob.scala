@@ -47,11 +47,17 @@ object ProcessJob {
                              errors: Map[String, Seq[String]] = Map.empty)
 
   /** One center run. `priorStatuses` drives the md5 skip; `existing`
-    * holds current table contents for the upsert.
+    * holds current table contents for the upsert. `annotator` is the
+    * mutation re-annotation seam (process_mutation.py:408-420 /
+    * annotation_suite_wrapper.sh: Genome Nexus runs between validation
+    * and table load): each VALID maf is annotated before its upsert —
+    * at 100 TB the annotator runs per-partition where the data is
+    * ([[graft.operators.PipeAnnotator]]), not driver-side.
     */
   def run(spark: SparkSession, center: String, inputDir: String,
           priorStatuses: Seq[FileStatus],
-          existing: Map[String, DataFrame]): RunResult = {
+          existing: Map[String, DataFrame],
+          annotator: Option[graft.operators.Annotator] = None): RunResult = {
     val paths = Files.list(Paths.get(inputDir)).iterator().asScala
       .map(_.toString).toSeq.sorted
     val names = paths.map(p => Paths.get(p).getFileName.toString)
@@ -114,12 +120,14 @@ object ProcessJob {
           if (res.isValid) {
             val pk = Seq("CHROMOSOME", "START_POSITION", "REFERENCE_ALLELE",
               "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2")
+            // annotation between validation and load, like the reference
+            val annotated = annotator.map(_.annotate(maf)).getOrElse(maf)
             // accumulate across a center's MULTIPLE maf files: each file
             // upserts against the running table, not the original state
             val base = tables.get("maf").orElse(existing.get("maf"))
             val merged = base match {
-              case Some(ex) => Upsert.merge(maf, ex, pk, allowDelete = false)
-              case None     => maf
+              case Some(ex) => Upsert.merge(annotated, ex, pk, allowDelete = false)
+              case None     => annotated
             }
             tables += "maf" -> merged
           }

@@ -45,6 +45,51 @@ class ProcessJobSpec extends SparkSpec {
     assert(r3.tables("maf").count() == 2)
   }
 
+  test("mutation path end-to-end through a real annotator subprocess") {
+    // the annotation_suite_wrapper.sh contract: a subprocess receives
+    // variant lines, echoes each back with annotation fields appended —
+    // here a real /bin/sh+awk process per partition via PipeAnnotator,
+    // not the in-JVM PassthroughAnnotator test double
+    val dir = tmpDir("process-annot")
+    val header = "CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n"
+    Files.write(Paths.get(dir, "data_mutations_x.maf"),
+      (header + "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\t30\n" +
+        "2\t500\t501\tG\tGENIE-CTR-p1-s2\tC\t25\n" +
+        "X\t900\t901\tTT\tGENIE-CTR-p1-s3\t-\t12\n").getBytes)
+    val script = Paths.get(tmpDir("annot-bin"), "toy_genome_nexus.sh")
+    Files.write(script,
+      """#!/bin/sh
+        |# toy Genome Nexus: append HGVSg-style annotation + status per line
+        |exec awk -F'\t' -v OFS='\t' '{ print $0, $1 ":g." $2 $4 ">" $6, "SUCCESS" }'
+        |""".stripMargin.getBytes)
+
+    val inCols = Seq("CHROMOSOME", "START_POSITION", "END_POSITION",
+      "REFERENCE_ALLELE", "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2", "T_DEPTH")
+    val annotator = new graft.operators.PipeAnnotator(
+      Seq("/bin/sh", script.toString), inCols ++ Seq("HGVSG", "ANNOTATION_STATUS"))
+
+    val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty, Some(annotator))
+    val maf = r.tables("maf")
+    // row-count preservation through the pipe + annotation columns added
+    assert(maf.count() == 3)
+    assert(maf.columns.contains("HGVSG") && maf.columns.contains("ANNOTATION_STATUS"))
+    val got = maf.select("CHROMOSOME", "HGVSG", "ANNOTATION_STATUS")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("1", "1:g.100A>T", "SUCCESS"),
+      ("2", "2:g.500G>C", "SUCCESS"),
+      ("X", "X:g.900TT>-", "SUCCESS")))
+
+    // a second run: a NEW maf file upserts annotated rows against the
+    // annotated table (row 1 updates in place, row 7 appends)
+    Files.write(Paths.get(dir, "data_mutations_y.maf"),
+      (header + "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\t30\n" +
+        "7\t777\t778\tC\tGENIE-CTR-p1-s4\tA\t40\n").getBytes)
+    val r2 = ProcessJob.run(spark, "CTR", dir, r.statuses, r.tables, Some(annotator))
+    assert(r2.tables("maf").count() == 4)
+    assert(r2.tables("maf").filter($"HGVSG" === "7:g.777C>A").count() == 1)
+  }
+
   test("multiple MAF files from one center all accumulate") {
     val dir = tmpDir("process-multi")
     val header = "CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n"
