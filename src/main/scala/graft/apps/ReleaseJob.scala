@@ -254,6 +254,38 @@ object ReleaseJob {
   }
 
   /** Write release artifacts in cBioPortal layout. */
+  /** Release-dashboard wiki document (R/dashboard_markdown_generator.R —
+    * a SEPARATE job in the reference, rendered from the release's own
+    * files and stored on the release folder's wiki; not part of the
+    * database_to_staging.py artifact manifest). CENTER is derived from
+    * the identifier prefix exactly like the template's
+    * createCenterColumn (dashboardTemplate.Rmd:30-37). Returns the
+    * rendered markdown (also written to `outDir/dashboard.md`).
+    */
+  def writeDashboardWiki(out: ReleaseOutputs, outDir: String, release: String): String = {
+    import graft.stats.{Dashboard, DashboardWiki}
+    val clinC = out.clinical.withColumn("CENTER",
+      element_at(split(col("PATIENT_ID"), "-"), 2))
+    val mafC = out.maf.withColumn("CENTER",
+      element_at(split(col("TUMOR_SAMPLE_BARCODE"), "-"), 2))
+    val failed =
+      if (mafC.columns.contains("Annotation_Status"))
+        Dashboard.failedAnnotationCounts(mafC, Seq("CENTER"))
+      else // no annotation column in this release → an empty summary
+        mafC.filter(lit(false)).groupBy("CENTER").agg(count(lit(1)).as("n_failed"))
+    val attrs = Seq("PRIMARY_RACE" -> "Race", "ETHNICITY" -> "Ethnicity", "SEX" -> "Sex")
+      .filter { case (c, _) => clinC.columns.contains(c) }
+      .map { case (c, label) =>
+        label -> Dashboard.centerCategoryDistribution(clinC, "CENTER", c)
+          .orderBy("CENTER", c)
+      }
+    val md = DashboardWiki.render(release,
+      Dashboard.releaseContent(clinC, mafC, "CENTER", "SAMPLE_ID").orderBy("Center"),
+      failed, attrs)
+    DashboardWiki.write(md, s"$outDir/dashboard.md")
+    md
+  }
+
   def writeArtifacts(out: ReleaseOutputs, outDir: String, studyId: String): Unit = {
     CbioSinks.writeClinical(
       out.clinical.select("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "AGE_AT_SEQ_REPORT", "SEQ_ASSAY_ID"),

@@ -80,6 +80,25 @@ class ReleaseJobSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/case_lists").listFiles().nonEmpty)
   }
 
+  test("dashboard wiki: rendered from the release outputs with derived centers") {
+    val dir = tmpDir("release-wiki")
+    val out = ReleaseJob.run(inputs)
+    val md = ReleaseJob.writeDashboardWiki(out, dir, "15.1-consortium")
+    assert(md.startsWith("---\ntitle: '15.1-consortium'\n---"))
+    // template sections present and ordered
+    val sections = Seq("## Sample and Variant Count per center",
+      "## GENIE Retraction Policy",
+      "### Genome nexus failed annotations summary",
+      "## Distribution of Clinical Attributes")
+    val idx = sections.map(md.indexOf)
+    assert(idx.forall(_ >= 0) && idx == idx.sorted, s"bad sections:\n$md")
+    // the content table counts the released samples per derived center
+    val released = out.clinical.count()
+    assert(md.contains(s"| Total | $released |"))
+    // file landed next to the release
+    assert(new java.io.File(s"$dir/dashboard.md").exists())
+  }
+
   test("full consortium→public release: complete folder manifest parity") {
     val base = tmpDir("full-release")
     val out = ReleaseJob.run(inputs)

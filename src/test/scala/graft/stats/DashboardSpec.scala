@@ -69,4 +69,51 @@ class DashboardSpec extends SparkSpec {
     assert(rows == Set(
       ("CTR", 2L, 2L), ("XYZ", 1L, 0L), ("NEW", 0L, 1L), ("Total", 3L, 3L)))
   }
+
+  test("wiki: markdown document renders template sections from the gated tables") {
+    val samples = Seq(("CTR", "s1"), ("CTR", "s2"), ("XYZ", "s3")).toDF("CENTER", "SAMPLE_ID")
+    val muts = Seq("CTR", "CTR", "NEW").toDF("CENTER")
+    val maf = Seq(("CTR", "FAILED"), ("XYZ", "FAILED"), ("XYZ", "FAILED"),
+      ("CTR", "SUCCESS")).toDF("Center", "Annotation_Status")
+    val clin = Seq(("CTR", "1"), ("CTR", "1"), ("CTR", "2"), ("XYZ", "2"))
+      .toDF("CENTER", "SEX")
+
+    val md = DashboardWiki.render(
+      release = "14.1-consortium",
+      releaseContent = Dashboard.releaseContent(samples, muts, "CENTER", "SAMPLE_ID")
+        .orderBy("Center"),
+      failedAnnotations = Dashboard.failedAnnotationCounts(maf, Seq("Center")),
+      attributeDistributions = Seq(
+        "Sex" -> Dashboard.centerCategoryDistribution(clin, "CENTER", "SEX")
+          .orderBy("CENTER", "SEX")))
+
+    // section structure, in template order
+    val sections = Seq(
+      "## Sample and Variant Count per center",
+      "## GENIE Retraction Policy",
+      "### Genome nexus failed annotations summary",
+      "## Distribution of Clinical Attributes",
+      "### Sex")
+    val idx = sections.map(md.indexOf)
+    assert(idx.forall(_ >= 0), s"missing sections in:\n$md")
+    assert(idx == idx.sorted, "sections out of template order")
+    assert(md.startsWith("---\ntitle: '14.1-consortium'\n---"))
+
+    // numbers come from the gated aggregations, pipe-table formatted
+    assert(md.contains("| Total | 3 | 3 |"))
+    assert(md.contains("| CTR | 2 | 2 |"))
+    assert(md.contains("| Center | Number of failed annotations |"))
+    assert(md.contains("| XYZ | 2 |"))
+    assert(md.contains("| CTR | 1 | 2 | 66.6667 |"))
+
+    // file sink round-trip
+    val out = tmpDir("wiki") + "/dashboard.md"
+    DashboardWiki.write(md, out)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8") == md)
+
+    // the driver-small guard trips on an unaggregated frame
+    val big = spark.range(2000).toDF("x")
+    intercept[IllegalArgumentException] { DashboardWiki.mdTable(big) }
+  }
 }
