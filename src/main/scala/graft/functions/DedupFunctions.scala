@@ -81,15 +81,27 @@ object DedupFunctions {
     * Shuffle is on the 32-char band key only.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, elemsCol: Column,
-                        k: Int = 16, bands: Int = 4): DataFrame = {
+                        k: Int = 16, bands: Int = 4,
+                        maxBucket: Int = 10000): DataFrame = {
     val rows = k / bands
     // native one-pass signature (graft.plans.MinHashSignature) — same
     // bits as minhashSignature, one array traversal instead of k
     val sig  = df.select(col(idCol).as("id"),
       graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
     val keys = sig.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
-    keys.as("a")
-      .join(keys.as("b"), Seq("band_key"))
+    // bucket-occupancy cap (maxDf-style, like span dedup's stop-span
+    // prune): a bucket of m docs emits m²/2 pairs, so ONE zipf
+    // mega-cluster of 10⁴ near-identical docs would emit 5·10⁷ pairs
+    // per band. Buckets above the cap are excluded from PAIRWISE
+    // generation — ubiquitous near-identical content belongs on the
+    // clustering path ([[lshBucketStarEdges]] → connected components),
+    // where it costs m edges, not m². The count is map-side combined;
+    // at sane bitsPerBand sizing the cap never binds on uniform data.
+    val small = keys.groupBy(col("band_key")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxBucket).select("band_key")
+    val kept = keys.join(small, Seq("band_key"), "left_semi")
+    kept.as("a")
+      .join(kept.as("b"), Seq("band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -115,9 +127,13 @@ object DedupFunctions {
       graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
     val keys = sig.select(col("id"),
       explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
-    val hub = min(col("id"))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band_key")))
-    keys.select(hub.as("id_a"), col("id").as("id_b"))
+    // per-bucket min via map-side-combined agg + salted join-back — a
+    // window min would push a hot bucket's whole membership through ONE
+    // sort task (the same straggler fixed in ConnectedComponents'
+    // half-rounds; AQE skew splitting does not apply to windows)
+    val mins = keys.groupBy(col("band_key")).agg(min(col("id")).as("id_a"))
+    graft.operators.Skew.saltedJoin(keys, mins, "band_key", salts = 16)
+      .select(col("id_a"), col("id").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
   }

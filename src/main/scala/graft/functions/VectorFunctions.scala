@@ -136,15 +136,26 @@ object VectorFunctions {
     * output pairs, 7.5 s.
     */
   def bandedNearDup(df: DataFrame, id: String, vec: String, bands: Int,
-                    bitsPerBand: Int, minCos: Double, roundScale: Int = 6): DataFrame = {
+                    bitsPerBand: Int, minCos: Double, roundScale: Int = 6,
+                    maxBucket: Int = 10000): DataFrame = {
     // candidate generation carries ONLY ids through the band join and the
     // pair-distinct exchange — vectors re-join once per distinct pair for
     // the verify (measured: shuffling the vec payloads through the
     // distinct was 187s vs 8s at 80k×40-dup corpus)
     val keyed = df.select(col(id),
       explode(bandedSignBuckets(col(vec), bands, bitsPerBand)).as("__bk"))
-    val pairs = keyed.select(col(id).as("id_a"), col("__bk"))
-      .join(keyed.select(col(id).as("id_b"), col("__bk")), Seq("__bk"))
+    // bucket-occupancy cap: the per-band self-join is quadratic in
+    // bucket size, so a zipf mega-cluster (10⁴ embedding near-dups in
+    // one bucket) would emit 5·10⁷ candidates per band regardless of
+    // bitsPerBand. Buckets above the cap are excluded from pairwise
+    // generation (route such corpora through star edges + connected
+    // components instead); on uniform data with the documented
+    // bitsPerBand sizing the cap never binds.
+    val small = keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxBucket).select("__bk")
+    val kept = keyed.join(small, Seq("__bk"), "left_semi")
+    val pairs = kept.select(col(id).as("id_a"), col("__bk"))
+      .join(kept.select(col(id).as("id_b"), col("__bk")), Seq("__bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     pairs

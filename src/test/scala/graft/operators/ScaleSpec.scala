@@ -289,6 +289,56 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zipf mega-cluster: band joins stay bounded under skew (bucket cap + star edges)") {
+    import graft.functions.{DedupFunctions, VectorFunctions}
+    // the web-corpus shape: ONE near-dup cluster dominates. 4000 docs
+    // share a token set (→ identical signatures → one bucket per band)
+    // over 2000 distinct background docs with one planted dup pair.
+    val megaToks = Seq("the", "quick", "brown", "fox", "jumps")
+    val mega = (0L until 4000L).map(i => (i, megaToks))
+    val background = (10000L until 12000L).map(i => (i, Seq(s"tok$i", s"t${i}b", s"u$i")))
+    val planted = Seq((20000L, Seq("dup", "pair", "xyz")), (20001L, Seq("dup", "pair", "xyz")))
+    val docs = (mega ++ background ++ planted).toDF("doc_id", "toks")
+
+    // star edges: LINEAR in cluster size (≤ docs × bands), window-free
+    // plan, and the mega cluster still comes out as one component
+    val star = DedupFunctions.lshBucketStarEdges(docs, "doc_id", col("toks"), k = 8, bands = 2)
+    assert(!star.queryExecution.executedPlan.toString.contains("Window"),
+      "star edges must not plan a window sort")
+    val starCount = star.count()
+    assert(starCount <= 6002L * 2, s"star edges not linear: $starCount")
+    val comp = ConnectedComponents.clusters(docs.select("doc_id"), "doc_id",
+      star, "id_a", "id_b")
+    assert(comp.filter(col("cluster_id") === 0L).count() == 4000L,
+      "mega cluster must resolve to one component")
+
+    // pairwise candidates WITH the bucket cap: the 4000-member bucket
+    // (> maxBucket) is pruned — 4000²/2 = 8M pairs never materialize —
+    // while the planted small dup pair is still found
+    val pairs = DedupFunctions.lshCandidatePairs(docs, "doc_id", col("toks"),
+      k = 8, bands = 2, maxBucket = 1000)
+    val nPairs = pairs.count()
+    assert(nPairs < 50000L, s"candidate blow-up under skew: $nPairs pairs")
+    assert(pairs.filter(col("id_a") === 20000L && col("id_b") === 20001L).count() == 1L)
+    assert(pairs.filter(col("id_a") < 4000L && col("id_b") < 4000L).count() == 0L,
+      "mega-bucket pairs must be pruned from the pairwise path")
+
+    // embedding band join with the cap: 3000 identical vectors in one
+    // bucket are pruned; exact dup pairs in the spread background
+    // (same low-8 id bits → same vector) still surface
+    val vecs = (0L until 3000L).map(i => (i, Array.fill(16)(1.0f))) ++
+      (3000L until 4000L).map { i =>
+        (i, Array.tabulate(16)(d => if (((i >> (d % 8)) & 1L) == 0L) 1.0f else -1.0f))
+      }
+    val vdf = vecs.toDF("vec_id", "embedding")
+    val nd = VectorFunctions.bandedNearDup(vdf, "vec_id", "embedding",
+      bands = 2, bitsPerBand = 8, minCos = 0.999, maxBucket = 500)
+    val ndPairs = nd.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ndPairs.nonEmpty && ndPairs.forall { case (a, b) => a >= 3000L && b >= 3000L },
+      s"mega-bucket embedding pairs must be pruned (got ${ndPairs.size})")
+    assert(ndPairs.contains((3000L, 3256L)), "background exact dups must survive the cap")
+  }
+
   test("runtime bloom-filter injection fires on a selective shuffle join") {
     import spark.implicits._
     val dir = tmpDir("rtf")
