@@ -150,6 +150,44 @@ object SparkEntry {
         Seq("c_custkey"), Seq("c_mktsegment"), ts = 100L)
     }),
 
+    "scd2_stream_replay" -> ((s, dir) => {
+      // batch twin of streaming/ValidateStream.scd2Stream: replay three
+      // full-snapshot micro-batches (ts 0, 100, 200) through the SAME
+      // per-batch code the stream runs (scd2ApplyBatch: first-batch
+      // init, then Scd2.merge per batch) — close-and-reopen across
+      // batches, retirement at ts 200, unchanged rows keeping their
+      // original valid_from. DuckDB replays the full three-step history.
+      val V = graft.streaming.ValidateStream
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val b1 = c.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit("B1"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val b2 = c.filter(col("c_custkey") % 5 =!= 1)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 4 === 0, lit("B2"))
+            .when(col("c_custkey") % 3 === 0, lit("B1"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val pk = Seq("c_custkey")
+      val at = Seq("c_mktsegment")
+      val t0 = V.scd2ApplyBatch(None, c, pk, at, ts = 0L)
+      val t1 = V.scd2ApplyBatch(Some(t0), b1, pk, at, ts = 100L)
+      V.scd2ApplyBatch(Some(t1), b2, pk, at, ts = 200L)
+    }),
+
+    "dedup_stream_corpus" -> ((s, dir) => {
+      // batch twin of streaming/ValidateStream.dedupAgainstCorpus (the
+      // stream-static anti-join is the same plan on a batch frame): a
+      // batch of genuinely-new docs plus re-ingested corpus docs keeps
+      // only content whose digest the corpus index does not hold.
+      val docs = t(s, dir, "documents")
+      val digests = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(md5(col("text")).as("digest")).distinct()
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+        .unionByName(docs.filter(col("doc_id") % 20 === 0))
+      graft.streaming.ValidateStream.dedupAgainstCorpus(batch, "text", digests)
+        .select(col("doc_id"))
+    }),
+
     "o4b_topk_agg" -> ((s, dir) => {
       // window-free top-k: the custom bounded aggregate keeps k rows
       // per (partition, group) with map-side combine — only k·|groups|
@@ -2214,6 +2252,41 @@ object SparkEntry {
            UNION ALL
            SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from, CAST(100 AS BIGINT)
            FROM cur ANTI JOIN inc USING (c_custkey)""",
+
+      "scd2_stream_replay" ->
+        """WITH x AS (
+             SELECT c_custkey AS k, c_mktsegment AS s,
+                    CASE WHEN c_custkey % 3 = 0 THEN 'B1' ELSE c_mktsegment END AS b1,
+                    (c_custkey % 5 = 1) AS ret,
+                    CASE WHEN c_custkey % 4 = 0 THEN 'B2'
+                         WHEN c_custkey % 3 = 0 THEN 'B1'
+                         ELSE c_mktsegment END AS b2
+             FROM customer)
+           SELECT k AS c_custkey, s AS c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+                  CAST(CASE WHEN b1 <> s THEN 100
+                            WHEN ret THEN 200
+                            WHEN b2 <> b1 THEN 200
+                            ELSE NULL END AS BIGINT) AS valid_to
+           FROM x
+           UNION ALL
+           SELECT k, b1, CAST(100 AS BIGINT),
+                  CAST(CASE WHEN ret THEN 200
+                            WHEN b2 <> b1 THEN 200
+                            ELSE NULL END AS BIGINT)
+           FROM x WHERE b1 <> s
+           UNION ALL
+           SELECT k, b2, CAST(200 AS BIGINT), CAST(NULL AS BIGINT)
+           FROM x WHERE NOT ret AND b2 <> b1""",
+
+      "dedup_stream_corpus" ->
+        """WITH corpus AS (
+             SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 10 <> 7),
+           batch AS (
+             SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+             UNION ALL
+             SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)
+           SELECT doc_id FROM batch b
+           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = md5(b.text))""",
 
       "o4b_topk_agg" ->
         """SELECT o_orderstatus, ROUND(o_totalprice, 2) AS score,

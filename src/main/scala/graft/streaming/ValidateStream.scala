@@ -144,6 +144,23 @@ object ValidateStream {
     * discipline as [[upsertStream]]; exactly-once via checkpoint +
     * idempotent overwrite.
     */
+  /** One SCD2 micro-batch application — the exact per-batch logic
+    * [[scd2Stream]] runs, factored out so the batch-twin oracle query
+    * (`scd2_stream_replay`) DuckDB-gates the same code the stream
+    * executes: first batch initializes the history (valid_from = ts,
+    * open-ended), every later batch is a full-snapshot [[graft.operators.Scd2.merge]].
+    */
+  def scd2ApplyBatch(existing: Option[DataFrame], batch: DataFrame,
+                     pkCols: Seq[String], attrCols: Seq[String],
+                     ts: Long): DataFrame =
+    existing match {
+      case Some(ex) =>
+        graft.operators.Scd2.merge(ex, batch, pkCols, attrCols, ts)
+      case None => batch
+        .withColumn("valid_from", lit(ts))
+        .withColumn("valid_to", lit(null).cast("long"))
+    }
+
   def scd2Stream(stream: DataFrame, pkCols: Seq[String], attrCols: Seq[String],
                  tsOf: Long => Long, tablePath: String,
                  checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -156,13 +173,7 @@ object ValidateStream {
         val existing =
           try Some(spark.read.parquet(tablePath)).filter(_.columns.nonEmpty)
           catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val merged = existing match {
-          case Some(ex) =>
-            graft.operators.Scd2.merge(ex, batch, pkCols, attrCols, tsOf(batchId))
-          case None => batch
-            .withColumn("valid_from", lit(tsOf(batchId)))
-            .withColumn("valid_to", lit(null).cast("long"))
-        }
+        val merged = scd2ApplyBatch(existing, batch, pkCols, attrCols, tsOf(batchId))
         val staging = tablePath + "__staging"
         merged.write.mode("overwrite").parquet(staging)
         graft.operators.Upsert.overwrite(spark, spark.read.parquet(staging), tablePath)
