@@ -598,7 +598,12 @@ object SparkEntry {
       // identical components, linear instead of quadratic edge count.
       val d = t(s, dir, "documents")
       val toks = array_distinct(T.tokens(lower(col("text"))))
-      val edges = D.lshBucketStarEdges(d, "doc_id", toks, k = 4, bands = 2)
+      // corpus size from parquet footers bounds the max bucket: below
+      // the hot threshold the star join skips the hot-key machinery
+      val nDocs = graft.sources.ParquetMeta.rowCount(s, s"$dir/documents.parquet")
+      val mayHot = nDocs >= graft.operators.ConnectedComponents.defaultHotThreshold
+      val edges = D.lshBucketStarEdges(d, "doc_id", toks, k = 4, bands = 2,
+        mayHaveHot = mayHot)
       ConnectedComponents.clusters(d.select("doc_id"), "doc_id", edges, "id_a", "id_b")
     }),
 

@@ -121,18 +121,31 @@ object DedupFunctions {
     * [[graft.operators.ConnectedComponents]].
     */
   def lshBucketStarEdges(df: DataFrame, idCol: String, elemsCol: Column,
-                         k: Int = 16, bands: Int = 4): DataFrame = {
+                         k: Int = 16, bands: Int = 4,
+                         hotThreshold: Long =
+                           graft.operators.ConnectedComponents.defaultHotThreshold,
+                         mayHaveHot: Boolean = true): DataFrame = {
     val rows = k / bands
     val sig  = df.select(col(idCol).as("id"),
       graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
     val keys = sig.select(col("id"),
       explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
-    // per-bucket min via map-side-combined agg + salted join-back — a
-    // window min would push a hot bucket's whole membership through ONE
-    // sort task (the same straggler fixed in ConnectedComponents'
-    // half-rounds; AQE skew splitting does not apply to windows)
-    val mins = keys.groupBy(col("band_key")).agg(min(col("id")).as("id_a"))
-    graft.operators.Skew.saltedJoin(keys, mins, "band_key", salts = 16)
+    // per-bucket min via map-side-combined agg + hot-key-salted
+    // join-back — a window min would push a hot bucket's whole
+    // membership through ONE sort task (the same straggler fixed in
+    // ConnectedComponents' half-rounds; AQE skew splitting does not
+    // apply to windows). Uniform buckets join plain, zero replication;
+    // callers who can BOUND the corpus (catalog stats / parquet
+    // footers) below the threshold pass mayHaveHot=false and skip the
+    // hot machinery (its broadcast job) entirely.
+    val mins = keys.groupBy(col("band_key"))
+      .agg(min(col("id")).as("id_a"), count(lit(1)).as("__cnt"))
+    val joined =
+      if (mayHaveHot)
+        graft.operators.Skew.saltedJoinHotOnly(keys, mins, "band_key", "__cnt",
+          salts = 16, hotThreshold = hotThreshold)
+      else keys.join(mins.drop("__cnt"), Seq("band_key"))
+    joined
       .select(col("id_a"), col("id").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()

@@ -19,9 +19,11 @@ import org.apache.spark.storage.StorageLevel
   * a single sort task, which is what the previous window-based
   * (`min(v) OVER (PARTITION BY u)`) formulation cost: window aggregates
   * cannot partial-aggregate, and AQE skew splitting does not apply to
-  * window partitions. The join back is salted (`Skew.saltedJoin`), so a
-  * hub key's edge rows fan out across `ccSalts` reducer keys
-  * deterministically.
+  * window partitions. The join back is hot-key salted
+  * (`Skew.saltedJoinHotOnly`): only keys above a neighbor-count
+  * threshold pay the salt, so a hub's edge rows fan out across
+  * `ccSalts` reducer keys while a uniform graph joins plain with zero
+  * replication.
   *
   * 100 TB design notes:
   *  - per half-round: one map-side-combined shuffle for the min, one
@@ -43,25 +45,51 @@ object ConnectedComponents {
     * not depend on AQE detecting the skew at runtime — AQE's skew-join
     * rewrite only matches a shuffle stage DIRECTLY under the join, and
     * the mins side here sits behind a final HashAggregate, so it would
-    * never fire). Cost: the mins side is replicated `ccSalts`× before
-    * its shuffle — one (long,long,int) row per node per salt, cheap next
-    * to the edge side it is protecting.
+    * never fire). Salting is hot-key-only ([[Skew.saltedJoinHotOnly]]):
+    * keys with ≥ `defaultHotThreshold` neighbors — by pigeonhole at
+    * most |E|/threshold keys, a broadcastable set — pay the salt; on a
+    * uniform graph the join degenerates to a plain shuffle join with
+    * zero replication.
     */
   private val ccSalts = 16
+
+  /** Neighbor count at which a key counts as a hub. 100k rows ≈ 1.6 MB
+    * of edge data per reducer before salting even starts to matter;
+    * tests pass a low value to exercise the hub path at toy scale.
+    */
+  val defaultHotThreshold = 100000L
+
+  /** Join the per-key mins (carrying `__cnt`) back onto `big`. When
+    * `mayHaveHot` is false — the caller PROVED no key can reach the hot
+    * threshold (total row count < threshold, known for free from the
+    * convergence checksum) — this is a plain shuffle join with no
+    * broadcast job and no duplicate aggregate evaluation; otherwise the
+    * hot-key-salted join fans hub rows across `ccSalts` reducer keys.
+    * Either way: no window, map-side-combined min, identical results.
+    */
+  private def minJoinBack(big: DataFrame, mins: DataFrame, key: String,
+                          hotThreshold: Long, mayHaveHot: Boolean): DataFrame =
+    if (mayHaveHot)
+      Skew.saltedJoinHotOnly(big, mins, key, "__cnt", ccSalts, hotThreshold)
+    else
+      big.join(mins.drop("__cnt"), Seq(key))
 
   /** large-star half-round: connect every neighbor larger than u to u's
     * minimum neighborhood label; keeps large components shrinking in
     * parallel. Exposed for plan-shape tests (no WindowExec).
     */
-  private[graft] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame,
+                               hotThreshold: Long = defaultHotThreshold,
+                               mayHaveHot: Boolean = true): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
     // per-node min over the full symmetric neighborhood; partial-aggregates
-    // map-side, so a hub key arrives at the reducer pre-combined
-    val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
-      .select($"u", least($"u", $"mn").as("m"))
-    Skew.saltedJoin(sym.filter($"v" > $"u"), mins, "u", ccSalts)
+    // map-side, so a hub key arrives at the reducer pre-combined — and the
+    // same aggregate yields the neighbor count that drives hot-key salting
+    val mins = sym.groupBy($"u").agg(min($"v").as("mn"), count(lit(1)).as("__cnt"))
+      .select($"u", least($"u", $"mn").as("m"), $"__cnt")
+    minJoinBack(sym.filter($"v" > $"u"), mins, "u", hotThreshold, mayHaveHot)
       .select($"v".as("a"), $"m".as("b"))
       .filter($"a" =!= $"b")
       .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
@@ -72,11 +100,13 @@ object ConnectedComponents {
     * around each big endpoint v, point every small neighbor and v
     * itself at the minimum small neighbor.
     */
-  private[graft] def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame,
+                               hotThreshold: Long = defaultHotThreshold,
+                               mayHaveHot: Boolean = true): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val mins = e.groupBy($"v").agg(min($"u").as("m"))
-    val reattached = Skew.saltedJoin(e, mins, "v", ccSalts)
+    val mins = e.groupBy($"v").agg(min($"u").as("m"), count(lit(1)).as("__cnt"))
+    val reattached = minJoinBack(e, mins, "v", hotThreshold, mayHaveHot)
       .filter($"u" =!= $"m").select($"u".as("a"), $"m".as("b"))
     // one center row per distinct v suffices (the trailing distinct
     // would collapse the per-edge duplicates anyway)
@@ -101,7 +131,8 @@ object ConnectedComponents {
     * Node ids must be non-null and are compared as longs.
     */
   def assign(pairs: DataFrame, srcCol: String, dstCol: String,
-             maxIter: Int = 50): DataFrame = {
+             maxIter: Int = 50,
+             hotThreshold: Long = defaultHotThreshold): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -129,7 +160,13 @@ object ConnectedComponents {
     // We hold the prior round's checkpointed RDDs directly.
     var prevCkpt: Seq[RDD[_]] = persistedAncestors(edges.queryExecution.toRdd)
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      // the checksum already hands us the exact edge count: a key's
+      // multiplicity is bounded by 2x the edge rows, so below the
+      // threshold NO key can be hot and the half-rounds skip the
+      // hot-key machinery (no broadcast job, no salt) outright
+      val mayHaveHot = 2 * prev._1 >= hotThreshold
+      edges = smallStar(largeStar(edges, hotThreshold, mayHaveHot),
+        hotThreshold, mayHaveHot).localCheckpoint()
       val cur = checksum(edges)
       val curCkpt = persistedAncestors(edges.queryExecution.toRdd)
       prevCkpt.foreach(_.unpersist(blocking = false))

@@ -38,4 +38,35 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Salted join that pays the salt tax ONLY on hot keys. `small` must
+    * carry `countCol` = the big-side multiplicity of its key (callers
+    * that build `small` with a groupBy get it for free from the same
+    * aggregate). Keys at or above `hotThreshold` are the hot set — by
+    * pigeonhole it holds at most Σcount/hotThreshold keys, so it
+    * BROADCASTS — and only their big-side rows get a random salt in
+    * [0, salts); everything else joins on salt 0 with zero small-side
+    * replication. On uniform data this degenerates to a plain shuffle
+    * join (empty broadcast, no replication); under a zipf hub the hub's
+    * rows fan out across `salts` reducer keys deterministically. Same
+    * result set as [[saltedJoin]] / a plain inner join on `key`.
+    */
+  def saltedJoinHotOnly(big: DataFrame, small: DataFrame, key: String,
+                        countCol: String, salts: Int,
+                        hotThreshold: Long): DataFrame = {
+    val hot = small.filter(col(countCol) >= hotThreshold)
+      .select(col(key)).withColumn("__hot", lit(true))
+    val bigSalted = big.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("__hot")
+    val smallSalted = small
+      .withColumn("__salt", explode(
+        when(col(countCol) >= hotThreshold, sequence(lit(0), lit(salts - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+      .drop(countCol)
+    bigSalted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -251,7 +251,9 @@ class ScaleSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val labels =
       try {
-        val got = ConnectedComponents.assign(edges, "a", "b")
+        // hotThreshold lowered so the 12k-edge hub counts as hot at toy
+        // scale (production default is 100k neighbors)
+        val got = ConnectedComponents.assign(edges, "a", "b", hotThreshold = 1000L)
           .as[(Long, Long)].collect()
         // listener delivery is async; give the bus a beat to drain
         var waited = 0
