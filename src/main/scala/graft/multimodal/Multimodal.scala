@@ -473,7 +473,13 @@ object Multimodal {
     private val TrackTypeId = 0x83L
     private val PixelWidthId = 0xB0L
     private val PixelHeightId = 0xBAL
-    private val containers = Set(SegmentId, TracksId, TrackEntryId, VideoId)
+    private val CuesId = 0x1C53BB6BL
+    private val CuePointId = 0xBBL
+    private val CueTimeId = 0xB3L
+    private val CueTrackPositionsId = 0xB7L
+    private val CueClusterPositionId = 0xF1L
+    private val containers = Set(SegmentId, TracksId, TrackEntryId, VideoId,
+      CuesId, CuePointId, CueTrackPositionsId)
 
     private def uint(p: Array[Byte], o: Int, n: Int): Long = {
       var v = 0L
@@ -548,6 +554,45 @@ object Multimodal {
       // EBML — report zero dimensions rather than falling through to
       // the audio decoder (which would misclassify the payload)
       else Some(MediaMeta(id, p.length, 0, 0, 0, "webm"))
+    }
+
+    /** The Matroska keyframe index: Segment > Cues > CuePoint carries
+      * (CueTime, CueClusterPosition), where the position is relative to
+      * the segment body — the webm analog of mp4's stss/stco walk.
+      * Returns [[Mp4Meta.KeyframeRange]]s: sample = cue index (1-based),
+      * offset = absolute cluster byte offset, nBytes = up to the next
+      * cue's cluster (or end of input). An external decoder fed one
+      * cluster slice gets the keyframe plus its dependent frames — the
+      * seekable unit Matroska defines. Malformed cues → empty (fuzz-safe).
+      */
+    def cueRanges(p: Array[Byte]): Seq[Mp4Meta.KeyframeRange] = {
+      if (!isEbml(p)) return Seq.empty
+      var segBody = -1L
+      val cues = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var curTime = -1L
+      var curPos = -1L
+      def flush(): Unit = {
+        if (curTime >= 0 && curPos >= 0) cues += ((curTime, curPos))
+        curTime = -1; curPos = -1
+      }
+      walk(p, 0, p.length, { (id, b, e) =>
+        id match {
+          case SegmentId => if (segBody < 0) segBody = b.toLong
+          case CuePointId => flush()
+          case CueTimeId => curTime = uint(p, b, e - b)
+          case CueClusterPositionId => curPos = uint(p, b, e - b)
+          case _ => ()
+        }
+      })
+      flush()
+      if (segBody < 0) return Seq.empty
+      val offsets = cues.map { case (t, pos) => (t, segBody + pos) }
+        .filter { case (_, off) => off >= segBody && off <= p.length }
+        .sortBy(_._2)
+      offsets.zipWithIndex.map { case ((_, off), i) =>
+        val end = if (i + 1 < offsets.length) offsets(i + 1)._2 else p.length.toLong
+        Mp4Meta.KeyframeRange(i + 1, off, end - off)
+      }.toSeq
     }
   }
 
@@ -633,11 +678,19 @@ object Multimodal {
       .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("id", "frame_idx")
 
-  /** Keyframe → byte-range index over a column of mp4 payloads: one row
-    * per sync sample (id, sample, offset, n_bytes). mapPartitions over
-    * the payloads in place — the heavy binary column never shuffles;
-    * what flows on is the small index table an external decoder (or a
-    * storage-side ranged read at 100 TB) consumes.
+  /** Keyframe byte ranges for one payload: mp4 sync-sample walk first,
+    * Matroska cue index for webm/EBML payloads. */
+  private def keyframeRangesOf(payload: Array[Byte]): Seq[Mp4Meta.KeyframeRange] = {
+    val mp4 = Mp4Meta.keyframes(payload)
+    if (mp4.nonEmpty) mp4 else WebmMeta.cueRanges(payload)
+  }
+
+  /** Keyframe → byte-range index over a column of video payloads (mp4
+    * sync samples, webm cue points): one row per keyframe (id, sample,
+    * offset, n_bytes). mapPartitions over the payloads in place — the
+    * heavy binary column never shuffles; what flows on is the small
+    * index table an external decoder (or a storage-side ranged read at
+    * 100 TB) consumes.
     */
   def videoKeyframes(df: DataFrame, idCol: String, payloadCol: String): Dataset[VideoKeyframe] = {
     val spark = df.sparkSession
@@ -647,7 +700,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, p) =>
           val payload = Option(p).getOrElse(Array.empty[Byte])
-          Mp4Meta.keyframes(payload)
+          keyframeRangesOf(payload)
             .map(k => VideoKeyframe(id, k.sample, k.offset, k.nBytes))
         }
       }
@@ -661,11 +714,11 @@ object Multimodal {
     * has no H.264/VP9 codec; the engine's job is the index + the
     * partition-local plumbing, the decoder plugs in per deployment.
     *
-    * mp4 payloads ship only their keyframe slices (the whole point of
-    * the index); a webm/EBML payload has no byte-accurate frame index
-    * in its headers, so it ships whole with sample = -1 and the decoder
-    * owns frame extraction. Payloads never shuffle: the pipe runs on
-    * the scan partitions.
+    * mp4 payloads ship only their keyframe slices; webm payloads ship
+    * per-cue-point cluster slices (the Matroska seek unit). An EBML
+    * payload with no cue index ships whole with sample = -1 and the
+    * decoder owns frame extraction. Payloads never shuffle: the pipe
+    * runs on the scan partitions.
     */
   def sampleKeyframesPipe(df: DataFrame, idCol: String, payloadCol: String,
                           command: Seq[String], stride: Int = 1): DataFrame = {
@@ -678,7 +731,7 @@ object Multimodal {
         val enc = java.util.Base64.getEncoder
         it.flatMap { case (id, p) =>
           val payload = Option(p).getOrElse(Array.empty[Byte])
-          val kfs = Mp4Meta.keyframes(payload)
+          val kfs = keyframeRangesOf(payload)
           if (kfs.nonEmpty)
             kfs.zipWithIndex.collect {
               case (k, i) if i % stride == 0 &&

@@ -426,6 +426,58 @@ class MultimodalSpec extends SparkSpec {
     assert(viaPipeline.format == "webm")
   }
 
+  test("WebmMeta.cueRanges: Matroska cue index yields cluster byte ranges") {
+    def el(id: Array[Int], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127)
+      id.map(_.toByte) ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    def u32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cluster(fill: Byte, n: Int) =
+      el(Array(0x1F, 0x43, 0xB6, 0x75), Array.fill(n)(fill))
+    def cuePoint(timeMs: Long, pos: Long) =
+      el(Array(0xBB), el(Array(0xB3), u32(timeMs)) ++
+        el(Array(0xB7), el(Array(0xF1), u32(pos))))
+
+    // fixed-width cue values → cues length is structure-determined, so
+    // cluster positions (relative to segment body) can be computed
+    val c1 = cluster(1, 20)
+    val c2 = cluster(2, 30)
+    val cuesLen = el(Array(0x1C, 0x53, 0xBB, 0x6B),
+      cuePoint(0, 0) ++ cuePoint(40, 0)).length
+    val c1Pos = cuesLen           // segment body = [cues][c1][c2]
+    val c2Pos = cuesLen + c1.length
+    val cues = el(Array(0x1C, 0x53, 0xBB, 0x6B),
+      cuePoint(0, c1Pos) ++ cuePoint(40, c2Pos))
+    val header = el(Array(0x1A, 0x45, 0xDF, 0xA3), el(Array(0x42, 0x82), "webm".getBytes))
+    val webm = header ++ el(Array(0x18, 0x53, 0x80, 0x67), cues ++ c1 ++ c2)
+
+    val ranges = Multimodal.WebmMeta.cueRanges(webm)
+    assert(ranges.map(_.sample) == Seq(1, 2))
+    // ranges cover [cluster1 start, cluster2 start) and [cluster2, end)
+    val segBody = header.length + 5 // segment id (4) + 1-byte size
+    assert(ranges(0).offset == segBody + c1Pos && ranges(0).nBytes == c1.length.toLong)
+    assert(ranges(1).offset == segBody + c2Pos &&
+      ranges(1).nBytes == (webm.length - (segBody + c2Pos)).toLong)
+    // the sliced bytes ARE the cluster elements
+    val s1 = webm.slice(ranges(0).offset.toInt, (ranges(0).offset + ranges(0).nBytes).toInt)
+    assert((s1(0) & 0xff) == 0x1F && s1.count(_ == 1.toByte) == 20)
+
+    // Dataset API + pipe seam route webm through cue slices, not whole-payload
+    val df = Seq((5L, webm)).toDF("id", "payload")
+    val idx = Multimodal.videoKeyframes(df, "id", "payload").collect()
+    assert(idx.map(_.sample).sorted.toSeq == Seq(1, 2))
+    val piped = Multimodal.sampleKeyframesPipe(df, "id", "payload", Seq("cat"))
+      .collect().map(_.getInt(1)).sorted
+    assert(piped.toSeq == Seq(1, 2), "webm with cues must ship cue slices")
+
+    // cueless EBML still falls back to whole-payload, sample = -1
+    val noCues = header
+    val whole = Multimodal.sampleKeyframesPipe(
+      Seq((6L, noCues)).toDF("id", "payload"), "id", "payload", Seq("cat")).collect()
+    assert(whole.length == 1 && whole.head.getInt(1) == -1)
+  }
+
   test("container parsers never throw on malformed or adversarial bytes") {
     val mp4ish = "....ftyp".getBytes
     val ebmlMagic = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)
