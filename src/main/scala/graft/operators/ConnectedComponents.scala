@@ -194,8 +194,9 @@ object ConnectedComponents {
     * `is_canonical` rows is the dedup.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-               srcCol: String, dstCol: String): DataFrame = {
-    val comp = assign(pairs, srcCol, dstCol)
+               srcCol: String, dstCol: String,
+               hotThreshold: Long = defaultHotThreshold): DataFrame = {
+    val comp = assign(pairs, srcCol, dstCol, hotThreshold = hotThreshold)
       .withColumnRenamed("id", "__cc_id")
     docs.select(col(idCol).cast("long").as(idCol))
       .join(comp, col(idCol) === col("__cc_id"), "left")

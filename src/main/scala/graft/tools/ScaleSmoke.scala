@@ -248,6 +248,85 @@ object ScaleSmoke {
         .count()
     }
 
+    // ---- round-5: zipf mega-cluster skew sweep -----------------------
+    // the web-corpus shape: ONE 10⁴-member near-dup cluster over a
+    // distinct background. Each op also reports the max task
+    // shuffle-read rows — the straggler number a wall clock hides.
+    // per-stage task shuffle-read rows; the straggler signal is the max
+    // task in a MULTI-task stage (a broadcast-relation build is one task
+    // reading its whole input by design, bounded by the broadcast
+    // threshold — not a straggler). Residual caveat: AQE coalescing can
+    // still assign a whole tiny shuffle to one task — that max is
+    // bounded by advisoryPartitionSizeInBytes, so it reads as "one
+    // advisory-sized task", not a hub funnel.
+    val stageReads = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          stageReads.updateWith(t.stageId) {
+            case Some(l) => Some(m.shuffleReadMetrics.recordsRead :: l)
+            case None    => Some(List(m.shuffleReadMetrics.recordsRead))
+          }
+      }
+    })
+    def timeSkew(name: String, rows: Long)(f: => Long): Unit = {
+      stageReads.clear()
+      val t0 = System.nanoTime()
+      val n = f
+      Thread.sleep(300) // listener bus drains async
+      val multi = stageReads.values.filter(_.size >= 2)
+      val maxTask = if (multi.isEmpty) 0L else multi.map(_.max).max
+      println(f"SMOKE $name%-28s in=$rows%9d out=$n%9d ${(System.nanoTime() - t0) / 1e9}%7.2f s max_task_rows=$maxTask%d")
+    }
+
+    // shrink AQE's advisory sizes: at smoke volumes the default 64 MB
+    // target coalesces every shuffle into ONE partition, which would
+    // make max_task_rows measure coalescing, not skew
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "32k")
+
+    val megaN = 10000L
+    val zipfDocs = spark.range(megaN)
+      .select((col("id") + 900000000L).as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+      .unionByName(docs0.select(col("doc_id"), col("text")))
+      .persist()
+    val nZipf = zipfDocs.count()
+    val zToks = array_distinct(T.tokens(lower(col("text"))))
+
+    // star edges stay LINEAR (≤ docs × bands) and the hub fans out
+    // across salted reducer keys (hotThreshold below the cluster size)
+    timeSkew("zipf_star_edges", nZipf) {
+      graft.functions.DedupFunctions.lshBucketStarEdges(
+        zipfDocs, "doc_id", zToks, k = 4, bands = 2, hotThreshold = 5000L).count()
+    }
+    timeSkew("zipf_cc_cluster", nZipf) {
+      val edges = graft.functions.DedupFunctions.lshBucketStarEdges(
+        zipfDocs, "doc_id", zToks, k = 4, bands = 2, hotThreshold = 5000L)
+      graft.operators.ConnectedComponents.clusters(
+        zipfDocs.select("doc_id"), "doc_id", edges, "id_a", "id_b",
+        hotThreshold = 5000L).count()
+    }
+    // pairwise candidates with the bucket cap: the 10⁴ bucket (5·10⁷
+    // pairs per band uncapped) is pruned from the quadratic path
+    timeSkew("zipf_capped_pairs", nZipf) {
+      graft.functions.DedupFunctions.lshCandidatePairs(
+        zipfDocs, "doc_id", zToks, k = 4, bands = 2, maxBucket = 2000).count()
+    }
+    // embedding band join under the same shape: 10⁴ identical vectors
+    // in one bucket, capped; background near-dups still verified
+    val zipfEmb = spark.range(megaN)
+      .select((col("id") + 900000000L).as("vec_id"),
+        array((0 until 64).map(_ => lit(1.0f)): _*).as("embedding"))
+      .unionByName(emb0.select(col("vec_id"), col("embedding")))
+      .persist()
+    val nZipfEmb = zipfEmb.count()
+    timeSkew("zipf_banded_neardup", nZipfEmb) {
+      V.bandedNearDup(zipfEmb, "vec_id", "embedding", bands = 3,
+        bitsPerBand = 16, minCos = 0.95, maxBucket = 2000).count()
+    }
+
     spark.stop()
   }
 }
