@@ -2184,6 +2184,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val revExpr = "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(30,4))) AS DOUBLE)"
+    // minhash component i over a per-doc list `hs` of md5(token) hex
+    // strings: (h1 + i*h2) mod 2^64 as 16-char lower hex — the exact
+    // Kirsch–Mitzenmacher derivation plans/MinHashExpression computes
+    def oracleMinhash(i: Int): String = {
+      val h1 = "CAST(CAST(('0x' || substring(h,1,16)) AS UBIGINT) AS HUGEINT)"
+      val h2 = "CAST(CAST(('0x' || substring(h,17,16)) AS UBIGINT) AS HUGEINT)"
+      s"list_aggregate(list_transform(hs, h -> lower(lpad(to_hex(CAST(($h1 + $i * $h2) " +
+        s"% CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)), 16, '0'))), 'min') AS mh$i"
+    }
     Map(
       "q1_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -2615,13 +2624,13 @@ object SparkEntry {
            FROM documents GROUP BY lang""",
 
       "dedup_minhash_sig" -> {
-        def mh(i: Int) =
-          s"list_aggregate(list_transform(toks, t -> md5('$i:' || t)), 'min') AS mh$i"
         s"""WITH tok AS (
              SELECT doc_id,
                     list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
-             FROM documents)
-           SELECT doc_id, ${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)} FROM tok"""
+             FROM documents),
+           hs AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM tok)
+           SELECT doc_id, ${oracleMinhash(0)}, ${oracleMinhash(1)},
+                  ${oracleMinhash(2)}, ${oracleMinhash(3)} FROM hs"""
       },
 
       "dedup_ngram_jaccard" ->
@@ -2640,37 +2649,36 @@ object SparkEntry {
            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
 
       "dedup_minhash_estimate" -> {
-        val mhs = (0 until 16).map(i =>
-          s"list_aggregate(list_transform(toks, t -> md5('$i:' || t)), 'min') AS mh$i")
-          .mkString(", ")
+        val mhs = (0 until 16).map(oracleMinhash).mkString(", ")
         val agree = (0 until 16).map(i =>
           s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
         s"""WITH tok AS (
              SELECT doc_id,
                     list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
              FROM documents),
-           sig AS (SELECT doc_id, toks, $mhs FROM tok)
+           sig AS (SELECT doc_id, toks,
+                          list_transform(toks, t -> md5(t)) AS hs
+                   FROM tok),
+           sig2 AS (SELECT doc_id, toks, $mhs FROM sig)
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   ROUND(CAST($agree AS DOUBLE) / 16.0, 6) AS est_jaccard,
                   ROUND(CASE WHEN len(list_distinct(a.toks || b.toks)) = 0 THEN 1.0
                         ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                              / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) END, 6)
                     AS exact_jaccard
-           FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1"""
+           FROM sig2 a JOIN sig2 b ON b.doc_id = a.doc_id + 1"""
       },
 
       "dedup_cluster_assign" ->
-        """WITH RECURSIVE tok AS (
+        s"""WITH RECURSIVE tok AS (
              SELECT doc_id,
-                    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+                    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
              FROM documents),
+           hs AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM tok),
            sig AS (
-             SELECT doc_id,
-                    list_aggregate(list_transform(toks, t -> md5('0:' || t)), 'min') AS mh0,
-                    list_aggregate(list_transform(toks, t -> md5('1:' || t)), 'min') AS mh1,
-                    list_aggregate(list_transform(toks, t -> md5('2:' || t)), 'min') AS mh2,
-                    list_aggregate(list_transform(toks, t -> md5('3:' || t)), 'min') AS mh3
-             FROM tok),
+             SELECT doc_id, ${oracleMinhash(0)}, ${oracleMinhash(1)},
+                    ${oracleMinhash(2)}, ${oracleMinhash(3)}
+             FROM hs),
            bk AS (
              SELECT doc_id, md5('band0:' || mh0 || '|' || mh1) AS k FROM sig
              UNION ALL

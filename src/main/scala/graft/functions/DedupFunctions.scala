@@ -18,16 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
-  /** One minhash component: min over `elems` of md5(seed || elem).
-    * Lexicographic min over hex strings is a perfectly good min-wise
-    * hash; md5 keeps it engine-portable.
+  /** k-component minhash signature over a token/shingle array: ONE md5
+    * per token split into 64-bit halves (h1, h2), component i = min of
+    * `(h1 + i·h2) mod 2^64` as 16-char lower hex (Kirsch–Mitzenmacher
+    * double hashing — see [[graft.plans.MinHashSignature]]; md5-anchored
+    * so every engine replays it). One array pass, codegen'd.
     */
-  def minhashComponent(elems: Column, seed: Int): Column =
-    array_min(transform(elems, e => md5(concat(lit(seed.toString + ":"), e))))
-
-  /** k-component minhash signature over a token/shingle array. */
   def minhashSignature(elems: Column, k: Int): Column =
-    array((0 until k).map(minhashComponent(elems, _)): _*)
+    graft.plans.MinHashSignature.signature(elems, k)
 
   /** LSH band key: md5 over one band (rows per band) of the signature,
     * prefixed with the band id. Equal band key ⇒ candidate pair.

@@ -15,15 +15,34 @@ class MinHashExpressionSpec extends SparkSpec {
     (4L, "")
   ).toDF("doc_id", "text")
 
-  test("native expression matches the composed-expression minhash bit-for-bit") {
-    val toks = TextFunctions.tokens(lower(col("text")))
-    val both = docs.select(
-      col("doc_id"),
-      MinHashSignature.signature(toks, 8).as("native"),
-      DedupFunctions.minhashSignature(toks, 8).as("composed"))
-    val rows = both.collect()
-    rows.foreach { r =>
-      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+  test("native expression matches an independent driver-side reference bit-for-bit") {
+    // reference: BigInt arithmetic over the md5 hex string — the same
+    // derivation the DuckDB oracle replays (one digest per token,
+    // component i = min of (h1 + i*h2) mod 2^64 as 16-char lower hex)
+    def refSig(toks: Seq[String], k: Int): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val two64 = BigInt(2).pow(64)
+      val mins = Array.fill(k)(Option.empty[BigInt])
+      toks.foreach { t =>
+        val hexStr = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h1 = BigInt(hexStr.substring(0, 16), 16)
+        val h2 = BigInt(hexStr.substring(16, 32), 16)
+        (0 until k).foreach { i =>
+          val v = (h1 + BigInt(i) * h2).mod(two64)
+          if (mins(i).forall(v < _)) mins(i) = Some(v)
+        }
+      }
+      mins.toSeq.map(_.map(v => f"$v%016x").getOrElse(""))
+    }
+    val tokenSets = Seq(
+      Seq("alpha", "beta", "gamma"), Seq("alpha", "beta"),
+      Seq(""), Seq("one", "one", "two"), Seq.empty[String])
+    val df = tokenSets.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val got = df.select(col("id"), MinHashSignature.signature(col("toks"), 8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    tokenSets.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refSig(t, 8), s"token set $t")
     }
   }
 
@@ -37,7 +56,7 @@ class MinHashExpressionSpec extends SparkSpec {
     val byId = out.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(byId(1L) == byId(2L))   // identical docs → identical signatures
     assert(byId(1L) != byId(3L))
-    assert(byId(1L).forall(_.length == 32)) // md5 hex
+    assert(byId(1L).forall(_.length == 16)) // 64-bit lower hex
 
     // the full SQL function surface: dot_product + winnow resolve and
     // agree with their Column-API twins
