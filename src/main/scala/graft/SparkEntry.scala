@@ -1329,6 +1329,18 @@ object SparkEntry {
         col("vec_id") < 10, k = 3, clusters = 4, iters = 2)
     }),
 
+    "sim_ivf_persisted" -> ((s, dir) => {
+      // the operational IVF shape: train + assign ONCE into a persisted
+      // index (centroids + id→cell tables; vectors never copied), then
+      // answer queries from the index. Must be bit-identical to the
+      // train-per-call sim_ivf_kmeans — same oracle gates both.
+      val emb = t(s, dir, "embeddings")
+      val idxPath = tmpPath(dir, "ivf_index")
+      V.saveIvfIndex(emb, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      V.ivfTopKFromIndex(idxPath, emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 3)
+    }),
+
     "vec_normalize" -> ((s, dir) => {
       // L2 normalization audit: unit norms after normalize (zero
       // vectors pass through), projected to a comparable digest
@@ -2193,7 +2205,7 @@ object SparkEntry {
       s"list_aggregate(list_transform(hs, h -> lower(lpad(to_hex(CAST(($h1 + $i * $h2) " +
         s"% CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)), 16, '0'))), 'min') AS mh$i"
     }
-    Map(
+    val m = Map(
       "q1_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
@@ -4176,5 +4188,8 @@ object SparkEntry {
                   CAST(n % 7 + 1 AS BIGINT) AS n_frames
            FROM counts"""
     )
+    // the persisted-index IVF path must be bit-identical to the
+    // train-per-call path — gate it against the same oracle
+    m + ("sim_ivf_persisted" -> m("sim_ivf_kmeans"))
   }
 }

@@ -277,11 +277,19 @@ object VectorFunctions {
     val cents = kmeansCentroids(df, idCol, vecCol, clusters, iters)
     val cells = kmeansAssign(df, idCol, vecCol, cents)
     val c = cells.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("cid"))
-    // per-query nprobe nearest cells: the same distance expression (and
-    // cid tie-break) kmeansAssign ranks with, so nprobe=1 probes exactly
-    // the query's own cell
     val q0 = df.filter(queryFilter)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    ivfSearch(cents, c, q0, k, roundScale, nprobe)
+  }
+
+  /** Probe-and-rank core shared by the train-per-call and persisted-
+    * index IVF paths: per query, the `nprobe` nearest cells by the
+    * exact distance expression (and cid tie-break) kmeansAssign ranks
+    * with — so nprobe=1 probes exactly the query's own cell — then an
+    * equi-join on `cid` and exact cosine rank inside the probed cells.
+    */
+  private def ivfSearch(cents: DataFrame, cells: DataFrame, q0: DataFrame,
+                        k: Int, roundScale: Int, nprobe: Int): DataFrame = {
     val probed = q0.crossJoin(broadcast(cents))
       .withColumn("__dist",
         dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid")) +
@@ -290,11 +298,44 @@ object VectorFunctions {
     val q = probed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cid"))
-    val joined = c.join(broadcast(q), Seq("cid"))
+    val joined = cells.join(broadcast(q), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     rankTopK(joined, "q_id", "c_id", k)
       .select(col("q_id"), col("c_id"), round(col("score"), roundScale).as("score"), col("rank"))
+  }
+
+  /** Train and PERSIST an IVF index: centroids plus the (id, cid) cell
+    * assignment as two parquet tables under `path`. Build once, query
+    * many — at 100 TB retraining and reassigning per query batch is the
+    * difference between an index and a scan. Vectors are NOT copied
+    * into the index (cells carry ids only); queries re-join the corpus.
+    */
+  def saveIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                   path: String, clusters: Int, iters: Int): Unit = {
+    val cents = kmeansCentroids(df, idCol, vecCol, clusters, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    kmeansAssign(df, idCol, vecCol, cents)
+      .select(col(idCol).as("id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** IVF top-k against a persisted index (see [[saveIvfIndex]]): cell
+    * ids join back to the corpus by id for vectors, centroids broadcast
+    * for the probe. Identical results to [[kmeansIvfTopK]] with the
+    * same training parameters.
+    */
+  def ivfTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
+                       vecCol: String, queryFilter: Column, k: Int,
+                       roundScale: Int = 6, nprobe: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("c_vec")), Seq("id"))
+      .select(col("id").as("c_id"), col("c_vec"), col("cid"))
+    val q0 = corpus.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    ivfSearch(cents, cells, q0, k, roundScale, nprobe)
   }
 
   // ---- product quantization (PQ) ------------------------------------

@@ -127,6 +127,34 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.95, s"IVF top-1 recall $recall below bound")
   }
 
+  test("IVF persisted index: save + load answers identically to train-per-call") {
+    import graft.functions.VectorFunctions
+    val n = 400
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim) { d =>
+        val base = if (d == c * 2) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = tmpDir("ivf-idx") + "/index"
+    VectorFunctions.saveIvfIndex(df, "vec_id", "embedding", path, clusters = 4, iters = 3)
+    // index tables persisted: centroids (k rows) + id→cell (no vectors)
+    assert(spark.read.parquet(s"$path/centroids").count() == 4)
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.columns.toSet == Set("id", "cid") && cells.count() == n.toLong)
+
+    val direct = VectorFunctions.kmeansIvfTopK(df, "vec_id", "embedding",
+      col("vec_id") < 20, k = 3, clusters = 4, iters = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val fromIndex = VectorFunctions.ivfTopKFromIndex(path, df, "vec_id", "embedding",
+      col("vec_id") < 20, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(fromIndex == direct, "persisted-index results must be bit-identical")
+  }
+
   test("IVF nprobe: probing a second cell recovers boundary-query neighbors") {
     import graft.functions.VectorFunctions
     // cells are L2 but ranking is cosine: plant 6 L2-clusters = 3
