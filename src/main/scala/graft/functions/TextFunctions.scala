@@ -20,7 +20,10 @@ object TextFunctions {
     split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column =
-    size(tokens(text))
+    // one native pass (graft.plans.TokenGramStatsExpr) — identical count
+    // to size(tokens(text)) (property-tested Spark-split semantics)
+    // without materializing the token array
+    graft.plans.TokenGramStatsExpr.stats(text, 2).getField("n_tok")
 
   /** BPE-ish subword count: word-chars runs, digits, and punctuation
     * each count as a token (a cheap proxy for byte-pair encoding used
@@ -71,11 +74,15 @@ object TextFunctions {
     * dedup/teacher scoring at corpus scale.
     */
   def qualityScore(text: Column): Column = {
+    // one fused native pass supplies the token count AND the alpha-space
+    // char count (== length(regexp_replace(text, '[^A-Za-z ]', '')) —
+    // the regex form allocated a scrubbed copy of every document)
+    val st        = graft.plans.TokenGramStatsExpr.stats(text, 2)
     val len       = length(text).cast("double")
     val lenScore  = least(len / lit(500.0), lit(1.0))
-    val alpha     = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
+    val alpha     = st.getField("n_alpha_space_chars").cast("double") /
       greatest(len, lit(1.0))
-    val nTok      = tokenCount(text).cast("double")
+    val nTok      = st.getField("n_tok").cast("double")
     val avgWord   = len / greatest(nTok, lit(1.0))
     val wordScore = when(avgWord.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
     round((lenScore * lit(0.4) + alpha * lit(0.4) + wordScore * lit(0.2)), 6)

@@ -61,7 +61,12 @@ object TokenGramStatsExpr {
     StructField("n_grams", LongType, nullable = false),
     StructField("n_distinct_grams", LongType, nullable = false),
     StructField("sum_tok_len", LongType, nullable = false),
-    StructField("n_alpha_words", LongType, nullable = false)))
+    StructField("n_alpha_words", LongType, nullable = false),
+    // chars matching [A-Za-z ] over the FULL (untrimmed) text — the
+    // count length(regexp_replace(text, '[^A-Za-z ]', '')) produces,
+    // without the regex pass or the scrubbed-copy allocation; feeds
+    // TextFunctions.qualityScore's alpha ratio
+    StructField("n_alpha_space_chars", LongType, nullable = false)))
 
   private final val GramBase = 1000003L
 
@@ -70,6 +75,15 @@ object TokenGramStatsExpr {
 
   def compute(text: UTF8String, n: Int): InternalRow = {
     val bytes = text.getBytes
+    // alpha-space chars over the FULL text (each match is a single
+    // ASCII byte, so the byte count equals the char count on any UTF-8)
+    var alphaSpace = 0L
+    var ai = 0
+    while (ai < bytes.length) {
+      val c = bytes(ai) & 0xff
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || c == ' ') alphaSpace += 1
+      ai += 1
+    }
     var lo = 0
     var hi = bytes.length
     while (lo < hi && bytes(lo) == ' ') lo += 1
@@ -158,7 +172,7 @@ object TokenGramStatsExpr {
       }
       nDistinct = seen.size.toLong
     }
-    InternalRow(nTok.toLong, maxCnt, nGrams, nDistinct, sumLen, nAlpha)
+    InternalRow(nTok.toLong, maxCnt, nGrams, nDistinct, sumLen, nAlpha, alphaSpace)
   }
 
   def stats(text: Column, n: Int): Column =

@@ -68,7 +68,7 @@ class EdgeCaseSpec extends SparkSpec {
       DedupFunctions.simhash(TextFunctions.tokens(col("text")), 8).as("sh"),
       TextFunctions.shingles(col("text"), 3).as("sh3"))
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(out(2L).getAs[Int]("n") == 1)
+    assert(out(2L).getAs[Long]("n") == 1L)
     assert(out(1L).getAs[String]("lang") == "und")
     assert(out.values.forall(_.getAs[Long]("sh") >= 0))
   }

@@ -243,11 +243,14 @@ class PropertySpec extends SparkSpec {
         aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).as("hl"),
         st.getField("n_alpha_words").as("na"),
         size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("ha"),
+        st.getField("n_alpha_space_chars").as("nas"),
+        length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("long").as("has"),
         // n=1 shingle hashes ≡ the distinct lowered-token set
         size(graft.plans.ShingleHashExpr.shingleHashes(col("text"), 1)).as("nsh"),
         size(array_distinct(toks)).as("hsh"))
         .filter(col("nt") =!= col("ht") || col("nl") =!= col("hl") ||
-          col("na") =!= col("ha") || col("nsh") =!= col("hsh")).count()
+          col("na") =!= col("ha") || col("nas") =!= col("has") ||
+          col("nsh") =!= col("hsh")).count()
       assert(bad == 0, s"diverged on $texts")
     }
   }

@@ -18,7 +18,7 @@ class FunctionsSpec extends SparkSpec {
       TextFunctions.langId(col("text")).as("lang"),
       TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy("id").collect()
-    assert(out(0).getAs[Int]("n") == 12)
+    assert(out(0).getAs[Long]("n") == 12L)
     assert(out(0).getAs[String]("lang") == "en")
     assert(out(1).getAs[String]("lang") == "es")
     assert(out(2).getAs[String]("lang") == "und")
