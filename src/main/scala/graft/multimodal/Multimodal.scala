@@ -478,6 +478,8 @@ object Multimodal {
     private val CueTimeId = 0xB3L
     private val CueTrackPositionsId = 0xB7L
     private val CueClusterPositionId = 0xF1L
+    private val CueTrackId = 0xF7L
+    private val TrackNumberId = 0xD7L
     private val containers = Set(SegmentId, TracksId, TrackEntryId, VideoId,
       CuesId, CuePointId, CueTrackPositionsId)
 
@@ -568,26 +570,59 @@ object Multimodal {
     def cueRanges(p: Array[Byte]): Seq[Mp4Meta.KeyframeRange] = {
       if (!isEbml(p)) return Seq.empty
       var segBody = -1L
-      val cues = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      // video track number (first TrackType-1 entry): multi-track files
+      // carry one CueTrackPositions per track per cue point — only the
+      // video track's cluster positions are keyframe ranges
+      var videoTrack = -1L
+      var teType = -1L
+      var teNum = -1L
+      def flushTrackEntry(): Unit = {
+        if (videoTrack < 0 && teType == 1 && teNum > 0) videoTrack = teNum
+        teType = -1; teNum = -1
+      }
+      // per cue point: (time, [(cueTrack or -1, position)])
+      val cues = scala.collection.mutable.ArrayBuffer[(Long, List[(Long, Long)])]()
       var curTime = -1L
-      var curPos = -1L
-      def flush(): Unit = {
-        if (curTime >= 0 && curPos >= 0) cues += ((curTime, curPos))
-        curTime = -1; curPos = -1
+      var curPairs = List.empty[(Long, Long)]
+      var ctpTrack = -1L
+      var ctpPos = -1L
+      def flushPositions(): Unit = {
+        if (ctpPos >= 0) curPairs ::= ((ctpTrack, ctpPos))
+        ctpTrack = -1; ctpPos = -1
+      }
+      def flushCue(): Unit = {
+        flushPositions()
+        if (curTime >= 0 && curPairs.nonEmpty) cues += ((curTime, curPairs.reverse))
+        curTime = -1; curPairs = Nil
       }
       walk(p, 0, p.length, { (id, b, e) =>
         id match {
           case SegmentId => if (segBody < 0) segBody = b.toLong
-          case CuePointId => flush()
+          case TrackEntryId => flushTrackEntry()
+          case TrackTypeId => teType = uint(p, b, e - b)
+          case TrackNumberId => teNum = uint(p, b, e - b)
+          case CuePointId => flushCue()
           case CueTimeId => curTime = uint(p, b, e - b)
-          case CueClusterPositionId => curPos = uint(p, b, e - b)
+          case CueTrackPositionsId => flushPositions()
+          case CueTrackId => ctpTrack = uint(p, b, e - b)
+          case CueClusterPositionId => ctpPos = uint(p, b, e - b)
           case _ => ()
         }
       })
-      flush()
+      flushCue()
+      flushTrackEntry()
       if (segBody < 0) return Seq.empty
-      val offsets = cues.map { case (t, pos) => (t, segBody + pos) }
+      // prefer the video track's position; fall back to an untracked
+      // position (cue points without CueTrack), then to the first one
+      def choose(pairs: List[(Long, Long)]): Option[Long] =
+        (if (videoTrack > 0) pairs.find(_._1 == videoTrack) else None)
+          .orElse(pairs.find(_._1 < 0))
+          .orElse(if (videoTrack > 0) None else pairs.headOption)
+          .map(_._2)
+      val offsets = cues.flatMap { case (t, pairs) => choose(pairs).map(t -> _) }
+        .map { case (t, pos) => (t, segBody + pos) }
         .filter { case (_, off) => off >= segBody && off <= p.length }
+        .distinct
         .sortBy(_._2)
       offsets.zipWithIndex.map { case ((_, off), i) =>
         val end = if (i + 1 < offsets.length) offsets(i + 1)._2 else p.length.toLong

@@ -428,8 +428,11 @@ class MultimodalSpec extends SparkSpec {
 
   test("WebmMeta.cueRanges: Matroska cue index yields cluster byte ranges") {
     def el(id: Array[Int], body: Array[Byte]): Array[Byte] = {
-      require(body.length < 127)
-      id.map(_.toByte) ++ Array((0x80 | body.length).toByte) ++ body
+      require(body.length < 16384)
+      val size =
+        if (body.length < 127) Array((0x80 | body.length).toByte)
+        else Array((0x40 | (body.length >> 8)).toByte, (body.length & 0xff).toByte)
+      id.map(_.toByte) ++ size ++ body
     }
     def u32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -455,7 +458,7 @@ class MultimodalSpec extends SparkSpec {
     val ranges = Multimodal.WebmMeta.cueRanges(webm)
     assert(ranges.map(_.sample) == Seq(1, 2))
     // ranges cover [cluster1 start, cluster2 start) and [cluster2, end)
-    val segBody = header.length + 5 // segment id (4) + 1-byte size
+    val segBody = webm.length - (cues.length + c1.length + c2.length)
     assert(ranges(0).offset == segBody + c1Pos && ranges(0).nBytes == c1.length.toLong)
     assert(ranges(1).offset == segBody + c2Pos &&
       ranges(1).nBytes == (webm.length - (segBody + c2Pos)).toLong)
@@ -476,6 +479,33 @@ class MultimodalSpec extends SparkSpec {
     val whole = Multimodal.sampleKeyframesPipe(
       Seq((6L, noCues)).toDF("id", "payload"), "id", "payload", Seq("cat")).collect()
     assert(whole.length == 1 && whole.head.getInt(1) == -1)
+
+    // multi-track: cue points carry one CueTrackPositions PER track —
+    // only the VIDEO track's (TrackType 1, here TrackNumber 2) cluster
+    // positions are keyframe ranges; the audio track's are ignored
+    def u8(v: Int) = Array(v.toByte)
+    def trackEntry(num: Int, ttype: Int) =
+      el(Array(0xAE), el(Array(0xD7), u8(num)) ++ el(Array(0x83), u8(ttype)))
+    val tracks2 = el(Array(0x16, 0x54, 0xAE, 0x6B),
+      trackEntry(1, 2) ++ trackEntry(2, 1))
+    def cuePoint2(timeMs: Long, audioPos: Long, videoPos: Long) =
+      el(Array(0xBB), el(Array(0xB3), u32(timeMs)) ++
+        el(Array(0xB7), el(Array(0xF7), u8(1)) ++ el(Array(0xF1), u32(audioPos))) ++
+        el(Array(0xB7), el(Array(0xF7), u8(2)) ++ el(Array(0xF1), u32(videoPos))))
+    val cues2Len = el(Array(0x1C, 0x53, 0xBB, 0x6B),
+      cuePoint2(0, 0, 0) ++ cuePoint2(40, 0, 0)).length
+    val base2 = tracks2.length + cues2Len
+    val v1Pos = base2           // segment body = [tracks][cues][c1][c2]
+    val v2Pos = base2 + c1.length
+    val cues2 = el(Array(0x1C, 0x53, 0xBB, 0x6B),
+      cuePoint2(0, 7, v1Pos) ++ cuePoint2(40, 9, v2Pos)) // audio pos = junk
+    val webm2 = header ++
+      el(Array(0x18, 0x53, 0x80, 0x67), tracks2 ++ cues2 ++ c1 ++ c2)
+    val segBody2 = webm2.length - (tracks2.length + cues2.length + c1.length + c2.length)
+    val ranges2 = Multimodal.WebmMeta.cueRanges(webm2)
+    assert(ranges2.map(_.offset) == Seq(segBody2 + v1Pos, segBody2 + v2Pos).map(_.toLong),
+      s"video-track cue positions expected, got $ranges2")
+    assert(ranges2(0).nBytes == c1.length.toLong)
   }
 
   test("container parsers never throw on malformed or adversarial bytes") {
