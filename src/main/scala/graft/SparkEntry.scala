@@ -4008,8 +4008,14 @@ object SparkEntry {
           """list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
              / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
                 * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))"""
+        // the engine's maxBucket occupancy cap (bandedNearDup default
+        // 10000) mirrored exactly: over-cap buckets are excluded from
+        // pairwise generation, so the oracle agrees at ANY scale factor,
+        // not just the ones where no bucket binds
         val bandCtes = (0 until 3)
-          .map(b => s"k$b AS (SELECT vec_id, ${bandKey(b)} AS bucket FROM embeddings)")
+          .map(b => s"k$b AS (SELECT vec_id, bucket FROM (" +
+            s"SELECT vec_id, ${bandKey(b)} AS bucket FROM embeddings) " +
+            s"QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 10000)")
           .mkString(",\n           ")
         val unions = (0 until 3)
           .map(b => s"SELECT a.vec_id AS id_a, b2.vec_id AS id_b FROM k$b a JOIN k$b b2 USING (bucket) WHERE a.vec_id < b2.vec_id")

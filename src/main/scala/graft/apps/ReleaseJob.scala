@@ -253,7 +253,6 @@ object ReleaseJob {
     finally walked.close()
   }
 
-  /** Write release artifacts in cBioPortal layout. */
   /** Release-dashboard wiki document (R/dashboard_markdown_generator.R —
     * a SEPARATE job in the reference, rendered from the release's own
     * files and stored on the release folder's wiki; not part of the
@@ -264,10 +263,12 @@ object ReleaseJob {
     */
   def writeDashboardWiki(out: ReleaseOutputs, outDir: String, release: String): String = {
     import graft.stats.{Dashboard, DashboardWiki}
+    // try_element_at: a dashless id must not kill the render under ANSI
+    // mode — it lands in a NULL center bucket instead
     val clinC = out.clinical.withColumn("CENTER",
-      element_at(split(col("PATIENT_ID"), "-"), 2))
+      try_element_at(split(col("PATIENT_ID"), "-"), lit(2)))
     val mafC = out.maf.withColumn("CENTER",
-      element_at(split(col("TUMOR_SAMPLE_BARCODE"), "-"), 2))
+      try_element_at(split(col("TUMOR_SAMPLE_BARCODE"), "-"), lit(2)))
     val failed =
       if (mafC.columns.contains("Annotation_Status"))
         Dashboard.failedAnnotationCounts(mafC, Seq("CENTER"))
@@ -286,6 +287,7 @@ object ReleaseJob {
     md
   }
 
+  /** Write release artifacts in cBioPortal layout. */
   def writeArtifacts(out: ReleaseOutputs, outDir: String, studyId: String): Unit = {
     CbioSinks.writeClinical(
       out.clinical.select("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "AGE_AT_SEQ_REPORT", "SEQ_ASSAY_ID"),

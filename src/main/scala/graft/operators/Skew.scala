@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: a content hash of every column, NOT
+    * spark_partition_id/monotonically_increasing_id. Those depend on
+    * partition layout and intra-partition order, which are not stable
+    * across stage RETRY — a retried map task would re-salt rows
+    * differently and reducers could fetch duplicated/dropped rows (the
+    * SPARK-23207 failure class). A content hash re-evaluates
+    * identically on recomputation.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int")
+
   /** Two-stage salted aggregation: groupBy (keys + salt) with partial
     * aggregates, then re-aggregate without the salt. Turns one reducer
     * per hot key into `salts` reducers. `partials` maps each output
@@ -18,7 +29,7 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partials: Seq[(String, Column, Column => Column)]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._2.as(s"__p_${partials.head._1}"),
         partials.tail.map(p => p._2.as(s"__p_${p._1}")): _*)
@@ -32,8 +43,7 @@ object Skew {
     * when the small side is too big to broadcast but keys are skewed.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
-    val bigSalted = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val bigSalted = big.withColumn("__salt", rowSalt(big, salts))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")
@@ -58,9 +68,7 @@ object Skew {
       .select(col(key)).withColumn("__hot", lit(true))
     val bigSalted = big.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
-        when(col("__hot"),
-          pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
-          .otherwise(lit(0)).cast("int"))
+        when(col("__hot"), rowSalt(big, salts)).otherwise(lit(0)).cast("int"))
       .drop("__hot")
     val smallSalted = small
       .withColumn("__salt", explode(

@@ -136,14 +136,6 @@ object ValidateStream {
         graft.operators.Upsert.overwrite(spark, spark.read.parquet(staging), tablePath)
       }
 
-  /** Streaming SCD2 sink: each micro-batch of dimension snapshots
-    * merges into a versioned history table via the same
-    * [[graft.operators.Scd2.merge]] the batch path uses — changed keys
-    * close and reopen at the batch's `ts`, so the table answers
-    * "attribute value as of T" for any T. Same staging-then-overwrite
-    * discipline as [[upsertStream]]; exactly-once via checkpoint +
-    * idempotent overwrite.
-    */
   /** One SCD2 micro-batch application — the exact per-batch logic
     * [[scd2Stream]] runs, factored out so the batch-twin oracle query
     * (`scd2_stream_replay`) DuckDB-gates the same code the stream
@@ -161,6 +153,14 @@ object ValidateStream {
         .withColumn("valid_to", lit(null).cast("long"))
     }
 
+  /** Streaming SCD2 sink: each micro-batch of dimension snapshots
+    * merges into a versioned history table via the same
+    * [[graft.operators.Scd2.merge]] the batch path uses — changed keys
+    * close and reopen at the batch's `ts`, so the table answers
+    * "attribute value as of T" for any T. Same staging-then-overwrite
+    * discipline as [[upsertStream]]; exactly-once via checkpoint +
+    * idempotent overwrite.
+    */
   def scd2Stream(stream: DataFrame, pkCols: Seq[String], attrCols: Seq[String],
                  tsOf: Long => Long, tablePath: String,
                  checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
