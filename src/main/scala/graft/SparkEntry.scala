@@ -130,6 +130,22 @@ object SparkEntry {
       Upsert.kindCounts(incoming, existing, Seq("o_orderkey"))
     }),
 
+    "s12_upsert_bucketed" -> ((s, dir) => {
+      // the operational upsert shape: existing side staged ONCE as a
+      // full-PK-bucketed table (as the previous merge would have left
+      // it), so the diff's full-outer join plans with NO exchange on
+      // the existing side — only the delta shuffles. Same oracle as
+      // s12_upsert_diff: the physical fast path must not change one row.
+      val o = t(s, dir, "orders")
+      val incoming = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      val existing = o.filter(col("o_orderkey") % 2 =!= 0)
+      val staged = Upsert.stageBucketed(existing,
+        s"upsert_staged_${dir.replaceAll("[^a-z0-9]", "_")}", Seq("o_orderkey"), buckets = 8)
+      Upsert.kindCounts(incoming, staged, Seq("o_orderkey"), nullSafeKeys = false)
+    }),
+
     "scd2_merge" -> ((s, dir) => {
       // type-2 versioned-table merge: closed history passes through,
       // only the current slice joins the snapshot; changed keys close
@@ -4195,7 +4211,10 @@ object SparkEntry {
            FROM counts"""
     )
     // the persisted-index IVF path must be bit-identical to the
-    // train-per-call path — gate it against the same oracle
-    m + ("sim_ivf_persisted" -> m("sim_ivf_kmeans"))
+    // train-per-call path, and the bucketed-existing upsert fast path
+    // must match the plain diff row-for-row — gate each against the
+    // same oracle as its logical twin
+    m + ("sim_ivf_persisted" -> m("sim_ivf_kmeans")) +
+      ("s12_upsert_bucketed" -> m("s12_upsert_diff"))
   }
 }

@@ -16,9 +16,23 @@ object Bucketing {
     * sort-merge joins skip their sort too).
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), Seq(key), buckets)
+
+  /** Bucket on a multi-column key (e.g. a composite PK), sorted within
+    * buckets on `sortCols`. The bucket column list must equal the join
+    * keys of the downstream join EXACTLY — Spark's co-partition check
+    * (`spark.sql.requireAllClusterKeysForCoPartition`, default true)
+    * rejects subset-key matches, so bucketing on a PK prefix would
+    * still shuffle both sides. With the full tuple, a scan reports
+    * `HashPartitioning(keys, buckets)`, the join's distribution is
+    * satisfied, and only the other (delta-sized) side exchanges; the
+    * within-bucket sort lets the sort-merge join skip this side's sort.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    sortCols: Seq[String], buckets: Int): Unit =
     df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)

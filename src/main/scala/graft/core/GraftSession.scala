@@ -33,6 +33,10 @@ object GraftSession {
       // harness `events` table carries parquet TIMESTAMP(NANOS) which
       // Spark cannot model; read as long nanoseconds instead
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (bucketed staging) land in tmp, never the cwd —
+      // a library must not scatter spark-warehouse/ dirs into user repos
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

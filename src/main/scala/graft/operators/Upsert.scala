@@ -45,7 +45,7 @@ object Upsert {
     * tuple, every row tagged `__kind` ∈ {append, update, delete, same}.
     */
   def classify(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
-               compareCols: Seq[String] = Nil): DataFrame = {
+               compareCols: Seq[String] = Nil, nullSafeKeys: Boolean = true): DataFrame = {
     val cmp = if (compareCols.nonEmpty) compareCols
     else incoming.columns.intersect(existing.columns).filterNot(pkCols.contains).toSeq
 
@@ -54,10 +54,21 @@ object Upsert {
     // with null-safe equality — faster than a concat-string key (no 6M
     // string materializations) and collision-free ("a b"+"c" vs
     // "a"+"b c" collide under space-joining).
+    //
+    // nullSafeKeys=false swaps <=> for = : required for the bucketed
+    // existing-side fast path, because Spark hashes a null-safe key as
+    // (coalesce(k, 0), isnull(k)) — expressions a bucketed scan's
+    // HashPartitioning(k) can never satisfy, so the planner disables
+    // the bucket join. With plain =, a NULL in a PK column matches
+    // nothing (that row classifies as append + delete instead of
+    // same/update) — callers using the fast path must guarantee
+    // non-null PKs, which real primary keys are.
     val in  = incoming.withColumn("__present", lit(true)).alias("__l")
     val ex  = existing.withColumn("__present", lit(true)).alias("__r")
 
-    val keyMatch = pkCols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _)
+    val keyEq: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (nullSafeKeys) _ <=> _ else _ === _
+    val keyMatch = pkCols.map(c => keyEq(col(s"__l.$c"), col(s"__r.$c"))).reduce(_ && _)
     val changed = cmp.map(c => !(col(s"__l.$c") <=> col(s"__r.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
 
@@ -76,8 +87,8 @@ object Upsert {
     * re-scan the join).
     */
   def kindCounts(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
-                 compareCols: Seq[String] = Nil): DataFrame =
-    classify(incoming, existing, pkCols, compareCols)
+                 compareCols: Seq[String] = Nil, nullSafeKeys: Boolean = true): DataFrame =
+    classify(incoming, existing, pkCols, compareCols, nullSafeKeys)
       .agg(
         coalesce(sum(when(col("__kind") === "append", 1L).otherwise(0L)), lit(0L)).as("__a"),
         coalesce(sum(when(col("__kind") === "update", 1L).otherwise(0L)), lit(0L)).as("__u"),
@@ -85,8 +96,8 @@ object Upsert {
       .selectExpr("stack(3, 'append', __a, 'update', __u, 'delete', __d) as (kind, n)")
 
   def diff(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
-           compareCols: Seq[String] = Nil): Diff = {
-    val classified = classify(incoming, existing, pkCols, compareCols).persist()
+           compareCols: Seq[String] = Nil, nullSafeKeys: Boolean = true): Diff = {
+    val classified = classify(incoming, existing, pkCols, compareCols, nullSafeKeys).persist()
 
     def side(kind: String, alias: String, cols: Array[String]) =
       classified.filter(col("__kind") === kind)
@@ -97,6 +108,34 @@ object Upsert {
       updates = side("update", "__l", incoming.columns),
       deletes = side("delete", "__r", existing.columns),
       cached = Some(classified))
+  }
+
+  /** Stage the EXISTING side as a bucketed, PK-sorted managed table and
+    * return a frame reading it. Every subsequent [[classify]]/[[diff]]/
+    * [[kindCounts]] against the returned frame plans the existing side
+    * exchange-free: the scan reports `HashPartitioning(pkCols, buckets)`
+    * (the FULL tuple — Spark's co-partition check rejects prefixes),
+    * which satisfies the PK join's distribution, so only the
+    * (delta-sized) incoming side shuffles. Use `nullSafeKeys = false` on
+    * the diff calls — see [[classify]]. This is the operational
+    * default at scale — the upserted table is ALREADY stored bucketed
+    * from the previous merge, so the nightly diff never re-shuffles the
+    * 100 TB side (reference merge loop: load.py:255-296 re-reads the
+    * database table on every update cycle).
+    */
+  def stageBucketed(existing: DataFrame, table: String, pkCols: Seq[String],
+                    buckets: Int): DataFrame = {
+    val spark = existing.sparkSession
+    // a location left behind by a PREVIOUS session (table gone from this
+    // catalog, directory still on disk) fails saveAsTable even with
+    // overwrite — drop the table and clear the orphan first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.core.Bucketing.writeBucketed(existing, table, pkCols, pkCols, buckets)
+    spark.table(table)
   }
 
   /** Apply the upsert: every incoming row wins on its PK; existing rows

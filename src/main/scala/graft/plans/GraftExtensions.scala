@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashFunction)
     ext.injectFunction(GraftExtensions.rangeOverlapFunction)
     ext.injectFunction(GraftExtensions.dotProductFunction)
+    ext.injectFunction(GraftExtensions.adcDistanceFunction)
     ext.injectFunction(GraftExtensions.winnowFunction)
     GraftExtensions.columnFunctions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
@@ -57,6 +58,14 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "dot_product(vec_a, vec_b)")
       DotProduct(exprs(0), exprs(1))
+    })
+
+  val adcDistanceFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("adc_distance"),
+    new ExpressionInfo(classOf[AdcDistance].getName, "adc_distance"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "adc_distance(codes, dist_table)")
+      AdcDistance(exprs(0), exprs(1))
     })
 
   val winnowFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -131,6 +140,8 @@ object GraftExtensions {
       "range_overlap", exprs => rangeOverlapFunction._3(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => dotProductFunction._3(exprs), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_distance", exprs => adcDistanceFunction._3(exprs), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow", exprs => winnowFunction._3(exprs), "scala_udf")
     columnFunctions.foreach { case (name, builder) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native sequential-fold dot product over array<float>/array<double>
   * (the ANN hot path).
@@ -68,4 +68,71 @@ object DotProduct {
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Native PQ asymmetric-distance (ADC) accumulation: `left` is a
+  * vector's m codes (array<int>, one per subspace), `right` a query's
+  * flattened distance table (array<double>, row-major `sub·ksub + code`
+  * with ksub inferred from the lengths). Result: the sum of the m
+  * looked-up entries, accumulated in subspace order — deterministic,
+  * and the per-candidate cost is m array reads + m adds inside
+  * whole-stage codegen, vs. the join + hash-aggregate per (query,
+  * candidate, sub) row the relational formulation pays (Jégou et al.,
+  * PAMI 2011 — the billion-scale ANN inner loop).
+  */
+case class AdcDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_distance needs (array<int> codes, array<double> table), got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    AdcDistance.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.plans.AdcDistance.compute($l, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "adc_distance"
+}
+
+object AdcDistance {
+
+  /** Tight lookup-sum loop; throws on a ragged table or out-of-range
+    * code — both mean a non-dense codebook, which is a build bug worth
+    * failing loudly on, not a data condition.
+    */
+  def compute(codes: ArrayData, dtab: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val n = dtab.numElements()
+    val ksub = n / m
+    if (ksub * m != n)
+      throw new IllegalArgumentException(
+        s"ADC table length $n is not a multiple of code count $m")
+    var acc = 0.0
+    var sub = 0
+    while (sub < m) {
+      val c = codes.getInt(sub)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(
+          s"PQ code $c at subspace $sub outside dense codebook [0, $ksub)")
+      acc += dtab.getDouble(sub * ksub + c)
+      sub += 1
+    }
+    acc
+  }
+
+  def adc(codes: Column, dtab: Column): Column =
+    ColumnBridge.column(AdcDistance(ColumnBridge.expression(codes), ColumnBridge.expression(dtab)))
 }

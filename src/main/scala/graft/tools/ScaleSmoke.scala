@@ -22,6 +22,8 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "24g")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_smoke_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -55,10 +57,30 @@ object ScaleSmoke {
     // 2. PK upsert diff at 6M×6M (single full-outer pass)
     val incoming = li.filter(col("l_orderkey") % 3 =!= 0)
     val existing = li.filter(col("l_orderkey") % 2 =!= 0)
+    val pk4 = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     time("upsert_diff", nLi) {
-      val d = Upsert.diff(incoming, existing, Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      val d = Upsert.diff(incoming, existing, pk4)
       d.appends.count() + d.updates.count() + d.deletes.count()
     }
+
+    // 2b. the operational default: existing side ALREADY bucketed+sorted
+    // on the full PK (as the previous merge left it), so the diff join
+    // plans with no exchange and no sort on the existing side. Staging
+    // cost is the previous merge's write, reported separately.
+    val stagedT0 = System.nanoTime()
+    val staged = Upsert.stageBucketed(existing, "smoke_upsert_staged", pk4, 32)
+    println(f"SMOKE upsert_stage_bucketed (1x)   ${(System.nanoTime() - stagedT0) / 1e9}%7.2f s")
+    val bucketedPlan = Upsert.classify(incoming, staged, pk4, nullSafeKeys = false)
+      .queryExecution.executedPlan.toString
+    require("Exchange hashpartitioning".r.findAllIn(bucketedPlan).size == 1,
+      s"bucketed upsert must shuffle ONLY the incoming side:\n$bucketedPlan")
+    require(bucketedPlan.contains("Bucketed: true"),
+      s"existing side must use the bucketed scan:\n$bucketedPlan")
+    time("upsert_diff_bucketed", nLi) {
+      val d = Upsert.diff(incoming, staged, pk4, nullSafeKeys = false)
+      d.appends.count() + d.updates.count() + d.deletes.count()
+    }
+    spark.sql("DROP TABLE IF EXISTS smoke_upsert_staged")
 
     // 3. native minhash + LSH band keys over the corpus
     time("minhash_lsh_sigs", nDocs) {

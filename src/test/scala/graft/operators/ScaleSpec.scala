@@ -55,6 +55,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("upsert against a bucketed existing side: one exchange only (incoming), same diff") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = (1 to 400).map(i => (i.toLong, (i % 7).toLong, s"v${i % 13}"))
+        .toDF("k1", "k2", "v")
+      val incoming = base.filter($"k1" % 3 =!= 0)
+        .withColumn("v", when($"k1" % 5 === 0, concat($"v", lit("x"))).otherwise($"v"))
+      val existing = base.filter($"k1" % 2 =!= 0)
+      val staged = Upsert.stageBucketed(existing, "upsert_staged", Seq("k1", "k2"), 4)
+
+      val plan = Upsert.classify(incoming, staged, Seq("k1", "k2"), nullSafeKeys = false)
+        .queryExecution.executedPlan.toString
+      // exactly ONE shuffle: the incoming delta; the bucketed existing
+      // side must scan straight into the join
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+      assert(plan.contains("Bucketed: true"), plan)
+
+      val bucketed = Upsert.kindCounts(incoming, staged, Seq("k1", "k2"), nullSafeKeys = false)
+        .as[(String, Long)].collect().toSet
+      val plain = Upsert.kindCounts(incoming, existing, Seq("k1", "k2"))
+        .as[(String, Long)].collect().toSet
+      assert(bucketed == plain)
+      assert(bucketed.exists { case (k, n) => k == "append" && n > 0 })
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS upsert_staged")
+    }
+  }
+
   test("banded LSH: OR-construction recall + per-band bucket bounds on correlated vectors") {
     import graft.functions.VectorFunctions
     // adversarial corpus: dims 0-7 all positive (a single table hashing
