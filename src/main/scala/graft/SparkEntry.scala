@@ -1448,6 +1448,35 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"))
     }),
 
+    "sim_pq_persisted" -> ((s, dir) => {
+      // PQ as an operational index: codebooks + packed per-vector codes
+      // persisted ONCE (savePqIndex — m ints per vector, floats never
+      // copied), queries answered from the stored codes. Must reproduce
+      // the train-per-call sim_pq_recall contract exactly — same
+      // training sample, same shortlist, same oracle gates both.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
+      val idxPath = tmpPath(dir, "pq_index")
+      V.savePqIndex(emb, "vec_id", "embedding", idxPath,
+        m = 4, dim = 64, ksub = 16, iters = 2,
+        trainFilter = col("vec_id") % 5 < 2)
+      val corpusRows = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
+      val shortlist = math.max(50L, corpusRows / 5).toInt
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val pq = V.pqTopKFromIndex(idxPath, emb, "vec_id", "embedding",
+        col("vec_id") % 100 === 0, m = 4, dim = 64, k = 10, shortlist = shortlist)
+      val exact = V.bruteForceTopK(queries, corpus, "q_id", "c_id",
+        "q_vec", "c_vec", k = 10)
+      val hits = pq.select("q_id", "c_id")
+        .join(exact.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"))
+    }),
+
     // ---------------- CNA matrix lifecycle ---------------------------
     "cna_melt_merge" -> ((s, dir) => {
       // wide matrix → melt → A7 merge → long form (graft.formats.CnaFormat)
@@ -4215,6 +4244,7 @@ object SparkEntry {
     // must match the plain diff row-for-row — gate each against the
     // same oracle as its logical twin
     m + ("sim_ivf_persisted" -> m("sim_ivf_kmeans")) +
-      ("s12_upsert_bucketed" -> m("s12_upsert_diff"))
+      ("s12_upsert_bucketed" -> m("s12_upsert_diff")) +
+      ("sim_pq_persisted" -> m("sim_pq_recall"))
   }
 }

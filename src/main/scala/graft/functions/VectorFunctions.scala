@@ -388,41 +388,122 @@ object VectorFunctions {
       .select(col(idCol), col("sub"), col("cid").as("code"))
   }
 
+  /** PQ-encode a corpus into ONE row per vector: `(id, codes)` with
+    * `codes` the m subspace codes in subspace order (array<int>). This
+    * is the persisted form of a PQ index — m small ints per vector —
+    * and the input shape [[AdcDistance]] consumes. The pack is a
+    * groupBy over the (id, sub, code) rows of [[pqEncode]]: the only
+    * shuffle carries 3 ints per row, nothing vector-sized.
+    */
+  def pqEncodePacked(df: DataFrame, idCol: String, vecCol: String,
+                     codebooks: DataFrame, m: Int, dim: Int): DataFrame =
+    pqEncode(df, idCol, vecCol, codebooks, m, dim)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Per-query FLATTENED ADC distance table: `(qId, __dtab)` where
+    * `__dtab[sub·ksub + code]` is the exact L2² between the query's
+    * `sub` subvector and codebook centroid `code` — the broadcastable
+    * lookup table [[AdcDistance]] indexes with a vector's packed codes.
+    * Ordering inside the array is pinned by the (sub, code) sort;
+    * [[kmeansCentroids]] keeps cids dense 0..ksub-1 (empty clusters
+    * carry forward), which AdcDistance re-checks per row.
+    */
+  private def adcTable(queries: DataFrame, qId: String, qVec: String,
+                       codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val qsubs = queries.select(col(qId), posexplode(
+      array((0 until m).map(subVec(col(qVec), _, m, dim)): _*)).as(Seq("sub", "__qv")))
+    qsubs.join(broadcast(codebooks), Seq("sub"))
+      .select(col(qId), col("sub"), col("cid"),
+        (dot(col("__qv"), col("__qv")) - lit(2.0) * dot(col("__qv"), col("centroid")) +
+          dot(col("centroid"), col("centroid"))).as("__d"))
+      .groupBy(col(qId))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid"), col("__d")))),
+        s => s.getField("__d")).as("__dtab"))
+  }
+
+  /** ADC shortlist + exact re-rank over PACKED codes — shared by the
+    * train-per-call [[pqTopK]] and the persisted-index
+    * [[pqTopKFromIndex]] paths:
+    *  1. every query's flattened distance table joins the packed codes
+    *     as a broadcast (q × m·ksub doubles — driver-small);
+    *  2. per candidate the ADC distance is ONE native [[AdcDistance]]
+    *     lookup-sum inside whole-stage codegen (subspace order →
+    *     deterministic), bounded top-`shortlist` per query via
+    *     [[rankTopK]]'s partial-aggregating TopK — the n·q candidate
+    *     stream never shuffles;
+    *  3. only shortlist survivors fetch their full vectors (equi-join
+    *     on id against `corpusVecs`) for exact cosine top-k.
+    */
+  private def pqSearch(queries: DataFrame, corpusVecs: DataFrame, packed: DataFrame,
+                       codebooks: DataFrame, qId: String, cId: String,
+                       qVec: String, cVec: String,
+                       m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
+    val qtab = adcTable(queries, qId, qVec, codebooks, m, dim)
+    val adcScored = packed.crossJoin(broadcast(qtab))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("score", -graft.plans.AdcDistance.adc(col("codes"), col("__dtab")))
+    val short = rankTopK(adcScored, qId, cId, shortlist)
+      .select(col(qId), col(cId))
+    val exact = short
+      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
+      .join(corpusVecs.select(col(cId), col(cVec)), Seq(cId))
+      .withColumn("score", cosine(col(qVec), col(cVec)))
+    rankTopK(exact, qId, cId, k)
+  }
+
   /** Asymmetric-distance (ADC) PQ search with exact re-rank — the
     * standard billion-scale ANN shape (Jégou et al., PAMI 2011):
-    *  1. distance table: per (query, sub, code) the exact L2² between
-    *     the query's subvector and the codebook centroid — query-count ×
-    *     m × ksub rows, driver-small, broadcast;
-    *  2. shortlist: corpus codes join the broadcast table on
-    *     (sub, code); per-(query, id) ADC distance is a DECIMAL sum of
-    *     the m looked-up entries (order-insensitive → deterministic),
-    *     bounded top-`shortlist` per query via [[rankTopK]];
-    *  3. re-rank: only shortlist candidates fetch their full vectors
-    *     (one equi-join on id) for exact cosine top-k.
-    * The corpus' float vectors are touched ONLY in step 3 for
-    * shortlist-sized candidate sets; steps 1-2 run entirely on codes.
+    * encode the corpus to packed codes, score every (query, candidate)
+    * with the native ADC lookup-sum against a broadcast distance
+    * table, shortlist, then re-rank only the shortlist with exact
+    * cosine. The corpus' float vectors are touched ONLY in the re-rank
+    * for shortlist-sized candidate sets; everything before runs on m
+    * ints per vector and never shuffles the candidate stream.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
              qVec: String, cVec: String, codebooks: DataFrame,
              m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
-    val qsubs = queries.select(col(qId), posexplode(
-      array((0 until m).map(subVec(col(qVec), _, m, dim)): _*)).as(Seq("sub", "__qv")))
-    val dtab = qsubs.join(broadcast(codebooks), Seq("sub"))
-      .select(col(qId), col("sub"), col("cid").as("code"),
-        (dot(col("__qv"), col("__qv")) - lit(2.0) * dot(col("__qv"), col("centroid")) +
-          dot(col("centroid"), col("centroid"))).cast("decimal(30,12)").as("__d"))
-    val codes = pqEncode(corpus, cId, cVec, codebooks, m, dim)
-    val adc = codes.join(broadcast(dtab), Seq("sub", "code"))
-      .filter(col(qId) =!= col(cId))
-      .groupBy(col(qId), col(cId))
-      .agg(sum("__d").cast("double").as("__adc"))
-    val short = rankTopK(adc.withColumn("score", -col("__adc")), qId, cId, shortlist)
-      .select(col(qId), col(cId))
-    val exact = short
-      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
-      .join(corpus.select(col(cId), col(cVec)), Seq(cId))
-      .withColumn("score", cosine(col(qVec), col(cVec)))
-    rankTopK(exact, qId, cId, k)
+    val packed = pqEncodePacked(corpus, cId, cVec, codebooks, m, dim)
+    pqSearch(queries, corpus, packed, codebooks, qId, cId, qVec, cVec,
+      m, dim, k, shortlist)
+  }
+
+  /** Train and PERSIST a PQ index: per-subspace codebooks plus the
+    * packed per-vector codes as two parquet tables under `path`.
+    * `trainFilter` selects the training sample (at 100 TB Lloyd's never
+    * sees the full corpus); encode still covers every vector. The index
+    * stores m ints per vector — the corpus floats are NOT copied.
+    */
+  def savePqIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
+                  m: Int, dim: Int, ksub: Int, iters: Int,
+                  trainFilter: Column = lit(true)): Unit = {
+    val books = pqCodebooks(df.filter(trainFilter), idCol, vecCol, m, dim, ksub, iters)
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncodePacked(df, idCol, vecCol, books, m, dim)
+      .select(col(idCol).as("id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** PQ top-k against a persisted index (see [[savePqIndex]]): stored
+    * packed codes answer the ADC shortlist; only shortlist survivors
+    * re-join the corpus by id for the exact re-rank. Identical results
+    * to [[pqTopK]] with the same training parameters — the index is a
+    * cache of deterministic computation, not an approximation of it.
+    */
+  def pqTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
+                      vecCol: String, queryFilter: Column,
+                      m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = spark.read.parquet(s"$path/codebooks")
+    val packed = spark.read.parquet(s"$path/codes")
+      .select(col("id").as("c_id"), col("codes"))
+    val queries = corpus.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val corpusVecs = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    pqSearch(queries, corpusVecs, packed, books, "q_id", "c_id",
+      "q_vec", "c_vec", m, dim, k, shortlist)
   }
 
   /** Bucketed (LSH) cosine top-k: candidates restricted to the query's

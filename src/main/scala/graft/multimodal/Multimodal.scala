@@ -751,12 +751,23 @@ object Multimodal {
     *
     * mp4 payloads ship only their keyframe slices; webm payloads ship
     * per-cue-point cluster slices (the Matroska seek unit). An EBML
-    * payload with no cue index ships whole with sample = -1 and the
-    * decoder owns frame extraction. Payloads never shuffle: the pipe
-    * runs on the scan partitions.
+    * payload with no cue index ships CHUNKED — consecutive lines with
+    * sample = -1, -2, … (chunk j ↦ -(j+1), ≤ `fallbackChunkBytes`
+    * each, in stream order on the same partition) — so the base64
+    * staging cost is bounded per line instead of ~2.7× the whole
+    * payload; a streaming decoder reassembles by concatenating the
+    * negative-sample lines of an id in arrival order. Payloads never
+    * shuffle: the pipe runs on the scan partitions.
+    *
+    * A keyframe range that fails the payload bounds check means a
+    * corrupt index; those are COUNTED into `droppedRanges` (pass a
+    * `sparkContext.longAccumulator`) rather than silently skipped —
+    * an under-sampled corpus should be visible, not inferred.
     */
   def sampleKeyframesPipe(df: DataFrame, idCol: String, payloadCol: String,
-                          command: Seq[String], stride: Int = 1): DataFrame = {
+                          command: Seq[String], stride: Int = 1,
+                          fallbackChunkBytes: Int = 4 << 20,
+                          droppedRanges: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lines = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
@@ -767,17 +778,23 @@ object Multimodal {
         it.flatMap { case (id, p) =>
           val payload = Option(p).getOrElse(Array.empty[Byte])
           val kfs = keyframeRangesOf(payload)
-          if (kfs.nonEmpty)
-            kfs.zipWithIndex.collect {
-              case (k, i) if i % stride == 0 &&
-                k.offset >= 0 && k.offset + k.nBytes <= payload.length =>
-                val slice = java.util.Arrays.copyOfRange(
-                  payload, k.offset.toInt, (k.offset + k.nBytes).toInt)
-                s"$id\t${k.sample}\t${enc.encodeToString(slice)}"
+          if (kfs.nonEmpty) {
+            val sampled = kfs.zipWithIndex.filter(_._2 % stride == 0)
+            val (inBounds, dropped) = sampled.partition { case (k, _) =>
+              k.offset >= 0 && k.offset + k.nBytes <= payload.length
             }
-          else if (WebmMeta.isEbml(payload))
-            Seq(s"$id\t-1\t${enc.encodeToString(payload)}")
-          else Seq.empty
+            if (dropped.nonEmpty) droppedRanges.foreach(_.add(dropped.size.toLong))
+            inBounds.map { case (k, _) =>
+              val slice = java.util.Arrays.copyOfRange(
+                payload, k.offset.toInt, (k.offset + k.nBytes).toInt)
+              s"$id\t${k.sample}\t${enc.encodeToString(slice)}"
+            }
+          } else if (WebmMeta.isEbml(payload))
+            // lazy iterator: one chunk is encoded at a time as the pipe
+            // consumes lines, so staging memory is O(chunk), not O(payload)
+            payload.grouped(math.max(1, fallbackChunkBytes)).zipWithIndex
+              .map { case (chunk, j) => s"$id\t${-(j + 1)}\t${enc.encodeToString(chunk)}" }
+          else Iterator.empty
         }
       }
       .pipe(command)

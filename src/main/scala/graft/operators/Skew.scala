@@ -11,21 +11,46 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt: a content hash of every column, NOT
-    * spark_partition_id/monotonically_increasing_id. Those depend on
-    * partition layout and intra-partition order, which are not stable
-    * across stage RETRY — a retried map task would re-salt rows
-    * differently and reducers could fetch duplicated/dropped rows (the
-    * SPARK-23207 failure class). A content hash re-evaluates
+  /** Deterministic per-row salt: a content hash of every hashable
+    * column, NOT spark_partition_id/monotonically_increasing_id. Those
+    * depend on partition layout and intra-partition order, which are
+    * not stable across stage RETRY — a retried map task would re-salt
+    * rows differently and reducers could fetch duplicated/dropped rows
+    * (the SPARK-23207 failure class). A content hash re-evaluates
     * identically on recomputation.
+    *
+    * Map-typed columns are excluded (xxhash64 cannot hash maps — the
+    * whole frame would fail analysis for one such column); everything
+    * else participates.
     */
-  private def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int")
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    val hashable = df.schema.fields.toIndexedSeq
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name))
+    if (hashable.isEmpty) lit(0) // nothing hashable: degenerate, unsalted
+    else pmod(xxhash64(hashable: _*), lit(salts)).cast("int")
+  }
 
   /** Two-stage salted aggregation: groupBy (keys + salt) with partial
     * aggregates, then re-aggregate without the salt. Turns one reducer
     * per hot key into `salts` reducers. `partials` maps each output
     * column to (partialAgg, finalAgg-from-partial) — e.g. count→sum.
+    *
+    * PRECONDITION (holds for all in-repo callers — CC edges, LSH band
+    * keys): rows within a hot key must be (mostly) DISTINCT. The salt
+    * is a content hash, so exact-duplicate rows land on ONE salt and a
+    * hot key made of value-identical rows (e.g. counting duplicate
+    * rows) regains its single reducer. For that shape, pre-reduce the
+    * duplicates first — `df.groupBy(all columns).count()` is itself a
+    * map-side-combining aggregate that a hot key cannot skew — then
+    * salt the (distinct-row, weight) result.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partials: Seq[(String, Column, Column => Column)]): DataFrame = {
@@ -41,6 +66,8 @@ object Skew {
   /** Salted hot-key join: replicate the small side `salts`× with a salt
     * column, salt the big side per-row, equi-join on (key, salt). For
     * when the small side is too big to broadcast but keys are skewed.
+    * Same distinct-rows precondition as [[saltedAgg]]: exact-duplicate
+    * big-side rows share one salt (correct, but unprotected).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     val bigSalted = big.withColumn("__salt", rowSalt(big, salts))

@@ -34,7 +34,11 @@ object DashboardWiki {
       s"mdTable: aggregate exceeds $maxRows rows — not a dashboard table")
     val header = cols.mkString("| ", " | ", " |")
     val rule = cols.map(_ => "---").mkString("| ", " | ", " |")
-    val body = rows.map(_.toSeq.map(v => v.toString.replace("|", "\\|"))
+    // escape the two things that break a pipe table: '|' (cell
+    // delimiter) and embedded line breaks (row delimiter)
+    val body = rows.map(_.toSeq.map(v => v.toString
+        .replace("|", "\\|")
+        .replace("\r\n", "<br>").replace("\n", "<br>").replace("\r", "<br>"))
       .mkString("| ", " | ", " |"))
     (Seq(header, rule) ++ body).mkString("\n")
   }
@@ -53,7 +57,11 @@ object DashboardWiki {
              nullCancerTypes: Option[DataFrame] = None,
              missingVariantCounts: Option[DataFrame] = None): String = {
     val sb = new StringBuilder
-    sb ++= s"---\ntitle: '$release'\n---\n"
+    // single-quoted YAML scalar: quotes double, line breaks flatten —
+    // a release id must not be able to produce invalid front matter
+    val safeTitle = release.replace("'", "''")
+      .replace("\r", " ").replace("\n", " ")
+    sb ++= s"---\ntitle: '$safeTitle'\n---\n"
 
     sb ++= "\n## Sample and Variant Count per center\n\n"
     sb ++= mdTable(releaseContent)

@@ -239,9 +239,9 @@ object ScaleSmoke {
     }
 
     // 16. PQ ANN over the 40× embedding corpus: sample-trained
-    // codebooks, code-only ADC, exact re-rank
+    // codebooks, packed codes, native ADC lookup-sum, exact re-rank
+    val embN = emb.select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
     time("pq_topk", nEmb) {
-      val embN = emb.select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
       val books = V.pqCodebooks(embN.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", m = 4, dim = 64, ksub = 16, iters = 2)
       val qn = embN.filter(col("vec_id") < 10)
@@ -249,6 +249,20 @@ object ScaleSmoke {
       val cn = embN.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       V.pqTopK(qn, cn, "q_id", "c_id", "q_vec", "c_vec", books,
         m = 4, dim = 64, k = 10, shortlist = 200).count()
+    }
+
+    // 16b. the operational split: index construction once (train +
+    // encode + persist), then the query path answers from stored codes
+    val pqIdxPath = s"${sys.props("java.io.tmpdir")}/graft_smoke_pq_index"
+    time("pq_index_build", nEmb) {
+      V.savePqIndex(embN, "vec_id", "embedding", pqIdxPath,
+        m = 4, dim = 64, ksub = 16, iters = 2,
+        trainFilter = col("vec_id") % 50 === 0)
+      spark.read.parquet(s"$pqIdxPath/codes").count()
+    }
+    time("pq_topk_indexed", nEmb) {
+      V.pqTopKFromIndex(pqIdxPath, embN, "vec_id", "embedding",
+        col("vec_id") < 10, m = 4, dim = 64, k = 10, shortlist = 200).count()
     }
 
     // 17. incremental dedup: batch vs corpus digest index at 10×
@@ -282,7 +296,7 @@ object ScaleSmoke {
     // bounded by advisoryPartitionSizeInBytes, so it reads as "one
     // advisory-sized task", not a hub funnel.
     val stageReads = new scala.collection.concurrent.TrieMap[Int, List[Long]]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val skewListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null && m.shuffleReadMetrics.recordsRead > 0)
@@ -291,7 +305,8 @@ object ScaleSmoke {
             case None    => Some(List(m.shuffleReadMetrics.recordsRead))
           }
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(skewListener)
     def timeSkew(name: String, rows: Long)(f: => Long): Unit = {
       stageReads.clear()
       val t0 = System.nanoTime()
@@ -304,9 +319,15 @@ object ScaleSmoke {
 
     // shrink AQE's advisory sizes: at smoke volumes the default 64 MB
     // target coalesces every shuffle into ONE partition, which would
-    // make max_task_rows measure coalescing, not skew
+    // make max_task_rows measure coalescing, not skew. Saved + restored
+    // (and the listener removed) in the finally below so any section
+    // added after this block runs under normal confs with un-double-
+    // counted metrics.
+    val savedAdvisory = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val savedMinPart = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "32k")
+    try {
 
     val megaN = 10000L
     val zipfDocs = spark.range(megaN)
@@ -347,6 +368,14 @@ object ScaleSmoke {
     timeSkew("zipf_banded_neardup", nZipfEmb) {
       V.bandedNearDup(zipfEmb, "vec_id", "embedding", bands = 3,
         bitsPerBand = 16, minCos = 0.95, maxBucket = 2000).count()
+    }
+
+    } finally {
+      spark.sparkContext.removeSparkListener(skewListener)
+      def restore(key: String, saved: Option[String]): Unit =
+        saved.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", savedAdvisory)
+      restore("spark.sql.adaptive.coalescePartitions.minPartitionSize", savedMinPart)
     }
 
     spark.stop()

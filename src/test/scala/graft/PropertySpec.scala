@@ -286,6 +286,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: AdcDistance matches the interpreted HOF lookup-sum bit-for-bit") {
+    // same playbook as DotProduct: the native codegen'd lookup-sum must
+    // equal the higher-order-function formulation exactly (same subspace
+    // accumulation order, same doubles), on random dense tables
+    val caseGen = for {
+      m    <- Gen.choose(1, 8)
+      ksub <- Gen.choose(1, 16)
+      rows <- Gen.listOfN(20, for {
+        codes <- Gen.listOfN(m, Gen.choose(0, ksub - 1))
+        dtab  <- Gen.listOfN(m * ksub, Gen.choose(-1e6, 1e6))
+      } yield (codes, dtab))
+    } yield (m, ksub, rows)
+    forSamples(caseGen) { case (m, ksub, rows) =>
+      val df = rows.zipWithIndex.map { case ((c, d), i) => (i, c, d) }
+        .toDF("id", "codes", "dtab")
+      val native = graft.plans.AdcDistance.adc(col("codes"), col("dtab"))
+      // interpreted reference: element_at is 1-based; walk subs in order
+      val hof = aggregate(
+        transform(sequence(lit(0), lit(m - 1)),
+          sub => element_at(col("dtab"), sub * ksub + element_at(col("codes"), sub + 1) + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      val out = df.select($"id", native.as("n"), hof.as("h"))
+        .as[(Int, Double, Double)].collect()
+      out.foreach { case (id, n, h) =>
+        assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h),
+          s"row $id: native $n != HOF $h")
+      }
+    }
+  }
+
   test("property: zorderKey2 matches the scalar Morton reference on random coords") {
     def morton(x: Long, y: Long): Long = {
       var z = 0L

@@ -268,6 +268,19 @@ class ScaleSpec extends SparkSpec {
     val bruteSet = brute.select("q_id", "c_id").as[(Long, Long)].collect().toSet
     val recall = (pqSet intersect bruteSet).size.toDouble / bruteSet.size
     assert(recall >= 0.9, s"PQ recall $recall below 0.9 on clustered data")
+
+    // the persisted index is a cache of deterministic computation:
+    // answering from stored codes must be bit-identical to train-per-call
+    val idx = tmpDir("pqidx")
+    VectorFunctions.savePqIndex(df, "vec_id", "embedding", idx,
+      m = 4, dim = dim, ksub = 8, iters = 3)
+    val fromIdx = VectorFunctions.pqTopKFromIndex(idx, df, "vec_id", "embedding",
+      col("vec_id") < 8, m = 4, dim = dim, k = 5, shortlist = 40)
+    val a = pq.select("q_id", "c_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = fromIdx.select("q_id", "c_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b, s"persisted-PQ answers diverge from train-per-call: ${a.diff(b)} vs ${b.diff(a)}")
   }
 
   test("CC mega-cluster: star rounds window-free, hub never lands on one task") {
