@@ -1548,6 +1548,71 @@ object SparkEntry {
         col("n_bytes"))
     }),
 
+    "mm_video_keyframes_frag" -> ((s, dir) => {
+      // FRAGMENTED (streaming-origin) mp4: sync samples live in per-
+      // fragment trun flags, offsets resolve from the moof base — the
+      // common crawl shape a progressive-only walk returns empty for.
+      // Two fragments per doc, odd samples sync within each, numbering
+      // global. The oracle replays sizes AND offsets from the fixture's
+      // deterministic layout (moof length = 76 + 8n for the
+      // per-sample-flags style, so inter-fragment gaps are computable).
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n1 = (id % 3 + 2).toInt
+            val n2 = (id % 2 + 2).toInt
+            val s1 = (0 until n1).map(j => 10 + ((id + j) % 4).toInt)
+            val s2 = (0 until n2).map(j => 10 + ((id + n1 + j) % 4).toInt)
+            (id, graft.multimodal.Mp4Fixture.buildFragmented(
+              Seq((s1, 1 to n1 by 2), (s2, 1 to n2 by 2)),
+              width = 64, height = 48, seed = id))
+          }
+        }.toDF("doc_id", "payload")
+      val idx = graft.multimodal.Multimodal
+        .videoKeyframes(payloads, "doc_id", "payload").toDF()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      idx.select(col("id").as("doc_id"),
+        col("sample").cast("long").as("sample"),
+        (col("offset") - min("offset").over(w)).as("rel_offset"),
+        col("n_bytes"))
+    }),
+
+    "mm_frame_features" -> ((s, dir) => {
+      // END-TO-END external-decoder run over the pipe seam: real mp4
+      // payloads (Mp4Fixture, same construction as mm_video_keyframes),
+      // keyframe byte slices piped to a REAL subprocess (awk reports
+      // each frame's decoded byte length from its base64 line), features
+      // consumed back as columns — StubCodec is bypassed because a
+      // decoder command is configured. Payloads never shuffle; the
+      // oracle replays the per-keyframe slice lengths from the box math.
+      import s.implicits._
+      val script = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_frame_decoder.sh")
+      val w = new java.io.PrintWriter(script)
+      // decoded length from the base64 line: 3·len/4 minus '=' padding
+      try w.println(
+        """exec awk -F'\t' '{ b=$3; p=0
+          |  if (b ~ /==$/) p=2; else if (b ~ /=$/) p=1
+          |  printf "%s\t%s\t%d\n", $1, $2, length(b)/4*3-p }'""".stripMargin)
+      finally w.close()
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 5 + 4).toInt
+            val sizes = (0 until n).map(j => 10 + ((id + j) % 4).toInt)
+            (id, graft.multimodal.Mp4Fixture.build(
+              sizes, chunkSplit = 3, syncSamples = 1 to n by 2,
+              width = 64, height = 48, seed = id))
+          }
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoFrameFeatures(
+        payloads, "doc_id", "payload",
+        decoderCommand = Some(Seq("/bin/sh", script.getAbsolutePath)), stride = 2)
+        .select(col("id").as("doc_id"), col("sample").cast("long").as("sample"),
+          col("feature").getItem(0).cast("long").as("frame_bytes"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       // real decodeMeta (mapPartitions, stub path for opaque payloads)
       // feeding the stride-2 frame-sampling plan — the index math the
@@ -3654,6 +3719,42 @@ object SparkEntry {
         """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
            FROM (SELECT doc_id, unnest(range(0, strlen(text) % 7 + 1, 2)) AS f
                  FROM documents)""",
+
+      "mm_video_keyframes_frag" ->
+        // fixture layout replay: fragment k's data starts 76 + 8·n_k
+        // bytes after its moof start (per-sample-flags trun), fragments
+        // are back-to-back (mdat body ends where the next moof begins),
+        // so rel_offset of fragment-2 sample j is
+        // sum(frag1 sizes) + 76 + 8·n2 + cum sizes before j
+        """WITH d AS (
+             SELECT doc_id, doc_id % 3 + 2 AS n1, doc_id % 2 + 2 AS n2,
+                    CAST(COALESCE(list_sum(list_transform(range(0, doc_id % 3 + 2),
+                           i -> 10 + (doc_id + i) % 4)), 0) AS BIGINT) AS sum1
+             FROM documents),
+           f1 AS (SELECT doc_id, unnest(range(1, n1 + 1, 2)) AS j, n1, n2, sum1, 1 AS frag FROM d),
+           f2 AS (SELECT doc_id, unnest(range(1, n2 + 1, 2)) AS j, n1, n2, sum1, 2 AS frag FROM d),
+           u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+           SELECT doc_id,
+                  CAST(CASE WHEN frag = 1 THEN j ELSE n1 + j END AS BIGINT) AS sample,
+                  CAST(CASE WHEN frag = 1
+                    THEN COALESCE(list_sum(list_transform(range(0, j - 1),
+                           i -> 10 + (doc_id + i) % 4)), 0)
+                    ELSE sum1 + 76 + 8 * n2 + COALESCE(list_sum(list_transform(range(0, j - 1),
+                           i -> 10 + (doc_id + n1 + i) % 4)), 0)
+                  END AS BIGINT) AS rel_offset,
+                  CAST(CASE WHEN frag = 1 THEN 10 + (doc_id + j - 1) % 4
+                       ELSE 10 + (doc_id + n1 + j - 1) % 4 END AS BIGINT) AS n_bytes
+           FROM u""",
+
+      "mm_frame_features" ->
+        // keyframes are odd samples (1 to n by 2); stride 2 over that
+        // list keeps every other one → s ≡ 1 (mod 4); the decoder
+        // reports each slice's byte length = the sample's stsz size
+        """WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS n FROM documents),
+           k AS (SELECT doc_id, unnest(range(1, n + 1, 4)) AS s FROM d)
+           SELECT doc_id, CAST(s AS BIGINT) AS sample,
+                  CAST(10 + ((doc_id + s - 1) % 4) AS BIGINT) AS frame_bytes
+           FROM k""",
 
       "mm_video_keyframes" ->
         """WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS n FROM documents),

@@ -95,4 +95,109 @@ object Mp4Fixture {
     }
     cat(ftyp, moov, box("mdat", mdatBody.toByteArray))
   }
+
+  /** Sample-flags words: bit 16 is `sample_is_non_sync_sample`; the
+    * sync word also sets sample_depends_on = 2 (I-picture) like real
+    * muxers do, so the parser is tested against non-zero surrounding
+    * bits, not a convenient 0.
+    */
+  val SyncFlags: Long = 0x02000000L
+  val NonSyncFlags: Long = 0x01010000L
+
+  /** How a fragment encodes its sync information (all shapes occur in
+    * real streaming output):
+    *  - `"perSampleFlags"`: trun carries flags for every sample;
+    *  - `"firstSampleSync"`: tfhd default flags = non-sync, trun's
+    *    first-sample-flags = sync (the common CMAF shape — one
+    *    keyframe opening each fragment);
+    *  - `"trexDefaults"`: neither tfhd nor trun carry flags or sizes —
+    *    everything resolves from mvex/trex (fragment sizes must then
+    *    all equal the trex default, and every sample inherits the trex
+    *    default flags).
+    */
+  def buildFragmented(fragments: Seq[(Seq[Int], Seq[Int])], width: Int, height: Int,
+                      seed: Long = 0L, trackId: Long = 1L,
+                      style: String = "perSampleFlags",
+                      trexDefaultSize: Long = 0L,
+                      trexDefaultFlags: Long = NonSyncFlags): Array[Byte] = {
+    require(fragments.nonEmpty)
+    val ftyp = box("ftyp", cat("iso5".getBytes("ISO-8859-1"), be32(0)))
+
+    // movie box: mvex/trex fragment defaults + a video trak whose stbl
+    // is EMPTY (the fragmented-init shape) but carries the track id
+    val tkhdBody = new Array[Byte](76)
+    System.arraycopy(be32(trackId), 0, tkhdBody, 12, 4) // track_ID, v0 offset
+    val tkhd = box("tkhd", cat(tkhdBody,
+      be32(width.toLong << 16), be32(height.toLong << 16)))
+    val hdlr = box("hdlr", cat(be32(0), be32(0),
+      "vide".getBytes("ISO-8859-1"), new Array[Byte](12)))
+    val stbl = box("stbl", cat(
+      box("stsz", cat(be32(0), be32(0), be32(0))),
+      box("stsc", cat(be32(0), be32(0))),
+      box("stco", cat(be32(0), be32(0)))))
+    val trex = box("trex", cat(be32(0), be32(trackId),
+      be32(1), be32(0), be32(trexDefaultSize), be32(trexDefaultFlags)))
+    val moov = box("moov", cat(box("mvex", trex),
+      box("trak", cat(tkhd, box("mdia", cat(hdlr, box("minf", stbl)))))))
+
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    var globalIdx = 0
+    fragments.zipWithIndex.foreach { case ((sizes, syncWithin), fi) =>
+      val n = sizes.length
+      val mfhd = box("mfhd", cat(be32(0), be32(fi + 1L)))
+      // tfhd: no base-data-offset → base defaults to the moof start
+      // (both default-base-is-moof 0x020000 and the first-traf rule)
+      val (tfFlags, tfBody, trFlags, perEntryBytes) = style match {
+        case "perSampleFlags" =>
+          (0x020000L, Array.empty[Byte],
+            TrunDataOffset | TrunSize | TrunFlags, 8)
+        case "firstSampleSync" =>
+          require(syncWithin == Seq(1), "firstSampleSync fixture syncs sample 1 only")
+          (0x020000L | 0x20L, be32(NonSyncFlags),
+            TrunDataOffset | TrunSize | TrunFirstFlags, 4)
+        case "trexDefaults" =>
+          require(sizes.forall(_.toLong == trexDefaultSize), "trexDefaults: constant size")
+          (0x020000L, Array.empty[Byte], TrunDataOffset, 0)
+        case other => throw new IllegalArgumentException(s"style $other")
+      }
+      val tfhd = box("tfhd", cat(be32(tfFlags), be32(trackId), tfBody))
+      val trunHeadLen = 8 + 4 /* data_offset */ +
+        (if ((trFlags & TrunFirstFlags) != 0) 4 else 0)
+      val trunLen = 8 + trunHeadLen + n * perEntryBytes
+      val trafLen = 8 + tfhd.length + trunLen
+      val moofLen = 8 + mfhd.length + trafLen
+      val dataOffset = moofLen + 8 // first sample byte, relative to moof start
+
+      val trunBody = new ByteArrayOutputStream()
+      trunBody.write(be32(trFlags))
+      trunBody.write(be32(n.toLong))
+      trunBody.write(be32(dataOffset.toLong))
+      if ((trFlags & TrunFirstFlags) != 0) trunBody.write(be32(SyncFlags))
+      (0 until n).foreach { i =>
+        if ((trFlags & TrunSize) != 0) trunBody.write(be32(sizes(i).toLong))
+        if ((trFlags & TrunFlags) != 0)
+          trunBody.write(be32(if (syncWithin.contains(i + 1)) SyncFlags else NonSyncFlags))
+      }
+      val trun = box("trun", trunBody.toByteArray)
+      require(trun.length == trunLen, s"trun layout drifted: ${trun.length} != $trunLen")
+      val moof = box("moof", cat(mfhd, box("traf", cat(tfhd, trun))))
+      require(moof.length == moofLen, "moof layout drifted")
+
+      val mdatBody = new ByteArrayOutputStream()
+      sizes.foreach { sz =>
+        val b = new Array[Byte](sz)
+        java.util.Arrays.fill(b, ((seed + globalIdx) % 251).toByte)
+        mdatBody.write(b)
+        globalIdx += 1
+      }
+      out.write(moof); out.write(box("mdat", mdatBody.toByteArray))
+    }
+    out.toByteArray
+  }
+
+  private val TrunDataOffset = 0x1L
+  private val TrunFirstFlags = 0x4L
+  private val TrunSize = 0x200L
+  private val TrunFlags = 0x400L
 }

@@ -278,7 +278,7 @@ object Multimodal {
     def isMp4(p: Array[Byte]): Boolean =
       p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
 
-    private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    private val containers = Set("moov", "trak", "mdia", "minf", "stbl", "mvex")
 
     /** Depth-first box walk over [from, to); visit(type, bodyFrom, boxEnd). */
     private def walk(p: Array[Byte], from: Long, to: Long,
@@ -354,18 +354,29 @@ object Multimodal {
       try keyframesUnsafe(p)
       catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+    private final case class TrakTables(isVideo: Boolean, trackId: Long,
+      stsz: Long, stszEnd: Long, stsc: Long, stscEnd: Long,
+      stco: Long, stcoEnd: Long, co64: Long, co64End: Long,
+      stss: Long, stssEnd: Long)
+
     private def keyframesUnsafe(p: Array[Byte]): Seq[KeyframeRange] = {
       if (!isMp4(p)) return Seq.empty
       val traks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       walk(p, 0, p.length.toLong, (t, b, e) => if (t == "trak") traks += ((b, e)))
-      traks.iterator.map { case (tb, te) =>
+      val tables = traks.iterator.map { case (tb, te) =>
         var isVideo = false
+        var trackId = -1L
         var stsz = -1L; var stsc = -1L; var stco = -1L; var co64 = -1L; var stss = -1L
         var stszEnd = 0L; var stscEnd = 0L; var stcoEnd = 0L; var co64End = 0L; var stssEnd = 0L
         walk(p, tb, te, { (t, b, e) =>
           t match {
             case "hdlr" if p.length >= b + 12 =>
               isVideo = isVideo || new String(p, b.toInt + 8, 4, "ISO-8859-1") == "vide"
+            case "tkhd" =>
+              // track_ID: body offset 12 (v0: creation+modification are
+              // 4 bytes each) or 20 (v1: 8 bytes each)
+              val idOff = b + (if ((p(b.toInt) & 0xff) == 1) 20 else 12)
+              if (p.length >= idOff + 4) trackId = be32(p, idOff.toInt)
             case "stsz" => stsz = b; stszEnd = e
             case "stsc" => stsc = b; stscEnd = e
             case "stco" => stco = b; stcoEnd = e
@@ -374,66 +385,224 @@ object Multimodal {
             case _ => ()
           }
         })
-        (isVideo, stsz, stszEnd, stsc, stscEnd, stco, stcoEnd, co64, co64End, stss, stssEnd)
-      }.collectFirst {
-        case (true, stsz, stszEnd, stsc, stscEnd, stco, stcoEnd, co64, co64End, stss, stssEnd)
-          if stsz >= 0 && stsc >= 0 && (stco >= 0 || co64 >= 0) =>
+        TrakTables(isVideo, trackId, stsz, stszEnd, stsc, stscEnd,
+          stco, stcoEnd, co64, co64End, stss, stssEnd)
+      }.toSeq
 
-          // stsz: version/flags, sample_size (0 = per-sample table), count
-          val constSize = be32(p, stsz.toInt + 4)
-          val n = be32(p, stsz.toInt + 8).toInt
-          require(n >= 0 && (constSize != 0 || stsz + 12 + 4L * n <= stszEnd), "stsz truncated")
-          def sizeOf(i: Int): Long =
-            if (constSize != 0) constSize else be32(p, (stsz + 12 + 4L * i).toInt)
+      val video = tables.find(t =>
+        t.isVideo && t.stsz >= 0 && t.stsc >= 0 && (t.stco >= 0 || t.co64 >= 0))
+      val (progressive, progressiveCount) =
+        video.map(progressiveKeyframes(p, _)).getOrElse((Seq.empty[KeyframeRange], 0))
 
-          // stsc runs: (first_chunk, samples_per_chunk, sdi)
-          val nRuns = be32(p, stsc.toInt + 4).toInt
-          require(nRuns >= 1 && stsc + 8 + 12L * nRuns <= stscEnd, "stsc truncated")
-          def runFirstChunk(r: Int): Long = be32(p, (stsc + 8 + 12L * r).toInt)
-          def runPerChunk(r: Int): Long = be32(p, (stsc + 8 + 12L * r + 4).toInt)
+      // fragmented (streaming-origin) mp4: sync samples live in per-
+      // fragment trun flags, not stss — continue numbering after the
+      // moov-described samples (zero for a pure fMP4's empty stbl)
+      val videoId = tables.find(_.isVideo).map(_.trackId).getOrElse(-1L)
+      progressive ++ fragmentKeyframes(p, videoId, progressiveCount)
+    }
 
-          // chunk offsets (stco 32-bit / co64 64-bit)
-          val useCo64 = stco < 0
-          val coBody = if (useCo64) co64 else stco
-          val coEnd = if (useCo64) co64End else stcoEnd
-          val nChunks = be32(p, coBody.toInt + 4).toInt
-          val width = if (useCo64) 8L else 4L
-          require(nChunks >= 0 && coBody + 8 + width * nChunks <= coEnd, "stco truncated")
-          def chunkOffset(c: Int): Long =
-            if (useCo64) be64(p, (coBody + 8 + 8L * c).toInt)
-            else be32(p, (coBody + 8 + 4L * c).toInt)
+    /** The progressive (moov/stbl) walk: lay samples into chunks via
+      * stsc runs + stco/co64 offsets, mark keyframes from stss (absent
+      * = every sample sync, ISO 14496-12 §8.6.2). Returns the ranges
+      * AND the described sample count so fragment samples number after.
+      */
+    private def progressiveKeyframes(p: Array[Byte], t: TrakTables): (Seq[KeyframeRange], Int) = {
+      // stsz: version/flags, sample_size (0 = per-sample table), count
+      val constSize = be32(p, t.stsz.toInt + 4)
+      val n = be32(p, t.stsz.toInt + 8).toInt
+      require(n >= 0 && (constSize != 0 || t.stsz + 12 + 4L * n <= t.stszEnd), "stsz truncated")
+      def sizeOf(i: Int): Long =
+        if (constSize != 0) constSize else be32(p, (t.stsz + 12 + 4L * i).toInt)
 
-          // lay samples into chunks in order, accumulating intra-chunk
-          // offsets — O(n), no per-sample table lookups beyond stsz
-          val offsets = new Array[Long](n)
-          var sample = 0
-          var run = 0
-          var chunk = 1
-          while (chunk <= nChunks && sample < n) {
-            while (run + 1 < nRuns && runFirstChunk(run + 1) <= chunk) run += 1
-            val perChunk = runPerChunk(run)
-            var within = 0L
-            var off = chunkOffset(chunk - 1)
-            while (within < perChunk && sample < n) {
-              offsets(sample) = off
-              off += sizeOf(sample)
-              sample += 1
-              within += 1
-            }
-            chunk += 1
+      // stsc runs: (first_chunk, samples_per_chunk, sdi) — zero runs is
+      // legal for an empty (fragmented-init) stbl
+      val nRuns = be32(p, t.stsc.toInt + 4).toInt
+      require(nRuns >= 0 && t.stsc + 8 + 12L * nRuns <= t.stscEnd, "stsc truncated")
+      def runFirstChunk(r: Int): Long = be32(p, (t.stsc + 8 + 12L * r).toInt)
+      def runPerChunk(r: Int): Long = be32(p, (t.stsc + 8 + 12L * r + 4).toInt)
+
+      // chunk offsets (stco 32-bit / co64 64-bit)
+      val useCo64 = t.stco < 0
+      val coBody = if (useCo64) t.co64 else t.stco
+      val coEnd = if (useCo64) t.co64End else t.stcoEnd
+      val nChunks = be32(p, coBody.toInt + 4).toInt
+      val width = if (useCo64) 8L else 4L
+      require(nChunks >= 0 && coBody + 8 + width * nChunks <= coEnd, "stco truncated")
+      def chunkOffset(c: Int): Long =
+        if (useCo64) be64(p, (coBody + 8 + 8L * c).toInt)
+        else be32(p, (coBody + 8 + 4L * c).toInt)
+
+      // lay samples into chunks in order, accumulating intra-chunk
+      // offsets — O(n), no per-sample table lookups beyond stsz
+      val offsets = new Array[Long](n)
+      var sample = 0
+      var run = 0
+      var chunk = 1
+      while (chunk <= nChunks && sample < n && nRuns > 0) {
+        while (run + 1 < nRuns && runFirstChunk(run + 1) <= chunk) run += 1
+        val perChunk = runPerChunk(run)
+        var within = 0L
+        var off = chunkOffset(chunk - 1)
+        while (within < perChunk && sample < n) {
+          offsets(sample) = off
+          off += sizeOf(sample)
+          sample += 1
+          within += 1
+        }
+        chunk += 1
+      }
+
+      // sync table (1-based sample numbers); absent = all sync
+      val sync: Seq[Int] =
+        if (t.stss < 0) (1 to sample)
+        else {
+          val k = be32(p, t.stss.toInt + 4).toInt
+          require(k >= 0 && t.stss + 8 + 4L * k <= t.stssEnd, "stss truncated")
+          (0 until k).map(i => be32(p, (t.stss + 8 + 4L * i).toInt).toInt)
+        }
+      (sync.filter(s => s >= 1 && s <= sample)
+        .map(s => KeyframeRange(s, offsets(s - 1), sizeOf(s - 1))), sample)
+    }
+
+    // tfhd flag bits (ISO 14496-12 §8.8.7)
+    private val TfBaseDataOffset = 0x1L
+    private val TfSampleDescIdx = 0x2L
+    private val TfDefaultDuration = 0x8L
+    private val TfDefaultSize = 0x10L
+    private val TfDefaultFlags = 0x20L
+    // trun flag bits (§8.8.8)
+    private val TrDataOffset = 0x1L
+    private val TrFirstFlags = 0x4L
+    private val TrDuration = 0x100L
+    private val TrSize = 0x200L
+    private val TrFlags = 0x400L
+    private val TrCts = 0x800L
+
+    /** Fragmented-mp4 keyframes: walk top-level moof boxes; in each, the
+      * video track's traf contributes one range per SYNC sample of its
+      * trun runs (sync = `sample_is_non_sync_sample` bit 16 clear in
+      * the effective sample flags: per-sample → first-sample-flags →
+      * tfhd default → trex default, §8.8.8). Offsets resolve from tfhd
+      * base_data_offset when present, else the moof start (both the
+      * default-base-is-moof flag and the first-traf default); runs
+      * without a data offset continue after the previous run.
+      */
+    private def fragmentKeyframes(p: Array[Byte], videoTrack: Long,
+                                  startSample: Int): Seq[KeyframeRange] = {
+      if (videoTrack < 0) return Seq.empty
+      // trex defaults for the video track (moov/mvex/trex)
+      var trexSize = -1L
+      var trexFlags = -1L
+      walk(p, 0, p.length.toLong, { (t, b, e) =>
+        if (t == "trex" && e >= b + 24 && be32(p, b.toInt + 4) == videoTrack) {
+          trexSize = be32(p, b.toInt + 16)
+          trexFlags = be32(p, b.toInt + 20)
+        }
+      })
+
+      val out = scala.collection.mutable.ArrayBuffer[KeyframeRange]()
+      var sampleNo = startSample
+
+      def processTraf(moofStart: Long, from: Long, to: Long): Unit = {
+        var trackId = -1L
+        var baseOff = moofStart
+        var defSize = trexSize
+        var defFlags = trexFlags
+        val truns = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        // direct children of traf: iterate manually for tfhd + ordered truns
+        var off = from
+        while (off + 8 <= to) {
+          var size = be32(p, off.toInt)
+          val typ = new String(p, off.toInt + 4, 4, "ISO-8859-1")
+          var hdr = 8L
+          if (size == 1 && off + 16 <= to) { size = be64(p, off.toInt + 8); hdr = 16 }
+          else if (size == 0) size = to - off
+          require(size >= hdr && off + size <= to, "traf child truncated")
+          val b = off + hdr
+          typ match {
+            case "tfhd" =>
+              val flags = be32(p, b.toInt) & 0xffffffL
+              trackId = be32(p, b.toInt + 4)
+              var o = b + 8
+              if ((flags & TfBaseDataOffset) != 0) { baseOff = be64(p, o.toInt); o += 8 }
+              if ((flags & TfSampleDescIdx) != 0) o += 4
+              if ((flags & TfDefaultDuration) != 0) o += 4
+              if ((flags & TfDefaultSize) != 0) { defSize = be32(p, o.toInt); o += 4 }
+              if ((flags & TfDefaultFlags) != 0) { defFlags = be32(p, o.toInt); o += 4 }
+            case "trun" => truns += ((b, off + size))
+            case _ => ()
           }
+          off += size
+        }
+        if (trackId != videoTrack) return
+        var cursor = -1L // data position after the previous run
+        truns.foreach { case (b, e) =>
+          val flags = be32(p, b.toInt) & 0xffffffL
+          val cnt = be32(p, b.toInt + 4).toInt
+          require(cnt >= 0, "trun count")
+          var o = b + 8
+          var pos =
+            if ((flags & TrDataOffset) != 0) {
+              val v = be32(p, o.toInt).toInt // signed 32
+              o += 4
+              baseOff + v
+            } else if (cursor >= 0) cursor
+            else baseOff
+          val firstFlags =
+            if ((flags & TrFirstFlags) != 0) { val v = be32(p, o.toInt); o += 4; v }
+            else -1L
+          var i = 0
+          while (i < cnt) {
+            if ((flags & TrDuration) != 0) o += 4
+            val size =
+              if ((flags & TrSize) != 0) { val v = be32(p, o.toInt); o += 4; v }
+              else defSize
+            require(size >= 0, "fragment sample size unresolvable (no trun/tfhd/trex size)")
+            val sFlags =
+              if ((flags & TrFlags) != 0) { val v = be32(p, o.toInt); o += 4; v }
+              else if (i == 0 && firstFlags >= 0) firstFlags
+              else if (defFlags >= 0) defFlags
+              else 0L // unknown everywhere: treat as sync (mirrors absent-stss)
+            if ((flags & TrCts) != 0) o += 4
+            require(o <= e, "trun truncated")
+            sampleNo += 1
+            if (((sFlags >> 16) & 1L) == 0L) out += KeyframeRange(sampleNo, pos, size)
+            pos += size
+            i += 1
+          }
+          cursor = pos
+        }
+      }
 
-          // sync table (1-based sample numbers); absent = all sync
-          val sync: Seq[Int] =
-            if (stss < 0) (1 to sample)
-            else {
-              val k = be32(p, stss.toInt + 4).toInt
-              require(k >= 0 && stss + 8 + 4L * k <= stssEnd, "stss truncated")
-              (0 until k).map(i => be32(p, (stss + 8 + 4L * i).toInt).toInt)
-            }
-          sync.filter(s => s >= 1 && s <= sample)
-            .map(s => KeyframeRange(s, offsets(s - 1), sizeOf(s - 1)))
-      }.getOrElse(Seq.empty)
+      // top-level scan for moof boxes (manual: we need the box START for
+      // the default base, and walk() only hands out body offsets)
+      var off = 0L
+      val len = p.length.toLong
+      while (off + 8 <= len) {
+        var size = be32(p, off.toInt)
+        val typ = new String(p, off.toInt + 4, 4, "ISO-8859-1")
+        var hdr = 8L
+        if (size == 1 && off + 16 <= len) { size = be64(p, off.toInt + 8); hdr = 16 }
+        else if (size == 0) size = len - off
+        require(size >= hdr && off + size <= len, "top-level box truncated")
+        if (typ == "moof") {
+          // direct children: traf boxes
+          var c = off + hdr
+          val end = off + size
+          while (c + 8 <= end) {
+            var cs = be32(p, c.toInt)
+            val ct = new String(p, c.toInt + 4, 4, "ISO-8859-1")
+            var chdr = 8L
+            if (cs == 1 && c + 16 <= end) { cs = be64(p, c.toInt + 8); chdr = 16 }
+            else if (cs == 0) cs = end - c
+            require(cs >= chdr && c + cs <= end, "moof child truncated")
+            if (ct == "traf") processTraf(off, c + chdr, c + cs)
+            c += cs
+          }
+        }
+        off += size
+      }
+      out.toSeq
     }
   }
 
@@ -807,5 +976,50 @@ object Multimodal {
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("sample", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("decoded", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Per-keyframe FEATURES from the external decoder: the decoder's
+    * third TSV field is parsed as a comma-separated numeric vector →
+    * `(id, sample, feature array<double>)` — the batch shape a
+    * downstream ANN index or training pipeline consumes. The heavy
+    * payload column still never shuffles: slices pipe to the decoder on
+    * the scan partitions ([[sampleKeyframesPipe]]), and only the small
+    * feature rows flow on.
+    */
+  def frameFeaturesPipe(df: DataFrame, idCol: String, payloadCol: String,
+                        command: Seq[String], stride: Int = 1,
+                        fallbackChunkBytes: Int = 4 << 20,
+                        droppedRanges: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    sampleKeyframesPipe(df, idCol, payloadCol, command, stride,
+      fallbackChunkBytes, droppedRanges)
+      .select(col("id"), col("sample"),
+        transform(split(col("decoded"), ","), x => x.cast("double")).as("feature"))
+
+  /** TRUE-video frame features with an explicit decoder seam: when
+    * `decoderCommand` is configured, mp4/webm payloads go through the
+    * REAL path — keyframe byte ranges sliced in place, piped to the
+    * external decoder, its per-frame feature vectors consumed as
+    * columns; [[StubCodec]] is bypassed entirely. With no command the
+    * declared stub fake answers (sample = -1, whole-payload histogram),
+    * marking exactly the integration gap a deployment closes by
+    * supplying its codec command.
+    */
+  def videoFrameFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                         decoderCommand: Option[Seq[String]], stride: Int = 1,
+                         stubDim: Int = 8): DataFrame = decoderCommand match {
+    case Some(cmd) =>
+      frameFeaturesPipe(df, idCol, payloadCol, cmd, stride)
+    case None =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val payload = Option(p).getOrElse(Array.empty[Byte])
+            val f = StubCodec.extractFeature(id, payload, stubDim)
+            (id, -1, f.feature.map(_.toDouble).toSeq)
+          }
+        }.toDF("id", "sample", "feature")
   }
 }

@@ -394,6 +394,121 @@ class MultimodalSpec extends SparkSpec {
     assert(wout.length == 1 && wout.head.getInt(1) == -1)
   }
 
+  test("fragmented mp4: trun sync flags index keyframes across moof boxes, three styles") {
+    import Multimodal.Mp4Meta
+
+    // style A: per-sample trun flags, two fragments, global numbering
+    val fragsA = Seq((Seq(10, 11, 12), Seq(1, 3)), (Seq(13, 14), Seq(2)))
+    val a = Mp4Fixture.buildFragmented(fragsA, width = 64, height = 48, seed = 5L)
+    val ka = Mp4Meta.keyframes(a)
+    assert(ka.map(_.sample) == Seq(1, 3, 5), s"got $ka")
+    assert(ka.map(_.nBytes) == Seq(10L, 12L, 14L))
+    // the indexed slices are the actual sample bytes (deterministic fill
+    // continues ACROSS fragments)
+    ka.foreach { k =>
+      val slice = a.slice(k.offset.toInt, (k.offset + k.nBytes).toInt)
+      assert(slice.length == k.nBytes.toInt)
+      assert(slice.forall(_ == ((5L + k.sample - 1) % 251).toByte), s"sample ${k.sample}")
+    }
+
+    // style B: tfhd default flags non-sync + trun first-sample-flags sync
+    // (the CMAF fragment-opens-with-keyframe shape)
+    val fragsB = Seq((Seq(9, 9, 9), Seq(1)), (Seq(8, 8), Seq(1)))
+    val b = Mp4Fixture.buildFragmented(fragsB, width = 32, height = 32,
+      seed = 2L, style = "firstSampleSync")
+    assert(Mp4Meta.keyframes(b).map(_.sample) == Seq(1, 4))
+
+    // style C: flags and sizes resolve ONLY from mvex/trex defaults
+    val fragsC = Seq((Seq(7, 7), Seq()), (Seq(7, 7, 7), Seq()))
+    val cNone = Mp4Fixture.buildFragmented(fragsC, width = 16, height = 16,
+      style = "trexDefaults", trexDefaultSize = 7L,
+      trexDefaultFlags = Mp4Fixture.NonSyncFlags)
+    assert(Mp4Meta.keyframes(cNone).isEmpty, "all non-sync by trex default")
+    val cAll = Mp4Fixture.buildFragmented(fragsC, width = 16, height = 16,
+      style = "trexDefaults", trexDefaultSize = 7L,
+      trexDefaultFlags = Mp4Fixture.SyncFlags)
+    val kc = Mp4Meta.keyframes(cAll)
+    assert(kc.map(_.sample) == Seq(1, 2, 3, 4, 5), "all sync by trex default")
+    assert(kc.forall(_.nBytes == 7L), "sizes from trex default")
+
+    // a traf whose track id is NOT the video track contributes nothing:
+    // patch the moov tkhd track_ID (body offset 12) so the trafs (still
+    // track 1) belong to some other, non-video track
+    val mismatch = a.clone()
+    val tkhdAt = mismatch.indexOfSlice("tkhd".getBytes("ISO-8859-1"))
+    assert(tkhdAt > 0)
+    mismatch(tkhdAt + 4 + 12 + 3) = 9 // track_ID 1 → 9
+    assert(Mp4Meta.keyframes(mismatch).isEmpty, "foreign-track trafs must be ignored")
+
+    // the Dataset index + pipe seam consume fragmented payloads unchanged
+    val df = Seq((11L, a)).toDF("id", "payload")
+    assert(Multimodal.videoKeyframes(df, "id", "payload")
+      .collect().map(_.sample).sorted.toSeq == Seq(1, 3, 5))
+    val piped = Multimodal.sampleKeyframesPipe(df, "id", "payload", Seq("cat"))
+      .collect().map(_.getInt(1)).sorted
+    assert(piped.toSeq == Seq(1, 3, 5))
+
+    // fuzz: truncations and bit flips yield an empty-or-valid index,
+    // never a throw (the moof walk joins the existing fuzz contract)
+    (1 until a.length by 3).foreach { cut => Mp4Meta.keyframes(a.take(cut)) }
+    val rnd = new scala.util.Random(99)
+    (0 until 200).foreach { _ =>
+      val mut = a.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      Mp4Meta.keyframes(mut)
+    }
+  }
+
+  test("videoFrameFeatures: configured decoder bypasses the stub, features are the decoder's") {
+    // toy external decoder: base64-decodes each keyframe slice and
+    // reports [n_bytes, mean_byte] — values only derivable from the
+    // ACTUAL slice bytes, so a match proves the decoder (not StubCodec)
+    // produced the features. Spawn-per-line sh is fine at spec scale.
+    val script = new java.io.File(tmpDir("dec"), "toy_decoder.sh")
+    val w = new java.io.PrintWriter(script)
+    try w.println(
+      """while IFS="$(printf '\t')" read -r id sample b64; do
+        |  stats=$(printf '%s' "$b64" | base64 -d | od -An -v -tu1 | tr -s ' ' '\n' \
+        |    | awk 'NF { s += $1; n += 1 } END { printf "%d,%.6f", n, (n ? s / n : 0) }')
+        |  printf '%s\t%s\t%s\n' "$id" "$sample" "$stats"
+        |done""".stripMargin)
+    finally w.close()
+
+    val sizes = Seq(10, 11, 12, 13, 14)
+    val mp4 = Mp4Fixture.build(sizes, chunkSplit = 3,
+      syncSamples = Seq(1, 3, 5), width = 64, height = 48, seed = 7L)
+    val df = Seq((42L, mp4)).toDF("id", "payload")
+
+    val out = Multimodal.videoFrameFeatures(df, "id", "payload",
+      decoderCommand = Some(Seq("/bin/sh", script.getAbsolutePath)))
+    // payloads never shuffle: the pipe's RDD lineage is shuffle-free
+    assert(!hasShuffle(out.queryExecution.toRdd), "frame-feature pipe lineage shuffles")
+    val rows = out.collect()
+      .map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
+    // keyframes 1/3/5; Mp4Fixture fills sample s with ((seed + s - 1) % 251)
+    assert(rows.map(_._1).toSeq == Seq(1, 3, 5))
+    rows.foreach { case (s, feat) =>
+      assert(feat.length == 2)
+      assert(feat(0) == sizes(s - 1).toDouble, s"sample $s byte count")
+      assert(math.abs(feat(1) - ((7L + s - 1) % 251).toDouble) < 1e-4, s"sample $s mean byte")
+    }
+
+    // NO decoder configured → the declared stub answers (sample = -1,
+    // whole-payload histogram) — the integration gap stays visible
+    val stub = Multimodal.videoFrameFeatures(df, "id", "payload", decoderCommand = None)
+      .collect().map(r => (r.getInt(1), r.getSeq[Double](2)))
+    assert(stub.length == 1 && stub.head._1 == -1 && stub.head._2.length == 8)
+  }
+
+  private def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Boolean =
+      r.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => walk(d.rdd)
+      }
+    walk(rdd)
+  }
+
   test("WebmMeta: unknown-size Segment (streamed webm) still parses; no audio fallthrough") {
     def el(id: Array[Int], body: Array[Byte]): Array[Byte] = {
       require(body.length < 127)
