@@ -57,7 +57,8 @@ object ProcessJob {
   def run(spark: SparkSession, center: String, inputDir: String,
           priorStatuses: Seq[FileStatus],
           existing: Map[String, DataFrame],
-          annotator: Option[graft.operators.Annotator] = None): RunResult = {
+          annotator: Option[graft.operators.Annotator] = None,
+          errorReportDir: Option[String] = None): RunResult = {
     val paths = Files.list(Paths.get(inputDir)).iterator().asScala
       .map(_.toString).toSeq.sorted
     val names = paths.map(p => Paths.get(p).getFileName.toString)
@@ -181,6 +182,24 @@ object ProcessJob {
           r.withColumnRenamed("SAMPLE_ID", "TUMOR_SAMPLE_BARCODE"), "TUMOR_SAMPLE_BARCODE")
       }
       tables += "maf" -> m
+    }
+
+    // failed-annotation error report (process_mutation.py:309-363:
+    // concat_annotation_error_reports tags rows with Center,
+    // store_annotation_error_reports writes ONE TSV, and
+    // check_annotation_error_reports QCs report rows == the maf table's
+    // Annotation_Status='FAILED' rows — written from the FINAL maf so
+    // that parity holds by construction). Distributed filter + one-file
+    // sink; the report is failure-sized, not corpus-sized.
+    for {
+      dir <- errorReportDir
+      maf <- tables.get("maf")
+      statusCol <- maf.columns.find(_.equalsIgnoreCase("Annotation_Status"))
+    } {
+      val failed = maf.filter(col(statusCol) === "FAILED")
+        .withColumn("Center", lit(center))
+      graft.sources.Tsv.writeSingle(failed,
+        s"$dir/failed_annotations_error_report.txt")
     }
 
     RunResult(statuses, skipped, tables, errors)

@@ -29,12 +29,14 @@ import org.apache.spark.storage.StorageLevel
   *  - per half-round: one map-side-combined shuffle for the min, one
   *    shuffle for the join-back, one for `distinct` — all on
   *    (long, long) rows only; adjacency lists are never materialized;
-  *  - lineage is truncated every round (`localCheckpoint`; swap for
-  *    `checkpoint` + a checkpoint dir on a real cluster) so the plan
-  *    does not grow across iterations; the previous round's blocks are
-  *    freed by walking the checkpointed RDD handle directly (never by
-  *    diffing the global persistent-RDD registry, which would race with
-  *    concurrent jobs on a shared SparkContext);
+  *  - lineage is truncated every round via an INJECTABLE
+  *    [[CheckpointStrategy]]: `localCheckpoint` by default (fast, not
+  *    fault-tolerant), a reliable checkpoint dir on clusters (set
+  *    `spark.graft.cc.checkpointDir` or pass the strategy explicitly);
+  *    the previous round's blocks/files are freed by walking the
+  *    checkpointed RDD handle directly (never by diffing the global
+  *    persistent-RDD registry, which would race with concurrent jobs
+  *    on a shared SparkContext);
   *  - convergence is detected from a one-row aggregate checksum of the
   *    edge multiset, not by collecting edges.
   */
@@ -126,22 +128,75 @@ object ConnectedComponents {
     if (rdd.getStorageLevel != StorageLevel.NONE) Seq(rdd)
     else rdd.dependencies.flatMap(d => persistedAncestors(d.rdd)).toSeq
 
+  /** How a round truncates lineage. `localCheckpoint` keeps blocks on
+    * executors only — fast, but NOT fault-tolerant: losing an executor
+    * mid-run loses blocks whose lineage was just truncated, failing the
+    * job (fine for tests/single-node). A reliable checkpoint writes
+    * rounds to a fault-tolerant directory — the cluster setting, at the
+    * price of one FS write per round.
+    */
+  sealed trait CheckpointStrategy
+  case object LocalCheckpoint extends CheckpointStrategy
+  final case class ReliableCheckpoint(dir: String) extends CheckpointStrategy
+
+  /** Session-conf key selecting the reliable strategy: set it to a
+    * fault-tolerant path (HDFS/object store) on clusters; unset = local.
+    */
+  val checkpointDirConf = "spark.graft.cc.checkpointDir"
+
+  private def strategyFor(spark: org.apache.spark.sql.SparkSession): CheckpointStrategy =
+    spark.conf.getOption(checkpointDirConf)
+      .map(ReliableCheckpoint.apply).getOrElse(LocalCheckpoint)
+
+  private def truncate(df: DataFrame, strategy: CheckpointStrategy): DataFrame =
+    strategy match {
+      case LocalCheckpoint => df.localCheckpoint()
+      case ReliableCheckpoint(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint()
+    }
+
+  /** Reliable-checkpoint files reachable from `rdd` (post-truncation the
+    * checkpointed ancestor reports its file); dead rounds delete these
+    * so an n-round run holds ≤2 rounds on disk, not n.
+    */
+  private def checkpointFiles(rdd: RDD[_]): Seq[String] =
+    if (rdd.getCheckpointFile.isDefined) rdd.getCheckpointFile.toSeq
+    else rdd.dependencies.flatMap(d => checkpointFiles(d.rdd)).toSeq
+
+  /** Free everything a dead round holds: executor blocks (local path)
+    * and checkpoint files (reliable path).
+    */
+  private def freeRound(spark: org.apache.spark.sql.SparkSession,
+                        persisted: Seq[RDD[_]], files: Seq[String]): Unit = {
+    persisted.foreach(_.unpersist(blocking = false))
+    files.foreach { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      try path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+      catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    }
+  }
+
   /** Component assignment for every node appearing in `pairs`:
     * (id, component) where component = smallest node id reachable.
     * Node ids must be non-null and are compared as longs.
     */
   def assign(pairs: DataFrame, srcCol: String, dstCol: String,
              maxIter: Int = 50,
-             hotThreshold: Long = defaultHotThreshold): DataFrame = {
+             hotThreshold: Long = defaultHotThreshold,
+             checkpoint: Option[CheckpointStrategy] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // strategy: explicit argument, else the session conf
+    // (spark.graft.cc.checkpointDir ⇒ reliable), else localCheckpoint
+    val strategy = checkpoint.getOrElse(strategyFor(spark))
 
-    var edges = pairs
+    var edges = truncate(pairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(), strategy)
 
     def checksum(e: DataFrame): (Long, Long) = {
       // XOR-fold is order-independent and cannot overflow under ANSI
@@ -153,24 +208,28 @@ object ConnectedComponents {
     var prev = checksum(edges)
     var iter = 0
     var converged = edges.isEmpty
-    // each round's localCheckpoint persists its blocks; once the NEXT
-    // checkpoint is materialized, the previous round's blocks are dead —
-    // free them, or an n-round run holds n copies of the edge set in the
-    // block manager (a leak at 100 TB, GC pressure even at bench scale).
-    // We hold the prior round's checkpointed RDDs directly.
-    var prevCkpt: Seq[RDD[_]] = persistedAncestors(edges.queryExecution.toRdd)
+    // each round's checkpoint holds resources (executor blocks for the
+    // local strategy, FS files for the reliable one); once the NEXT
+    // round is materialized, the previous round is dead — free it, or
+    // an n-round run holds n copies of the edge set (a leak at 100 TB,
+    // GC/disk pressure even at bench scale). We hold the prior round's
+    // RDD handles / checkpoint files directly.
+    var prevPersisted: Seq[RDD[_]] = persistedAncestors(edges.queryExecution.toRdd)
+    var prevFiles: Seq[String] = checkpointFiles(edges.queryExecution.toRdd)
     while (!converged && iter < maxIter) {
       // the checksum already hands us the exact edge count: a key's
       // multiplicity is bounded by 2x the edge rows, so below the
       // threshold NO key can be hot and the half-rounds skip the
       // hot-key machinery (no broadcast job, no salt) outright
       val mayHaveHot = 2 * prev._1 >= hotThreshold
-      edges = smallStar(largeStar(edges, hotThreshold, mayHaveHot),
-        hotThreshold, mayHaveHot).localCheckpoint()
+      edges = truncate(smallStar(largeStar(edges, hotThreshold, mayHaveHot),
+        hotThreshold, mayHaveHot), strategy)
       val cur = checksum(edges)
-      val curCkpt = persistedAncestors(edges.queryExecution.toRdd)
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      prevCkpt = curCkpt
+      val curPersisted = persistedAncestors(edges.queryExecution.toRdd)
+      val curFiles = checkpointFiles(edges.queryExecution.toRdd)
+      freeRound(spark, prevPersisted, prevFiles)
+      prevPersisted = curPersisted
+      prevFiles = curFiles
       converged = cur == prev
       prev = cur
       iter += 1
@@ -195,8 +254,10 @@ object ConnectedComponents {
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                srcCol: String, dstCol: String,
-               hotThreshold: Long = defaultHotThreshold): DataFrame = {
-    val comp = assign(pairs, srcCol, dstCol, hotThreshold = hotThreshold)
+               hotThreshold: Long = defaultHotThreshold,
+               checkpoint: Option[CheckpointStrategy] = None): DataFrame = {
+    val comp = assign(pairs, srcCol, dstCol, hotThreshold = hotThreshold,
+        checkpoint = checkpoint)
       .withColumnRenamed("id", "__cc_id")
     docs.select(col(idCol).cast("long").as(idCol))
       .join(comp, col(idCol) === col("__cc_id"), "left")

@@ -2,6 +2,8 @@ package graft.apps
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class ProcessJobSpec extends SparkSpec {
@@ -43,6 +45,66 @@ class ProcessJobSpec extends SparkSpec {
     val r3 = ProcessJob.run(spark, "CTR", dir, r1.statuses, r1.tables)
     assert(!r3.skipped.contains("data_mutations_extended_CTR.maf"))
     assert(r3.tables("maf").count() == 2)
+  }
+
+  test("protocol-shaped annotator: wrapper column contract + failed-annotation error report") {
+    // the annotation_suite_wrapper.sh / process_mutation.py contract:
+    // every input MAF row comes back with the annotation columns
+    // appended; rows the annotator cannot annotate come back with
+    // Annotation_Status=FAILED and land in the center's
+    // failed_annotations_error_report.txt (Center column added), with
+    // report rows == the maf table's FAILED rows (the
+    // check_annotation_error_reports QC, process_mutation.py:336-363)
+    val dir = tmpDir("process-annot-proto")
+    val header = "CHROMOSOME\tSTART_POSITION\tEND_POSITION\tREFERENCE_ALLELE\tTUMOR_SAMPLE_BARCODE\tTUMOR_SEQ_ALLELE2\tT_DEPTH\n"
+    Files.write(Paths.get(dir, "data_mutations_proto.maf"),
+      (header +
+        "1\t100\t101\tA\tGENIE-CTR-p1-s1\tT\t30\n" +
+        "2\t500\t501\tG\tGENIE-CTR-p1-s2\tC\t25\n" +
+        "3\t700\t701\tC\tGENIE-CTR-p1-s2\tA\t21\n" +
+        "X\t900\t901\tTT\tGENIE-CTR-p1-s3\t-\t12\n" +
+        "7\t950\t951\tAC\tGENIE-CTR-p1-s4\t-\t18\n").getBytes)
+    val script = Paths.get(tmpDir("annot-proto-bin"), "toy_wrapper.sh")
+    Files.write(script,
+      """#!/bin/sh
+        |# wrapper contract: annotatable rows get an HGVSg + SUCCESS;
+        |# un-annotatable rows (deletion allele '-') come back with an
+        |# EMPTY annotation and FAILED — never dropped
+        |exec awk -F'\t' -v OFS='\t' '{
+        |  if ($6 == "-") print $0, "", "FAILED"
+        |  else print $0, $1 ":g." $2 $4 ">" $6, "SUCCESS"
+        |}'
+        |""".stripMargin.getBytes)
+
+    val inCols = Seq("CHROMOSOME", "START_POSITION", "END_POSITION",
+      "REFERENCE_ALLELE", "TUMOR_SAMPLE_BARCODE", "TUMOR_SEQ_ALLELE2", "T_DEPTH")
+    val annotator = new graft.operators.PipeAnnotator(
+      Seq("/bin/sh", script.toString), inCols ++ Seq("HGVSG", "ANNOTATION_STATUS"))
+    val reportDir = tmpDir("annot-report")
+
+    val r = ProcessJob.run(spark, "CTR", dir, Nil, Map.empty,
+      Some(annotator), Some(reportDir))
+    val maf = r.tables("maf")
+
+    // added-column schema: the input columns, in order, plus exactly the
+    // annotation fields
+    assert(maf.columns.toSeq == inCols ++ Seq("HGVSG", "ANNOTATION_STATUS"))
+    // row preservation: failures are kept WITH status, not dropped
+    assert(maf.count() == 5)
+    val failed = maf.filter(col("ANNOTATION_STATUS") === "FAILED")
+      .select("CHROMOSOME", "HGVSG").as[(String, String)].collect().toSet
+    assert(failed == Set(("X", ""), ("7", "")))
+    assert(maf.filter(col("ANNOTATION_STATUS") === "SUCCESS").count() == 3)
+
+    // error report: one TSV, FAILED rows only, Center column appended,
+    // row parity with the maf table's FAILED rows
+    val reportFile = s"$reportDir/failed_annotations_error_report.txt"
+    assert(Files.exists(Paths.get(reportFile)), "error report not written")
+    val report = spark.read.option("header", "true").option("sep", "\t").csv(reportFile)
+    assert(report.columns.toSeq == inCols ++ Seq("HGVSG", "ANNOTATION_STATUS", "Center"))
+    assert(report.count() == maf.filter(col("ANNOTATION_STATUS") === "FAILED").count())
+    assert(report.select("CHROMOSOME", "Center").as[(String, String)].collect().toSet ==
+      Set(("X", "CTR"), ("7", "CTR")))
   }
 
   test("mutation path end-to-end through a real annotator subprocess") {

@@ -52,6 +52,41 @@ class ConnectedComponentsSpec extends SparkSpec {
       (4L, 2L, false), (5L, 2L, false)))
   }
 
+  test("reliable-checkpoint strategy: identical labels, rounds written and pruned on disk") {
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L)))
+      .toDF("a", "b")
+    val local = ConnectedComponents.assign(edges, "a", "b",
+      checkpoint = Some(ConnectedComponents.LocalCheckpoint))
+      .as[(Long, Long)].collect().toMap
+
+    // explicit strategy argument
+    val dir = tmpDir("cc-ckpt")
+    val reliable = ConnectedComponents.assign(edges, "a", "b",
+      checkpoint = Some(ConnectedComponents.ReliableCheckpoint(dir)))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    def rddDirs(root: String): Seq[java.io.File] =
+      Option(new java.io.File(root).listFiles()).toSeq.flatten // sc uuid dirs
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)     // rdd-N dirs
+    // rounds were actually written to the reliable dir, and dead rounds
+    // were pruned: a multi-round path graph must not hold one rdd-N dir
+    // per round at the end (≤ 2: the converged round + its predecessor
+    // freed lazily after the loop exits)
+    val left = rddDirs(dir)
+    assert(left.nonEmpty, "no reliable checkpoint was written")
+    assert(left.size <= 2, s"dead checkpoint rounds not pruned: ${left.map(_.getName)}")
+
+    // session-conf driven selection (spark.graft.cc.checkpointDir)
+    val dir2 = tmpDir("cc-ckpt-conf")
+    spark.conf.set(ConnectedComponents.checkpointDirConf, dir2)
+    try {
+      val viaConf = ConnectedComponents.assign(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(viaConf == local)
+      assert(rddDirs(dir2).nonEmpty, "conf-selected reliable dir unused")
+    } finally spark.conf.unset(ConnectedComponents.checkpointDirConf)
+  }
+
   test("empty pair set yields all-singleton clusters") {
     val docs = Seq(7L, 8L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -25,48 +25,59 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def connect(sf_dir: str):
+    """DuckDB connection with a view per harness table."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def compare_one(con, out_dir: str, name: str, sql: str):
+    """Compare one dumped query against its oracle SQL.
+
+    Returns (status, n_rows, detail): status in PASS/MISSING/ORAFAIL/
+    COLS/ROWS/VALUES — the same classes main() prints.
+    """
+    res_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not res_glob:
+        return "MISSING", 0, "no parquet output"
+    got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        return "ORAFAIL", len(got), str(e)
+    g, e = norm(got), norm(exp)
+    if list(g.columns) != list(e.columns):
+        return "COLS", len(g), f"got {list(g.columns)} vs oracle {list(e.columns)}"
+    if len(g) != len(e):
+        return "ROWS", len(g), f"got {len(g)} vs oracle {len(e)}"
+    try:
+        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        return "PASS", len(g), ""
+    except AssertionError as ex:
+        detail = str(ex).splitlines()[-1][:300]
+        neq = (g != e) & ~(g.isna() & e.isna())
+        bad = neq.any(axis=1)
+        if bad.any():
+            i = bad.idxmax()
+            detail += f"\n         first diff row {i}:\n  got: {g.loc[i].to_dict()}\n  exp: {e.loc[i].to_dict()}"
+        return "VALUES", len(g), detail
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        res_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not res_glob:
-            print(f"MISSING  {name}: no parquet output")
-            n_fail += 1
-            continue
-        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-        try:
-            exp = con.sql(oracle[name]).df()
-        except Exception as e:
-            print(f"ORAFAIL  {name}: {e}")
-            n_fail += 1
-            continue
-        g, e = norm(got), norm(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"COLS     {name}: got {list(g.columns)} vs oracle {list(e.columns)}")
-            n_fail += 1
-            continue
-        if len(g) != len(e):
-            print(f"ROWS     {name}: got {len(g)} vs oracle {len(e)}")
-            n_fail += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            print(f"PASS     {name} ({len(g)} rows)")
+        status, n_rows, detail = compare_one(con, out_dir, name, oracle[name])
+        if status == "PASS":
+            print(f"PASS     {name} ({n_rows} rows)")
             n_pass += 1
-        except AssertionError as ex:
-            print(f"VALUES   {name}: {str(ex).splitlines()[-1][:300]}")
-            # show first differing row for debugging
-            neq = (g != e) & ~(g.isna() & e.isna())
-            bad = neq.any(axis=1)
-            if bad.any():
-                i = bad.idxmax()
-                print(f"         first diff row {i}:\n  got: {g.loc[i].to_dict()}\n  exp: {e.loc[i].to_dict()}")
+        else:
+            print(f"{status:8s} {name}: {detail}")
             n_fail += 1
     extra = [q for q in os.listdir(out_dir)
              if os.path.isdir(f"{out_dir}/{q}") and q not in oracle]
