@@ -575,17 +575,21 @@ object Multimodal {
       }
 
       // top-level scan for moof boxes (manual: we need the box START for
-      // the default base, and walk() only hands out body offsets)
+      // the default base, and walk() only hands out body offsets). A
+      // malformed/truncated top-level box STOPS the scan like walk()
+      // does — a progressive file with trailing garbage must keep its
+      // progressive index; only corruption INSIDE a moof voids the run.
       var off = 0L
+      var sane = true
       val len = p.length.toLong
-      while (off + 8 <= len) {
+      while (sane && off + 8 <= len) {
         var size = be32(p, off.toInt)
         val typ = new String(p, off.toInt + 4, 4, "ISO-8859-1")
         var hdr = 8L
         if (size == 1 && off + 16 <= len) { size = be64(p, off.toInt + 8); hdr = 16 }
         else if (size == 0) size = len - off
-        require(size >= hdr && off + size <= len, "top-level box truncated")
-        if (typ == "moof") {
+        if (size < hdr || off + size > len) sane = false
+        else if (typ == "moof") {
           // direct children: traf boxes
           var c = off + hdr
           val end = off + size

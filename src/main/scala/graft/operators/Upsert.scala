@@ -141,14 +141,20 @@ object Upsert {
   /** Apply the upsert: every incoming row wins on its PK; existing rows
     * with no incoming match are deleted (allowDelete) or kept. Persisting
     * the result is a partition overwrite at the storage layer.
+    * `nullSafeKeys = false` enables the bucketed existing-side fast path
+    * for the keep-join too (same rule as [[classify]]): against a
+    * [[stageBucketed]] table the anti-join's existing side scans with no
+    * exchange — only the delta shuffles.
     */
   def merge(incoming: DataFrame, existing: DataFrame, pkCols: Seq[String],
-            allowDelete: Boolean = true): DataFrame =
+            allowDelete: Boolean = true, nullSafeKeys: Boolean = true): DataFrame =
     if (allowDelete) incoming
     else {
+      val keyEq: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        if (nullSafeKeys) _ <=> _ else _ === _
       val kept = existing.alias("__r")
         .join(incoming.alias("__l"),
-          pkCols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _),
+          pkCols.map(c => keyEq(col(s"__l.$c"), col(s"__r.$c"))).reduce(_ && _),
           "left_anti")
       incoming.unionByName(kept.select(incoming.columns.toIndexedSeq.map(col): _*))
     }

@@ -459,6 +459,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe fallback chunks cueless payloads; corrupt keyframe ranges are counted, not silent") {
+    // cueless EBML bigger than the chunk cap ships as multiple
+    // negative-sample lines in stream order (reassembly = concatenation),
+    // so staging memory is bounded by the chunk, not the payload
+    val body = Array.tabulate(2500)(i => (i % 251).toByte)
+    val webm = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++ body
+    val chunks = Multimodal.sampleKeyframesPipe(
+      Seq((3L, webm)).toDF("id", "payload"), "id", "payload", Seq("cat"),
+      fallbackChunkBytes = 1000)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(-_._1)
+    assert(chunks.map(_._1).toSeq == Seq(-1, -2, -3), s"got ${chunks.map(_._1).toSeq}")
+    val dec = java.util.Base64.getDecoder
+    val reassembled = chunks.flatMap(c => dec.decode(c._2))
+    assert(reassembled.toSeq == webm.toSeq, "chunk reassembly must be the payload")
+
+    // a keyframe range beyond the payload (corrupt index) is dropped AND
+    // counted — under-sampling is visible, not inferred
+    val mp4 = Mp4Fixture.build(Seq(10, 11, 12), chunkSplit = 3,
+      syncSamples = Seq(1, 3), width = 32, height = 32, seed = 1L)
+    val truncated = mp4.take(mp4.length - 6) // cuts into the LAST sample's bytes
+    val dropped = spark.sparkContext.longAccumulator("droppedKeyframeRanges")
+    val out = Multimodal.sampleKeyframesPipe(
+      Seq((4L, truncated)).toDF("id", "payload"), "id", "payload", Seq("cat"),
+      droppedRanges = Some(dropped))
+      .collect().map(_.getInt(1)).sorted
+    assert(out.toSeq == Seq(1), "in-bounds keyframe still flows")
+    assert(dropped.value == 1L, s"corrupt range must be counted, got ${dropped.value}")
+  }
+
   test("videoFrameFeatures: configured decoder bypasses the stub, features are the decoder's") {
     // toy external decoder: base64-decodes each keyframe slice and
     // reports [n_bytes, mean_byte] — values only derivable from the

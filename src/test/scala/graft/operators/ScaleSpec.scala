@@ -32,6 +32,19 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted aggregation survives a map-typed column (excluded from the salt hash)") {
+    // xxhash64 cannot hash maps; the salt must skip such columns rather
+    // than fail the whole frame's analysis
+    val df = (1 to 200).map(i => (s"k${i % 3}", i.toDouble, Map("a" -> i)))
+      .toDF("k", "v", "meta")
+    val plain = df.groupBy("k").agg(sum($"v").as("s"))
+      .as[(String, Double)].collect().toSet
+    val salted = Skew.saltedAgg(df, Seq("k"), salts = 4,
+      Seq(("s", sum($"v"), (c: org.apache.spark.sql.Column) => sum(c))))
+      .as[(String, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
   test("bucketed join plans without an exchange on the bucketed sides") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -79,6 +92,20 @@ class ScaleSpec extends SparkSpec {
         .as[(String, Long)].collect().toSet
       assert(bucketed == plain)
       assert(bucketed.exists { case (k, n) => k == "append" && n > 0 })
+
+      // merge's keep-anti-join gets the same fast path: one exchange,
+      // bucketed scan, identical merged rows
+      val mergePlan = Upsert.merge(incoming, staged, Seq("k1", "k2"),
+        allowDelete = false, nullSafeKeys = false)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(mergePlan).size == 1, mergePlan)
+      assert(mergePlan.contains("Bucketed: true"), mergePlan)
+      val mergedB = Upsert.merge(incoming, staged, Seq("k1", "k2"),
+        allowDelete = false, nullSafeKeys = false)
+        .as[(Long, Long, String)].collect().toSet
+      val mergedP = Upsert.merge(incoming, existing, Seq("k1", "k2"), allowDelete = false)
+        .as[(Long, Long, String)].collect().toSet
+      assert(mergedB == mergedP)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS upsert_staged")

@@ -116,4 +116,20 @@ class DashboardSpec extends SparkSpec {
     val big = spark.range(2000).toDF("x")
     intercept[IllegalArgumentException] { DashboardWiki.mdTable(big) }
   }
+
+  test("wiki: hostile values cannot break the YAML front matter or the pipe tables") {
+    import spark.implicits._
+    // single quote in the release id: YAML single-quoted scalars escape
+    // by doubling; line breaks flatten to spaces
+    val md = DashboardWiki.render("Ja'n's\nrelease",
+      Seq(("C|TR", "a\nmulti\r\nline", 1L)).toDF("Center", "Note", "n"),
+      Seq(("CTR", 0L)).toDF("Center", "Number of failed annotations"),
+      attributeDistributions = Nil)
+    assert(md.startsWith("---\ntitle: 'Ja''n''s release'\n---"))
+    // cell pipes escaped, cell line breaks become <br> — each data row
+    // stays exactly one physical line
+    assert(md.contains("| C\\|TR | a<br>multi<br>line | 1 |"))
+    val tableLines = md.linesIterator.filter(_.startsWith("| C")).toSeq
+    assert(tableLines.exists(_.contains("C\\|TR")))
+  }
 }
