@@ -347,21 +347,65 @@ object VectorFunctions {
     slice(v.cast("array<double>"), sub * (dim / m) + 1, dim / m)
 
   /** Train per-subspace PQ codebooks: deterministic Lloyd's k-means
-    * (seeded by lowest ids, decimal sums) over each of the m contiguous
-    * subvector spaces. Returns (sub, cid, centroid). The driver loops
-    * over m (small); each subspace pass is fully distributed. Codebook
-    * size is m·ksub·(dim/m) doubles — driver-small by construction, the
+    * (seeded by lowest ids, decimal sums, cid tie-breaks) over each of
+    * the m contiguous subvector spaces. Returns (sub, cid, centroid).
+    *
+    * All m subspace trainings run FUSED in one pass per Lloyd step: the
+    * (id, sub, subvec) explosion joins the broadcast (sub, cid,
+    * centroid) table and one (sub, cid, pos) decimal aggregation
+    * updates every codebook — 2 jobs per iteration total instead of
+    * 2·m driver-synchronized per-subspace jobs (the per-subspace
+    * formulation's Lloyd loop dominated PQ build time; the math here
+    * is row-for-row identical to it, spec-pinned). Codebook size is
+    * m·ksub·(dim/m) doubles — driver-small by construction, the
     * precondition for broadcasting it everywhere downstream.
     */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
                   m: Int, dim: Int, ksub: Int, iters: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    (0 until m).map { sub =>
-      val subDf = df.select(col(idCol), subVec(col(vecCol), sub, m, dim).as("__sv"))
-      kmeansCentroids(subDf, idCol, "__sv", ksub, iters)
-        .withColumn("sub", lit(sub))
-        .select(col("sub"), col("cid"), col("centroid"))
-    }.reduce(_ unionByName _)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dim / m
+    // one slim exploded projection, scanned once per Lloyd step
+    val subs = df.select(col(idCol).as("__id"), posexplode(
+        array((0 until m).map(subVec(col(vecCol), _, m, dim)): _*)).as(Seq("sub", "__sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seeds: the ksub lowest-id vectors; subspace sub's seed cid i is
+      // that vector's sub-th slice (cast-then-slice ≡ subVec)
+      val seedVecs = df
+        .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+        .orderBy($"__id").limit(ksub).collect()
+        .map(_.getSeq[Double](1).toIndexedSeq)
+      var centroids: Map[(Int, Int), Seq[Double]] =
+        (for { sub <- 0 until m; (v, i) <- seedVecs.zipWithIndex }
+          yield (sub, i) -> v.slice(sub * d, sub * d + d).toSeq).toMap
+      for (_ <- 0 until iters) {
+        val cdf = centroids.toSeq.map { case ((sub, cid), c) => (sub, cid, c) }
+          .toDF("sub", "cid", "centroid")
+        val joined = subs.join(broadcast(cdf), Seq("sub"))
+          .withColumn("__dist",
+            dot($"__sv", $"__sv") - lit(2.0) * dot($"__sv", col("centroid")) +
+              dot(col("centroid"), col("centroid")))
+        val w = Window.partitionBy($"__id", $"sub").orderBy($"__dist".asc, $"cid".asc)
+        val assigned = joined.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+        val sums = assigned
+          .select($"sub", $"cid", posexplode($"__sv").as(Seq("pos", "x")))
+          .groupBy("sub", "cid", "pos")
+          .agg(sum(col("x").cast("decimal(30,10)")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        // mean = double(decimal sum) / n — the same two-step as
+        // kmeansCentroids; a (sub, cid) absent from the sums had an
+        // empty cluster: carry its previous centroid forward
+        val updated = sums.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2))
+            .map(r => r.getDecimal(3).doubleValue() / r.getLong(4)).toSeq
+        }
+        centroids = centroids.map { case (k, old) => k -> updated.getOrElse(k, old) }
+      }
+      centroids.toSeq.map { case ((sub, cid), c) => (sub, cid, c) }
+        .sortBy(k => (k._1, k._2)).toDF("sub", "cid", "centroid")
+    } finally subs.unpersist(blocking = false)
   }
 
   /** PQ-encode a corpus: each vector becomes m small codes (nearest

@@ -281,6 +281,19 @@ class ScaleSpec extends SparkSpec {
       m = 4, dim = dim, ksub = 8, iters = 3)
     assert(books.count() == 4 * 8)
 
+    // the fused multi-subspace trainer is row-for-row the per-subspace
+    // Lloyd formulation it replaced (same seeds, distances, decimal
+    // means, tie-breaks, empty-cluster carry-forward)
+    val perSub = (0 until 4).map { sub =>
+      val subDf = df.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), sub * (dim / 4) + 1, dim / 4).as("__sv"))
+      VectorFunctions.kmeansCentroids(subDf, "vec_id", "__sv", 8, 3)
+        .withColumn("sub", lit(sub)).select(col("sub"), col("cid"), col("centroid"))
+    }.reduce(_ unionByName _)
+      .as[(Int, Int, Seq[Double])].collect().toSet
+    val fused = books.as[(Int, Int, Seq[Double])].collect().toSet
+    assert(fused == perSub, "fused PQ trainer diverged from the per-subspace formulation")
+
     // codes are deterministic: re-encoding yields the identical table
     val codes1 = VectorFunctions.pqEncode(df, "vec_id", "embedding", books, 4, dim)
     val codes2 = VectorFunctions.pqEncode(df, "vec_id", "embedding", books, 4, dim)
