@@ -2195,6 +2195,24 @@ object SparkEntry {
         bands = 3, bitsPerBand = 8, minCos = 0.35)
     }),
 
+    "split_leakage_guard" -> ((s, dir) => {
+      // eval-decontamination: near-duplicate pairs that STRADDLE a
+      // train/val/test split are leakage (an eval doc whose near-dup
+      // sits in training). Composes the banded near-dup sweep with the
+      // deterministic hash split — split labels are a pure function of
+      // each pair id, so the guard adds ZERO joins on top of the pair
+      // generation; at 100 TB it costs exactly what near-dup detection
+      // already costs.
+      val splitOf = (c: org.apache.spark.sql.Column) =>
+        graft.functions.Sampling.splitAssign(c,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      V.bandedNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          bands = 3, bitsPerBand = 8, minCos = 0.35)
+        .withColumn("split_a", splitOf(col("id_a")))
+        .withColumn("split_b", splitOf(col("id_b")))
+        .filter(col("split_a") =!= col("split_b"))
+    }),
+
     // ---------------- similarity: BANDED LSH top-k ---------------------
     "sim_lsh_topk_banded" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -4344,8 +4362,24 @@ object SparkEntry {
     // train-per-call path, and the bucketed-existing upsert fast path
     // must match the plain diff row-for-row — gate each against the
     // same oracle as its logical twin
+    // leakage guard = the banded near-dup oracle with the hash-split
+    // CASE applied to each pair id (same md5 bucket math as
+    // sample_split), keeping only pairs that straddle splits
+    val splitCase = (idc: String) =>
+      s"""CASE WHEN ('0x' || substr(md5('split:' || CAST($idc AS VARCHAR)), 1, 8))::BIGINT
+                    < ${math.floor(0.8 * 4294967296.0).toLong} THEN 'train'
+               WHEN ('0x' || substr(md5('split:' || CAST($idc AS VARCHAR)), 1, 8))::BIGINT
+                    < ${math.floor(0.9 * 4294967296.0).toLong} THEN 'val'
+               ELSE 'test' END"""
     m + ("sim_ivf_persisted" -> m("sim_ivf_kmeans")) +
       ("s12_upsert_bucketed" -> m("s12_upsert_diff")) +
-      ("sim_pq_persisted" -> m("sim_pq_recall"))
+      ("sim_pq_persisted" -> m("sim_pq_recall")) +
+      ("split_leakage_guard" ->
+        s"""SELECT * FROM (
+              SELECT id_a, id_b, cos,
+                     ${splitCase("id_a")} AS split_a,
+                     ${splitCase("id_b")} AS split_b
+              FROM (${m("dedup_neardup_banded")}))
+            WHERE split_a <> split_b""")
   }
 }

@@ -73,6 +73,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Long]("sh") >= 0))
   }
 
+  test("AdcDistance fails loudly on non-dense codebook shapes, zero codes sum to zero") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Seq[Double]) = ArrayData.toArrayData(xs.toArray)
+    def codes(xs: Seq[Int]) = ArrayData.toArrayData(xs.toArray)
+    // happy path: m=2, ksub=2, table [10,20,30,40] — codes (1,0) → 20+30
+    assert(graft.plans.AdcDistance.compute(codes(Seq(1, 0)), arr(Seq(10, 20, 30, 40))) == 50.0)
+    // empty codes: empty product space, distance 0
+    assert(graft.plans.AdcDistance.compute(codes(Nil), arr(Seq(1.0))) == 0.0)
+    // ragged table (5 entries for 2 codes) is a build bug, not data
+    intercept[IllegalArgumentException] {
+      graft.plans.AdcDistance.compute(codes(Seq(0, 1)), arr(Seq(1, 2, 3, 4, 5)))
+    }
+    // out-of-range code: dense-codebook contract violated
+    intercept[IllegalArgumentException] {
+      graft.plans.AdcDistance.compute(codes(Seq(0, 2)), arr(Seq(1, 2, 3, 4)))
+    }
+  }
+
   test("cosine of zero vector yields NaN (not crash) and topk excludes self") {
     val vecs = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
       .toDF("id", "vec")
