@@ -908,6 +908,18 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     }),
 
+    "sample_epoch_shuffle" -> ((s, dir) => {
+      // reproducible epoch shuffle for training export: shard = salted
+      // hash mod nShards, pos = rank within shard by (hash, id) — the
+      // per-shard window means no global ordering bottleneck; reading
+      // shards in pos order is the epoch's document order, and epoch 2
+      // re-deals it deterministically
+      graft.functions.Sampling.epochShard(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          nShards = 8, epoch = 1)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     "sample_mix_weighted" -> ((s, dir) => {
       // weighted source mixing: per-language keep rates applied as a
       // deterministic Bernoulli filter — downsampling 100 TB to a
@@ -3197,6 +3209,15 @@ object SparkEntry {
                        ELSE 'test' END AS split
            FROM (SELECT doc_id,
                         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+                 FROM documents)""",
+
+      "sample_epoch_shuffle" ->
+        """SELECT doc_id,
+                  CAST(b % 8 AS INTEGER) AS shard,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY b % 8
+                         ORDER BY b ASC, doc_id ASC) AS BIGINT) AS pos
+           FROM (SELECT doc_id,
+                        ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
                  FROM documents)""",
 
       "sample_mix_weighted" ->

@@ -49,6 +49,23 @@ object Sampling {
   def rateKeep(id: Column, rate: Column, salt: String = "mix"): Column =
     hashBucket(id, salt) < (rate * lit(4294967296.0)).cast("long")
 
+  /** Reproducible per-epoch shuffle + shard assignment — the training
+    * export shape: every row gets a shard (`pmod(hash, nShards)`) and a
+    * position within its shard (rank by the epoch-salted hash, id
+    * tie-break). Reading shards in position order IS the epoch's
+    * "random" document order; a different `epoch` re-deals both. The
+    * window partitions by shard, so the sort is per-shard — there is
+    * never a global single-partition ordering, and at 100 TB each shard
+    * ranks independently (shards ≈ output training files).
+    */
+  def epochShard(df: DataFrame, idCol: String, nShards: Int, epoch: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val h = hashBucket(col(idCol), s"epoch$epoch")
+    val w = Window.partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic k-per-group sample: rank group members by
     * (hash, id) and keep the first k. One shuffle on the group key;
     * hash order makes the "random" choice reproducible.

@@ -84,6 +84,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epochShard: dense per-shard positions, deterministic, epoch re-deals") {
+    val df = ids.withColumnRenamed("id", "doc_id")
+    val e1 = Sampling.epochShard(df, "doc_id", nShards = 8, epoch = 1)
+    // every row lands in exactly one shard in [0, 8)
+    assert(e1.count() == 2000L)
+    val shardRange = e1.agg(min("shard"), max("shard")).as[(Int, Int)].head()
+    assert(shardRange._1 >= 0 && shardRange._2 < 8)
+    // positions are dense 1..n within each shard
+    val dense = e1.groupBy("shard")
+      .agg(count("*").as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L || col("d") =!= col("n"))
+    assert(dense.isEmpty, "positions not dense 1..n per shard")
+    // pure hash: re-evaluation is identical
+    val again = Sampling.epochShard(df, "doc_id", nShards = 8, epoch = 1)
+    assert(e1.except(again).isEmpty && again.except(e1).isEmpty)
+    // a different epoch re-deals the order (and generally the shards)
+    val e2 = Sampling.epochShard(df, "doc_id", nShards = 8, epoch = 2)
+    assert(e2.except(e1).count() > 0)
+    // the window is partitioned by shard — no single-task global sort
+    val windows = e1.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("weighted WoR: deterministic, and inclusion tracks weight across salts") {
     import graft.functions.Sampling
     val df = Seq((1L, "g", 9.0), (2L, "g", 1.0)).toDF("id", "grp", "w")
