@@ -1334,6 +1334,15 @@ object SparkEntry {
         .select("id_a", "id_b", "cos")
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: learned k-means cells confine the quadratic pairwise
+      // pass, min-id survivor at cos >= 0.25 inside each cell; the
+      // occupancy cap (mega-cluster guard) is mirrored in the oracle
+      V.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          clusters = 4, iters = 2, tau = 0.25, maxCell = 10000)
+        .select(col("vec_id"), col("cid"))
+    }),
+
     // ---------------- similarity: IVF-style coarse partition ----------
     "sim_ivf_label" -> ((s, dir) => {
       // label column = coarse quantizer cell: search only the query's cell
@@ -3663,6 +3672,53 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
            FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3""",
+
+      "dedup_semantic" -> {
+        // same unrolled-Lloyd cell assignment as sim_ivf_kmeans, then
+        // the min-id survivor rule inside each cell at ROUND(cos,6) >=
+        // 0.25, with the >10000-occupancy cells exempted (the cap)
+        def dist(v: String, c: String) =
+          s"""list_sum(list_transform(range(1, 65), j -> $v[j] * $v[j]))
+              - 2 * list_sum(list_transform(range(1, 65), j -> $v[j] * $c[j]))
+              + list_sum(list_transform(range(1, 65), j -> $c[j] * $c[j]))"""
+        def assign(cents: String) =
+          s"""SELECT id, vec, cid FROM (
+                SELECT v.id, v.vec, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY v.id
+                         ORDER BY ${dist("v.vec", "c.cvec")} ASC, c.cid ASC) AS rn
+                FROM v CROSS JOIN $cents c) WHERE rn = 1"""
+        def means(assigned: String) =
+          s"""SELECT cid, list(m ORDER BY i) AS cvec FROM (
+                SELECT cid, i,
+                       CAST(SUM(CAST(vec[CAST(i AS INT)] AS DECIMAL(30,10))) AS DOUBLE)
+                         / COUNT(*) AS m
+                FROM $assigned CROSS JOIN range(1, 65) AS r(i)
+                GROUP BY cid, i) GROUP BY cid"""
+        s"""WITH v AS (SELECT vec_id AS id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                       FROM embeddings),
+           c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cid, vec AS cvec
+                  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 4)),
+           a0 AS (${assign("c0")}),
+           c1 AS (${means("a0")}),
+           a1 AS (${assign("c1")}),
+           c2 AS (${means("a1")}),
+           cells AS (${assign("c2")}),
+           occ AS (SELECT cid FROM cells GROUP BY cid HAVING COUNT(*) <= 10000),
+           bounded AS (SELECT c.* FROM cells c JOIN occ USING (cid)),
+           dups AS (
+             SELECT DISTINCT b.id
+             FROM bounded a JOIN bounded b USING (cid)
+             WHERE a.id < b.id
+               AND ROUND(
+                     list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
+                     / (SQRT(list_sum(list_transform(range(1, 65), i -> a.vec[i] * a.vec[i])))
+                        * SQRT(list_sum(list_transform(range(1, 65), i -> b.vec[i] * b.vec[i])))), 6)
+                   >= 0.25)
+           SELECT c.id AS vec_id, c.cid
+           FROM cells c LEFT JOIN dups d ON c.id = d.id
+           WHERE d.id IS NULL"""
+      },
 
       "sim_ivf_kmeans" -> {
         // unrolled Lloyd iterations, replaying the engine's exact op

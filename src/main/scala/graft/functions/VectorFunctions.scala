@@ -166,6 +166,40 @@ object VectorFunctions {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication: learn coarse k-means cells
+    * (deterministic Lloyd, [[kmeansCentroids]]), then inside each cell
+    * drop every vector that has a smaller-id neighbor at cosine ≥ tau —
+    * the deterministic min-id survivor rule. Returns the surviving
+    * (id, vec, cid) rows.
+    *
+    * Scale shape: the quadratic pairwise work is confined to one cell
+    * (the SemDeDup contract — `clusters` grows with the corpus so cell
+    * occupancy stays bounded), and the only wide exchange is the
+    * equi-join on `cid`, which shuffles each (cid, id, vec) row once
+    * per side. Cells whose occupancy exceeds `maxCell` (a runaway
+    * mega-cluster under skew) skip pairwise pruning and keep all
+    * members rather than emit O(n²) candidate pairs — same occupancy
+    * cap as [[bandedNearDup]]'s `maxBucket`, and mirrored in the
+    * oracle so the cap itself is correctness-gated.
+    */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+                    clusters: Int, iters: Int, tau: Double,
+                    roundScale: Int = 6, maxCell: Long = Long.MaxValue): DataFrame = {
+    val cents = kmeansCentroids(df, id, vec, clusters, iters)
+    val cells = kmeansAssign(df, id, vec, cents)
+    // occupancy is k rows — broadcast the under-cap cell list
+    val small = cells.groupBy("cid").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCell).select("cid")
+    val bounded = cells.join(broadcast(small), Seq("cid"), "left_semi")
+    val dups = bounded.select(col("cid"), col(id).as("__id_a"), col(vec).as("__vec_a"))
+      .join(bounded.select(col("cid"), col(id).as("__id_b"), col(vec).as("__vec_b")),
+        Seq("cid"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(round(cosine(col("__vec_a"), col("__vec_b")), roundScale) >= tau)
+      .select(col("__id_b").as("__dup")).distinct()
+    cells.join(dups, col(id) === col("__dup"), "left_anti")
+  }
+
   /** Banded LSH top-k: candidates = union of per-band collisions
     * (deduped), exact cosine rank once per candidate. Same contract as
     * [[lshTopK]] with the single-table recall cliff removed.

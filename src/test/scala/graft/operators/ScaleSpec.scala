@@ -184,6 +184,35 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.95, s"IVF top-1 recall $recall below bound")
   }
 
+  test("semanticDedup: min-id survivor per cell, occupancy cap keeps mega-cells") {
+    import graft.functions.VectorFunctions
+    // same planted-cluster fixture as the IVF test: within-cluster
+    // cosine ≈ 0.999 (jitter << separation), cross-cluster ≈ 0
+    val n = 400
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim) { d =>
+        val base = if (d == c * 2) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // every planted cluster collapses to its lowest-id member
+    val kept = VectorFunctions.semanticDedup(df, "vec_id", "embedding",
+      clusters = 4, iters = 3, tau = 0.99)
+    val ids = kept.select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 3L), s"survivors: $ids")
+    // deterministic across evaluations
+    val again = VectorFunctions.semanticDedup(df, "vec_id", "embedding",
+      clusters = 4, iters = 3, tau = 0.99).select("vec_id").as[Long].collect().toSet
+    assert(again == ids)
+    // occupancy cap: cells above maxCell skip pairwise pruning entirely
+    val capped = VectorFunctions.semanticDedup(df, "vec_id", "embedding",
+      clusters = 4, iters = 3, tau = 0.99, maxCell = 50)
+    assert(capped.count() == n.toLong)
+  }
+
   test("IVF persisted index: save + load answers identically to train-per-call") {
     import graft.functions.VectorFunctions
     val n = 400
