@@ -693,6 +693,20 @@ object SparkEntry {
         g.getField("keep").as("keep"))
     }),
 
+    "text_quality_classifier" -> ((s, dir) => {
+      // fastText-style hashed linear scoring: 64-bucket hashing trick,
+      // literal weight vector in the plan, margin + keep in one
+      // scan-side pass (sigmoid is monotone — margin thresholding ≡
+      // probability thresholding, without cross-engine exp() drift)
+      val w = T.pseudoWeights(64)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          T.hashedLinearScore(col("text"), w).as("__m"))
+        .select(col("doc_id"),
+          round(col("__m"), 6).as("margin"),
+          (col("__m") >= 0.0).as("keep"))
+    }),
+
     "text_span_dedup" -> ((s, dir) => {
       // duplicated-passage pairs (MOSS winnowing): docs sharing ≥2
       // selected rolling hashes after dropping boilerplate stop-spans;
@@ -3266,6 +3280,21 @@ object SparkEntry {
              FROM t)
            SELECT doc_id, quality, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
            FROM c WHERE cum_cost <= 10000""",
+
+      "text_quality_classifier" ->
+        // same md5 bucket as the engine, weight regenerated inline from
+        // the pseudoWeights mix; list_sum folds in token order, the
+        // sequential-add parity the dot-product oracles already prove
+        """SELECT doc_id, ROUND(m, 6) AS margin, m >= 0 AS keep
+           FROM (
+             SELECT doc_id,
+                    COALESCE(list_sum(list_transform(
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  t -> strlen(t) > 0),
+                      t -> CAST(((('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT % 64)
+                                 * 2654435761) % 4294967296 AS DOUBLE)
+                           / 4294967296.0 * 2.0 - 1.0)), 0.0) AS m
+             FROM documents)""",
 
       "text_langid" ->
         """WITH sc AS (

@@ -32,6 +32,40 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Hashing-trick linear classifier margin (fastText-style quality
+    * scoring): every lowercased token hashes into one of
+    * `weights.length` buckets (first 8 md5 hex chars — the same
+    * engine-portable scheme as `Sampling.hashBucket`) and the margin
+    * is `bias + Σ weights(bucket)` over tokens in document order. The
+    * learned weight vector ships as a LITERAL array inside the plan
+    * (a few KB), so scoring a 100 TB corpus is one scan-side pass —
+    * no shuffle, no join, no UDF. Sigmoid is monotone, so
+    * thresholding the margin ≡ thresholding the probability; keeping
+    * the margin avoids cross-engine `exp()` last-ulp drift.
+    */
+  def hashedLinearScore(text: Column, weights: Seq[Double],
+                        bias: Double = 0.0, salt: String = "feat"): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val warr = array(weights.map(lit): _*)
+    val b = weights.length
+    val bucket = (t: Column) =>
+      (conv(substring(md5(concat(lit(salt + ":"), t)), 1, 8), 16, 10)
+        .cast("long") % b).cast("int")
+    aggregate(
+      filter(tokens(lower(text)), t => length(t) > lit(0)),
+      lit(bias),
+      (acc, t) => acc + element_at(warr, bucket(t) + 1))
+  }
+
+  /** Deterministic stand-in weight vector for specs/demos: a Knuth
+    * multiplicative mix of the bucket index into [-1, 1). A real
+    * pipeline passes trained weights instead; the formula exists so an
+    * oracle can regenerate the identical vector bit-for-bit.
+    */
+  def pseudoWeights(n: Int): Seq[Double] =
+    (0 until n).map(i =>
+      ((i * 2654435761L) % 4294967296L).toDouble / 4294967296.0 * 2.0 - 1.0)
+
   /** Stopword sets per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny + deterministic.
     */

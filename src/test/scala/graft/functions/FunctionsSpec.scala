@@ -117,6 +117,33 @@ class FunctionsSpec extends SparkSpec {
     assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
   }
 
+  test("hashedLinearScore: bucket-sum margin, bias, determinism") {
+    val docs = Seq((1L, "aa bb aa"), (2L, ""), (3L, "  AA  ")).toDF("doc_id", "text")
+    // all-zero weights → margin is exactly the bias (empty text included)
+    val zero = docs.select($"doc_id",
+        TextFunctions.hashedLinearScore($"text", Seq.fill(8)(0.0), bias = 2.5).as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(zero.values.forall(_ == 2.5))
+    // token repetition sums its weight twice; case-insensitive hashing
+    val w = TextFunctions.pseudoWeights(8)
+    val m = docs.select($"doc_id",
+        TextFunctions.hashedLinearScore($"text", w).as("m"))
+      .as[(Long, Double)].collect().toMap
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"feat:$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(8), 16) % 8).toInt
+    }
+    assert(math.abs(m(1L) - (2 * w(bucket("aa")) + w(bucket("bb")))) < 1e-12)
+    assert(m(2L) == 0.0) // no tokens → bias only
+    assert(m(3L) == w(bucket("aa"))) // trimmed + lowercased
+    // deterministic across evaluations
+    val again = docs.select($"doc_id",
+        TextFunctions.hashedLinearScore($"text", w).as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(again == m)
+  }
+
   test("repetition signals: top-token and duplicate-bigram fractions") {
     val df = Seq(
       (1L, "spam spam spam spam eggs"),        // 4/5 top token; bigrams: 3×"spam spam" +1 → dup 2/4
