@@ -1357,6 +1357,19 @@ object SparkEntry {
         .select(col("vec_id"), col("cid"))
     }),
 
+    "dedup_semantic_persisted" -> ((s, dir) => {
+      // the operational SemDeDup shape: cells come from the persisted
+      // IVF index (build once), every corpus refresh pays only the
+      // prune. Must be bit-identical to train-per-call dedup_semantic —
+      // the same oracle gates both.
+      val emb = t(s, dir, "embeddings")
+      val idxPath = tmpPath(dir, "ivf_index_sem")
+      V.saveIvfIndex(emb, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      V.semanticDedupFromIndex(idxPath, emb, "vec_id", "embedding",
+          tau = 0.25, maxCell = 10000)
+        .select(col("vec_id"), col("cid"))
+    }),
+
     // ---------------- similarity: IVF-style coarse partition ----------
     "sim_ivf_label" -> ((s, dir) => {
       // label column = coarse quantizer cell: search only the query's cell
@@ -4478,6 +4491,7 @@ object SparkEntry {
                     < ${math.floor(0.9 * 4294967296.0).toLong} THEN 'val'
                ELSE 'test' END"""
     m + ("sim_ivf_persisted" -> m("sim_ivf_kmeans")) +
+      ("dedup_semantic_persisted" -> m("dedup_semantic")) +
       ("s12_upsert_bucketed" -> m("s12_upsert_diff")) +
       ("sim_pq_persisted" -> m("sim_pq_recall")) +
       ("split_leakage_guard" ->

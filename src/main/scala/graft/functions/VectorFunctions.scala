@@ -186,7 +186,29 @@ object VectorFunctions {
                     clusters: Int, iters: Int, tau: Double,
                     roundScale: Int = 6, maxCell: Long = Long.MaxValue): DataFrame = {
     val cents = kmeansCentroids(df, id, vec, clusters, iters)
-    val cells = kmeansAssign(df, id, vec, cents)
+    semanticPrune(kmeansAssign(df, id, vec, cents), id, vec, tau, roundScale, maxCell)
+  }
+
+  /** [[semanticDedup]] answering from a persisted IVF index (see
+    * [[saveIvfIndex]]): the build-once cell assignment replaces the
+    * retrain+reassign, so repeated dedup passes (every corpus refresh)
+    * pay only the prune. Bit-identical to train-per-call with the same
+    * training parameters — one oracle gates both.
+    */
+  def semanticDedupFromIndex(path: String, df: DataFrame, id: String, vec: String,
+                             tau: Double, roundScale: Int = 6,
+                             maxCell: Long = Long.MaxValue): DataFrame = {
+    val cells = df.sparkSession.read.parquet(s"$path/cells")
+      .withColumnRenamed("id", id)
+      .join(df.select(col(id), col(vec)), Seq(id))
+    semanticPrune(cells, id, vec, tau, roundScale, maxCell)
+  }
+
+  /** Within-cell min-id-survivor prune shared by the train-per-call and
+    * persisted-index SemDeDup paths. `cells` carries (id, vec, cid).
+    */
+  private def semanticPrune(cells: DataFrame, id: String, vec: String,
+                            tau: Double, roundScale: Int, maxCell: Long): DataFrame = {
     // occupancy is k rows — broadcast the under-cap cell list
     val small = cells.groupBy("cid").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxCell).select("cid")

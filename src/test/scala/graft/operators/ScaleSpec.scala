@@ -211,6 +211,12 @@ class ScaleSpec extends SparkSpec {
     val capped = VectorFunctions.semanticDedup(df, "vec_id", "embedding",
       clusters = 4, iters = 3, tau = 0.99, maxCell = 50)
     assert(capped.count() == n.toLong)
+    // persisted-index path answers identically to train-per-call
+    val idx = java.nio.file.Files.createTempDirectory("sem_idx").toString
+    VectorFunctions.saveIvfIndex(df, "vec_id", "embedding", idx, clusters = 4, iters = 3)
+    val fromIdx = VectorFunctions.semanticDedupFromIndex(idx, df, "vec_id", "embedding",
+      tau = 0.99).select("vec_id").as[Long].collect().toSet
+    assert(fromIdx == ids)
   }
 
   test("IVF persisted index: save + load answers identically to train-per-call") {
