@@ -1370,6 +1370,20 @@ object SparkEntry {
         .select(col("vec_id"), col("cid"))
     }),
 
+    "dedup_ingest_probe" -> ((s, dir) => {
+      // ingest-time near-dup gate: index built over the existing corpus
+      // (vec_id < 490), the 10 "arriving" rows probe it — per-row
+      // literal-centroid cell assignment (the streaming-legal form; no
+      // window) + equi-join on cid. The same function runs as the
+      // stream-static join in ValidateStream.nearDupProbeStream.
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") < 490)
+      val incoming = emb.filter(col("vec_id") >= 490)
+      val idxPath = tmpPath(dir, "ivf_index_ingest")
+      V.saveIvfIndex(corpus, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      V.nearDupProbeIndex(idxPath, incoming, "vec_id", "embedding", corpus, tau = 0.2)
+    }),
+
     // ---------------- similarity: IVF-style coarse partition ----------
     "sim_ivf_label" -> ((s, dir) => {
       // label column = coarse quantizer cell: search only the query's cell
@@ -3714,6 +3728,54 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
            FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3""",
+
+      "dedup_ingest_probe" -> {
+        // Lloyd unroll over the EXISTING corpus only (id < 490); the
+        // arriving rows are assigned to the learned cells by the same
+        // argmin (ROW_NUMBER ≡ the engine's literal-centroid array_min
+        // with the cid tie-break), then pairwise cos ≥ 0.2 in-cell
+        def dist(v: String, c: String) =
+          s"""list_sum(list_transform(range(1, 65), j -> $v[j] * $v[j]))
+              - 2 * list_sum(list_transform(range(1, 65), j -> $v[j] * $c[j]))
+              + list_sum(list_transform(range(1, 65), j -> $c[j] * $c[j]))"""
+        def assignFrom(src: String, cents: String) =
+          s"""SELECT id, vec, cid FROM (
+                SELECT s.id, s.vec, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY s.id
+                         ORDER BY ${dist("s.vec", "c.cvec")} ASC, c.cid ASC) AS rn
+                FROM $src s CROSS JOIN $cents c) WHERE rn = 1"""
+        def means(assigned: String) =
+          s"""SELECT cid, list(m ORDER BY i) AS cvec FROM (
+                SELECT cid, i,
+                       CAST(SUM(CAST(vec[CAST(i AS INT)] AS DECIMAL(30,10))) AS DOUBLE)
+                         / COUNT(*) AS m
+                FROM $assigned CROSS JOIN range(1, 65) AS r(i)
+                GROUP BY cid, i) GROUP BY cid"""
+        s"""WITH v_all AS (SELECT vec_id AS id,
+                                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                           FROM embeddings),
+           v AS (SELECT * FROM v_all WHERE id < 490),
+           c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cid, vec AS cvec
+                  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 4)),
+           a0 AS (${assignFrom("v", "c0")}),
+           c1 AS (${means("a0")}),
+           a1 AS (${assignFrom("v", "c1")}),
+           c2 AS (${means("a1")}),
+           cells AS (${assignFrom("v", "c2")}),
+           inc AS (SELECT * FROM v_all WHERE id >= 490),
+           inc_cells AS (${assignFrom("inc", "c2")})
+           SELECT i.id AS q_id, c.id AS c_id,
+                  ROUND(
+                    list_sum(list_transform(range(1, 65), k -> i.vec[k] * c.vec[k]))
+                    / (SQRT(list_sum(list_transform(range(1, 65), k -> i.vec[k] * i.vec[k])))
+                       * SQRT(list_sum(list_transform(range(1, 65), k -> c.vec[k] * c.vec[k])))), 6) AS cos
+           FROM inc_cells i JOIN cells c USING (cid)
+           WHERE ROUND(
+                   list_sum(list_transform(range(1, 65), k -> i.vec[k] * c.vec[k]))
+                   / (SQRT(list_sum(list_transform(range(1, 65), k -> i.vec[k] * i.vec[k])))
+                      * SQRT(list_sum(list_transform(range(1, 65), k -> c.vec[k] * c.vec[k])))), 6)
+                 >= 0.2"""
+      },
 
       "dedup_semantic" -> {
         // same unrolled-Lloyd cell assignment as sim_ivf_kmeans, then

@@ -204,6 +204,48 @@ object VectorFunctions {
     semanticPrune(cells, id, vec, tau, roundScale, maxCell)
   }
 
+  /** Streaming-legal cell assignment: per-row argmin over LITERAL
+    * centroids (`array_min` over (dist, cid) structs — the same
+    * three-fold distance expression and cid tie-break as
+    * [[kmeansAssign]], so both forms assign identically). The
+    * join+window form is faster in batch (see kmeansAssign's measured
+    * shape note), but non-time windows are illegal on unbounded
+    * streams; this form is stateless and shuffle-free, which is what
+    * ingest needs. Centroid count is k (driver-small by construction).
+    */
+  def assignCellLiteral(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val entries = centroids.sortBy(_._1).map { case (cid, c) =>
+      val carr = array(c.map(lit): _*)
+      struct(
+        (dot(vec, vec) - lit(2.0) * dot(vec, carr) + dot(carr, carr)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(entries: _*)).getField("cid")
+  }
+
+  /** Ingest-time near-dup probe against a persisted IVF index: each
+    * incoming row is assigned to its cell per-row ([[assignCellLiteral]],
+    * no window, no shuffle), then an equi-join on `cid` against the
+    * index cells (corpus vectors re-joined by id) flags pairs at
+    * cos ≥ tau. Runs unchanged on a batch DataFrame (the oracle-gated
+    * twin) and as the static side of a stream-static join on a
+    * readStream micro-batch — the streaming corpus-refresh gate.
+    */
+  def nearDupProbeIndex(path: String, incoming: DataFrame, id: String, vec: String,
+                        corpus: DataFrame, tau: Double, roundScale: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val cells = spark.read.parquet(s"$path/cells").withColumnRenamed("id", "c_id")
+      .join(corpus.select(col(id).as("c_id"), col(vec).as("c_vec")), Seq("c_id"))
+    incoming.select(col(id).as("q_id"), col(vec).as("q_vec"))
+      .withColumn("cid", assignCellLiteral(col("q_vec"), cents))
+      .join(cells, Seq("cid"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), roundScale))
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("c_id"), col("cos"))
+  }
+
   /** Within-cell min-id-survivor prune shared by the train-per-call and
     * persisted-index SemDeDup paths. `cells` carries (id, vec, cid).
     */

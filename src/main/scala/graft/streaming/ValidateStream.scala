@@ -73,6 +73,22 @@ object ValidateStream {
         Seq("__digest"), "left_anti")
       .drop("__digest")
 
+  /** Ingest-time ANN near-dup gate on a live embedding stream:
+    * stateless per-row cell assignment over LITERAL centroids (the
+    * streaming-legal argmin — non-time windows are illegal on
+    * unbounded streams) plus a stream-static equi-join on `cid`
+    * against the persisted IVF index. No watermark, no state store,
+    * unbounded uptime; the static index is planned per micro-batch, so
+    * republishing it picks up corpus growth without a restart. Same
+    * code path as the oracle-gated batch twin (`dedup_ingest_probe`);
+    * the spec pins stream == batch.
+    */
+  def nearDupProbeStream(docs: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String, corpus: DataFrame,
+                         tau: Double): DataFrame =
+    graft.functions.VectorFunctions.nearDupProbeIndex(
+      indexPath, docs, idCol, vecCol, corpus, tau)
+
   /** Streaming MinHash band-index maintenance: each micro-batch of new
     * documents appends its (band_key, id) rows to the persisted LSH
     * index that [[graft.functions.DedupFunctions.incrementalNearDupCandidates]]

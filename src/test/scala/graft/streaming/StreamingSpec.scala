@@ -130,6 +130,47 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 4L), s"expected corpus dups dropped, got $kept")
   }
 
+  test("streaming ANN probe: streamed embeddings flag in-cell near-dups, == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions
+    // planted-cluster corpus (same fixture family as ScaleSpec): 4
+    // orthogonal clusters, jitter << separation
+    val corpus = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8) { d =>
+        val base = if (d == c * 2) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      })
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("annprobe")
+    VectorFunctions.saveIvfIndex(corpus, "vec_id", "embedding", s"$dir/idx",
+      clusters = 4, iters = 2)
+    // incoming: 1000 sits on cluster-0's axis (near-dup), 1001 on a
+    // direction no cluster occupies (odd dims are never cluster axes)
+    val incoming = Seq(
+      (1000L, Array.tabulate(8)(d => if (d == 0) 10.0f else 0.0f)),
+      (1001L, Array.tabulate(8)(d => if (d == 7) 10.0f else 0.0f)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData(incoming: _*)
+    val out = ValidateStream.nearDupProbeStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", corpus, tau = 0.99)
+    val q = out.writeStream.format("memory").queryName("ann_probe")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val streamed = spark.table("ann_probe")
+      .as[(Long, Long, Double)].collect().toSet
+    // 1000 matches every cluster-0 member (50 of them), 1001 matches none
+    assert(streamed.count(_._1 == 1000L) == 50, s"got ${streamed.count(_._1 == 1000L)}")
+    assert(!streamed.exists(_._1 == 1001L))
+    // the stream path IS the batch path: identical rows
+    val batch = VectorFunctions.nearDupProbeIndex(s"$dir/idx",
+        incoming.toDF("vec_id", "embedding"), "vec_id", "embedding", corpus, tau = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming band-index maintenance: appended index finds near-dups of streamed docs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
