@@ -184,8 +184,11 @@ object VectorFunctions {
     */
   def semanticDedup(df: DataFrame, id: String, vec: String,
                     clusters: Int, iters: Int, tau: Double,
-                    roundScale: Int = 6, maxCell: Long = Long.MaxValue): DataFrame = {
-    val cents = kmeansCentroids(df, id, vec, clusters, iters)
+                    roundScale: Int = 6, maxCell: Long = Long.MaxValue,
+                    trainFilter: Column = lit(true)): DataFrame = {
+    // at corpus scale Lloyd trains on a hash-sample (trainFilter); the
+    // full corpus only pays the broadcast assignment + the prune
+    val cents = kmeansCentroids(df.filter(trainFilter), id, vec, clusters, iters)
     semanticPrune(kmeansAssign(df, id, vec, cents), id, vec, tau, roundScale, maxCell)
   }
 
@@ -238,29 +241,74 @@ object VectorFunctions {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
     val cells = spark.read.parquet(s"$path/cells").withColumnRenamed("id", "c_id")
       .join(corpus.select(col(id).as("c_id"), col(vec).as("c_vec")), Seq("c_id"))
+      .withColumn("__cn", norm(col("c_vec"))) // norms once per side
     incoming.select(col(id).as("q_id"), col(vec).as("q_vec"))
       .withColumn("cid", assignCellLiteral(col("q_vec"), cents))
+      .withColumn("__qn", norm(col("q_vec")))
       .join(cells, Seq("cid"))
-      .withColumn("cos", round(cosine(col("q_vec"), col("c_vec")), roundScale))
+      .withColumn("cos", round(safeRatio(dot(col("q_vec"), col("c_vec")),
+        col("__qn") * col("__cn")), roundScale))
       .filter(col("cos") >= tau)
       .select(col("q_id"), col("c_id"), col("cos"))
   }
 
   /** Within-cell min-id-survivor prune shared by the train-per-call and
     * persisted-index SemDeDup paths. `cells` carries (id, vec, cid).
+    *
+    * The assignment feeds FOUR consumers (occupancy count, both sides
+    * of the pair join, the survivor anti-join), so it is persisted for
+    * the life of the returned plan — without this the train-per-call
+    * path replays the full crossJoin+window assignment per consumer
+    * (measured 4× the operator's cost at the 80k smoke). Same persist
+    * contract as the winnow index (one materialization, many readers);
+    * callers running many operators back-to-back reclaim it with
+    * `spark.catalog.clearCache()`.
     */
-  private def semanticPrune(cells: DataFrame, id: String, vec: String,
+  private def semanticPrune(cells0: DataFrame, id: String, vec: String,
                             tau: Double, roundScale: Int, maxCell: Long): DataFrame = {
+    // the sqrt ulp argument below (identical pairs round to 1.0) needs
+    // the round to absorb a ~1e-16 error; 12 decimals is plenty and
+    // far past any engine-portable use
+    require(roundScale <= 12, "roundScale above 12 breaks the collapse proof")
+    val cells = cells0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // occupancy is k rows — broadcast the under-cap cell list
     val small = cells.groupBy("cid").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxCell).select("cid")
+    // norms once per side, not once per pair (identical doubles — the
+    // bruteForceTopK pattern)
     val bounded = cells.join(broadcast(small), Seq("cid"), "left_semi")
-    val dups = bounded.select(col("cid"), col(id).as("__id_a"), col(vec).as("__vec_a"))
-      .join(bounded.select(col("cid"), col(id).as("__id_b"), col(vec).as("__vec_b")),
-        Seq("cid"))
+      .withColumn("__nm", norm(col(vec)))
+    // zero-norm / NaN vectors: cosine against ANYTHING is NaN, so they
+    // are permanent survivors and can never prune others — out of the
+    // pairwise entirely (NaN norm fails the > 0 predicate too)
+    val nz = bounded.filter(col("__nm") > 0.0)
+    // exact-duplicate pre-collapse, provably result-identical: bitwise
+    // equal vectors produce bit-equal cosines against every third row,
+    // so a group member is interchangeable with its min-id
+    // representative in every cross comparison, and every non-minimal
+    // member is pruned by its own group min whenever the identical-pair
+    // predicate passes — which is evaluated EXACTLY (same fold, same
+    // round) rather than assumed. Pairwise then runs over DISTINCT
+    // vectors only: a zipf mega-group of identical rows (the web-corpus
+    // shape) costs linear, not quadratic.
+    val reps = nz.groupBy(col("cid"), col(vec), col("__nm"))
+      .agg(min(col(id)).as("__rep"))
+    val selfPass = round(safeRatio(dot(col(vec), col(vec)),
+      col("__nm") * col("__nm")), roundScale) >= tau
+    val exactDups = nz
+      .join(reps.filter(selfPass).select(col("cid"), col(vec), col("__rep")),
+        Seq("cid", vec))
+      .filter(col(id) =!= col("__rep"))
+      .select(col(id).as("__dup"))
+    val nearDups = reps.select(col("cid"), col("__rep").as("__id_a"),
+        col(vec).as("__vec_a"), col("__nm").as("__na"))
+      .join(reps.select(col("cid"), col("__rep").as("__id_b"),
+        col(vec).as("__vec_b"), col("__nm").as("__nb")), Seq("cid"))
       .filter(col("__id_a") < col("__id_b"))
-      .filter(round(cosine(col("__vec_a"), col("__vec_b")), roundScale) >= tau)
-      .select(col("__id_b").as("__dup")).distinct()
+      .filter(round(safeRatio(dot(col("__vec_a"), col("__vec_b")),
+        col("__na") * col("__nb")), roundScale) >= tau)
+      .select(col("__id_b").as("__dup"))
+    val dups = exactDups.unionByName(nearDups).distinct()
     cells.join(dups, col(id) === col("__dup"), "left_anti")
   }
 
@@ -303,14 +351,19 @@ object VectorFunctions {
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame): DataFrame = {
-    val joined = df.crossJoin(broadcast(centroids))
+    // ||v||² once per row and ||c||² once per centroid instead of once
+    // per (row, centroid) pair — the same three doubles reach the same
+    // a - 2b + c expression, so distances (and ties) are bit-identical,
+    // at 1/k of the self-dot work
+    val joined = df.withColumn("__vv", dot(col(vecCol), col(vecCol)))
+      .crossJoin(broadcast(
+        centroids.withColumn("__cc", dot(col("centroid"), col("centroid")))))
       .withColumn("__dist",
-        dot(col(vecCol), col(vecCol)) - lit(2.0) * dot(col(vecCol), col("centroid")) +
-          dot(col("centroid"), col("centroid")))
+        col("__vv") - lit(2.0) * dot(col(vecCol), col("centroid")) + col("__cc"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cid").asc)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__dist", "centroid")
+      .drop("__rn", "__dist", "centroid", "__vv", "__cc")
   }
 
   /** Lloyd's k-means over an embedding column, shaped for a cluster:
