@@ -741,6 +741,31 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", k = 3)
     }),
 
+    "text_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval for a query batch: scan-side doc lengths (native
+      // token count, zero shuffle), query-vocab semi-join BEFORE the tf
+      // aggregation (only matching postings shuffle), vocab-sized df/idf
+      // broadcast back, bounded top-k ranking (no window sort). Term
+      // scores rounded then DECIMAL-summed → order-free, oracle-exact.
+      graft.functions.Curation.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        queries = Seq(
+          0L -> Seq("spark", "window"),
+          1L -> Seq("hash", "merge", "vector"),
+          2L -> Seq("customer", "query")),
+        k = 5)
+    }),
+
+    "text_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries heavy hitters, exact-verified: sketch pass bounds
+      // per-partition state at k=64 counters (no full-vocab groupBy),
+      // candidates guaranteed to cover every token > 1/50 of the
+      // corpus; second pass counts ONLY the broadcast candidates and
+      // keeps the true heavies by integer cross-multiplication
+      graft.functions.Curation.heavyHitters(
+        t(s, dir, "documents"), "text", sketchK = 64, num = 1L, den = 50L)
+    }),
+
     "text_rarity" -> ((s, dir) => {
       // corpus-frequency rarity quality signals (integer-exact unigram
       // surprisal core): OOV fraction vs the top-50 vocabulary + mean
@@ -3094,6 +3119,49 @@ object SparkEntry {
                     ORDER BY tfidf DESC, token) AS rank
            FROM scored
            QUALIFY rank <= 3""",
+
+      "text_bm25_topk" ->
+        """WITH q(query_id, token) AS (VALUES
+             (0, 'spark'), (0, 'window'),
+             (1, 'hash'), (1, 'merge'), (1, 'vector'),
+             (2, 'customer'), (2, 'query')),
+           tok AS (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+           stats AS (SELECT COUNT(*) AS n_docs,
+                            SUM(dl) / COUNT(*) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+           df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           term AS (
+             SELECT q.query_id, tf.doc_id,
+                    CAST(ROUND(
+                      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                      * (CAST(tf AS DOUBLE) * 2.2)
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+                      AS DECIMAL(18,6)) AS s
+             FROM tf JOIN q USING (token) JOIN dl USING (doc_id)
+                  JOIN df USING (token) CROSS JOIN stats),
+           scored AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+                      FROM term GROUP BY 1, 2)
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS rank
+           FROM scored
+           QUALIFY rank <= 5""",
+
+      "text_heavy_hitters" ->
+        """WITH tok AS (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           tot AS (SELECT COUNT(*) AS total FROM tok)
+           SELECT token, COUNT(*) AS cnt
+           FROM tok CROSS JOIN tot
+           GROUP BY token, total
+           HAVING COUNT(*) * 50 > total * 1""",
 
       "sessionize_batch" ->
         """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -90,6 +90,105 @@ object Curation {
       .select(col(idCol), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 top-k retrieval for a batch of keyword queries (Robertson/
+    * Lucene idf: ln((N - df + 0.5)/(df + 0.5) + 1), so scores are
+    * always positive).
+    *
+    * Scale shape: document lengths come from the NATIVE one-pass token
+    * counter (scan-side, zero shuffle — no corpus-wide token groupBy
+    * just to measure lengths); the exploded token stream is semi-joined
+    * to the broadcast query vocabulary BEFORE the tf aggregation, so
+    * only query-term postings ever shuffle (at 100 TB the posting
+    * stream is |matching tokens|, not |corpus tokens|); df/idf are
+    * query-vocab-sized tables broadcast back; per-query ranking uses
+    * the bounded top-k aggregate (k rows per partition per query reach
+    * the shuffle — no window sort over the scored corpus).
+    *
+    * Determinism: each per-term score is rounded to 6 dp and summed as
+    * DECIMAL(18,6), so the per-document score is exact under any
+    * partial-aggregation order and replays bit-identically in the
+    * oracle; ties rank by doc id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries
+      .flatMap { case (qid, terms) => terms.map(t => (qid, t.toLowerCase)) }
+      .distinct.toDF("query_id", "token")
+    val qterms = q.select("token").distinct()
+    // scan-side lengths: one codegen'd pass per row, no explode.
+    // null text yields no token rows, so it's excluded from N/avgdl —
+    // the same population an explode-based length count would see
+    val dl = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
+      .filter(col("dl").isNotNull)
+    // corpus stats are ints divided once — no float accumulation
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val term = tf
+      .join(dl, Seq(idCol))
+      .join(broadcast(df_), Seq("token"))
+      .join(broadcast(q), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("s",
+        round(col("idf") * (col("tf").cast("double") * (k1 + 1.0))
+          / (col("tf").cast("double")
+             + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(18,6)"))
+    val scored = term.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("s")).cast("double").as("score"))
+    graft.plans.TopKAggregate
+      .topKExploded(scored, Seq("query_id"), col("score"), col(idCol), k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("score"), col("rank"))
+  }
+
+  /** Corpus heavy hitters: every token with frequency strictly above
+    * `num/den` of all tokens, with its EXACT count — found without a
+    * full-vocabulary groupBy.
+    *
+    * Pass 1 runs the Misra–Gries sketch ([[graft.plans.FreqItemsAggregate]]):
+    * k-bounded state per partition, k·|partitions| rows to a 1-row
+    * shuffle, candidates guaranteed to include every true heavy hitter
+    * (needs num/den ≥ 1/(sketchK+1), enforced). Pass 2 re-scans with
+    * the tiny candidate set broadcast — only candidate postings reach
+    * the count shuffle — and keeps candidates whose exact count clears
+    * the threshold (integer cross-multiplication, no float ratio).
+    * Sketch contents are merge-order-dependent; the exact-verified
+    * output is deterministic because the guarantee makes it EQUAL the
+    * true heavy set under any execution order. Total-token count comes
+    * from the scan-side native token counter, not a third explode.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   sketchK: Int, num: Long, den: Long): DataFrame = {
+    require(num > 0 && den > 0 && den <= num * (sketchK + 1L),
+      s"MG guarantee needs num/den >= 1/(sketchK+1): $num/$den vs 1/${sketchK + 1}")
+    val tok = docs.select(
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val cand = tok
+      .agg(graft.plans.FreqItemsAggregate.freqCandidates(col("token"), sketchK)
+        .as("cand"))
+      .select(explode(col("cand")).as("token"))
+    val total = docs.agg(
+      sum(TextFunctions.tokenCount(lower(col(textCol)))).as("total"))
+    tok.join(broadcast(cand), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(den) > col("total") * lit(num))
+      .select(col("token"), col("cnt"))
+  }
+
   /** Corpus-frequency rarity signals — the integer-exact core of a
     * perplexity-style quality score, without the float-log portability
     * risk. Per document:

@@ -129,6 +129,11 @@ object GraftExtensions {
         require(exprs.length == 2, "zorder_key(x, y)")
         expression(graft.sources.Layout.zorderKey2(
           column(exprs(0)), column(exprs(1))))
+      },
+      "freq_candidates" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "freq_candidates(item, k)")
+        FreqItemsAggregate(exprs.head, intLiteral(exprs(1), "k"))
+          .toAggregateExpression()
       })
   }
 

@@ -342,4 +342,47 @@ class FunctionsSpec extends SparkSpec {
     assert(cands.contains((20L, 1L)), s"expected (20,1) candidate in $cands")
     assert(!cands.exists(_._1 == 21L), s"fresh doc must not collide: $cands")
   }
+
+  test("bm25: tf monotonicity, rare-term idf dominance, absent term scores nothing") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler"),
+      (2L, "spark filler filler filler filler filler"),
+      (3L, "needle filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val res = Curation.bm25TopK(docs, "doc_id", "text",
+        queries = Seq(0L -> Seq("spark"), 1L -> Seq("needle", "spark")),
+        k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._4).toSeq }
+    // q0: doc1 (tf=3) outranks doc2 (tf=1); docs 3,4 never appear
+    assert(res(0L).map(_._2) == Seq(1L, 2L))
+    assert(res(0L).head._3 > res(0L)(1)._3)
+    // q1: "needle" (df=1) is rarer than "spark" (df=2) at equal tf, so
+    // doc3 outranks doc2; doc1's triple tf still can't beat the idf gap
+    assert(res(1L).map(_._2).take(1) == Seq(3L))
+    assert(res(1L).map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("bm25 is deterministic across partitionings (decimal term sums)") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"w${i % 7} w${i % 13} w${i % 7} filler common common"))
+      .toDF("doc_id", "text")
+    val qs = Seq(0L -> Seq("w1", "w12"), 1L -> Seq("common", "w3"))
+    def run(parts: Int) =
+      Curation.bm25TopK(docs.repartition(parts), "doc_id", "text", qs, k = 7)
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(run(1) == run(13))
+  }
+
+  test("bm25 plan: no window sort, query-side tables broadcast") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = Curation.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> Seq("b")), k = 3).queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "ranking must use the bounded top-k aggregate")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
+  }
 }
