@@ -756,6 +756,23 @@ object SparkEntry {
         k = 5)
     }),
 
+    "text_bm25_persisted" -> ((s, dir) => {
+      // the operational retrieval shape: postings/doclen/stats persisted
+      // once per corpus refresh (saveBm25Index: token-sorted postings →
+      // row-group pruning under the literal vocab IN filter), every
+      // query batch reads only its matching postings. Bit-identical to
+      // train-per-call text_bm25_topk — the same oracle gates both.
+      val idxPath = tmpPath(dir, "bm25_index")
+      graft.functions.Curation.saveBm25Index(
+        t(s, dir, "documents"), "doc_id", "text", idxPath)
+      graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
+        queries = Seq(
+          0L -> Seq("spark", "window"),
+          1L -> Seq("hash", "merge", "vector"),
+          2L -> Seq("customer", "query")),
+        k = 5)
+    }),
+
     "text_heavy_hitters" -> ((s, dir) => {
       // Misra-Gries heavy hitters, exact-verified: sketch pass bounds
       // per-partition state at k=64 counters (no full-vocab groupBy),
@@ -4622,6 +4639,7 @@ object SparkEntry {
                ELSE 'test' END"""
     m + ("sim_ivf_persisted" -> m("sim_ivf_kmeans")) +
       ("dedup_semantic_persisted" -> m("dedup_semantic")) +
+      ("text_bm25_persisted" -> m("text_bm25_topk")) +
       ("s12_upsert_bucketed" -> m("s12_upsert_diff")) +
       ("sim_pq_persisted" -> m("sim_pq_recall")) +
       ("split_leakage_guard" ->

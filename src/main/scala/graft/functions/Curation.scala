@@ -112,26 +112,52 @@ object Curation {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, Seq[String])], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val q = queries
-      .flatMap { case (qid, terms) => terms.map(t => (qid, t.toLowerCase)) }
-      .distinct.toDF("query_id", "token")
+    val q = queryTable(docs.sparkSession, queries)
     val qterms = q.select("token").distinct()
-    // scan-side lengths: one codegen'd pass per row, no explode.
-    // null text yields no token rows, so it's excluded from N/avgdl —
-    // the same population an explode-based length count would see
-    val dl = docs.select(col(idCol),
-      TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
-      .filter(col("dl").isNotNull)
-    // corpus stats are ints divided once — no float accumulation
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val dl = docLengths(docs, idCol, textCol)
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
       .join(broadcast(qterms), Seq("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, corpusStats(dl), q, idCol, k, k1, b)
+  }
+
+  /** literal query batch → (query_id, token) frame, lowercased+deduped */
+  private def queryTable(spark: org.apache.spark.sql.SparkSession,
+                         queries: Seq[(Long, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    queries
+      .flatMap { case (qid, terms) => terms.map(t => (qid, t.toLowerCase)) }
+      .distinct.toDF("query_id", "token")
+  }
+
+  /** scan-side lengths: one codegen'd pass per row, no explode.
+    * null text yields no token rows, so it's excluded from N/avgdl —
+    * the same population an explode-based length count would see
+    */
+  private def docLengths(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
+      .filter(col("dl").isNotNull)
+
+  /** corpus stats: ints divided once — no float accumulation (the dl
+    * doubles are integer-valued, so their sum is order-free below 2^53)
+    */
+  private def corpusStats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+
+  /** Scoring core shared by the train-per-call and persisted-index BM25
+    * paths: df/idf from the (already query-vocab-restricted) tf frame,
+    * per-term scores rounded then DECIMAL-summed, bounded top-k rank.
+    * Bit-identical between the two callers by construction — they feed
+    * identical tf/dl/stats values through one expression tree.
+    */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                        q: DataFrame, idCol: String, k: Int,
+                        k1: Double, b: Double): DataFrame = {
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val term = tf
       .join(dl, Seq(idCol))
@@ -152,6 +178,52 @@ object Curation {
       .topKExploded(scored, Seq("query_id"), col("score"), col(idCol), k)
       .select(col("query_id"), col("id").as("doc_id"),
         col("score"), col("rank"))
+  }
+
+  /** Persist the BM25 inverted index: `postings/` (token, id, tf)
+    * range-partitioned AND sorted by token — so a query-vocab IN filter
+    * prunes row groups by min/max stats and the scan reads only the
+    * matching postings runs, not the corpus — plus `doclen/` (id, dl)
+    * and `stats/` (n_docs, avgdl).
+    *
+    * Build cost is the one full token groupBy the train-per-call path
+    * pays PER QUERY BATCH; paid here once per corpus refresh. The sort
+    * is the index: at 100 TB a query batch touches |query postings|
+    * bytes, parquet-pruned, with zero corpus-side shuffle.
+    */
+  def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                    path: String): Unit = {
+    val dl = docLengths(docs, idCol, textCol)
+    dl.select(col(idCol).as("id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    corpusStats(dl).write.mode("overwrite").parquet(s"$path/stats")
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"), col("id")).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"), col("id"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** [[bm25TopK]] answering from a persisted index ([[saveBm25Index]]):
+    * the postings scan is filtered by a LITERAL query-vocab IN predicate
+    * (driver-small by construction) so it pushes down to parquet and
+    * prunes the token-sorted row groups; doc lengths join only for
+    * matching postings' ids. Bit-identical to train-per-call — one
+    * oracle gates both.
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: Seq[(Long, Seq[String])], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queryTable(spark, queries)
+    val terms = queries.flatMap(_._2).map(_.toLowerCase).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("token").isin(terms: _*))
+      .select(col("id").as("doc_id"), col("token"), col("tf"))
+    val dl = spark.read.parquet(s"$path/doclen")
+      .select(col("id").as("doc_id"), col("dl"))
+    val stats = spark.read.parquet(s"$path/stats")
+    bm25Score(tf, dl, stats, q, "doc_id", k, k1, b)
   }
 
   /** Corpus heavy hitters: every token with frequency strictly above

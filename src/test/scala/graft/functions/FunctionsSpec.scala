@@ -375,14 +375,50 @@ class FunctionsSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  // executedPlan with AQE is an AdaptiveSparkPlanExec shell — descend
+  // into the materialized inner plan or node collects are vacuous
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        // materialized stages are leaves — the real subtree hangs off .plan
+        q +: allNodes(q.plan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(allNodes) ++ p.subqueries.flatMap(allNodes)
+  }
+
+  test("bm25 persisted index equals train-per-call, scan prunes by token filter") {
+    val docs = (1L to 300L)
+      .map(i => (i, s"w${i % 11} w${i % 5} w${i % 11} filler common text"))
+      .toDF("doc_id", "text")
+    val qs = Seq(0L -> Seq("w1", "w10"), 1L -> Seq("common", "w4"))
+    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Curation.saveBm25Index(docs, "doc_id", "text", path)
+    val fromIdx = Curation.bm25TopKFromIndex(spark, path, qs, k = 6)
+    val direct = Curation.bm25TopK(docs, "doc_id", "text", qs, k = 6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fromIdx.as[(Long, Long, Double, Long)].collect().toSet == direct)
+    // the vocab IN predicate must reach the postings parquet scan
+    val scans = allNodes(fromIdx.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.getOrElse("Location", "").contains("postings") => s }
+    assert(scans.nonEmpty, "no postings scan found")
+    assert(scans.head.metadata.getOrElse("PushedFilters", "").contains("In(token"),
+      s"vocab filter not pushed: ${scans.head.metadata.get("PushedFilters")}")
+  }
+
   test("bm25 plan: no window sort, query-side tables broadcast") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
-    val plan = Curation.bm25TopK(docs, "doc_id", "text",
-      Seq(0L -> Seq("b")), k = 3).queryExecution.executedPlan
-    val windows = plan.collect {
+    val df = Curation.bm25TopK(docs, "doc_id", "text", Seq(0L -> Seq("b")), k = 3)
+    df.collect() // materialize the adaptive plan before walking it
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val windows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.isEmpty, "ranking must use the bounded top-k aggregate")
-    val s = plan.toString
+    val s = nodes.map(_.nodeName).mkString(",")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
   }
 }
