@@ -773,6 +773,53 @@ object SparkEntry {
         k = 5)
     }),
 
+    "text_bm25_incremental" -> ((s, dir) => {
+      // O(delta) corpus refresh: build the index on 2/3 of the corpus,
+      // merge the rest as a delta that also RE-INGESTS every %5 doc
+      // with changed text (exercising the tombstone mask + incremental
+      // stats arithmetic), then answer from the segmented index. The
+      // oracle replays BM25 over the latest-version corpus — merge
+      // arithmetic is exact, so scores match a rebuild bit for bit.
+      val docs = t(s, dir, "documents")
+      val idxPath = tmpPath(dir, "bm25_inc")
+      graft.functions.Curation.saveBm25Index(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxPath)
+      val delta = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" zzmergedtoken")))
+            .otherwise(col("text")))
+      graft.functions.Curation.mergeBm25Delta(delta, "doc_id", "text", idxPath)
+      graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
+        queries = Seq(
+          0L -> Seq("spark", "window"),
+          1L -> Seq("zzmergedtoken", "vector"),
+          2L -> Seq("customer", "query")),
+        k = 5)
+    }),
+
+    "text_hybrid_rerank" -> ((s, dir) => {
+      // RAG-shaped hybrid retrieval: BM25 lexical shortlist (top-20
+      // per query from the persisted inverted index) re-ranked by
+      // embedding cosine against each query's anchor vector. Stage 1
+      // touches |query postings| bytes; stage 2 probes the embedding
+      // table with one broadcast-restricted scan — corpus floats never
+      // shuffle, only shortlist rows carry vectors.
+      val idxPath = tmpPath(dir, "bm25_hybrid")
+      graft.functions.Curation.saveBm25Index(
+        t(s, dir, "documents"), "doc_id", "text", idxPath)
+      val short = graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
+        queries = Seq(
+          0L -> Seq("spark", "window"),
+          1L -> Seq("hash", "merge", "vector"),
+          2L -> Seq("customer", "query")),
+        k = 20)
+      graft.functions.VectorFunctions.rerankByCosine(
+        short, t(s, dir, "embeddings"), "vec_id", "embedding",
+        anchors = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L), k = 5)
+    }),
+
     "text_heavy_hitters" -> ((s, dir) => {
       // Misra-Gries heavy hitters, exact-verified: sketch pass bounds
       // per-partition state at k=64 counters (no full-vocab groupBy),
@@ -3168,6 +3215,93 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY score DESC, doc_id) AS rank
            FROM scored
+           QUALIFY rank <= 5""",
+
+      "text_bm25_incremental" ->
+        """WITH q(query_id, token) AS (VALUES
+             (0, 'spark'), (0, 'window'),
+             (1, 'zzmergedtoken'), (1, 'vector'),
+             (2, 'customer'), (2, 'query')),
+           eff AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0 THEN text || ' zzmergedtoken'
+                         ELSE text END AS text
+             FROM documents),
+           tok AS (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM eff),
+           dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+           stats AS (SELECT COUNT(*) AS n_docs,
+                            SUM(dl) / COUNT(*) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+           df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           term AS (
+             SELECT q.query_id, tf.doc_id,
+                    CAST(ROUND(
+                      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                      * (CAST(tf AS DOUBLE) * 2.2)
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+                      AS DECIMAL(18,6)) AS s
+             FROM tf JOIN q USING (token) JOIN dl USING (doc_id)
+                  JOIN df USING (token) CROSS JOIN stats),
+           scored AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+                      FROM term GROUP BY 1, 2)
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS rank
+           FROM scored
+           QUALIFY rank <= 5""",
+
+      "text_hybrid_rerank" ->
+        """WITH q(query_id, token) AS (VALUES
+             (0, 'spark'), (0, 'window'),
+             (1, 'hash'), (1, 'merge'), (1, 'vector'),
+             (2, 'customer'), (2, 'query')),
+           tok AS (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+           stats AS (SELECT COUNT(*) AS n_docs,
+                            SUM(dl) / COUNT(*) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+           df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           term AS (
+             SELECT q.query_id, tf.doc_id,
+                    CAST(ROUND(
+                      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                      * (CAST(tf AS DOUBLE) * 2.2)
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+                      AS DECIMAL(18,6)) AS s
+             FROM tf JOIN q USING (token) JOIN dl USING (doc_id)
+                  JOIN df USING (token) CROSS JOIN stats),
+           scored AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+                      FROM term GROUP BY 1, 2),
+           short AS (
+             SELECT query_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS r
+             FROM scored QUALIFY r <= 20),
+           anchors(query_id, anchor_id) AS (VALUES (0, 0), (1, 1), (2, 2)),
+           qv AS (SELECT query_id, embedding AS qvec
+                  FROM anchors JOIN embeddings ON vec_id = anchor_id),
+           cand AS (
+             SELECT s.query_id, s.doc_id,
+                    ROUND(
+                      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+                      / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                         * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 6) AS cos
+             FROM short s JOIN embeddings e ON e.vec_id = s.doc_id
+                  JOIN qv ON qv.query_id = s.query_id)
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, doc_id) AS rank
+           FROM cand
            QUALIFY rank <= 5""",
 
       "text_heavy_hitters" ->

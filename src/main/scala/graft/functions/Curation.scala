@@ -180,50 +180,209 @@ object Curation {
         col("score"), col("rank"))
   }
 
-  /** Persist the BM25 inverted index: `postings/` (token, id, tf)
-    * range-partitioned AND sorted by token — so a query-vocab IN filter
-    * prunes row groups by min/max stats and the scan reads only the
-    * matching postings runs, not the corpus — plus `doclen/` (id, dl)
-    * and `stats/` (n_docs, avgdl).
+  /** Persist the BM25 inverted index as SEGMENT 00000 of a segmented
+    * index tree (`$path/segments/00000/{postings,doclen,tombstones,
+    * stats}`). Postings (token, id, tf) are range-partitioned AND
+    * sorted by token — a query-vocab IN filter prunes row groups by
+    * min/max stats and the scan reads only the matching postings runs,
+    * not the corpus. `stats` carries (n_docs, sum_dl, avgdl); sum_dl is
+    * an exact integer-valued double, so [[mergeBm25Delta]] can maintain
+    * it incrementally with no drift vs a full rebuild.
     *
     * Build cost is the one full token groupBy the train-per-call path
-    * pays PER QUERY BATCH; paid here once per corpus refresh. The sort
+    * pays PER QUERY BATCH; paid here once per corpus build, and each
+    * later refresh pays only its delta ([[mergeBm25Delta]]). The sort
     * is the index: at 100 TB a query batch touches |query postings|
     * bytes, parquet-pruned, with zero corpus-side shuffle.
     */
   def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
                     path: String): Unit = {
+    val spark = docs.sparkSession
+    val (fs, segRoot) = hfs(spark, s"$path/segments")
+    if (fs.exists(segRoot)) fs.delete(segRoot, true) // full rebuild
     val dl = docLengths(docs, idCol, textCol)
-    dl.select(col(idCol).as("id"), col("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-    corpusStats(dl).write.mode("overwrite").parquet(s"$path/stats")
-    docs.select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-      .groupBy(col("token"), col("id")).agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("token"))
-      .sortWithinPartitions(col("token"), col("id"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+      .select(col(idCol).as("id"), col("dl"))
+    writeSegment(spark, s"$path/segments", 0,
+      postings = tokenPostings(docs, idCol, textCol),
+      doclen = dl, tombstones = dl.select("id").limit(0),
+      stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .select(col("n_docs"), col("sum_dl"),
+          (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+            .as("avgdl")))
   }
 
-  /** [[bm25TopK]] answering from a persisted index ([[saveBm25Index]]):
-    * the postings scan is filtered by a LITERAL query-vocab IN predicate
+  /** O(delta) index refresh: append segment N with the delta's
+    * postings/doclen, a tombstone list of REPLACED ids (ids already
+    * live in segments < N — their old versions become dead), and the
+    * updated corpus stats (exact integer arithmetic on n_docs/sum_dl,
+    * so scores match a from-scratch rebuild bit for bit). The existing
+    * segments are never rewritten: a 100 TB corpus refresh costs
+    * |delta| tokenization + one id-level semi-join against the live
+    * doc-length table, not a corpus re-index. Run
+    * [[compactBm25Index]] periodically to fold accumulated segments.
+    *
+    * The segment lands via write-to-temp + rename, so concurrent
+    * readers never observe a partial segment.
+    */
+  def mergeBm25Delta(delta: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    val spark = delta.sparkSession
+    val segs = segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no BM25 index at $path — saveBm25Index first")
+    val n = segs.map(_._1).max + 1
+    val dl = docLengths(delta, idCol, textCol)
+      .select(col(idCol).as("id"), col("dl"))
+    val replaced = liveRows(spark, path, "doclen")
+      .join(dl.select("id").distinct(), Seq("id"), "left_semi")
+      .persist()
+    try {
+      val r = replaced.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
+      val d = dl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
+      val old = spark.read.parquet(s"${segs.last._2}/stats")
+        .select(col("n_docs"), col("sum_dl")).head()
+      val newN = old.getLong(0) + d.getLong(0) - r.getLong(0)
+      val newSum = old.getDouble(1) + d.getDouble(1) - r.getDouble(1)
+      val stats = spark.range(1).select(lit(newN).as("n_docs"),
+        lit(newSum).as("sum_dl"), lit(newSum / newN).as("avgdl"))
+      writeSegment(spark, s"$path/segments", n,
+        postings = tokenPostings(delta, idCol, textCol),
+        doclen = dl, tombstones = replaced.select("id"), stats = stats)
+    } finally replaced.unpersist()
+  }
+
+  /** Fold all live rows back into a single segment 00000 (dead
+    * versions dropped, postings re-sorted by token, stats carried over
+    * unchanged — compaction never changes answers). The new tree is
+    * written beside the old one and swapped in with the two-rename
+    * discipline of [[graft.sources.Layout.swapDirs]].
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val segs = segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no BM25 index at $path")
+    if (segs.size == 1) return // single segment is compact by construction
+    val tmpRoot = s"$path/__segments_tmp"
+    val (fs, tmpP) = hfs(spark, tmpRoot)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
+    val dl = liveRows(spark, path, "doclen")
+    writeSegment(spark, tmpRoot, 0,
+      postings = liveRows(spark, path, "postings"),
+      doclen = dl, tombstones = dl.select("id").limit(0),
+      stats = spark.read.parquet(s"${segs.last._2}/stats")
+        .select("n_docs", "sum_dl", "avgdl"))
+    val (_, segRoot) = hfs(spark, s"$path/segments")
+    graft.sources.Layout.swapDirs(fs, segRoot, tmpP,
+      new org.apache.hadoop.fs.Path(s"$path/__segments_old"), "bm25 compact")
+  }
+
+  /** [[bm25TopK]] answering from a persisted segmented index
+    * ([[saveBm25Index]] + [[mergeBm25Delta]]): each segment's postings
+    * scan is filtered by a LITERAL query-vocab IN predicate
     * (driver-small by construction) so it pushes down to parquet and
-    * prunes the token-sorted row groups; doc lengths join only for
-    * matching postings' ids. Bit-identical to train-per-call — one
-    * oracle gates both.
+    * prunes the token-sorted row groups; dead versions are masked by
+    * the tombstone anti-join (skipped entirely — footer row counts, no
+    * job — when no segment has tombstones); doc lengths join only for
+    * matching postings' ids. Bit-identical to train-per-call on the
+    * latest-version corpus — one oracle gates both.
     */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: Seq[(Long, Seq[String])], k: Int,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val q = queryTable(spark, queries)
     val terms = queries.flatMap(_._2).map(_.toLowerCase).distinct
-    val tf = spark.read.parquet(s"$path/postings")
+    val segs = segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no BM25 index at $path")
+    val tf = liveRows(spark, path, "postings")
       .filter(col("token").isin(terms: _*))
       .select(col("id").as("doc_id"), col("token"), col("tf"))
-    val dl = spark.read.parquet(s"$path/doclen")
+    val dl = liveRows(spark, path, "doclen")
       .select(col("id").as("doc_id"), col("dl"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.parquet(s"${segs.last._2}/stats")
+      .select("n_docs", "avgdl")
     bm25Score(tf, dl, stats, q, "doc_id", k, k1, b)
+  }
+
+  /** whether a segmented BM25 index exists at `path` (any committed
+    * segment) — the first-batch/late-batch pivot for streaming callers
+    */
+  def bm25IndexExists(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean =
+    segmentDirs(spark, path).nonEmpty
+
+  /** (token, id, tf) postings of one corpus slice */
+  private def tokenPostings(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"), col("id")).agg(count(lit(1)).as("tf"))
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def segName(n: Int): String = f"$n%05d"
+
+  /** live (segNumber, absoluteDir) pairs under `$path/segments`, ascending */
+  private def segmentDirs(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[(Int, String)] = {
+    val (fs, root) = hfs(spark, s"$path/segments")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("\\d{5}"))
+      .map(s => (s.getPath.getName.toInt, s.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** One segment, written to `__tmp_N` then renamed — readers listing
+    * `\d{5}` segment names never see a partial segment.
+    */
+  private def writeSegment(spark: org.apache.spark.sql.SparkSession,
+                           root: String, n: Int, postings: DataFrame,
+                           doclen: DataFrame, tombstones: DataFrame,
+                           stats: DataFrame): Unit = {
+    val tmp = s"$root/__tmp_${segName(n)}"
+    postings.repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"), col("id"))
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    doclen.write.mode("overwrite").parquet(s"$tmp/doclen")
+    tombstones.write.mode("overwrite").parquet(s"$tmp/tombstones")
+    stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    val (fs, tmpP) = hfs(spark, tmp)
+    val dest = new org.apache.hadoop.fs.Path(s"$root/${segName(n)}")
+    if (!fs.rename(tmpP, dest))
+      throw new IllegalStateException(s"segment commit failed: $tmp -> $dest")
+  }
+
+  /** Union a per-segment subtable (`postings` or `doclen`) with dead
+    * versions masked: a row from segment i is dead iff a LATER segment
+    * re-ingested its id (tombstone (id, seg>i)). The tombstone side is
+    * replacement-sized and the anti-join is equi-keyed on id; when
+    * footer row counts (no job) show zero tombstones anywhere, the
+    * mask is skipped and this is a plain union of segment scans.
+    */
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+                       path: String, sub: String): DataFrame = {
+    val segs = segmentDirs(spark, path)
+    val all = segs.map { case (i, d) =>
+      spark.read.parquet(s"$d/$sub").withColumn("__seg", lit(i)) }
+      .reduce(_ unionByName _)
+    val tombSegs = segs.filter { case (_, d) =>
+      graft.sources.ParquetMeta.rowCount(spark, s"$d/tombstones") > 0 }
+    if (tombSegs.isEmpty) all.drop("__seg")
+    else {
+      val tombs = tombSegs.map { case (i, d) =>
+        spark.read.parquet(s"$d/tombstones")
+          .select(col("id").as("__tid"), lit(i).as("__tseg")) }
+        .reduce(_ unionByName _)
+      all.join(tombs,
+          all("id") === col("__tid") && col("__tseg") > col("__seg"),
+          "left_anti")
+        .drop("__seg")
+    }
   }
 
   /** Corpus heavy hitters: every token with frequency strictly above

@@ -36,6 +36,37 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     safeRatio(dot(a, b), norm(a) * norm(b))
 
+  /** Hybrid-retrieval re-rank: a lexical shortlist (query_id, doc_id —
+    * e.g. BM25 top-k' from the inverted index) re-scored by embedding
+    * cosine against each query's anchor vector, bounded top-k out.
+    *
+    * Plan shape for 100 TB: the shortlist is driver-small by
+    * construction (|queries| × k'), so BOTH joins broadcast — the
+    * embedding table is probed by one scan with a broadcast-hash
+    * semi-restriction and never shuffles; only shortlist-sized rows
+    * carry float vectors. Anchors map query_id → an embedding-table id
+    * whose vector stands in as the query vector.
+    */
+  def rerankByCosine(shortlist: DataFrame, embeddings: DataFrame,
+                     idCol: String, vecCol: String,
+                     anchors: Seq[(Long, Long)], k: Int): DataFrame = {
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val qvec = anchors.toDF("query_id", "__anchor")
+      .join(embeddings, col("__anchor") === col(idCol))
+      .select(col("query_id"), col(vecCol).as("__qvec"))
+    val cand = embeddings
+      .select(col(idCol).as("doc_id"), col(vecCol).as("__vec"))
+      .join(broadcast(shortlist.select("query_id", "doc_id")), Seq("doc_id"))
+      .join(broadcast(qvec), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(cosine(col("__vec"), col("__qvec")), 6).as("cos"))
+    graft.plans.TopKAggregate
+      .topKExploded(cand, Seq("query_id"), col("cos"), col("doc_id"), k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("score").as("cos"), col("rank"))
+  }
+
   /** L2-normalize (zero vectors pass through unscaled rather than NaN).
     * On normalized vectors L2 ordering ≡ cosine ordering — the
     * precondition for using an L2-metric index (PQ/ADC, IVF) to answer

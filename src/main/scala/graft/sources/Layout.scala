@@ -129,7 +129,7 @@ object Layout {
     * this). If the second rename fails, the original directory is
     * renamed back so the table is never left stranded in `bak`.
     */
-  private[sources] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
                        path: org.apache.hadoop.fs.Path,
                        tmp: org.apache.hadoop.fs.Path,
                        bak: org.apache.hadoop.fs.Path, what: String): Unit = {

@@ -109,6 +109,34 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming BM25 index maintenance: each micro-batch lands as ONE
+    * O(batch) segment via [[graft.functions.Curation.mergeBm25Delta]]
+    * (the first non-empty batch creates the index) — re-ingested ids
+    * are tombstoned, corpus stats stay exact by integer arithmetic,
+    * and each segment commits atomically (temp-write + rename), so a
+    * concurrent [[graft.functions.Curation.bm25TopKFromIndex]] reader
+    * always sees a consistent index. The corpus is never re-tokenized;
+    * fold accumulated segments with compactBm25Index on a maintenance
+    * cadence. A replayed batch (at-least-once sink) lands as an extra
+    * segment whose tombstones retire its first copy and whose stats
+    * delta nets to zero — query answers and stats are replay-stable,
+    * only the segment count grows until the next compaction.
+    */
+  def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
+                      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val C = graft.functions.Curation
+          if (C.bm25IndexExists(batch.sparkSession, path))
+            C.mergeBm25Delta(batch, idCol, textCol, path)
+          else C.saveBm25Index(batch, idCol, textCol, path)
+        }
+      }
+      .start()
+
   /** Streaming curation: the batch curation decisions (language ID,
     * quality score, PII scrub) applied to a live document stream. All
     * three are per-row Column expressions, so this stage is stateless —

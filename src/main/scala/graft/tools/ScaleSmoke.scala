@@ -328,6 +328,26 @@ object ScaleSmoke {
         .count()
     }
 
+    // 19. segmented BM25: full build vs O(delta) refresh at 600k docs
+    val bmPath = s"${sys.props("java.io.tmpdir")}/graft_smoke_bm25"
+    time("bm25_index_build", nDocs) {
+      graft.functions.Curation.saveBm25Index(docs, "doc_id", "text", bmPath)
+      graft.sources.ParquetMeta.rowCount(spark, s"$bmPath/segments/00000/doclen")
+    }
+    time("bm25_delta_merge", nDocs / 50) {
+      // ~2% delta: half re-ingests existing ids (tombstone path), half new
+      val delta = docs.filter(col("doc_id") % 100 === 0)
+        .unionByName(docs.filter(col("doc_id") % 100 === 1)
+          .withColumn("doc_id", col("doc_id") + 100000000L))
+      graft.functions.Curation.mergeBm25Delta(delta, "doc_id", "text", bmPath)
+      graft.sources.ParquetMeta.rowCount(spark, s"$bmPath/segments/00001/doclen")
+    }
+    time("bm25_query_indexed", nDocs) {
+      graft.functions.Curation.bm25TopKFromIndex(spark, bmPath,
+        Seq(0L -> Seq("spark", "window"), 1L -> Seq("hash", "merge", "vector")),
+        k = 10).count()
+    }
+
     // ---- round-5: zipf mega-cluster skew sweep -----------------------
     // the web-corpus shape: ONE 10⁴-member near-dup cluster over a
     // distinct background. Each op also reports the max task

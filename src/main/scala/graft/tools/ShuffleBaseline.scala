@@ -3,6 +3,8 @@ package graft.tools
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Dump every SparkEntry query's shuffle-bytes-written at a given scale
@@ -21,6 +23,11 @@ import org.apache.spark.sql.SparkSession
 object ShuffleBaseline {
   def main(args: Array[String]): Unit = {
     val (sfDir, outFile) = (args(0), args(1))
+    // optional 3rd arg: comma list of query names — measure only those
+    // and MERGE into the existing file (adding a query shouldn't cost
+    // a full-suite re-measure)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-shuffle-baseline")
@@ -30,16 +37,26 @@ object ShuffleBaseline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val lines = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val df = fn(spark, sfDir)
-      PlanMetrics.runAndCount(df)
-      val bytes = PlanMetrics.shuffleBytesWritten(df)
-      spark.catalog.clearCache()
-      s"$name\t$bytes"
-    }
+    val measured = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val df = fn(spark, sfDir)
+        PlanMetrics.runAndCount(df)
+        val bytes = PlanMetrics.shuffleBytesWritten(df)
+        spark.catalog.clearCache()
+        name -> bytes
+      }
+    val existing: Seq[(String, Long)] =
+      if (only.isDefined && Files.exists(Paths.get(outFile)))
+        Files.readAllLines(Paths.get(outFile)).asScala.toSeq
+          .filter(_.nonEmpty)
+          .map { l => val Array(n, b) = l.split("\t"); n -> b.toLong }
+      else Seq.empty
+    val merged = (existing.toMap ++ measured.toMap).toSeq.sortBy(_._1)
+    val lines = merged.map { case (n, b) => s"$n\t$b" }
     Files.write(Paths.get(outFile),
       (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    println(s"wrote ${lines.size} ceilings to $outFile")
+    println(s"wrote ${lines.size} ceilings to $outFile (${measured.size} measured)")
     spark.stop()
   }
 }

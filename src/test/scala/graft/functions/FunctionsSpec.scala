@@ -410,6 +410,56 @@ class FunctionsSpec extends SparkSpec {
       s"vocab filter not pushed: ${scans.head.metadata.get("PushedFilters")}")
   }
 
+  test("bm25 segmented merge: adds + replacements equal a fresh index; compaction preserves") {
+    def baseText(i: Long) = s"w${i % 11} w${i % 5} base text"
+    val base = (1L to 200L).filterNot(_ % 3 == 0)
+      .map(i => (i, baseText(i))).toDF("doc_id", "text")
+    // the corpus after the merge: every id present, %5 ids re-ingested
+    // with changed text (replacement path), %3 ids newly added
+    val eff = (1L to 200L).map(i =>
+      (i, if (i % 5 == 0) baseText(i) + " zzmerged" else baseText(i)))
+    val delta = eff.filter { case (i, _) => i % 3 == 0 || i % 5 == 0 }
+      .toDF("doc_id", "text")
+    val qs = Seq(0L -> Seq("zzmerged", "w4"), 1L -> Seq("w1", "base"))
+    val path = java.nio.file.Files.createTempDirectory("bm25seg").toString
+    Curation.saveBm25Index(base, "doc_id", "text", path)
+    Curation.mergeBm25Delta(delta, "doc_id", "text", path)
+    val fresh = Curation.bm25TopK(eff.toDF("doc_id", "text"),
+        "doc_id", "text", qs, k = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val merged = Curation.bm25TopKFromIndex(spark, path, qs, k = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(merged == fresh)
+    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+      Seq("00000", "00001"))
+    Curation.compactBm25Index(spark, path)
+    val compacted = Curation.bm25TopKFromIndex(spark, path, qs, k = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(compacted == fresh)
+    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+      Seq("00000"), "compaction must fold to a single segment")
+  }
+
+  test("bm25 merge chain: a twice re-ingested id serves only its latest version") {
+    val path = java.nio.file.Files.createTempDirectory("bm25chain").toString
+    Curation.saveBm25Index(
+      Seq((1L, "alpha alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    Curation.mergeBm25Delta(Seq((1L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    Curation.mergeBm25Delta(Seq((1L, "delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val qs = Seq(0L -> Seq("alpha"), 1L -> Seq("gamma"), 2L -> Seq("delta"))
+    val got = Curation.bm25TopKFromIndex(spark, path, qs, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val fresh = Curation.bm25TopK(
+        Seq((1L, "delta epsilon"), (2L, "beta")).toDF("doc_id", "text"),
+        "doc_id", "text", qs, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == fresh)
+    assert(got.map(_._1) == Set(2L), "only the latest version's tokens hit")
+  }
+
   test("bm25 plan: no window sort, query-side tables broadcast") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val df = Curation.bm25TopK(docs, "doc_id", "text", Seq(0L -> Seq("b")), k = 3)

@@ -195,6 +195,38 @@ class StreamingSpec extends SparkSpec {
     assert(cands.exists(_._2 == 1L), s"expected near-dup hit on doc 1, got $cands")
   }
 
+  test("streaming bm25 maintenance: per-batch segments answer like a batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dir = tmpDir("bm25stream")
+    mem.addData((1L, "spark shuffles wide joins"),
+      (2L, "window functions sort partitions"))
+    val q = ValidateStream.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/ckpt")
+    q.processAllAvailable()
+    // batch 2: one new doc + a REPLACEMENT of doc 1 (tombstone path)
+    mem.addData((3L, "broadcast joins skip the shuffle"),
+      (1L, "spark rewrote this document entirely"))
+    q.processAllAvailable()
+    q.stop()
+
+    val qs = Seq(0L -> Seq("spark", "joins"), 1L -> Seq("shuffles"))
+    val got = graft.functions.Curation
+      .bm25TopKFromIndex(spark, s"$dir/index", qs, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val latest = Seq(
+      (1L, "spark rewrote this document entirely"),
+      (2L, "window functions sort partitions"),
+      (3L, "broadcast joins skip the shuffle")).toDF("doc_id", "text")
+    val fresh = graft.functions.Curation
+      .bm25TopK(latest, "doc_id", "text", qs, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == fresh)
+    // query 1's term "shuffles" lived only in doc 1's RETIRED version
+    assert(got.count(_._1 == 1L) == 0, s"retired tokens must not hit: $got")
+  }
+
   test("streaming session_window: sessions close when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
