@@ -221,8 +221,19 @@ object Curation {
     * doc-length table, not a corpus re-index. Run
     * [[compactBm25Index]] periodically to fold accumulated segments.
     *
+    * Delta contract:
+    *  - at most ONE row per id (asserted — tombstones mask only
+    *    strictly-earlier segments, so two versions of one doc inside a
+    *    single delta would BOTH stay live and silently double-count
+    *    n_docs/sum_dl; CDC callers reduce to last-per-key first, e.g.
+    *    [[graft.operators.WindowOps.latestPerGroup]]);
+    *  - a NULL `textCol` row is a DELETION: the id is tombstoned (if
+    *    live) and no new version is ingested — the retraction path for
+    *    a GDPR-style purge. Deleting an id that is not live is a no-op.
+    *
     * The segment lands via write-to-temp + rename, so concurrent
-    * readers never observe a partial segment.
+    * readers never observe a partial segment. Writers are single-writer
+    * by contract (see [[writeSegment]]).
     */
   def mergeBm25Delta(delta: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
@@ -230,26 +241,38 @@ object Curation {
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no BM25 index at $path — saveBm25Index first")
     val n = segs.map(_._1).max + 1
-    val dl = docLengths(delta, idCol, textCol)
-      .select(col(idCol).as("id"), col("dl"))
-    val replaced = liveRows(spark, path, "doclen")
-      .join(dl.select("id").distinct(), Seq("id"), "left_semi")
-      .persist()
+    val deltaIds = delta.select(col(idCol).as("id")).persist()
     try {
-      val r = replaced.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
-      val d = dl.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
-      val old = spark.read.parquet(s"${segs.last._2}/stats")
-        .select(col("n_docs"), col("sum_dl")).head()
-      val newN = old.getLong(0) + d.getLong(0) - r.getLong(0)
-      val newSum = old.getDouble(1) + d.getDouble(1) - r.getDouble(1)
-      val stats = spark.range(1).select(lit(newN).as("n_docs"),
-        lit(newSum).as("sum_dl"), lit(newSum / newN).as("avgdl"))
-      writeSegment(spark, s"$path/segments", n,
-        postings = tokenPostings(delta, idCol, textCol),
-        doclen = dl, tombstones = replaced.select("id"), stats = stats)
-    } finally replaced.unpersist()
+      val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+          "holds one version per doc; reduce the delta to last-per-key " +
+          "(e.g. WindowOps.latestPerGroup) before merging")
+      // live (non-null-text) versions only; null-text rows fall out here
+      // and surface solely through the tombstone side = deletion
+      val dl = docLengths(delta, idCol, textCol)
+        .select(col(idCol).as("id"), col("dl"))
+      val replaced = liveRows(spark, path, "doclen")
+        .join(deltaIds, Seq("id"), "left_semi")
+        .persist()
+      try {
+        val r = replaced.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
+        val d = dl.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
+        val old = spark.read.parquet(s"${segs.last._2}/stats")
+          .select(col("n_docs"), col("sum_dl")).head()
+        val newN = old.getLong(0) + d.getLong(0) - r.getLong(0)
+        val newSum = old.getDouble(1) + d.getDouble(1) - r.getDouble(1)
+        val stats = spark.range(1).select(lit(newN).as("n_docs"),
+          lit(newSum).as("sum_dl"),
+          lit(if (newN == 0) 0.0 else newSum / newN).as("avgdl"))
+        writeSegment(spark, s"$path/segments", n,
+          postings = tokenPostings(delta, idCol, textCol),
+          doclen = dl, tombstones = replaced.select("id"), stats = stats)
+      } finally replaced.unpersist()
+    } finally deltaIds.unpersist()
   }
 
   /** Fold all live rows back into a single segment 00000 (dead
@@ -319,71 +342,41 @@ object Curation {
       .groupBy(col("token"), col("id")).agg(count(lit(1)).as("tf"))
 
   private def hfs(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  private def segName(n: Int): String = f"$n%05d"
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) =
+    SegmentedIndex.hfs(spark, path)
 
   /** live (segNumber, absoluteDir) pairs under `$path/segments`, ascending */
   private def segmentDirs(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Seq[(Int, String)] = {
-    val (fs, root) = hfs(spark, s"$path/segments")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("\\d{5}"))
-      .map(s => (s.getPath.getName.toInt, s.getPath.toString))
-      .sortBy(_._1)
-  }
+                          path: String): Seq[(Int, String)] =
+    SegmentedIndex.segmentDirs(spark, path)
 
-  /** One segment, written to `__tmp_N` then renamed — readers listing
-    * `\d{5}` segment names never see a partial segment.
+  /** One BM25 segment via [[SegmentedIndex.commitSegment]] (tmp-write +
+    * guarded rename, orphan sweep, single-writer contract). Postings
+    * are range-partitioned and sorted by token so the query-vocab IN
+    * filter prunes row groups.
     */
   private def writeSegment(spark: org.apache.spark.sql.SparkSession,
                            root: String, n: Int, postings: DataFrame,
                            doclen: DataFrame, tombstones: DataFrame,
-                           stats: DataFrame): Unit = {
-    val tmp = s"$root/__tmp_${segName(n)}"
-    postings.repartitionByRange(col("token"))
-      .sortWithinPartitions(col("token"), col("id"))
-      .write.mode("overwrite").parquet(s"$tmp/postings")
-    doclen.write.mode("overwrite").parquet(s"$tmp/doclen")
-    tombstones.write.mode("overwrite").parquet(s"$tmp/tombstones")
-    stats.write.mode("overwrite").parquet(s"$tmp/stats")
-    val (fs, tmpP) = hfs(spark, tmp)
-    val dest = new org.apache.hadoop.fs.Path(s"$root/${segName(n)}")
-    if (!fs.rename(tmpP, dest))
-      throw new IllegalStateException(s"segment commit failed: $tmp -> $dest")
-  }
+                           stats: DataFrame): Unit =
+    SegmentedIndex.commitSegment(spark, root, n) { tmp =>
+      postings.repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"), col("id"))
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      doclen.write.mode("overwrite").parquet(s"$tmp/doclen")
+      tombstones.write.mode("overwrite").parquet(s"$tmp/tombstones")
+      stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    }
 
-  /** Union a per-segment subtable (`postings` or `doclen`) with dead
-    * versions masked: a row from segment i is dead iff a LATER segment
-    * re-ingested its id (tombstone (id, seg>i)). The tombstone side is
-    * replacement-sized and the anti-join is equi-keyed on id; when
-    * footer row counts (no job) show zero tombstones anywhere, the
-    * mask is skipped and this is a plain union of segment scans.
+  /** Tombstone-masked union of a per-segment subtable — see
+    * [[SegmentedIndex.liveRows]]. (BM25 retraction goes through
+    * [[mergeBm25Delta]] with null-text rows, NOT
+    * [[SegmentedIndex.retract]], because stats must shrink with the
+    * deleted docs.)
     */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
-                       path: String, sub: String): DataFrame = {
-    val segs = segmentDirs(spark, path)
-    val all = segs.map { case (i, d) =>
-      spark.read.parquet(s"$d/$sub").withColumn("__seg", lit(i)) }
-      .reduce(_ unionByName _)
-    val tombSegs = segs.filter { case (_, d) =>
-      graft.sources.ParquetMeta.rowCount(spark, s"$d/tombstones") > 0 }
-    if (tombSegs.isEmpty) all.drop("__seg")
-    else {
-      val tombs = tombSegs.map { case (i, d) =>
-        spark.read.parquet(s"$d/tombstones")
-          .select(col("id").as("__tid"), lit(i).as("__tseg")) }
-        .reduce(_ unionByName _)
-      all.join(tombs,
-          all("id") === col("__tid") && col("__tseg") > col("__seg"),
-          "left_anti")
-        .drop("__seg")
-    }
-  }
+                       path: String, sub: String): DataFrame =
+    SegmentedIndex.liveRows(spark, path, sub)
 
   /** Corpus heavy hitters: every token with frequency strictly above
     * `num/den` of all tokens, with its EXACT count — found without a

@@ -132,7 +132,14 @@ object GraftExtensions {
       },
       "freq_candidates" -> { exprs: Seq[Expression] =>
         require(exprs.length == 2, "freq_candidates(item, k)")
-        FreqItemsAggregate(exprs.head, intLiteral(exprs(1), "k"))
+        // cast-to-string first, exactly like the Column API
+        // (FreqItemsAggregate.freqCandidates): without it the aggregate
+        // sees internal Catalyst values, so e.g. a DATE column would
+        // stringify as days-since-epoch here but 'yyyy-MM-dd' there
+        FreqItemsAggregate(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+            org.apache.spark.sql.types.StringType),
+          intLiteral(exprs(1), "k"))
           .toAggregateExpression()
       })
   }

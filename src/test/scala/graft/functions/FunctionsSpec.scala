@@ -460,6 +460,116 @@ class FunctionsSpec extends SparkSpec {
     assert(got.map(_._1) == Set(2L), "only the latest version's tokens hit")
   }
 
+  test("bm25 merge: two versions of one id inside a single delta are rejected") {
+    val path = java.nio.file.Files.createTempDirectory("bm25dup").toString
+    Curation.saveBm25Index(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // CDC-style batch carrying two versions of doc 1: without the
+    // assert both would stay live (tombstones only mask EARLIER
+    // segments) and n_docs/sum_dl would double-count the doc
+    val bad = Seq((1L, "gamma"), (1L, "gamma delta"), (3L, "zeta"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.mergeBm25Delta(bad, "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+    // the failed merge must not have committed anything
+    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+      Seq("00000"))
+  }
+
+  test("bm25 merge: null-text rows are deletions — retracted doc gone, stats match a rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("bm25del").toString
+    val base = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    Curation.saveBm25Index(base, "doc_id", "text", path)
+    // retract doc 2 (null text), re-ingest doc 3, delete a non-live id
+    // (9 — must be a no-op)
+    Curation.mergeBm25Delta(
+      Seq((2L, null), (3L, "alpha delta"), (9L, null))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val qs = Seq(0L -> Seq("alpha"), 1L -> Seq("gamma"))
+    val got = Curation.bm25TopKFromIndex(spark, path, qs, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // scores must equal a FRESH index over the post-retraction corpus:
+    // identical hits AND identical n_docs/avgdl arithmetic
+    val fresh = Curation.bm25TopK(
+        Seq((1L, "alpha beta"), (3L, "alpha delta")).toDF("doc_id", "text"),
+        "doc_id", "text", qs, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == fresh)
+    assert(!got.exists(_._2 == 2L), "retracted doc must not score")
+    assert(got.exists(_._1 == 0L), "surviving docs still hit")
+  }
+
+  test("bm25 commit: rename onto an existing segment fails loudly, orphan tmp swept") {
+    val path = java.nio.file.Files.createTempDirectory("bm25race").toString
+    Curation.saveBm25Index(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    // simulate a crashed writer: an orphan half-written tmp tree
+    val orphan = new java.io.File(s"$path/segments/__tmp_00001")
+    assert(orphan.mkdirs())
+    new java.io.PrintWriter(new java.io.File(orphan, "junk")) { write("x"); close() }
+    // readers never see it (the \d{5} listing filter)
+    val qs = Seq(0L -> Seq("alpha"))
+    assert(Curation.bm25TopKFromIndex(spark, path, qs, k = 2)
+      .collect().length == 1)
+    // the next merge sweeps the orphan and commits normally
+    Curation.mergeBm25Delta(Seq((3L, "alpha zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(!orphan.exists(), "orphan tmp tree must be swept by the next write")
+    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+      Seq("00000", "00001"))
+    // a segment landing on an ALREADY-COMMITTED number (the concurrent
+    // second writer both computing n = max+1) must fail loudly instead
+    // of nesting the tree inside the existing directory
+    val seg1 = new java.io.File(s"$path/segments/00001")
+    val before = seg1.list().sorted.toSeq
+    val e = intercept[IllegalStateException] {
+      graft.functions.SegmentedIndex.commitSegment(spark, s"$path/segments", 1) {
+        tmp => Seq((9L, "x")).toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$tmp/postings")
+      }
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(seg1.list().sorted.toSeq == before,
+      "failed commit must leave the committed segment untouched")
+  }
+
+  test("bm25 readers see a committed tree during merge/compaction — old or new, never partial") {
+    val path = java.nio.file.Files.createTempDirectory("bm25concur").toString
+    val base = (1L to 60L).map(i => (i, s"w${i % 7} base")).toDF("doc_id", "text")
+    Curation.saveBm25Index(base, "doc_id", "text", path)
+    val qs = Seq(0L -> Seq("base"))
+    val oldRows = Curation.bm25TopKFromIndex(spark, path, qs, k = 60)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // a QUERY planned while a merge is mid-flight (tmp tree present but
+    // not yet renamed) must answer from the OLD committed tree
+    val midTmp = new java.io.File(s"$path/segments/__tmp_00001/postings")
+    assert(midTmp.mkdirs())
+    base.limit(1).select(col("doc_id").as("id"), lit("w0").as("token"),
+        lit(1L).as("tf"))
+      .write.mode("overwrite").parquet(midTmp.getAbsolutePath)
+    val during = Curation.bm25TopKFromIndex(spark, path, qs, k = 60)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(during == oldRows, "mid-merge reader must see the old tree")
+    // drop the simulated in-flight tree (next writer would sweep it too)
+    graft.functions.SegmentedIndex.sweepOrphanTmp(
+      graft.functions.SegmentedIndex.hfs(spark, s"$path/segments")._1,
+      new org.apache.hadoop.fs.Path(s"$path/segments"))
+    // after a real merge + compaction, readers see the new tree and the
+    // compaction swap never leaves a window with no committed segments
+    Curation.mergeBm25Delta(Seq((61L, "base w1")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    Curation.compactBm25Index(spark, path)
+    val after = Curation.bm25TopKFromIndex(spark, path, qs, k = 61)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(after.length == 61, "post-compaction tree must serve all live docs")
+  }
+
   test("bm25 plan: no window sort, query-side tables broadcast") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val df = Curation.bm25TopK(docs, "doc_id", "text", Seq(0L -> Seq("b")), k = 3)

@@ -50,6 +50,23 @@ class FreqItemsAggregateSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("freq_candidates SQL on non-string input stringifies like the Column API") {
+    GraftExtensions.register(spark)
+    // DATE is the type where the two entry points used to disagree: the
+    // SQL path passed the raw child, so the aggregate's eval saw the
+    // internal days-since-epoch int ("20329") while the Column API cast
+    // to string first ("2025-08-27"); both must produce the external form
+    spark.sql("SELECT date_add(DATE '2025-08-27', CAST(id % 3 AS INT)) AS d FROM range(30)")
+      .createOrReplaceTempView("freq_dates")
+    val viaSql = spark.sql("SELECT freq_candidates(d, 5) AS c FROM freq_dates")
+      .select(explode(col("c")).as("v")).as[String].collect().toSeq
+    val viaCol = spark.table("freq_dates")
+      .agg(FreqItemsAggregate.freqCandidates(col("d"), 5).as("c"))
+      .select(explode(col("c")).as("v")).as[String].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.forall(_.startsWith("2025-")), s"external date form expected: $viaSql")
+  }
+
   test("heavyHitters composite equals the exact full-groupBy answer") {
     // docs whose token stream is the zipf stream, split across rows
     val docs = zipfItems(2048).grouped(64).zipWithIndex
