@@ -1508,6 +1508,38 @@ object SparkEntry {
         col("vec_id") < 10, k = 3)
     }),
 
+    "sim_ivf_incremental" -> ((s, dir) => {
+      // O(delta) IVF refresh (the daily-ingest contract): build on 2/3
+      // of the corpus, merge the rest as a delta that also RE-INGESTS
+      // every %10==5 vector halved (tombstone mask) and DELETES every
+      // %100==97 id (null-vector retraction); delta rows assign against
+      // the FROZEN base centroids — no re-train. The oracle replays
+      // Lloyd over the base slice only, then one fresh assignment of
+      // the latest-version corpus — which the merged live cells must
+      // equal bit for bit.
+      val emb = t(s, dir, "embeddings")
+      val idxPath = tmpPath(dir, "ivf_inc")
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      V.saveIvfIndex(base, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      val delta = emb
+        .filter(col("vec_id") % 3 === 0 || col("vec_id") % 10 === 5 ||
+          col("vec_id") % 100 === 97)
+        .select(col("vec_id"),
+          when(col("vec_id") % 100 === 97, lit(null).cast("array<double>"))
+            .when(col("vec_id") % 10 === 5,
+              transform(col("embedding"), x => x.cast("double") * lit(0.5)))
+            .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      V.mergeIvfDelta(delta, "vec_id", "embedding", idxPath)
+      // the latest-version corpus: deletes gone, re-ingests halved
+      val latest = emb.filter(col("vec_id") % 100 =!= 97)
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 5,
+            transform(col("embedding"), x => x.cast("double") * lit(0.5)))
+            .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      V.ivfTopKFromIndex(idxPath, latest, "vec_id", "embedding",
+        col("vec_id") < 10, k = 3)
+    }),
+
     "vec_normalize" -> ((s, dir) => {
       // L2 normalization audit: unit norms after normalize (zero
       // vectors pass through), projected to a comparable digest
@@ -4074,6 +4106,60 @@ object SparkEntry {
            a1 AS (${assign("c1")}),
            c2 AS (${means("a1")}),
            cells AS (${assign("c2")}),
+           cand AS (SELECT q.id AS q_id, c.id AS c_id, q.vec AS q_vec, c.vec AS c_vec
+                    FROM (SELECT * FROM cells WHERE id < 10) q
+                    JOIN cells c USING (cid) WHERE c.id <> q.id),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> q_vec[i] * c_vec[i]))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> q_vec[i] * q_vec[i])))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> c_vec[i] * c_vec[i])))) AS score
+             FROM cand)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3"""
+      },
+
+      "sim_ivf_incremental" -> {
+        // Lloyd unroll over the BASE slice only (id % 3 <> 0, original
+        // vectors — the frozen centroids the merge assigns against),
+        // then ONE fresh assignment of the latest-version corpus
+        // (deletes out, %10==5 re-ingests halved), then the same IVF
+        // search tail as sim_ivf_kmeans. The engine's segment+tombstone
+        // merge must reproduce this exactly.
+        def dist(v: String, c: String) =
+          s"""list_sum(list_transform(range(1, 65), j -> $v[j] * $v[j]))
+              - 2 * list_sum(list_transform(range(1, 65), j -> $v[j] * $c[j]))
+              + list_sum(list_transform(range(1, 65), j -> $c[j] * $c[j]))"""
+        def assignFrom(src: String, cents: String) =
+          s"""SELECT id, vec, cid FROM (
+                SELECT s.id, s.vec, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY s.id
+                         ORDER BY ${dist("s.vec", "c.cvec")} ASC, c.cid ASC) AS rn
+                FROM $src s CROSS JOIN $cents c) WHERE rn = 1"""
+        def means(assigned: String) =
+          s"""SELECT cid, list(m ORDER BY i) AS cvec FROM (
+                SELECT cid, i,
+                       CAST(SUM(CAST(vec[CAST(i AS INT)] AS DECIMAL(30,10))) AS DOUBLE)
+                         / COUNT(*) AS m
+                FROM $assigned CROSS JOIN range(1, 65) AS r(i)
+                GROUP BY cid, i) GROUP BY cid"""
+        s"""WITH v AS (SELECT vec_id AS id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                       FROM embeddings WHERE vec_id % 3 <> 0),
+           latest AS (SELECT vec_id AS id,
+                             CASE WHEN vec_id % 10 = 5
+                               THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5)
+                               ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS vec
+                      FROM embeddings WHERE vec_id % 100 <> 97),
+           c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INT) - 1 AS cid, vec AS cvec
+                  FROM (SELECT id, vec FROM v ORDER BY id LIMIT 4)),
+           a0 AS (${assignFrom("v", "c0")}),
+           c1 AS (${means("a0")}),
+           a1 AS (${assignFrom("v", "c1")}),
+           c2 AS (${means("a1")}),
+           cells AS (${assignFrom("latest", "c2")}),
            cand AS (SELECT q.id AS q_id, c.id AS c_id, q.vec AS q_vec, c.vec AS c_vec
                     FROM (SELECT * FROM cells WHERE id < 10) q
                     JOIN cells c USING (cid) WHERE c.id <> q.id),

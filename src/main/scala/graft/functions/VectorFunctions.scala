@@ -232,7 +232,7 @@ object VectorFunctions {
   def semanticDedupFromIndex(path: String, df: DataFrame, id: String, vec: String,
                              tau: Double, roundScale: Int = 6,
                              maxCell: Long = Long.MaxValue): DataFrame = {
-    val cells = df.sparkSession.read.parquet(s"$path/cells")
+    val cells = ivfCells(df.sparkSession, path)
       .withColumnRenamed("id", id)
       .join(df.select(col(id), col(vec)), Seq(id))
     semanticPrune(cells, id, vec, tau, roundScale, maxCell)
@@ -270,7 +270,7 @@ object VectorFunctions {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
-    val cells = spark.read.parquet(s"$path/cells").withColumnRenamed("id", "c_id")
+    val cells = ivfCells(spark, path).withColumnRenamed("id", "c_id")
       .join(corpus.select(col(id).as("c_id"), col(vec).as("c_vec")), Seq("c_id"))
       .withColumn("__cn", norm(col("c_vec"))) // norms once per side
     incoming.select(col(id).as("q_id"), col(vec).as("q_vec"))
@@ -487,32 +487,139 @@ object VectorFunctions {
       .select(col("q_id"), col("c_id"), round(col("score"), roundScale).as("score"), col("rank"))
   }
 
-  /** Train and PERSIST an IVF index: centroids plus the (id, cid) cell
-    * assignment as two parquet tables under `path`. Build once, query
-    * many — at 100 TB retraining and reassigning per query batch is the
-    * difference between an index and a scan. Vectors are NOT copied
-    * into the index (cells carry ids only); queries re-join the corpus.
+  /** Train and PERSIST an IVF index: frozen centroids at
+    * `$path/centroids` plus the (id, cid) cell assignment as SEGMENT
+    * 00000 of a [[SegmentedIndex]] tree (`$path/segments/NNNNN/{cells,
+    * tombstones}`). Build once, query many — at 100 TB retraining and
+    * reassigning per query batch is the difference between an index and
+    * a scan — and refresh by delta ([[mergeIvfDelta]]): a corpus delta
+    * assigns against the EXISTING centroids and appends a cell segment
+    * instead of forcing a full re-cluster + reassign. Vectors are NOT
+    * copied into the index (cells carry ids only); queries re-join the
+    * corpus.
     */
   def saveIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                    path: String, clusters: Int, iters: Int): Unit = {
+    val spark = df.sparkSession
     val cents = kmeansCentroids(df, idCol, vecCol, clusters, iters)
+    // full rebuild: drop any prior tree (segments, or the pre-segment
+    // flat cells/ layout of an older build at the same path)
+    val (fs, _) = SegmentedIndex.hfs(spark, path)
+    Seq("segments", "cells").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    kmeansAssign(df, idCol, vecCol, cents)
-      .select(col(idCol).as("id"), col("cid"))
-      .write.mode("overwrite").parquet(s"$path/cells")
+    SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
+      kmeansAssign(df, idCol, vecCol, cents)
+        .select(col(idCol).as("id"), col("cid"))
+        .write.mode("overwrite").parquet(s"$tmp/cells")
+      df.select(col(idCol).as("id")).limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
   }
 
-  /** IVF top-k against a persisted index (see [[saveIvfIndex]]): cell
-    * ids join back to the corpus by id for vectors, centroids broadcast
-    * for the probe. Identical results to [[kmeansIvfTopK]] with the
-    * same training parameters.
+  /** O(delta) IVF refresh, mirroring [[Curation.mergeBm25Delta]]'s
+    * segment discipline: delta rows are assigned to the EXISTING
+    * centroids (no re-train — the 100 TB daily-ingest contract), the
+    * new (id, cid) rows land as segment N, and re-ingested ids are
+    * tombstoned so only the latest version is live. Delta contract as
+    * BM25: at most one row per id (asserted); a NULL `vecCol` row is a
+    * DELETION (tombstoned if live, nothing ingested — the retraction
+    * path; [[SegmentedIndex.retract]] is the id-list shorthand).
+    *
+    * Result contract: after any merge chain, the live cells equal ONE
+    * fresh [[kmeansAssign]] of the latest-version corpus under the
+    * frozen centroids — bit-identical, since assignment is per-row and
+    * order-free. Run [[compactIvfIndex]] to fold segments, and watch
+    * [[ivfDeltaFraction]] for drift: once deltas dominate the base,
+    * the centroids no longer describe the corpus and a re-train
+    * ([[saveIvfIndex]]) is due.
+    */
+  def mergeIvfDelta(delta: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val spark = delta.sparkSession
+    val segs = SegmentedIndex.segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no IVF index at $path — saveIvfIndex first")
+    val n = segs.map(_._1).max + 1
+    val deltaIds = delta.select(col(idCol).as("id")).persist()
+    try {
+      val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+          "holds one version per id; reduce to last-per-key first")
+      val cents = spark.read.parquet(s"$path/centroids")
+      val replaced = SegmentedIndex.liveRows(spark, path, "cells")
+        .select("id").join(deltaIds, Seq("id"), "left_semi")
+      val newCells = kmeansAssign(delta.filter(col(vecCol).isNotNull),
+          idCol, vecCol, cents)
+        .select(col(idCol).as("id"), col("cid"))
+      SegmentedIndex.commitSegment(spark, s"$path/segments", n) { tmp =>
+        newCells.write.mode("overwrite").parquet(s"$tmp/cells")
+        replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")
+      }
+    } finally deltaIds.unpersist()
+  }
+
+  /** Fold all live cell rows back into a single segment 00000 (dead
+    * versions dropped; answers never change). Two-rename swap, same as
+    * BM25 compaction.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val segs = SegmentedIndex.segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no IVF index at $path")
+    if (segs.size == 1) return
+    val tmpRoot = s"$path/__segments_tmp"
+    val (fs, tmpP) = SegmentedIndex.hfs(spark, tmpRoot)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
+    val live = SegmentedIndex.liveRows(spark, path, "cells")
+    SegmentedIndex.commitSegment(spark, tmpRoot, 0) { tmp =>
+      live.write.mode("overwrite").parquet(s"$tmp/cells")
+      live.select("id").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
+    val (_, segRoot) = SegmentedIndex.hfs(spark, s"$path/segments")
+    graft.sources.Layout.swapDirs(fs, segRoot, tmpP,
+      new org.apache.hadoop.fs.Path(s"$path/__segments_old"), "ivf compact")
+  }
+
+  /** Tombstone-masked live (id, cid) rows of a persisted IVF index. */
+  def ivfCells(spark: org.apache.spark.sql.SparkSession,
+               path: String): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "cells")
+
+  /** Drift trigger for the re-cluster decision: the fraction of index
+    * rows that arrived AFTER the base build (segments > 00000), from
+    * parquet footer row counts only — no job. Counts raw segment rows
+    * (tombstone masking ignored), which upper-bounds the live delta
+    * share; when it crosses the caller's threshold (~0.3 is customary),
+    * the frozen centroids were trained on a minority of the corpus and
+    * [[saveIvfIndex]] should re-train.
+    */
+  def ivfDeltaFraction(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Double = {
+    val segs = SegmentedIndex.segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no IVF index at $path")
+    val counts = segs.map { case (i, d) =>
+      (i, graft.sources.ParquetMeta.rowCount(spark, s"$d/cells")) }
+    val total = counts.map(_._2).sum
+    if (total == 0) 0.0
+    else counts.filter(_._1 > 0).map(_._2).sum.toDouble / total
+  }
+
+  /** IVF top-k against a persisted index (see [[saveIvfIndex]]): live
+    * cell ids join back to the corpus by id for vectors, centroids
+    * broadcast for the probe. Identical results to [[kmeansIvfTopK]]
+    * with the same training parameters.
     */
   def ivfTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
                        vecCol: String, queryFilter: Column, k: Int,
                        roundScale: Int = 6, nprobe: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = ivfCells(spark, path)
       .join(corpus.select(col(idCol).as("id"), col(vecCol).as("c_vec")), Seq("id"))
       .select(col("id").as("c_id"), col("c_vec"), col("cid"))
     val q0 = corpus.filter(queryFilter)

@@ -292,6 +292,28 @@ object ScaleSmoke {
         tau = 0.999).count()
     }
 
+    // 16d2. IVF index lifecycle at 40×: build once on the %4!=0 slice,
+    // then an O(delta) merge of the remaining quarter against the
+    // FROZEN centroids (no re-train — the daily-ingest path), then the
+    // query answering from the segmented tree. Build vs merge vs query
+    // are separate rows so the operational cost (merge+query) is
+    // visible against the one-time build.
+    val ivfIncIdx = s"${sys.props("java.io.tmpdir")}/graft_smoke_ivf_inc"
+    time("ivf_index_build", nEmb) {
+      V.saveIvfIndex(emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        ivfIncIdx, clusters = 16, iters = 2)
+      V.ivfCells(spark, ivfIncIdx).count()
+    }
+    time("ivf_delta_merge", nEmb) {
+      V.mergeIvfDelta(emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", ivfIncIdx)
+      V.ivfCells(spark, ivfIncIdx).count()
+    }
+    time("ivf_query_indexed", nEmb) {
+      V.ivfTopKFromIndex(ivfIncIdx, emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 10).count()
+    }
+
     // 16e. hashed linear classifier margin over the 10× corpus: the
     // hashing-trick scoring pass is scan-side only — this row measures
     // the interpreted md5-per-token HOF cost (nativization candidate

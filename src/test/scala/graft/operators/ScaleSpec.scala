@@ -233,9 +233,9 @@ class ScaleSpec extends SparkSpec {
     val df = vecs.toDF("vec_id", "embedding")
     val path = tmpDir("ivf-idx") + "/index"
     VectorFunctions.saveIvfIndex(df, "vec_id", "embedding", path, clusters = 4, iters = 3)
-    // index tables persisted: centroids (k rows) + id→cell (no vectors)
+    // index tables persisted: centroids (k rows) + id→cell segments (no vectors)
     assert(spark.read.parquet(s"$path/centroids").count() == 4)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = VectorFunctions.ivfCells(spark, path)
     assert(cells.columns.toSet == Set("id", "cid") && cells.count() == n.toLong)
 
     val direct = VectorFunctions.kmeansIvfTopK(df, "vec_id", "embedding",
@@ -245,6 +245,59 @@ class ScaleSpec extends SparkSpec {
       col("vec_id") < 20, k = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(fromIndex == direct, "persisted-index results must be bit-identical")
+  }
+
+  test("IVF incremental: merge chain equals fresh assignment under frozen centroids") {
+    import graft.functions.{SegmentedIndex, VectorFunctions}
+    val dim = 8
+    def vec(i: Int, scale: Float = 1.0f) = Array.tabulate(dim) { d =>
+      val base = if (d == (i % 4) * 2) 10.0f else 0.0f
+      (base + ((i * 31 + d * 7) % 5) * 0.1f) * scale
+    }
+    // base corpus: ids with i % 3 != 0
+    val base = (0 until 300).filter(_ % 3 != 0)
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val path = tmpDir("ivf-inc") + "/index"
+    VectorFunctions.saveIvfIndex(base, "vec_id", "embedding", path,
+      clusters = 4, iters = 3)
+    // delta: new ids (%3==0), re-ingest %10==5 with scaled vectors,
+    // DELETE %100==97 via null vector
+    val delta = (0 until 300)
+      .filter(i => i % 3 == 0 || i % 10 == 5 || i % 100 == 97)
+      .map { i =>
+        val v = if (i % 100 == 97) null
+                else if (i % 10 == 5) vec(i, 0.5f) else vec(i)
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding")
+    VectorFunctions.mergeIvfDelta(delta, "vec_id", "embedding", path)
+    // the latest-version corpus the merged index must describe
+    val latest = (0 until 300).filter(_ % 100 != 97)
+      .map(i => (i.toLong, if (i % 10 == 5) vec(i, 0.5f) else vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val expect = VectorFunctions.kmeansAssign(latest, "vec_id", "embedding", cents)
+      .select(col("vec_id").as("id"), col("cid"))
+      .as[(Long, Int)].collect().toSet
+    val live = VectorFunctions.ivfCells(spark, path).as[(Long, Int)].collect().toSet
+    assert(live == expect, "merged live cells must equal a fresh frozen-centroid assignment")
+    assert(!live.exists(_._1 == 97L), "deleted id must not be live")
+    // drift trigger counts appended raw rows from footers only
+    val frac = VectorFunctions.ivfDeltaFraction(spark, path)
+    assert(frac > 0.3 && frac < 0.5, s"delta fraction out of range: $frac")
+    // retract a live id via the generic tombstone-only segment
+    VectorFunctions.mergeIvfDelta(delta, "vec_id", "embedding", path) // idempotent re-merge
+    SegmentedIndex.retract(spark, path, Seq(1L, 2L, 9999L).toDF("id"), Seq("cells"))
+    val afterRetract = VectorFunctions.ivfCells(spark, path).as[(Long, Int)].collect().toSet
+    assert(afterRetract == expect.filterNot(c => c._1 == 1L || c._1 == 2L))
+    // compaction folds to one segment without changing answers
+    VectorFunctions.compactIvfIndex(spark, path)
+    assert(new java.io.File(s"$path/segments").list().sorted.toSeq == Seq("00000"))
+    val afterCompact = VectorFunctions.ivfCells(spark, path).as[(Long, Int)].collect().toSet
+    assert(afterCompact == afterRetract)
+    // queries answer from the segmented tree (vectors re-joined from latest)
+    val topk = VectorFunctions.ivfTopKFromIndex(path, latest, "vec_id", "embedding",
+      col("vec_id") < 8, k = 3)
+    assert(topk.count() > 0)
   }
 
   test("IVF nprobe: probing a second cell recovers boundary-query neighbors") {
