@@ -1660,6 +1660,62 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"))
     }),
 
+    "sim_pq_incremental" -> ((s, dir) => {
+      // O(delta) PQ refresh: codebooks train ONCE on the base slice;
+      // the delta (new %3==0 ids, %10==5 re-ingests, %100==97
+      // null-vector deletes) encodes against the FROZEN codebooks and
+      // lands as a code segment with tombstones. Two gates in one
+      // output, both oracle-pinned TRUE: `codes_match` — the live codes
+      // are bit-identical to re-encoding the whole latest corpus under
+      // the frozen codebooks (set equality via a paired groupBy count);
+      // `recall_ok` — the merged index still meets the sim_pq_recall
+      // shortlist contract against exact cosine over the latest corpus.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
+      val idxPath = tmpPath(dir, "pq_inc")
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      V.savePqIndex(base, "vec_id", "embedding", idxPath,
+        m = 4, dim = 64, ksub = 16, iters = 2,
+        trainFilter = col("vec_id") % 5 < 2)
+      // l2normalize makes scaling invisible, so re-ingests keep their
+      // vectors (tombstone-mask exercise) and deletes carry null
+      val delta = emb
+        .filter(col("vec_id") % 3 === 0 || col("vec_id") % 10 === 5 ||
+          col("vec_id") % 100 === 97)
+        .select(col("vec_id"),
+          when(col("vec_id") % 100 === 97, lit(null).cast("array<double>"))
+            .otherwise(col("embedding")).as("embedding"))
+      V.mergePqDelta(delta, "vec_id", "embedding", idxPath, m = 4, dim = 64)
+      val latest = emb.filter(col("vec_id") % 100 =!= 97)
+      val books = s.read.parquet(s"$idxPath/codebooks")
+      val live = V.pqCodes(s, idxPath).select(col("id"), col("codes"))
+      val full = V.pqEncodePacked(latest, "vec_id", "embedding", books, 4, 64)
+        .select(col("vec_id").as("id"), col("codes"))
+      // ids are unique per side, so set equality ⇔ every (id, codes)
+      // pair appears exactly twice in the two-sided union
+      val mism = live.unionByName(full)
+        .groupBy("id", "codes").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2)
+        .agg(count(lit(1)).as("n_mismatch"))
+      val corpusRows = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
+      val shortlist = math.max(50L, corpusRows / 5).toInt
+      val queries = latest.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = latest.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val pq = V.pqTopKFromIndex(idxPath, latest, "vec_id", "embedding",
+        col("vec_id") % 100 === 0, m = 4, dim = 64, k = 10, shortlist = shortlist)
+      val exact = V.bruteForceTopK(queries, corpus, "q_id", "c_id",
+        "q_vec", "c_vec", k = 10)
+      val hits = pq.select("q_id", "c_id")
+        .join(exact.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("q_id").join(hits, Seq("q_id"), "left")
+        .crossJoin(broadcast(mism))
+        .select(col("q_id"),
+          (coalesce(col("n_hit"), lit(0L)) >= 3).as("recall_ok"),
+          (col("n_mismatch") === 0L).as("codes_match"))
+    }),
+
     // ---------------- CNA matrix lifecycle ---------------------------
     "cna_melt_merge" -> ((s, dir) => {
       // wide matrix → melt → A7 merge → long form (graft.formats.CnaFormat)
@@ -2696,6 +2752,10 @@ object SparkEntry {
 
       "sim_pq_recall" ->
         """SELECT vec_id AS q_id, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id % 100 = 0""",
+
+      "sim_pq_incremental" ->
+        """SELECT vec_id AS q_id, TRUE AS recall_ok, TRUE AS codes_match
            FROM embeddings WHERE vec_id % 100 = 0""",
 
       "s19_bloom_scan" ->

@@ -803,34 +803,125 @@ object VectorFunctions {
       m, dim, k, shortlist)
   }
 
-  /** Train and PERSIST a PQ index: per-subspace codebooks plus the
-    * packed per-vector codes as two parquet tables under `path`.
-    * `trainFilter` selects the training sample (at 100 TB Lloyd's never
-    * sees the full corpus); encode still covers every vector. The index
-    * stores m ints per vector — the corpus floats are NOT copied.
+  /** Train and PERSIST a PQ index: frozen per-subspace codebooks at
+    * `$path/codebooks` plus the packed per-vector codes as SEGMENT
+    * 00000 of a [[SegmentedIndex]] tree (`$path/segments/NNNNN/{codes,
+    * tombstones}`). `trainFilter` selects the training sample (at
+    * 100 TB Lloyd's never sees the full corpus); encode still covers
+    * every vector. The index stores m ints per vector — the corpus
+    * floats are NOT copied — and refreshes by delta
+    * ([[mergePqDelta]]): new vectors encode against the FROZEN
+    * codebooks, no re-train, no corpus re-encode.
     */
   def savePqIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
                   m: Int, dim: Int, ksub: Int, iters: Int,
                   trainFilter: Column = lit(true)): Unit = {
+    val spark = df.sparkSession
     val books = pqCodebooks(df.filter(trainFilter), idCol, vecCol, m, dim, ksub, iters)
+    val (fs, _) = SegmentedIndex.hfs(spark, path)
+    Seq("segments", "codes").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     books.write.mode("overwrite").parquet(s"$path/codebooks")
-    pqEncodePacked(df, idCol, vecCol, books, m, dim)
-      .select(col(idCol).as("id"), col("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
+      pqEncodePacked(df, idCol, vecCol, books, m, dim)
+        .select(col(idCol).as("id"), col("codes"))
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      df.select(col(idCol).as("id")).limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
+  }
+
+  /** O(delta) PQ refresh: delta vectors encode against the EXISTING
+    * codebooks ([[pqEncode]] is per-row and order-free, so the new
+    * codes are bit-identical to what a full re-encode would assign
+    * them), land as code segment N, and re-ingested ids are
+    * tombstoned. Same delta contract as [[mergeIvfDelta]]: one row per
+    * id (asserted), NULL `vecCol` deletes. Live codes after any merge
+    * chain equal one [[pqEncodePacked]] of the latest-version corpus
+    * under the frozen codebooks. Compact with [[compactPqIndex]];
+    * retrain ([[savePqIndex]]) when the delta share drifts —
+    * [[pqDeltaFraction]] is the footer-only trigger.
+    */
+  def mergePqDelta(delta: DataFrame, idCol: String, vecCol: String,
+                   path: String, m: Int, dim: Int): Unit = {
+    val spark = delta.sparkSession
+    val segs = SegmentedIndex.segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no PQ index at $path — savePqIndex first")
+    val n = segs.map(_._1).max + 1
+    val deltaIds = delta.select(col(idCol).as("id")).persist()
+    try {
+      val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+          "holds one version per id; reduce to last-per-key first")
+      val books = spark.read.parquet(s"$path/codebooks")
+      val replaced = SegmentedIndex.liveRows(spark, path, "codes")
+        .select("id").join(deltaIds, Seq("id"), "left_semi")
+      val newCodes = pqEncodePacked(delta.filter(col(vecCol).isNotNull),
+          idCol, vecCol, books, m, dim)
+        .select(col(idCol).as("id"), col("codes"))
+      SegmentedIndex.commitSegment(spark, s"$path/segments", n) { tmp =>
+        newCodes.write.mode("overwrite").parquet(s"$tmp/codes")
+        replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")
+      }
+    } finally deltaIds.unpersist()
+  }
+
+  /** Fold live code rows back to segment 00000 (answers unchanged). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    val segs = SegmentedIndex.segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no PQ index at $path")
+    if (segs.size == 1) return
+    val tmpRoot = s"$path/__segments_tmp"
+    val (fs, tmpP) = SegmentedIndex.hfs(spark, tmpRoot)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
+    val live = SegmentedIndex.liveRows(spark, path, "codes")
+    SegmentedIndex.commitSegment(spark, tmpRoot, 0) { tmp =>
+      live.write.mode("overwrite").parquet(s"$tmp/codes")
+      live.select("id").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
+    val (_, segRoot) = SegmentedIndex.hfs(spark, s"$path/segments")
+    graft.sources.Layout.swapDirs(fs, segRoot, tmpP,
+      new org.apache.hadoop.fs.Path(s"$path/__segments_old"), "pq compact")
+  }
+
+  /** Tombstone-masked live (id, codes) rows of a persisted PQ index. */
+  def pqCodes(spark: org.apache.spark.sql.SparkSession,
+              path: String): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "codes")
+
+  /** Appended-row share of the PQ index from parquet footers (see
+    * [[ivfDeltaFraction]] — same re-train trigger semantics).
+    */
+  def pqDeltaFraction(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Double = {
+    val segs = SegmentedIndex.segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no PQ index at $path")
+    val counts = segs.map { case (i, d) =>
+      (i, graft.sources.ParquetMeta.rowCount(spark, s"$d/codes")) }
+    val total = counts.map(_._2).sum
+    if (total == 0) 0.0
+    else counts.filter(_._1 > 0).map(_._2).sum.toDouble / total
   }
 
   /** PQ top-k against a persisted index (see [[savePqIndex]]): stored
-    * packed codes answer the ADC shortlist; only shortlist survivors
-    * re-join the corpus by id for the exact re-rank. Identical results
-    * to [[pqTopK]] with the same training parameters — the index is a
-    * cache of deterministic computation, not an approximation of it.
+    * live packed codes answer the ADC shortlist; only shortlist
+    * survivors re-join the corpus by id for the exact re-rank.
+    * Identical results to [[pqTopK]] with the same training
+    * parameters — the index is a cache of deterministic computation,
+    * not an approximation of it.
     */
   def pqTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
                       vecCol: String, queryFilter: Column,
                       m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
     val spark = corpus.sparkSession
     val books = spark.read.parquet(s"$path/codebooks")
-    val packed = spark.read.parquet(s"$path/codes")
+    val packed = pqCodes(spark, path)
       .select(col("id").as("c_id"), col("codes"))
     val queries = corpus.filter(queryFilter)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))

@@ -258,7 +258,7 @@ object ScaleSmoke {
       V.savePqIndex(embN, "vec_id", "embedding", pqIdxPath,
         m = 4, dim = 64, ksub = 16, iters = 2,
         trainFilter = col("vec_id") % 50 === 0)
-      spark.read.parquet(s"$pqIdxPath/codes").count()
+      V.pqCodes(spark, pqIdxPath).count()
     }
     time("pq_topk_indexed", nEmb) {
       V.pqTopKFromIndex(pqIdxPath, embN, "vec_id", "embedding",

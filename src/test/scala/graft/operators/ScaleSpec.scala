@@ -411,6 +411,57 @@ class ScaleSpec extends SparkSpec {
     assert(a == b, s"persisted-PQ answers diverge from train-per-call: ${a.diff(b)} vs ${b.diff(a)}")
   }
 
+  test("PQ incremental: merge chain equals frozen-codebook re-encode; retract + compact") {
+    import graft.functions.{SegmentedIndex, VectorFunctions}
+    val dim = 16
+    def vec(i: Int, bump: Float = 0.0f) = Array.tabulate(dim) { d =>
+      val base = if (d == (i % 4) * 4) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f + (if (d == 0) bump else 0.0f)
+    }
+    val base = (0 until 240).filter(_ % 3 != 0)
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val idx = tmpDir("pqinc")
+    VectorFunctions.savePqIndex(base, "vec_id", "embedding", idx,
+      m = 4, dim = dim, ksub = 8, iters = 3)
+    // delta: new ids (%3==0), re-ingest %10==5 with a bumped dim-0
+    // (codes may change subspace 0), DELETE %100==97
+    val delta = (0 until 240)
+      .filter(i => i % 3 == 0 || i % 10 == 5 || i % 100 == 97)
+      .map { i =>
+        val v = if (i % 100 == 97) null
+                else if (i % 10 == 5) vec(i, 3.0f) else vec(i)
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding")
+    VectorFunctions.mergePqDelta(delta, "vec_id", "embedding", idx,
+      m = 4, dim = dim)
+    val latest = (0 until 240).filter(_ % 100 != 97)
+      .map(i => (i.toLong, if (i % 10 == 5) vec(i, 3.0f) else vec(i)))
+      .toDF("vec_id", "embedding")
+    val books = spark.read.parquet(s"$idx/codebooks")
+    val expect = VectorFunctions
+      .pqEncodePacked(latest, "vec_id", "embedding", books, 4, dim)
+      .select(col("vec_id").as("id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toSet
+    val live = VectorFunctions.pqCodes(spark, idx)
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(live == expect,
+      "merged live codes must equal a frozen-codebook re-encode of the latest corpus")
+    assert(!live.exists(_._1 == 97L))
+    val frac = VectorFunctions.pqDeltaFraction(spark, idx)
+    assert(frac > 0.3 && frac < 0.5, s"delta fraction out of range: $frac")
+    // retraction drops ids from the shortlist source; compaction folds
+    SegmentedIndex.retract(spark, idx, Seq(4L, 8L).toDF("id"), Seq("codes"))
+    VectorFunctions.compactPqIndex(spark, idx)
+    assert(new java.io.File(s"$idx/segments").list().sorted.toSeq == Seq("00000"))
+    val after = VectorFunctions.pqCodes(spark, idx).as[(Long, Seq[Int])].collect().toSet
+    assert(after == expect.filterNot(c => c._1 == 4L || c._1 == 8L))
+    // search answers from the compacted tree and never surfaces retracted ids
+    val topk = VectorFunctions.pqTopKFromIndex(idx, latest, "vec_id", "embedding",
+      col("vec_id") < 8, m = 4, dim = dim, k = 5, shortlist = 40)
+      .select("c_id").as[Long].collect().toSet
+    assert(!topk.contains(4L) && !topk.contains(8L))
+  }
+
   test("CC mega-cluster: star rounds window-free, hub never lands on one task") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // zipf shape of web-scale dedup graphs: ONE component holds 60% of the
