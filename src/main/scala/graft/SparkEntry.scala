@@ -552,6 +552,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
     }),
 
+    "dedup_retract" -> ((s, dir) => {
+      // GDPR-style purge across ALL persisted dedup index types: the
+      // digest (exact), band (MinHash-LSH), and winnow (span) indexes
+      // are built over the full corpus, every %50 doc is retracted via
+      // one tombstone-only segment each (no index data rewritten), and
+      // a probe batch (%25 docs — half of them the retracted docs
+      // themselves) counts its surviving hits per index. The oracle
+      // replays each index's candidate semantics over the KEPT corpus
+      // only — so a retracted doc leaking into any candidate set, or a
+      // tombstone over-masking a live doc, breaks the hash.
+      val docs = t(s, dir, "documents")
+      val toks = array_distinct(T.tokens(lower(col("text"))))
+      val dgP = tmpPath(dir, "rt_digest")
+      val bdP = tmpPath(dir, "rt_band")
+      val wnP = tmpPath(dir, "rt_winnow")
+      D.saveDigestIndex(docs, "doc_id", "text", dgP)
+      D.saveBandIndexPersisted(docs, "doc_id", toks, bdP, k = 4, bands = 2)
+      D.saveWinnowIndexPersisted(docs, "doc_id", "text", wnP, k = 6, w = 16)
+      val retractIds = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id"))
+      graft.functions.SegmentedIndex.retract(s, dgP, retractIds, Seq("digests"))
+      graft.functions.SegmentedIndex.retract(s, bdP, retractIds, Seq("bands"))
+      graft.functions.SegmentedIndex.retract(s, wnP, retractIds, Seq("hashes"))
+      val probes = docs.filter(col("doc_id") % 25 === 0)
+      val dHits = D.digestHitsFromIndex(dgP, probes, "doc_id", "text")
+        .filter(col("corpus_id") =!= col("batch_id"))
+        .groupBy("batch_id").agg(count(lit(1)).as("n_digest"))
+        .withColumnRenamed("batch_id", "probe_id")
+      val bHits = D.incrementalNearDupCandidates(
+          D.bandIndexLive(s, bdP), probes, "doc_id", toks, k = 4, bands = 2)
+        .filter(col("corpus_id") =!= col("batch_id"))
+        .groupBy("batch_id").agg(count(lit(1)).as("n_band"))
+        .withColumnRenamed("batch_id", "probe_id")
+      val wHits = D.probeSpanHits(D.winnowIndexLive(s, wnP),
+          D.winnowIndex(probes, "doc_id", "text", k = 6, w = 16),
+          maxDf = 20, minShared = 2L)
+        .filter(col("corpus_id") =!= col("probe_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_span"))
+      probes.select(col("doc_id").as("probe_id"),
+          (col("doc_id") % 50 === 0).as("retracted"))
+        .join(dHits, Seq("probe_id"), "left")
+        .join(bHits, Seq("probe_id"), "left")
+        .join(wHits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("retracted"),
+          coalesce(col("n_digest"), lit(0L)).as("n_digest"),
+          coalesce(col("n_band"), lit(0L)).as("n_band"),
+          coalesce(col("n_span"), lit(0L)).as("n_span"))
+    }),
+
     "dedup_minhash_sig" -> ((s, dir) => {
       // native one-pass Catalyst expression (graft.plans.MinHashSignature);
       // bit-identical to the composed md5 form the oracle reproduces
@@ -2720,6 +2769,83 @@ object SparkEntry {
                   COUNT(*) AS n_docs, MIN(b.doc_id) AS min_id
            FROM batch b LEFT JOIN corpus c ON b.dg = c.dg
            GROUP BY 1""",
+
+      "dedup_retract" ->
+        // each index's candidate semantics replayed over the KEPT corpus
+        // (doc_id % 50 <> 0) only: exact digest matches, MinHash band
+        // collisions (k=4, 2 bands — the dedup_cluster_assign
+        // machinery), winnow span sharing (k=6, w=16, stop-span df <= 20
+        // on the kept side, >= 2 shared — the text_span_dedup machinery)
+        s"""WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+           probes AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+           dh AS (SELECT p.doc_id AS probe_id, COUNT(*) AS n_digest
+                  FROM probes p JOIN live l
+                    ON md5(p.text) = md5(l.text) AND l.doc_id <> p.doc_id
+                  GROUP BY 1),
+           ltok AS (SELECT doc_id,
+                           list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+                    FROM live),
+           lhs AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM ltok),
+           lsig AS (SELECT doc_id, ${oracleMinhash(0)}, ${oracleMinhash(1)},
+                           ${oracleMinhash(2)}, ${oracleMinhash(3)} FROM lhs),
+           lbk AS (SELECT doc_id, md5('band0:' || mh0 || '|' || mh1) AS bk FROM lsig
+                   UNION ALL
+                   SELECT doc_id, md5('band1:' || mh2 || '|' || mh3) FROM lsig),
+           ptok AS (SELECT doc_id,
+                           list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+                    FROM probes),
+           phs AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM ptok),
+           psig AS (SELECT doc_id, ${oracleMinhash(0)}, ${oracleMinhash(1)},
+                           ${oracleMinhash(2)}, ${oracleMinhash(3)} FROM phs),
+           pbk AS (SELECT doc_id, md5('band0:' || mh0 || '|' || mh1) AS bk FROM psig
+                   UNION ALL
+                   SELECT doc_id, md5('band1:' || mh2 || '|' || mh3) FROM psig),
+           bpairs AS (SELECT DISTINCT pb.doc_id AS probe_id, lb.doc_id AS corpus_id
+                      FROM pbk pb JOIN lbk lb
+                        ON pb.bk = lb.bk AND lb.doc_id <> pb.doc_id),
+           bh AS (SELECT probe_id, COUNT(*) AS n_band FROM bpairs GROUP BY 1),
+           wt AS (SELECT doc_id,
+                         lower(regexp_replace(text, '[^ -~]', '', 'g')) AS s
+                  FROM documents),
+           wc AS (SELECT doc_id,
+                         list_transform(string_split(s, ''),
+                           ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+                  FROM wt),
+           wh0 AS (SELECT doc_id,
+                          CASE WHEN len(codes) >= 6 THEN
+                            list_transform(range(1, len(codes) - 4), i ->
+                              codes[i] * 28629151 + codes[i+1] * 923521
+                                + codes[i+2] * 29791 + codes[i+3] * 961
+                                + codes[i+4] * 31 + codes[i+5])
+                          ELSE CAST([] AS BIGINT[]) END AS hs
+                  FROM wc),
+           ww AS (SELECT doc_id,
+                         CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                              WHEN len(hs) < 16 THEN [list_min(hs)]
+                              ELSE list_transform(range(1, len(hs) - 14), i ->
+                                     list_min(hs[i:i+15]))
+                         END AS sel
+                  FROM wh0),
+           wfp AS (SELECT doc_id, list_distinct(sel) AS fp FROM ww),
+           wsel AS (SELECT doc_id, unnest(fp) AS h FROM wfp),
+           lsel AS (SELECT * FROM wsel WHERE doc_id % 50 <> 0),
+           psel AS (SELECT * FROM wsel WHERE doc_id % 25 = 0),
+           wkeep AS (SELECT h FROM lsel GROUP BY h HAVING COUNT(*) <= 20),
+           wpr AS (SELECT l.doc_id, l.h FROM lsel l JOIN wkeep USING (h)),
+           wpairs AS (SELECT p.doc_id AS probe_id, r.doc_id AS corpus_id,
+                             COUNT(*) AS n_shared
+                      FROM psel p JOIN wpr r
+                        ON p.h = r.h AND r.doc_id <> p.doc_id
+                      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           wh AS (SELECT probe_id, COUNT(*) AS n_span FROM wpairs GROUP BY 1)
+           SELECT p.doc_id AS probe_id, p.doc_id % 50 = 0 AS retracted,
+                  COALESCE(n_digest, 0) AS n_digest,
+                  COALESCE(n_band, 0) AS n_band,
+                  COALESCE(n_span, 0) AS n_span
+           FROM probes p
+           LEFT JOIN dh ON dh.probe_id = p.doc_id
+           LEFT JOIN bh ON bh.probe_id = p.doc_id
+           LEFT JOIN wh ON wh.probe_id = p.doc_id""",
 
       "text_rarity" ->
         """WITH tok AS (

@@ -193,6 +193,100 @@ object DedupFunctions {
     sig.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
   }
 
+  // ---- persisted dedup indexes (digest / band / winnow) --------------
+  //
+  // Each is a single-subtable [[SegmentedIndex]]: build once
+  // (`save*Index`), refresh by delta (`merge*Delta` — null content
+  // deletes, re-ingest tombstones the old version), purge by id list
+  // ([[SegmentedIndex.retract]]), compact periodically
+  // ([[SegmentedIndex.compactIndex]]). This gives the LLM-side indexes
+  // the same retraction semantics the clinical tables get from the F11
+  // cascade: a GDPR-style purge is one tombstone-only segment, and the
+  // retracted doc stops appearing in ANY candidate/dup answer without
+  // rewriting a byte of index data.
+
+  /** (id, digest) rows — md5 over content; null content → no row. */
+  def digestRows(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5(col(contentCol)).as("digest"))
+      .filter(col("digest").isNotNull)
+
+  /** Persist the exact-dup digest index ([[incrementalExactDup]]'s
+    * corpus side, with ids kept so single docs can be purged).
+    */
+  def saveDigestIndex(df: DataFrame, idCol: String, contentCol: String,
+                      path: String): Unit =
+    SegmentedIndex.createIndex(df.sparkSession, path, "digests",
+      digestRows(df, idCol, contentCol))
+
+  def mergeDigestDelta(delta: DataFrame, idCol: String, contentCol: String,
+                       path: String): Unit =
+    SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "digests",
+      delta.select(col(idCol)), digestRows(delta, idCol, contentCol))
+
+  /** Exact-dup hits of a batch against the live digest index: one row
+    * per (batch id, matching live corpus id). Self-matches are NOT
+    * filtered — callers probing with in-corpus ids exclude
+    * `corpus_id === batch_id` themselves.
+    */
+  def digestHitsFromIndex(path: String, batch: DataFrame, idCol: String,
+                          contentCol: String): DataFrame =
+    digestRows(batch, idCol, contentCol)
+      .withColumnRenamed("id", "batch_id")
+      .join(SegmentedIndex.liveRows(batch.sparkSession, path, "digests")
+        .withColumnRenamed("id", "corpus_id"), Seq("digest"))
+      .select(col("batch_id"), col("corpus_id"))
+
+  /** Persist the MinHash-LSH band index ([[bandIndex]] rows). */
+  def saveBandIndexPersisted(df: DataFrame, idCol: String, elemsCol: Column,
+                             path: String, k: Int = 16, bands: Int = 4): Unit =
+    SegmentedIndex.createIndex(df.sparkSession, path, "bands",
+      bandIndex(df, idCol, elemsCol, k, bands))
+
+  def mergeBandDelta(delta: DataFrame, idCol: String, elemsCol: Column,
+                     path: String, k: Int = 16, bands: Int = 4): Unit =
+    SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "bands",
+      delta.select(col(idCol)), bandIndex(delta, idCol, elemsCol, k, bands))
+
+  /** Live (band_key, id) rows — feed [[incrementalNearDupCandidates]]. */
+  def bandIndexLive(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "bands")
+
+  /** Persist the winnow fingerprint index ([[winnowIndex]] rows). */
+  def saveWinnowIndexPersisted(df: DataFrame, idCol: String, textCol: String,
+                               path: String, k: Int = 5, w: Int = 4): Unit =
+    SegmentedIndex.createIndex(df.sparkSession, path, "hashes",
+      winnowIndex(df, idCol, textCol, k, w))
+
+  def mergeWinnowDelta(delta: DataFrame, idCol: String, textCol: String,
+                       path: String, k: Int = 5, w: Int = 4): Unit =
+    SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "hashes",
+      delta.select(col(idCol)), winnowIndex(delta, idCol, textCol, k, w))
+
+  /** Live (id, h) winnow rows — feed [[spanContainmentFromIndex]] or
+    * [[probeSpanHits]].
+    */
+  def winnowIndexLive(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "hashes")
+
+  /** Span-sharing partners of each probe doc among an index's docs:
+    * stop-span prune (df computed on the INDEX side) then an equi-join
+    * on the hash — the one-sided [[spanContainmentFromIndex]], the
+    * ingest-probe shape. Returns (probe_id, corpus_id, n_shared);
+    * self-pairs are not filtered (see [[digestHitsFromIndex]]).
+    */
+  def probeSpanHits(index: DataFrame, probes: DataFrame,
+                    maxDf: Int, minShared: Long): DataFrame = {
+    val keep = index.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val pruned = index.join(keep, Seq("h"))
+    probes.select(col("id").as("probe_id"), col("h"))
+      .join(pruned.select(col("id").as("corpus_id"), col("h")), Seq("h"))
+      .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Duplicated-PASSAGE detection (MOSS-style): doc pairs sharing
     * winnowing-selected rolling hashes. Whole-doc dedup misses a 100 TB
     * corpus's real failure mode — distinct pages sharing long boilerplate

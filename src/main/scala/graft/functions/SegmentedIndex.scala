@@ -106,6 +106,71 @@ object SegmentedIndex {
     }
   }
 
+  /** Full (re)build of a single-subtable index: drop any prior tree,
+    * write `rows` (which must carry an `id` column) as segment 00000
+    * with empty tombstones. The shared build path of the digest/band/
+    * winnow dedup indexes.
+    */
+  def createIndex(spark: SparkSession, path: String, sub: String,
+                  rows: DataFrame): Unit = {
+    val (fs, segRoot) = hfs(spark, s"$path/segments")
+    if (fs.exists(segRoot)) fs.delete(segRoot, true)
+    commitSegment(spark, s"$path/segments", 0) { tmp =>
+      rows.write.mode("overwrite").parquet(s"$tmp/$sub")
+      rows.select("id").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
+  }
+
+  /** O(delta) refresh of a single-subtable index: `deltaIds` is the
+    * delta's id set — one version per id (asserted); every live id in
+    * it is tombstoned (replaced or deleted). `rows` are the delta's
+    * derived index rows — for a deletion the derivation yields no rows
+    * (null content hashes to nothing), so the id is tombstoned and
+    * nothing re-ingested, exactly the BM25 null-text contract.
+    */
+  def mergeDeltaRows(spark: SparkSession, path: String, sub: String,
+                     deltaIds: DataFrame, rows: DataFrame): Unit = {
+    val segs = segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no segmented index at $path — createIndex first")
+    val n = segs.map(_._1).max + 1
+    val ids = deltaIds.select(col(deltaIds.columns.head).as("id")).persist()
+    try {
+      val dup = ids.groupBy("id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+          "holds one version per id; reduce to last-per-key first")
+      val replaced = liveRows(spark, path, sub).select("id").distinct()
+        .join(ids, Seq("id"), "left_semi")
+      commitSegment(spark, s"$path/segments", n) { tmp =>
+        rows.write.mode("overwrite").parquet(s"$tmp/$sub")
+        replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")
+      }
+    } finally ids.unpersist()
+  }
+
+  /** Fold a single-subtable index back to segment 00000 (two-rename
+    * swap; answers unchanged).
+    */
+  def compactIndex(spark: SparkSession, path: String, sub: String): Unit = {
+    val segs = segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no segmented index at $path")
+    if (segs.size == 1) return
+    val tmpRoot = s"$path/__segments_tmp"
+    val (fs, tmpP) = hfs(spark, tmpRoot)
+    if (fs.exists(tmpP)) fs.delete(tmpP, true)
+    val live = liveRows(spark, path, sub)
+    commitSegment(spark, tmpRoot, 0) { tmp =>
+      live.write.mode("overwrite").parquet(s"$tmp/$sub")
+      live.select("id").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+    }
+    val (_, segRoot) = hfs(spark, s"$path/segments")
+    graft.sources.Layout.swapDirs(fs, segRoot, tmpP,
+      new Path(s"$path/__segments_old"), "index compact")
+  }
+
   /** RETRACT ids from a segmented index: append a tombstone-only
     * segment (empty delta subtables, schemas cloned from the newest
     * segment) whose tombstones are `ids ∩ live` — the GDPR-style purge

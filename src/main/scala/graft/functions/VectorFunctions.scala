@@ -567,23 +567,8 @@ object VectorFunctions {
     * BM25 compaction.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
-    val segs = SegmentedIndex.segmentDirs(spark, path)
-    require(segs.nonEmpty, s"no IVF index at $path")
-    if (segs.size == 1) return
-    val tmpRoot = s"$path/__segments_tmp"
-    val (fs, tmpP) = SegmentedIndex.hfs(spark, tmpRoot)
-    if (fs.exists(tmpP)) fs.delete(tmpP, true)
-    val live = SegmentedIndex.liveRows(spark, path, "cells")
-    SegmentedIndex.commitSegment(spark, tmpRoot, 0) { tmp =>
-      live.write.mode("overwrite").parquet(s"$tmp/cells")
-      live.select("id").limit(0)
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    }
-    val (_, segRoot) = SegmentedIndex.hfs(spark, s"$path/segments")
-    graft.sources.Layout.swapDirs(fs, segRoot, tmpP,
-      new org.apache.hadoop.fs.Path(s"$path/__segments_old"), "ivf compact")
-  }
+                      path: String): Unit =
+    SegmentedIndex.compactIndex(spark, path, "cells")
 
   /** Tombstone-masked live (id, cid) rows of a persisted IVF index. */
   def ivfCells(spark: org.apache.spark.sql.SparkSession,
@@ -872,23 +857,8 @@ object VectorFunctions {
 
   /** Fold live code rows back to segment 00000 (answers unchanged). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Unit = {
-    val segs = SegmentedIndex.segmentDirs(spark, path)
-    require(segs.nonEmpty, s"no PQ index at $path")
-    if (segs.size == 1) return
-    val tmpRoot = s"$path/__segments_tmp"
-    val (fs, tmpP) = SegmentedIndex.hfs(spark, tmpRoot)
-    if (fs.exists(tmpP)) fs.delete(tmpP, true)
-    val live = SegmentedIndex.liveRows(spark, path, "codes")
-    SegmentedIndex.commitSegment(spark, tmpRoot, 0) { tmp =>
-      live.write.mode("overwrite").parquet(s"$tmp/codes")
-      live.select("id").limit(0)
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    }
-    val (_, segRoot) = SegmentedIndex.hfs(spark, s"$path/segments")
-    graft.sources.Layout.swapDirs(fs, segRoot, tmpP,
-      new org.apache.hadoop.fs.Path(s"$path/__segments_old"), "pq compact")
-  }
+                     path: String): Unit =
+    SegmentedIndex.compactIndex(spark, path, "codes")
 
   /** Tombstone-masked live (id, codes) rows of a persisted PQ index. */
   def pqCodes(spark: org.apache.spark.sql.SparkSession,

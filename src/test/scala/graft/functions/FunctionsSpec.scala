@@ -343,6 +343,60 @@ class FunctionsSpec extends SparkSpec {
     assert(!cands.exists(_._1 == 21L), s"fresh doc must not collide: $cands")
   }
 
+  test("persisted dedup indexes: merge replaces, null content deletes, retract purges") {
+    import graft.functions.SegmentedIndex
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"), (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val toks = array_distinct(graft.functions.TextFunctions.tokens(lower(col("text"))))
+
+    // digest index: build, then a delta that replaces 2 and deletes 3
+    val dg = tmpDir("dgidx")
+    DedupFunctions.saveDigestIndex(docs, "doc_id", "text", dg)
+    DedupFunctions.mergeDigestDelta(
+      Seq((2L, "totally new text"), (3L, null)).toDF("doc_id", "text"),
+      "doc_id", "text", dg)
+    def hits(text: String) = DedupFunctions.digestHitsFromIndex(dg,
+        Seq((99L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits("delta epsilon zeta").isEmpty, "old version of 2 must be dead")
+    assert(hits("totally new text") == Set(2L))
+    assert(hits("eta theta iota").isEmpty, "deleted 3 must be gone")
+    assert(hits("alpha beta gamma") == Set(1L, 4L))
+    // retract 4: its digest row dies, 1 still answers
+    SegmentedIndex.retract(spark, dg, Seq(4L).toDF("id"), Seq("digests"))
+    assert(hits("alpha beta gamma") == Set(1L))
+    // compaction folds without changing answers
+    SegmentedIndex.compactIndex(spark, dg, "digests")
+    assert(new java.io.File(s"$dg/segments").list().sorted.toSeq == Seq("00000"))
+    assert(hits("alpha beta gamma") == Set(1L))
+
+    // band index: candidates vanish for a retracted near-dup partner
+    val bd = tmpDir("bdidx")
+    DedupFunctions.saveBandIndexPersisted(docs, "doc_id", toks, bd, k = 4, bands = 2)
+    val probe = Seq((99L, "alpha beta gamma")).toDF("doc_id", "text")
+    def bandCands() = DedupFunctions.incrementalNearDupCandidates(
+        DedupFunctions.bandIndexLive(spark, bd), probe, "doc_id", toks,
+        k = 4, bands = 2)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(bandCands() == Set(1L, 4L))
+    SegmentedIndex.retract(spark, bd, Seq(1L).toDF("id"), Seq("bands"))
+    assert(bandCands() == Set(4L), "retracted doc must leave the candidate set")
+
+    // winnow index: span partners of a retracted doc disappear
+    val wn = tmpDir("wnidx")
+    DedupFunctions.saveWinnowIndexPersisted(docs, "doc_id", "text", wn, k = 5, w = 4)
+    def spanPartners() = DedupFunctions.probeSpanHits(
+        DedupFunctions.winnowIndexLive(spark, wn),
+        DedupFunctions.winnowIndex(probe, "doc_id", "text", k = 5, w = 4),
+        maxDf = 50, minShared = 2L)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(spanPartners() == Set(1L, 4L))
+    SegmentedIndex.retract(spark, wn, Seq(4L).toDF("id"), Seq("hashes"))
+    assert(spanPartners() == Set(1L))
+  }
+
   test("bm25: tf monotonicity, rare-term idf dominance, absent term scores nothing") {
     val docs = Seq(
       (1L, "spark spark spark filler filler filler"),
