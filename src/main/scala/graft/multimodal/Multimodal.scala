@@ -999,12 +999,40 @@ object Multimodal {
       .select(col("id"), col("sample"),
         transform(split(col("decoded"), ","), x => x.cast("double")).as("feature"))
 
+  /** Conf keys of the video decoder seam. */
+  val DecoderCommandKey = "spark.graft.video.decoderCommand"
+  val AllowStubKey = "spark.graft.video.allowStub"
+
+  /** The external decoder command configured on the session
+    * (`spark.graft.video.decoderCommand`, whitespace-split), if any.
+    *
+    * Decoder CLI contract (the reference implementation is any ffmpeg
+    * wrapper honoring it): the command is spawned once per partition;
+    * stdin receives one TSV line per keyframe slice —
+    * `id \t sample \t base64(slice bytes)` — and stdout must answer
+    * `id \t sample \t v0,v1,...` with the frame's feature vector as
+    * comma-separated floats, one line per input line, any order. An
+    * ffmpeg-based command would base64-decode the slice, decode the
+    * frame (`ffmpeg -i pipe:0 -frames:v 1 -f rawvideo pipe:1` per
+    * line, or a resident loop), and emit its pooled pixel features.
+    */
+  def configuredDecoderCommand(
+      spark: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
+    spark.conf.getOption(DecoderCommandKey)
+      .map(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)
+
   /** TRUE-video frame features with an explicit decoder seam: when
     * `decoderCommand` is configured, mp4/webm payloads go through the
     * REAL path — keyframe byte ranges sliced in place, piped to the
-    * external decoder, its per-frame feature vectors consumed as
-    * columns; [[StubCodec]] is bypassed entirely. With no command the
-    * declared stub fake answers (sample = -1, whole-payload histogram),
+    * external decoder (see [[configuredDecoderCommand]] for the CLI
+    * contract), its per-frame feature vectors consumed as columns;
+    * [[StubCodec]] is bypassed entirely.
+    *
+    * With no command the stub is OPT-IN, not a fallback: unless the
+    * session sets `spark.graft.video.allowStub=true`, this THROWS —
+    * a misconfigured deployment must fail loudly rather than silently
+    * train on deterministic fake features. With the flag set, the
+    * declared stub answers (sample = -1, whole-payload histogram),
     * marking exactly the integration gap a deployment closes by
     * supplying its codec command.
     */
@@ -1015,6 +1043,12 @@ object Multimodal {
       frameFeaturesPipe(df, idCol, payloadCol, cmd, stride)
     case None =>
       val spark = df.sparkSession
+      if (!spark.conf.get(AllowStubKey, "false").toBoolean)
+        throw new IllegalStateException(
+          s"no video decoder configured: set $DecoderCommandKey to an " +
+            "external decoder command (stdin: 'id\\tsample\\tbase64(slice)' " +
+            "TSV lines; stdout: 'id\\tsample\\tv0,v1,...' per frame), or " +
+            s"explicitly opt into the deterministic fake with $AllowStubKey=true")
       import spark.implicits._
       df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
         .as[(Long, Array[Byte])]
@@ -1026,4 +1060,15 @@ object Multimodal {
           }
         }.toDF("id", "sample", "feature")
   }
+
+  /** [[videoFrameFeatures]] resolving the decoder from session conf —
+    * the deployment entry point: configure
+    * `spark.graft.video.decoderCommand` once and every frame-feature
+    * pass uses the real decoder; without it this fails loudly unless
+    * the stub was explicitly allowed.
+    */
+  def videoFrameFeaturesAuto(df: DataFrame, idCol: String, payloadCol: String,
+                             stride: Int = 1, stubDim: Int = 8): DataFrame =
+    videoFrameFeatures(df, idCol, payloadCol,
+      configuredDecoderCommand(df.sparkSession), stride, stubDim)
 }

@@ -522,11 +522,33 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(feat(1) - ((7L + s - 1) % 251).toDouble) < 1e-4, s"sample $s mean byte")
     }
 
-    // NO decoder configured → the declared stub answers (sample = -1,
-    // whole-payload histogram) — the integration gap stays visible
-    val stub = Multimodal.videoFrameFeatures(df, "id", "payload", decoderCommand = None)
-      .collect().map(r => (r.getInt(1), r.getSeq[Double](2)))
-    assert(stub.length == 1 && stub.head._1 == -1 && stub.head._2.length == 8)
+    // NO decoder and NO opt-in flag → loud failure, not silent fakes
+    spark.conf.unset(Multimodal.AllowStubKey)
+    val e = intercept[IllegalStateException] {
+      Multimodal.videoFrameFeatures(df, "id", "payload", decoderCommand = None)
+    }
+    assert(e.getMessage.contains(Multimodal.DecoderCommandKey), e.getMessage)
+
+    // the stub is OPT-IN: with the flag set the declared fake answers
+    // (sample = -1, whole-payload histogram)
+    spark.conf.set(Multimodal.AllowStubKey, "true")
+    try {
+      val stub = Multimodal.videoFrameFeatures(df, "id", "payload", decoderCommand = None)
+        .collect().map(r => (r.getInt(1), r.getSeq[Double](2)))
+      assert(stub.length == 1 && stub.head._1 == -1 && stub.head._2.length == 8)
+    } finally spark.conf.unset(Multimodal.AllowStubKey)
+
+    // deployment entry point: the conf-configured command drives the
+    // SAME real pipe path as the explicit argument
+    spark.conf.set(Multimodal.DecoderCommandKey,
+      s"/bin/sh ${script.getAbsolutePath}")
+    try {
+      assert(Multimodal.configuredDecoderCommand(spark)
+        .contains(Seq("/bin/sh", script.getAbsolutePath)))
+      val auto = Multimodal.videoFrameFeaturesAuto(df, "id", "payload")
+        .collect().map(r => (r.getInt(1), r.getSeq[Double](2))).sortBy(_._1)
+      assert(auto.map(_._1).toSeq == Seq(1, 3, 5), "conf-driven decoder must run the real path")
+    } finally spark.conf.unset(Multimodal.DecoderCommandKey)
   }
 
   private def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
