@@ -31,14 +31,20 @@ object SparkEntry {
     GraftSession.table(s, dir, name)
 
   /** events with an epoch-millis column; ts arrives as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) or as a timestamp.
+    * (TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong), as
+    * TIMESTAMP_NTZ (TIMESTAMP(MICROS) with isAdjustedToUTC=false — the
+    * harness data since round 7), or as a zoned timestamp. The NTZ cast
+    * interprets the naive datetime in the session timezone (pinned
+    * UTC), matching DuckDB's epoch_ms on the same naive value.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
-    val tsMs =
-      if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000000")
-      else unix_millis(col("ts"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val tsMs = e.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case TimestampNTZType => unix_millis(col("ts").cast("timestamp"))
+      case _ => unix_millis(col("ts"))
+    }
     e.withColumn("ts_ms", tsMs)
   }
 
@@ -49,6 +55,13 @@ object SparkEntry {
   /** per-(query,sf) scratch dir for sink round-trips */
   private def tmpPath(dir: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-z0-9.]", "_")}"
+
+  /** Eager index build/merge steps report their cost to the bench's
+    * per-phase channel (graft.tools.PhaseTimer) so BENCH json splits
+    * construction from the query path.
+    */
+  private def phase[T](name: String)(f: => T): T =
+    graft.tools.PhaseTimer.phase(name)(f)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -567,14 +580,26 @@ object SparkEntry {
       val dgP = tmpPath(dir, "rt_digest")
       val bdP = tmpPath(dir, "rt_band")
       val wnP = tmpPath(dir, "rt_winnow")
-      D.saveDigestIndex(docs, "doc_id", "text", dgP)
-      D.saveBandIndexPersisted(docs, "doc_id", toks, bdP, k = 4, bands = 2)
-      D.saveWinnowIndexPersisted(docs, "doc_id", "text", wnP, k = 6, w = 16)
+      phase("build") {
+        D.saveDigestIndex(docs, "doc_id", "text", dgP)
+      }
+      phase("build") {
+        D.saveBandIndexPersisted(docs, "doc_id", toks, bdP, k = 4, bands = 2)
+      }
+      phase("build") {
+        D.saveWinnowIndexPersisted(docs, "doc_id", "text", wnP, k = 6, w = 16)
+      }
       val retractIds = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("id"))
-      graft.functions.SegmentedIndex.retract(s, dgP, retractIds, Seq("digests"))
-      graft.functions.SegmentedIndex.retract(s, bdP, retractIds, Seq("bands"))
-      graft.functions.SegmentedIndex.retract(s, wnP, retractIds, Seq("hashes"))
+      phase("merge") {
+        graft.functions.SegmentedIndex.retract(s, dgP, retractIds, Seq("digests"))
+      }
+      phase("merge") {
+        graft.functions.SegmentedIndex.retract(s, bdP, retractIds, Seq("bands"))
+      }
+      phase("merge") {
+        graft.functions.SegmentedIndex.retract(s, wnP, retractIds, Seq("hashes"))
+      }
       val probes = docs.filter(col("doc_id") % 25 === 0)
       val dHits = D.digestHitsFromIndex(dgP, probes, "doc_id", "text")
         .filter(col("corpus_id") =!= col("batch_id"))
@@ -812,8 +837,10 @@ object SparkEntry {
       // query batch reads only its matching postings. Bit-identical to
       // train-per-call text_bm25_topk — the same oracle gates both.
       val idxPath = tmpPath(dir, "bm25_index")
-      graft.functions.Curation.saveBm25Index(
-        t(s, dir, "documents"), "doc_id", "text", idxPath)
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          t(s, dir, "documents"), "doc_id", "text", idxPath)
+      }
       graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
         queries = Seq(
           0L -> Seq("spark", "window"),
@@ -831,15 +858,19 @@ object SparkEntry {
       // arithmetic is exact, so scores match a rebuild bit for bit.
       val docs = t(s, dir, "documents")
       val idxPath = tmpPath(dir, "bm25_inc")
-      graft.functions.Curation.saveBm25Index(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxPath)
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxPath)
+      }
       val delta = docs
         .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
         .withColumn("text",
           when(col("doc_id") % 5 === 0,
             concat(col("text"), lit(" zzmergedtoken")))
             .otherwise(col("text")))
-      graft.functions.Curation.mergeBm25Delta(delta, "doc_id", "text", idxPath)
+      phase("merge") {
+        graft.functions.Curation.mergeBm25Delta(delta, "doc_id", "text", idxPath)
+      }
       graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
         queries = Seq(
           0L -> Seq("spark", "window"),
@@ -856,8 +887,10 @@ object SparkEntry {
       // table with one broadcast-restricted scan — corpus floats never
       // shuffle, only shortlist rows carry vectors.
       val idxPath = tmpPath(dir, "bm25_hybrid")
-      graft.functions.Curation.saveBm25Index(
-        t(s, dir, "documents"), "doc_id", "text", idxPath)
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          t(s, dir, "documents"), "doc_id", "text", idxPath)
+      }
       val short = graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
         queries = Seq(
           0L -> Seq("spark", "window"),
@@ -1502,7 +1535,9 @@ object SparkEntry {
       // the same oracle gates both.
       val emb = t(s, dir, "embeddings")
       val idxPath = tmpPath(dir, "ivf_index_sem")
-      V.saveIvfIndex(emb, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      phase("build") {
+        V.saveIvfIndex(emb, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      }
       V.semanticDedupFromIndex(idxPath, emb, "vec_id", "embedding",
           tau = 0.25, maxCell = 10000)
         .select(col("vec_id"), col("cid"))
@@ -1518,7 +1553,9 @@ object SparkEntry {
       val corpus = emb.filter(col("vec_id") < 490)
       val incoming = emb.filter(col("vec_id") >= 490)
       val idxPath = tmpPath(dir, "ivf_index_ingest")
-      V.saveIvfIndex(corpus, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      phase("build") {
+        V.saveIvfIndex(corpus, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      }
       V.nearDupProbeIndex(idxPath, incoming, "vec_id", "embedding", corpus, tau = 0.2)
     }),
 
@@ -1552,7 +1589,9 @@ object SparkEntry {
       // train-per-call sim_ivf_kmeans — same oracle gates both.
       val emb = t(s, dir, "embeddings")
       val idxPath = tmpPath(dir, "ivf_index")
-      V.saveIvfIndex(emb, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      phase("build") {
+        V.saveIvfIndex(emb, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      }
       V.ivfTopKFromIndex(idxPath, emb, "vec_id", "embedding",
         col("vec_id") < 10, k = 3)
     }),
@@ -1569,7 +1608,9 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val idxPath = tmpPath(dir, "ivf_inc")
       val base = emb.filter(col("vec_id") % 3 =!= 0)
-      V.saveIvfIndex(base, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      phase("build") {
+        V.saveIvfIndex(base, "vec_id", "embedding", idxPath, clusters = 4, iters = 2)
+      }
       val delta = emb
         .filter(col("vec_id") % 3 === 0 || col("vec_id") % 10 === 5 ||
           col("vec_id") % 100 === 97)
@@ -1578,7 +1619,9 @@ object SparkEntry {
             .when(col("vec_id") % 10 === 5,
               transform(col("embedding"), x => x.cast("double") * lit(0.5)))
             .otherwise(col("embedding").cast("array<double>")).as("embedding"))
-      V.mergeIvfDelta(delta, "vec_id", "embedding", idxPath)
+      phase("merge") {
+        V.mergeIvfDelta(delta, "vec_id", "embedding", idxPath)
+      }
       // the latest-version corpus: deletes gone, re-ingests halved
       val latest = emb.filter(col("vec_id") % 100 =!= 97)
         .select(col("vec_id"),
@@ -1689,9 +1732,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
       val idxPath = tmpPath(dir, "pq_index")
-      V.savePqIndex(emb, "vec_id", "embedding", idxPath,
-        m = 4, dim = 64, ksub = 16, iters = 2,
-        trainFilter = col("vec_id") % 5 < 2)
+      phase("build") {
+        V.savePqIndex(emb, "vec_id", "embedding", idxPath,
+          m = 4, dim = 64, ksub = 16, iters = 2,
+          trainFilter = col("vec_id") % 5 < 2)
+      }
       val corpusRows = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
       val shortlist = math.max(50L, corpusRows / 5).toInt
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -1723,9 +1768,11 @@ object SparkEntry {
         .select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
       val idxPath = tmpPath(dir, "pq_inc")
       val base = emb.filter(col("vec_id") % 3 =!= 0)
-      V.savePqIndex(base, "vec_id", "embedding", idxPath,
-        m = 4, dim = 64, ksub = 16, iters = 2,
-        trainFilter = col("vec_id") % 5 < 2)
+      phase("build") {
+        V.savePqIndex(base, "vec_id", "embedding", idxPath,
+          m = 4, dim = 64, ksub = 16, iters = 2,
+          trainFilter = col("vec_id") % 5 < 2)
+      }
       // l2normalize makes scaling invisible, so re-ingests keep their
       // vectors (tombstone-mask exercise) and deletes carry null
       val delta = emb
@@ -1734,7 +1781,9 @@ object SparkEntry {
         .select(col("vec_id"),
           when(col("vec_id") % 100 === 97, lit(null).cast("array<double>"))
             .otherwise(col("embedding")).as("embedding"))
-      V.mergePqDelta(delta, "vec_id", "embedding", idxPath, m = 4, dim = 64)
+      phase("merge") {
+        V.mergePqDelta(delta, "vec_id", "embedding", idxPath, m = 4, dim = 64)
+      }
       val latest = emb.filter(col("vec_id") % 100 =!= 97)
       val books = s.read.parquet(s"$idxPath/codebooks")
       val live = V.pqCodes(s, idxPath).select(col("id"), col("codes"))

@@ -31,8 +31,16 @@ class PlanLintSpec extends SparkSpec {
       p.subqueries.flatMap(allNodes)
   }
 
-  private val globalWindowAllowed = Set(
-    "sample_budget_select" // bin-table prefix sum, bounded by score range
+  /** Exact expected count of empty-partition WindowExec nodes per
+    * query — not a boolean whitelist: the allowed query must plan
+    * EXACTLY its documented window (a second one, or the window
+    * vanishing while the whitelist still vouches for it, both fail),
+    * and every other query must plan zero. This pins the bench log's
+    * "No Partition Defined" warning volume to a known source — a new
+    * offender can't hide in the noise.
+    */
+  private val globalWindowExpected = Map(
+    "sample_budget_select" -> 1 // bin-table prefix sum, bounded by score range
   )
 
   test("no query plans a single-partition window or a cartesian product") {
@@ -41,11 +49,13 @@ class PlanLintSpec extends SparkSpec {
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         val nodes = allNodes(plan)
-        val globalWindows = nodes.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
+        val globalWindows = nodes.count {
+          case w: WindowExec => w.partitionSpec.isEmpty
+          case _ => false
         }
-        if (globalWindows.nonEmpty && !globalWindowAllowed(name))
-          failures += s"$name: WindowExec with empty partitionSpec (single-partition window)"
+        val expected = globalWindowExpected.getOrElse(name, 0)
+        if (globalWindows != expected)
+          failures += s"$name: $globalWindows empty-partitionSpec WindowExec node(s), expected $expected"
         val cartesians = nodes.collect { case c: CartesianProductExec => c }
         if (cartesians.nonEmpty)
           failures += s"$name: CartesianProductExec (non-broadcast cross join)"
