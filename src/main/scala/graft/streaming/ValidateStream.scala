@@ -137,6 +137,33 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming IVF cell-index maintenance — the write half of the
+    * ingest loop whose read half is [[nearDupProbeStream]]: each
+    * micro-batch of ACCEPTED rows folds into the persisted IVF index
+    * via [[graft.functions.VectorFunctions.mergeIvfDelta]] — delta
+    * rows assign against the FROZEN centroids (no re-train
+    * mid-stream), re-ingested ids tombstone their old cells, null
+    * vectors delete. The next micro-batch's probe plans the static
+    * index side fresh and already sees them — no republish, no
+    * restart. Replay-stable like [[bm25IndexStream]]: a re-delivered
+    * batch's segment tombstones its first copy and assigns
+    * identically, so live cells never change. The index must already
+    * exist (saveIvfIndex — streaming ingest assigns to a trained
+    * quantizer, it does not train one); watch
+    * [[graft.functions.VectorFunctions.ivfDeltaFraction]] and
+    * re-train on a maintenance cadence when deltas dominate.
+    */
+  def ivfIndexStream(docs: DataFrame, idCol: String, vecCol: String,
+                     path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.VectorFunctions.mergeIvfDelta(batch, idCol, vecCol, path)
+      }
+      .start()
+
   /** Streaming curation: the batch curation decisions (language ID,
     * quality score, PII scrub) applied to a live document stream. All
     * three are per-row Column expressions, so this stage is stateless —

@@ -171,6 +171,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming IVF maintenance: micro-batches fold into the index the probe reads") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions
+    def vec(i: Int) = Array.tabulate(8) { d =>
+      val base = if (d == (i % 4) * 2) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfstream")
+    VectorFunctions.saveIvfIndex(corpus, "vec_id", "embedding", s"$dir/idx",
+      clusters = 4, iters = 2)
+    // two micro-batches: new ids 1000/1001, then 1002 plus a RE-INGEST
+    // of 1000 with a different cluster's vector (tombstone exercise)
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((1000L, vec(0)), (1001L, vec(1)))
+    val q = ValidateStream.ivfIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/ckpt")
+    // drain batch 1 BEFORE adding batch 2: the re-ingest of 1000 must
+    // land in a LATER segment (one version per id per segment — a CDC
+    // source that can emit several versions in one micro-batch has to
+    // reduce to last-per-key before the sink, and the merge asserts it)
+    q.processAllAvailable()
+    mem.addData((1002L, vec(2)), (1000L, vec(3)))
+    q.processAllAvailable()
+    q.stop()
+    // live cells == one frozen-centroid assignment of the latest corpus
+    val latest = (corpus.as[(Long, Array[Float])].collect().toSeq ++
+      Seq((1001L, vec(1)), (1002L, vec(2)), (1000L, vec(3))))
+      .toDF("vec_id", "embedding")
+    val cents = spark.read.parquet(s"$dir/idx/centroids")
+    val expect = VectorFunctions.kmeansAssign(latest, "vec_id", "embedding", cents)
+      .select(col("vec_id").as("id"), col("cid")).as[(Long, Int)].collect().toSet
+    val live = VectorFunctions.ivfCells(spark, s"$dir/idx")
+      .as[(Long, Int)].collect().toSet
+    assert(live == expect, "streamed merges must equal a frozen-centroid assignment")
+    // the probe's static side now contains the folded rows: a probe of
+    // 1000's NEW vector hits in-cell members including 1000 itself
+    val probe = VectorFunctions.nearDupProbeIndex(s"$dir/idx",
+        Seq((2000L, vec(3))).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        latest, tau = 0.99)
+      .select("c_id").as[Long].collect().toSet
+    assert(probe.contains(1000L),
+      s"probe must see the streamed re-ingest in its cell, got $probe")
+  }
+
   test("streaming band-index maintenance: appended index finds near-dups of streamed docs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
