@@ -123,7 +123,8 @@ object ValidateStream {
     * only the segment count grows until the next compaction.
     */
   def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
-                      path: String, checkpoint: String)
+                      path: String, checkpoint: String,
+                      maxSegments: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -133,6 +134,15 @@ object ValidateStream {
           if (C.bm25IndexExists(batch.sparkSession, path))
             C.mergeBm25Delta(batch, idCol, textCol, path)
           else C.saveBm25Index(batch, idCol, textCol, path)
+          // inline auto-compaction: a long-running upkeep stream must
+          // not accumulate one segment per micro-batch forever — past
+          // `maxSegments` the accumulated tree folds to one segment
+          // (answers unchanged, two-rename swap). Safe here because
+          // foreachBatch serializes the sink: the compactor IS the
+          // single writer.
+          if (graft.functions.SegmentedIndex
+              .segmentDirs(batch.sparkSession, path).size > maxSegments)
+            C.compactBm25Index(batch.sparkSession, path)
         }
       }
       .start()
@@ -154,13 +164,21 @@ object ValidateStream {
     * re-train on a maintenance cadence when deltas dominate.
     */
   def ivfIndexStream(docs: DataFrame, idCol: String, vecCol: String,
-                     path: String, checkpoint: String)
+                     path: String, checkpoint: String,
+                     maxSegments: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.functions.VectorFunctions.mergeIvfDelta(batch, idCol, vecCol, path)
+        if (!batch.isEmpty) {
+          val V = graft.functions.VectorFunctions
+          V.mergeIvfDelta(batch, idCol, vecCol, path)
+          // see bm25IndexStream: the serialized sink is the single
+          // writer, so inline compaction past maxSegments is safe
+          if (graft.functions.SegmentedIndex
+              .segmentDirs(batch.sparkSession, path).size > maxSegments)
+            V.compactIvfIndex(batch.sparkSession, path)
+        }
       }
       .start()
 

@@ -264,6 +264,15 @@ object ScaleSmoke {
       V.pqTopKFromIndex(pqIdxPath, embN, "vec_id", "embedding",
         col("vec_id") < 10, m = 4, dim = 64, k = 10, shortlist = 200).count()
     }
+    // 16b2. O(delta) PQ refresh: a 10% re-ingest encodes against the
+    // FROZEN codebooks and lands as one segment — the merge cost is
+    // |delta| encode + one live-id semi-join, vs pq_index_build's full
+    // train+encode
+    time("pq_delta_merge", nEmb) {
+      V.mergePqDelta(embN.filter(col("vec_id") % 10 === 3),
+        "vec_id", "embedding", pqIdxPath, m = 4, dim = 64)
+      V.pqCodes(spark, pqIdxPath).count()
+    }
 
     // 16c. SemDeDup over the 40× embedding corpus: cells trained on a
     // 10% sample, the quadratic prune confined per cell; each base

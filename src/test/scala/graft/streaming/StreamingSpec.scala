@@ -218,6 +218,34 @@ class StreamingSpec extends SparkSpec {
       s"probe must see the streamed re-ingest in its cell, got $probe")
   }
 
+  test("streaming upkeep auto-compaction: segment count stays bounded, answers stable") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dir = tmpDir("bm25auto")
+    val q = ValidateStream.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/ckpt", maxSegments = 2)
+    // five micro-batches, incl. a replacement of doc 1 — without the
+    // cap this tree would hold 5 segments
+    Seq(
+      Seq((1L, "alpha beta")), Seq((2L, "alpha gamma")),
+      Seq((3L, "delta")), Seq((1L, "epsilon zeta")),
+      Seq((4L, "alpha"))
+    ).foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+    q.stop()
+    val segs = new java.io.File(s"$dir/idx/segments").list().count(_.matches("\\d{5}"))
+    assert(segs <= 3, s"auto-compaction must bound the tree, got $segs segments")
+    val got = graft.functions.Curation.bm25TopKFromIndex(spark, s"$dir/idx",
+        Seq(0L -> Seq("alpha"), 1L -> Seq("epsilon")), k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val fresh = graft.functions.Curation.bm25TopK(
+        Seq((1L, "epsilon zeta"), (2L, "alpha gamma"), (3L, "delta"),
+          (4L, "alpha")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(0L -> Seq("alpha"), 1L -> Seq("epsilon")), k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == fresh, "compacted streamed index must equal a fresh rebuild")
+  }
+
   test("streaming band-index maintenance: appended index finds near-dups of streamed docs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
