@@ -1814,6 +1814,42 @@ object SparkEntry {
           (col("n_mismatch") === 0L).as("codes_match"))
     }),
 
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      // IVFADC (Jégou et al.) — coarse cells + product-quantized
+      // RESIDUALS, the billion-scale ANN layout: probing nprobe=2 of 4
+      // cells scans HALF the corpus as m-byte codes (one residual ADC
+      // table per (query, probed cell), broadcast; the code stream
+      // never shuffles), then an exact re-rank on the shortlist. On
+      // the near-random harness embeddings the recall contract is the
+      // in-pool overlap bar (see sim_pq_recall's sizing note): ≥2 of
+      // the exact top-10 — above the chance line for a half-corpus
+      // pool with a 20% shortlist.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
+      val idxPath = tmpPath(dir, "ivfpq_idx")
+      phase("build") {
+        V.saveIvfPqIndex(emb, "vec_id", "embedding", idxPath,
+          clusters = 4, citers = 2, m = 4, dim = 64, ksub = 16, piters = 2,
+          trainFilter = col("vec_id") % 5 < 2)
+      }
+      val corpusRows = graft.sources.ParquetMeta.rowCount(s, s"$dir/embeddings.parquet")
+      val shortlist = math.max(50L, corpusRows / 5).toInt
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val pq = V.ivfPqTopKFromIndex(idxPath, emb, "vec_id", "embedding",
+        col("vec_id") % 100 === 0, m = 4, dim = 64, k = 10,
+        shortlist = shortlist, nprobe = 2)
+      val exact = V.bruteForceTopK(queries, corpus, "q_id", "c_id",
+        "q_vec", "c_vec", k = 10)
+      val hits = pq.select("q_id", "c_id")
+        .join(exact.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
+    }),
+
     // ---------------- CNA matrix lifecycle ---------------------------
     "cna_melt_merge" -> ((s, dir) => {
       // wide matrix → melt → A7 merge → long form (graft.formats.CnaFormat)
@@ -2931,6 +2967,10 @@ object SparkEntry {
 
       "sim_pq_incremental" ->
         """SELECT vec_id AS q_id, TRUE AS recall_ok, TRUE AS codes_match
+           FROM embeddings WHERE vec_id % 100 = 0""",
+
+      "sim_ivfpq_recall" ->
+        """SELECT vec_id AS q_id, TRUE AS recall_ok
            FROM embeddings WHERE vec_id % 100 = 0""",
 
       "s19_bloom_scan" ->

@@ -720,23 +720,26 @@ object VectorFunctions {
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
 
-  /** Per-query FLATTENED ADC distance table: `(qId, __dtab)` where
-    * `__dtab[sub·ksub + code]` is the exact L2² between the query's
-    * `sub` subvector and codebook centroid `code` — the broadcastable
-    * lookup table [[AdcDistance]] indexes with a vector's packed codes.
-    * Ordering inside the array is pinned by the (sub, code) sort;
-    * [[kmeansCentroids]] keeps cids dense 0..ksub-1 (empty clusters
-    * carry forward), which AdcDistance re-checks per row.
+  /** Per-query FLATTENED ADC distance table: one row per distinct
+    * `keys` tuple with `__dtab[sub·ksub + code]` the exact L2² between
+    * the query's `sub` subvector and codebook centroid `code` — the
+    * broadcastable lookup table [[AdcDistance]] indexes with a
+    * vector's packed codes. `keys` is (qId) for flat PQ and
+    * (qId, cell) for IVF-PQ, where each probed cell gets its own
+    * residual table. Ordering inside the array is pinned by the
+    * (sub, code) sort; [[kmeansCentroids]] keeps cids dense
+    * 0..ksub-1 (empty clusters carry forward), which AdcDistance
+    * re-checks per row.
     */
-  private def adcTable(queries: DataFrame, qId: String, qVec: String,
+  private def adcTable(queries: DataFrame, keys: Seq[String], qVec: String,
                        codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
-    val qsubs = queries.select(col(qId), posexplode(
-      array((0 until m).map(subVec(col(qVec), _, m, dim)): _*)).as(Seq("sub", "__qv")))
+    val qsubs = queries.select(keys.map(col) :+ posexplode(
+      array((0 until m).map(subVec(col(qVec), _, m, dim)): _*)).as(Seq("sub", "__qv")): _*)
     qsubs.join(broadcast(codebooks), Seq("sub"))
-      .select(col(qId), col("sub"), col("cid"),
+      .select(keys.map(col) :+ col("sub") :+ col("cid") :+
         (dot(col("__qv"), col("__qv")) - lit(2.0) * dot(col("__qv"), col("centroid")) +
-          dot(col("centroid"), col("centroid"))).as("__d"))
-      .groupBy(col(qId))
+          dot(col("centroid"), col("centroid"))).as("__d"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid"), col("__d")))),
         s => s.getField("__d")).as("__dtab"))
   }
@@ -758,7 +761,7 @@ object VectorFunctions {
                        codebooks: DataFrame, qId: String, cId: String,
                        qVec: String, cVec: String,
                        m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
-    val qtab = adcTable(queries, qId, qVec, codebooks, m, dim)
+    val qtab = adcTable(queries, Seq(qId), qVec, codebooks, m, dim)
     val adcScored = packed.crossJoin(broadcast(qtab))
       .filter(col(qId) =!= col(cId))
       .withColumn("score", -graft.plans.AdcDistance.adc(col("codes"), col("__dtab")))
@@ -898,6 +901,138 @@ object VectorFunctions {
     val corpusVecs = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     pqSearch(queries, corpusVecs, packed, books, "q_id", "c_id",
       "q_vec", "c_vec", m, dim, k, shortlist)
+  }
+
+  // ---- IVF-PQ: coarse cells + product-quantized residuals ------------
+
+  /** Per-element vector difference in double — the residual a vector
+    * leaves against its cell centroid. zip_with is interpreted per
+    * element, but residuals are computed once per corpus build/merge
+    * (never in the query hot loop), and the left-to-right element
+    * order is the oracle-replayable one.
+    */
+  private def residual(vec: Column, cent: Column): Column =
+    zip_with(vec.cast("array<double>"), cent, (a, b) => a - b)
+
+  /** [[kmeansAssign]] keeping the winning centroid vector (k-row
+    * broadcast join-back on cid) — residual encoding needs it.
+    */
+  private def assignWithCentroid(df: DataFrame, idCol: String, vecCol: String,
+                                 cents: DataFrame): DataFrame =
+    kmeansAssign(df, idCol, vecCol, cents)
+      .join(broadcast(cents), Seq("cid"))
+
+  /** Train and PERSIST an IVF-PQ index (Jégou et al.'s IVFADC — the
+    * billion-scale layout): a coarse k-means quantizer assigns every
+    * vector to a cell, per-subspace PQ codebooks train on the
+    * RESIDUALS (v − centroid(cell)) — residuals concentrate around 0,
+    * which is what makes m·8-bit codes accurate enough at scale — and
+    * each vector stores only (cell, m packed codes) in a
+    * [[SegmentedIndex]] tree. Query cost = nprobe/clusters of the
+    * corpus scanned as CODES (never floats), shortlist-sized exact
+    * re-rank. All parameters frozen at build: refresh by
+    * [[mergeIvfPqDelta]], re-train when [[pqDeltaFraction]]-style
+    * drift (same `segments/` layout, so the same footer arithmetic
+    * applies) says the sample no longer describes the corpus.
+    */
+  def saveIvfPqIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
+                     clusters: Int, citers: Int, m: Int, dim: Int,
+                     ksub: Int, piters: Int,
+                     trainFilter: Column = lit(true)): Unit = {
+    val spark = df.sparkSession
+    val cents = kmeansCentroids(df.filter(trainFilter), idCol, vecCol, clusters, citers)
+    val res = assignWithCentroid(df, idCol, vecCol, cents)
+      .withColumn("__res", residual(col(vecCol), col("centroid")))
+      .select(col(idCol), col("cid").as("__cell"), col("__res"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = pqCodebooks(res.filter(trainFilter), idCol, "__res",
+        m, dim, ksub, piters)
+      val (fs, _) = SegmentedIndex.hfs(spark, path)
+      val segRoot = new org.apache.hadoop.fs.Path(s"$path/segments")
+      if (fs.exists(segRoot)) fs.delete(segRoot, true)
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      books.write.mode("overwrite").parquet(s"$path/codebooks")
+      val codes = pqEncodePacked(res, idCol, "__res", books, m, dim)
+        .join(res.select(col(idCol), col("__cell")), Seq(idCol))
+        .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
+      SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
+        codes.write.mode("overwrite").parquet(s"$tmp/codes")
+        codes.select("id").limit(0)
+          .write.mode("overwrite").parquet(s"$tmp/tombstones")
+      }
+    } finally res.unpersist(blocking = false)
+  }
+
+  /** O(delta) IVF-PQ refresh: delta rows assign to the FROZEN coarse
+    * centroids and residual-encode against the FROZEN codebooks —
+    * live (cell, codes) rows after any merge chain equal one fresh
+    * frozen-parameter pass over the latest corpus, bit for bit. Same
+    * delta contract as every other index (one row per id asserted,
+    * NULL vector deletes); retract with [[SegmentedIndex.retract]],
+    * compact with [[SegmentedIndex.compactIndex]](path, "codes").
+    */
+  def mergeIvfPqDelta(delta: DataFrame, idCol: String, vecCol: String,
+                      path: String, m: Int, dim: Int): Unit = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val res = assignWithCentroid(delta.filter(col(vecCol).isNotNull),
+        idCol, vecCol, cents)
+      .withColumn("__res", residual(col(vecCol), col("centroid")))
+      .select(col(idCol), col("cid").as("__cell"), col("__res"))
+    val rows = pqEncodePacked(res, idCol, "__res", books, m, dim)
+      .join(res.select(col(idCol), col("__cell")), Seq(idCol))
+      .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
+    SegmentedIndex.mergeDeltaRows(spark, path, "codes",
+      delta.select(col(idCol)), rows)
+  }
+
+  /** IVF-PQ top-k (IVFADC): per query, probe the `nprobe` nearest
+    * cells by the exact coarse distance (cid tie-break — the same
+    * ranking [[ivfSearch]] uses), build ONE flattened residual ADC
+    * table per (query, probed cell), scan the stored codes of just
+    * those cells (broadcast table join on `cell` — the code stream
+    * never shuffles), shortlist via the bounded top-k aggregate, and
+    * exact-cosine re-rank only the shortlist against the corpus
+    * floats. At 100 TB the scan touches nprobe/clusters of the
+    * corpus as m-byte codes; floats move only for shortlist rows.
+    */
+  def ivfPqTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
+                         vecCol: String, queryFilter: Column,
+                         m: Int, dim: Int, k: Int, shortlist: Int,
+                         nprobe: Int = 1, roundScale: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val packed = SegmentedIndex.liveRows(spark, path, "codes")
+      .select(col("id").as("c_id"), col("cell"), col("codes"))
+    val q0 = corpus.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // nprobe nearest cells per query, by the exact coarse distance
+    val probed = q0.crossJoin(broadcast(
+        cents.withColumnRenamed("cid", "cell")))
+      .withColumn("__dist",
+        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid")) +
+          dot(col("centroid"), col("centroid")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__dist").asc, col("cell").asc)
+    val qcells = probed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .withColumn("__rq", residual(col("q_vec"), col("centroid")))
+      .select(col("q_id"), col("cell"), col("__rq"))
+    val qtab = adcTable(qcells, Seq("q_id", "cell"), "__rq", books, m, dim)
+    val adcScored = packed.join(broadcast(qtab), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", -graft.plans.AdcDistance.adc(col("codes"), col("__dtab")))
+    val short = rankTopK(adcScored, "q_id", "c_id", shortlist)
+      .select(col("q_id"), col("c_id"))
+    val exact = short
+      .join(broadcast(q0), Seq("q_id"))
+      .join(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")), Seq("c_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    rankTopK(exact, "q_id", "c_id", k)
+      .select(col("q_id"), col("c_id"),
+        round(col("score"), roundScale).as("score"), col("rank"))
   }
 
   /** Bucketed (LSH) cosine top-k: candidates restricted to the query's

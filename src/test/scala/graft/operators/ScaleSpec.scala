@@ -462,6 +462,67 @@ class ScaleSpec extends SparkSpec {
     assert(!topk.contains(4L) && !topk.contains(8L))
   }
 
+  test("IVF-PQ: residual codes recover planted-cluster neighbors; merge == frozen re-encode") {
+    import graft.functions.{SegmentedIndex, VectorFunctions}
+    val dim = 16
+    def vec(i: Int) = Array.tabulate(dim) { d =>
+      val base = if (d == (i % 4) * 4) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val base = (0 until 240).filter(_ % 3 != 0)
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val idx = tmpDir("ivfpq")
+    VectorFunctions.saveIvfPqIndex(base, "vec_id", "embedding", idx,
+      clusters = 4, citers = 3, m = 4, dim = dim, ksub = 8, piters = 3)
+    // planted clusters + nprobe=1: IVFADC must recover in-cell exact
+    // neighbors at high recall (residual codes are accurate near 0)
+    val exact = VectorFunctions.bruteForceTopK(
+        base.filter(col("vec_id") < 8).selectExpr("vec_id AS q_id", "embedding AS q_vec"),
+        base.selectExpr("vec_id AS c_id", "embedding AS c_vec"),
+        "q_id", "c_id", "q_vec", "c_vec", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivfpq = VectorFunctions.ivfPqTopKFromIndex(idx, base, "vec_id", "embedding",
+        col("vec_id") < 8, m = 4, dim = dim, k = 5, shortlist = 40, nprobe = 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (ivfpq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall below 0.9 on clustered data")
+
+    // merge: delta assigns to frozen centroids, encodes frozen books;
+    // live rows == one fresh frozen-parameter pass over latest corpus
+    val delta = (0 until 240)
+      .filter(i => i % 3 == 0 || i % 100 == 97)
+      .map(i => (i.toLong, if (i % 100 == 97) null else vec(i)))
+      .toDF("vec_id", "embedding")
+    VectorFunctions.mergeIvfPqDelta(delta, "vec_id", "embedding", idx,
+      m = 4, dim = dim)
+    val latest = (0 until 240).filter(_ % 100 != 97)
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val freshIdx = tmpDir("ivfpq-fresh")
+    // fresh pass under the SAME frozen parameters: copy centroids +
+    // codebooks, re-encode everything
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val books = spark.read.parquet(s"$idx/codebooks")
+    val expect = VectorFunctions.pqEncodePacked(
+        VectorFunctions.kmeansAssign(latest, "vec_id", "embedding", cents)
+          .join(broadcast(cents), Seq("cid"))
+          .withColumn("__res", zip_with(col("embedding").cast("array<double>"),
+            col("centroid"), (a, b) => a - b))
+          .select(col("vec_id"), col("cid").as("cell"), col("__res")),
+        "vec_id", "__res", books, 4, dim)
+      .as[(Long, Seq[Int])].collect().toSet
+    val live = SegmentedIndex.liveRows(spark, idx, "codes")
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toSet
+    assert(live == expect, "merged live codes must equal a frozen-parameter re-encode")
+    assert(!live.exists(_._1 == 97L), "null-vector delete must be dead")
+    // retraction + compaction through the generic machinery
+    SegmentedIndex.retract(spark, idx, Seq(4L).toDF("id"), Seq("codes"))
+    SegmentedIndex.compactIndex(spark, idx, "codes")
+    val topk = VectorFunctions.ivfPqTopKFromIndex(idx, latest, "vec_id", "embedding",
+        col("vec_id") < 8, m = 4, dim = dim, k = 5, shortlist = 40, nprobe = 1)
+      .select("c_id").as[Long].collect().toSet
+    assert(!topk.contains(4L), "retracted id must not surface in search")
+  }
+
   test("CC mega-cluster: star rounds window-free, hub never lands on one task") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // zipf shape of web-scale dedup graphs: ONE component holds 60% of the
