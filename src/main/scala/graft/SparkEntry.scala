@@ -781,6 +781,27 @@ object SparkEntry {
           (col("__m") >= 0.0).as("keep"))
     }),
 
+    "text_classifier_train" -> ((s, dir) => {
+      // TRAIN the hashed linear quality model in-engine (the missing
+      // half of text_quality_classifier, which only scores): 2 fixed
+      // full-batch GD steps on squared loss over 64-bucket hashed
+      // bag-of-words counts, label = "is English". Feature rows
+      // materialize once; each step is two decimal-exact aggregations
+      // (≤ dims·partitions partial sums reach the shuffle) + a 64-row
+      // collect; the weight vector broadcasts back — the
+      // kmeansCentroids loop discipline. The oracle replays both GD
+      // steps CTE by CTE; squared loss keeps it polynomial (no exp
+      // drift), so weights match bit for bit before the final round.
+      import s.implicits._
+      val w = T.trainHashedLinearWeights(t(s, dir, "documents"),
+        "doc_id", "text",
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)),
+        dims = 64, lr = 0.5, iters = 2)
+      w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
+        .toDF("bucket", "__w")
+        .select(col("bucket"), round(col("__w"), 6).as("weight"))
+    }),
+
     "text_span_dedup" -> ((s, dir) => {
       // duplicated-passage pairs (MOSS winnowing): docs sharing ≥2
       // selected rolling hashes after dropping boilerplate stop-spans;
@@ -3848,6 +3869,42 @@ object SparkEntry {
                                  * 2654435761) % 4294967296 AS DOUBLE)
                            / 4294967296.0 * 2.0 - 1.0)), 0.0) AS m
              FROM documents)""",
+
+      "text_classifier_train" -> {
+        // the same generic GD step twice: pred via DECIMAL(30,10) sums
+        // of c·w per doc, gradient via DECIMAL sums of c·err per
+        // bucket, update w − 0.5·(g/n) — the exact expressions the
+        // engine's driver loop evaluates
+        def step(wPrev: String, p: String, e: String, g: String, wNext: String) =
+          s"""$p AS (SELECT f.doc_id, f.y,
+                           CAST(SUM(CAST(f.x * w.w AS DECIMAL(30,10))) AS DOUBLE) AS p
+                     FROM feat f JOIN $wPrev w USING (b) GROUP BY 1, 2),
+             $e AS (SELECT doc_id, p - y AS e FROM $p),
+             $g AS (SELECT f.b, CAST(SUM(CAST(f.x * e.e AS DECIMAL(30,10))) AS DOUBLE) AS g
+                    FROM feat f JOIN $e e USING (doc_id) GROUP BY 1),
+             $wNext AS (SELECT $wPrev.b, $wPrev.w - 0.5 * (COALESCE($g.g, 0.0) / n.n) AS w
+                        FROM $wPrev LEFT JOIN $g ON $wPrev.b = $g.b CROSS JOIN n)"""
+        s"""WITH d AS (SELECT doc_id,
+                              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, text
+                       FROM documents),
+           tok AS (SELECT doc_id, y,
+                          unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                             t -> strlen(t) > 0)) AS t
+                   FROM d),
+           cnts AS (SELECT doc_id, y,
+                           CAST(('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT % 64 AS INT) AS b,
+                           COUNT(*) AS c
+                    FROM tok GROUP BY 1, 2, 3),
+           lens AS (SELECT doc_id, SUM(c) AS l FROM cnts GROUP BY 1),
+           feat AS (SELECT c.doc_id, c.y, c.b,
+                           CAST(c.c AS DOUBLE) / CAST(l.l AS DOUBLE) AS x
+                    FROM cnts c JOIN lens l USING (doc_id)),
+           n AS (SELECT COUNT(*) AS n FROM d),
+           w0 AS (SELECT CAST(UNNEST(range(64)) AS INT) AS b, 0.0 AS w),
+           ${step("w0", "p1", "e1", "g1", "w1")},
+           ${step("w1", "p2", "e2", "g2", "w2")}
+           SELECT CAST(b AS BIGINT) AS bucket, ROUND(w, 6) AS weight FROM w2"""
+      },
 
       "text_langid" ->
         """WITH sc AS (

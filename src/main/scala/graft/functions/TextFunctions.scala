@@ -66,6 +66,77 @@ object TextFunctions {
     (0 until n).map(i =>
       ((i * 2654435761L) % 4294967296L).toDouble / 4294967296.0 * 2.0 - 1.0)
 
+  /** TRAIN the hashing-trick linear model in-engine — the missing half
+    * of [[hashedLinearScore]] (which only scores): deterministic
+    * full-batch gradient descent on squared loss over hashed
+    * bag-of-words counts,
+    * `w ← w − lr · Σᵢ xᵢ(xᵢ·w − yᵢ) / n`, `iters` fixed steps from
+    * w = 0.
+    *
+    * Features are per-doc TERM FREQUENCIES (bucket count / doc token
+    * count), not raw counts: ‖x‖₁ = 1 bounds ‖x‖² ≤ 1, so the GD
+    * contraction condition lr·λmax < 2 holds for lr ≤ 2 on ANY corpus
+    * — raw counts make λmax grow with document length and a fixed lr
+    * diverge on long docs.
+    *
+    * Scale shape: the (doc, bucket, tf) feature rows materialize
+    * ONCE (persisted for the loop) — the corpus is tokenized once, and
+    * each GD step is two map-side-combined aggregations whose shuffles
+    * carry ≤ dims·partitions partial sums, plus a dims-row collect.
+    * The weight vector is driver-small by construction (dims doubles)
+    * and broadcasts back each step, exactly the [[graft.functions.VectorFunctions.kmeansCentroids]]
+    * loop discipline.
+    *
+    * Determinism (oracle-replayable): per-doc predictions and per-
+    * bucket gradients both sum through DECIMAL(30,10) (partial-agg
+    * order can't change them); the driver-side update runs the same
+    * `w − lr·(g/n)` IEEE expression DuckDB replays; squared loss keeps
+    * the whole computation polynomial — no exp(), no cross-engine
+    * last-ulp drift. Docs whose text yields no tokens still count in
+    * `n` (their zero feature vector contributes nothing to gradients).
+    */
+  def trainHashedLinearWeights(docs: org.apache.spark.sql.DataFrame,
+                               idCol: String, textCol: String, label: Column,
+                               dims: Int, lr: Double, iters: Int,
+                               salt: String = "feat"): Seq[Double] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucket = (t: Column) =>
+      (conv(substring(md5(concat(lit(salt + ":"), t)), 1, 8), 16, 10)
+        .cast("long") % dims).cast("int")
+    val counts = docs
+      .select(col(idCol).as("__id"), label.cast("double").as("__y"),
+        explode(filter(tokens(lower(col(textCol))), t => length(t) > lit(0))).as("__t"))
+      .select(col("__id"), col("__y"), bucket(col("__t")).as("__b"))
+      .groupBy("__id", "__y", "__b").agg(count(lit(1)).as("__c"))
+    val lens = counts.groupBy("__id").agg(sum("__c").as("__l"))
+    val feat = counts.join(lens, Seq("__id"))
+      .select(col("__id"), col("__y"), col("__b"),
+        (col("__c").cast("double") / col("__l").cast("double")).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = docs.count()
+      var w: IndexedSeq[Double] = IndexedSeq.fill(dims)(0.0)
+      for (_ <- 0 until iters) {
+        val wdf = w.zipWithIndex.map { case (wj, j) => (j, wj) }.toDF("__b", "__w")
+        val err = feat.join(broadcast(wdf), Seq("__b"))
+          .groupBy("__id", "__y")
+          .agg(sum((col("__x") * col("__w")).cast("decimal(30,10)"))
+            .cast("double").as("__p"))
+          .select(col("__id"), (col("__p") - col("__y")).as("__e"))
+        val grads = feat.join(err, Seq("__id"))
+          .groupBy("__b")
+          .agg(sum((col("__x") * col("__e")).cast("decimal(30,10)"))
+            .cast("double").as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = (0 until dims).map { j =>
+          w(j) - lr * (grads.getOrElse(j, 0.0) / n.toDouble)
+        }
+      }
+      w
+    } finally feat.unpersist(blocking = false)
+  }
+
   /** Stopword sets per language for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny + deterministic.
     */

@@ -343,6 +343,36 @@ class FunctionsSpec extends SparkSpec {
     assert(!cands.exists(_._1 == 21L), s"fresh doc must not collide: $cands")
   }
 
+  test("trainHashedLinearWeights separates a planted vocabulary, deterministically") {
+    import graft.functions.{TextFunctions => T}
+    // class-1 docs draw from vocab A, class-0 from vocab B; a linear
+    // model over hashed bag-of-words must separate them
+    val docs = (0 until 200).map { i =>
+      val en = i % 2 == 0
+      val words = if (en) Seq("alpha", "bravo", "charlie")
+                  else Seq("xray", "yankee", "zulu")
+      (i.toLong, (0 until 5).map(j => words((i + j) % 3)).mkString(" "),
+        if (en) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val label = when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+    val w = T.trainHashedLinearWeights(docs, "doc_id", "text", label,
+      dims = 64, lr = 0.5, iters = 4)
+    assert(w.length == 64)
+    // scoring with the TRAINED weights separates the classes cleanly
+    val scored = docs
+      .select(col("lang"), T.hashedLinearScore(col("text"), w).as("m"))
+      .as[(String, Double)].collect()
+    val enMin = scored.filter(_._1 == "en").map(_._2).min
+    val deMax = scored.filter(_._1 == "de").map(_._2).max
+    assert(enMin > deMax,
+      s"trained margins must separate classes: en min $enMin vs de max $deMax")
+    assert(enMin > 0, s"positive-class margins must be positive, got $enMin")
+    // deterministic: identical weights on a re-train over a different partitioning
+    val w2 = T.trainHashedLinearWeights(docs.repartition(7), "doc_id", "text",
+      label, dims = 64, lr = 0.5, iters = 4)
+    assert(w == w2, "training must be partitioning-invariant")
+  }
+
   test("persisted dedup indexes: merge replaces, null content deletes, retract purges") {
     import graft.functions.SegmentedIndex
     val docs = Seq(
