@@ -274,6 +274,28 @@ object ScaleSmoke {
       V.pqCodes(spark, pqIdxPath).count()
     }
 
+    // 16b3. IVF-PQ (IVFADC) at 40×: coarse cells + residual codes.
+    // Query scans nprobe/clusters of the corpus as m-byte codes with
+    // per-(query, cell) residual distance tables broadcast — the
+    // billion-scale layout; build once, delta-merge O(delta)
+    val ivfpqIdx = s"${sys.props("java.io.tmpdir")}/graft_smoke_ivfpq"
+    time("ivfpq_index_build", nEmb) {
+      V.saveIvfPqIndex(embN.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        ivfpqIdx, clusters = 16, citers = 2, m = 4, dim = 64, ksub = 16,
+        piters = 2, trainFilter = col("vec_id") % 50 === 0)
+      graft.functions.SegmentedIndex.liveRows(spark, ivfpqIdx, "codes").count()
+    }
+    time("ivfpq_delta_merge", nEmb) {
+      V.mergeIvfPqDelta(embN.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", ivfpqIdx, m = 4, dim = 64)
+      graft.functions.SegmentedIndex.liveRows(spark, ivfpqIdx, "codes").count()
+    }
+    time("ivfpq_query_indexed", nEmb) {
+      V.ivfPqTopKFromIndex(ivfpqIdx, embN, "vec_id", "embedding",
+        col("vec_id") < 10, m = 4, dim = 64, k = 10, shortlist = 200,
+        nprobe = 2).count()
+    }
+
     // 16c. SemDeDup over the 40× embedding corpus: cells trained on a
     // 10% sample, the quadratic prune confined per cell; each base
     // vector's 40 identical replicas collapse toward the min id
