@@ -565,6 +565,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
     }),
 
+    "dedup_keep_best" -> ((s, dir) => {
+      // canonical selection (the C4 "keep the best copy" rule): docs
+      // sharing a bag-of-words fingerprint (same distinct token set —
+      // reordered/repeated near-copies) form a group; keep the
+      // highest-quality member, quality rounded BEFORE ranking so the
+      // order is engine-portable, doc_id tie-break. Both windows
+      // partition by the fingerprint — no global window, and only
+      // (digest, id, quality) rows ever shuffle.
+      val fp = md5(array_join(array_sort(array_distinct(
+        T.tokens(lower(col("text"))))), " "))
+      val d = t(s, dir, "documents").select(col("doc_id"), fp.as("__fp"),
+        round(T.qualityScore(col("text")), 6).as("quality"))
+      val w = Window.partitionBy(col("__fp"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      d.withColumn("__rn", row_number().over(w))
+        .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+        .filter(col("__rn") === 1 && col("n_dups") > 1)
+        .select(col("doc_id"), col("n_dups"), col("quality"))
+    }),
+
     "dedup_retract" -> ((s, dir) => {
       // GDPR-style purge across ALL persisted dedup index types: the
       // digest (exact), band (MinHash-LSH), and winnow (span) indexes
@@ -2875,6 +2895,26 @@ object SparkEntry {
                   COUNT(*) AS n_docs, MIN(b.doc_id) AS min_id
            FROM batch b LEFT JOIN corpus c ON b.dg = c.dg
            GROUP BY 1""",
+
+      "dedup_keep_best" ->
+        """WITH q AS (
+             SELECT doc_id,
+                    md5(array_to_string(list_sort(list_distinct(
+                      regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp,
+                    ROUND(
+                      LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                      + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 0.4
+                      + CASE WHEN CAST(length(text) AS DOUBLE)
+                                  / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality
+             FROM documents),
+           g AS (SELECT doc_id, quality,
+                        ROW_NUMBER() OVER (PARTITION BY fp
+                          ORDER BY quality DESC, doc_id ASC) AS rn,
+                        COUNT(*) OVER (PARTITION BY fp) AS n_dups
+                 FROM q)
+           SELECT doc_id, n_dups, quality FROM g WHERE rn = 1 AND n_dups > 1""",
 
       "dedup_retract" ->
         // each index's candidate semantics replayed over the KEPT corpus
