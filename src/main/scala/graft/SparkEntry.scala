@@ -1891,6 +1891,54 @@ object SparkEntry {
           (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
     }),
 
+    "sim_ivfpq_incremental" -> ((s, dir) => {
+      // O(delta) IVF-PQ refresh: the delta (new %3==0 ids, %10==5
+      // re-ingests, %100==97 null-vector deletes) assigns to the
+      // FROZEN coarse centroids and residual-encodes against the
+      // FROZEN codebooks. Gate: the live (id, cell, codes) rows are
+      // bit-identical to one fresh frozen-parameter pass over the
+      // latest corpus — the paired-count set equality of
+      // sim_pq_incremental, oracle-pinned TRUE per query id.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
+      val idxPath = tmpPath(dir, "ivfpq_inc")
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      phase("build") {
+        V.saveIvfPqIndex(base, "vec_id", "embedding", idxPath,
+          clusters = 4, citers = 2, m = 4, dim = 64, ksub = 16, piters = 2,
+          trainFilter = col("vec_id") % 5 < 2)
+      }
+      val delta = emb
+        .filter(col("vec_id") % 3 === 0 || col("vec_id") % 10 === 5 ||
+          col("vec_id") % 100 === 97)
+        .select(col("vec_id"),
+          when(col("vec_id") % 100 === 97, lit(null).cast("array<double>"))
+            .otherwise(col("embedding")).as("embedding"))
+      phase("merge") {
+        V.mergeIvfPqDelta(delta, "vec_id", "embedding", idxPath, m = 4, dim = 64)
+      }
+      val latest = emb.filter(col("vec_id") % 100 =!= 97)
+      val cents = s.read.parquet(s"$idxPath/centroids")
+      val books = s.read.parquet(s"$idxPath/codebooks")
+      val res = V.kmeansAssign(latest, "vec_id", "embedding", cents)
+        .join(broadcast(cents), Seq("cid"))
+        .withColumn("__res", zip_with(col("embedding").cast("array<double>"),
+          col("centroid"), (a, b) => a - b))
+        .select(col("vec_id"), col("cid").as("cell"), col("__res"))
+      val full = V.pqEncodePacked(res, "vec_id", "__res", books, 4, 64)
+        .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .select(col("vec_id").as("id"), col("cell"), col("codes"))
+      val live = graft.functions.SegmentedIndex.liveRows(s, idxPath, "codes")
+        .select(col("id"), col("cell"), col("codes"))
+      val mism = live.unionByName(full)
+        .groupBy("id", "cell", "codes").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2)
+        .agg(count(lit(1)).as("n_mismatch"))
+      latest.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("q_id"))
+        .crossJoin(broadcast(mism))
+        .select(col("q_id"), (col("n_mismatch") === 0L).as("codes_match"))
+    }),
+
     // ---------------- CNA matrix lifecycle ---------------------------
     "cna_melt_merge" -> ((s, dir) => {
       // wide matrix → melt → A7 merge → long form (graft.formats.CnaFormat)
@@ -3032,6 +3080,10 @@ object SparkEntry {
 
       "sim_ivfpq_recall" ->
         """SELECT vec_id AS q_id, TRUE AS recall_ok
+           FROM embeddings WHERE vec_id % 100 = 0""",
+
+      "sim_ivfpq_incremental" ->
+        """SELECT vec_id AS q_id, TRUE AS codes_match
            FROM embeddings WHERE vec_id % 100 = 0""",
 
       "s19_bloom_scan" ->
