@@ -977,15 +977,22 @@ object VectorFunctions {
     val spark = delta.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
+    // the residual frame embeds the coarse-assign window and feeds TWO
+    // consumers (the encode explosion and the cell join-back) — persist
+    // it like saveIvfPqIndex does, or the assign replays per consumer
+    // (measured 16 s → build-comparable at the 80k smoke without it)
     val res = assignWithCentroid(delta.filter(col(vecCol).isNotNull),
         idCol, vecCol, cents)
       .withColumn("__res", residual(col(vecCol), col("centroid")))
       .select(col(idCol), col("cid").as("__cell"), col("__res"))
-    val rows = pqEncodePacked(res, idCol, "__res", books, m, dim)
-      .join(res.select(col(idCol), col("__cell")), Seq(idCol))
-      .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
-    SegmentedIndex.mergeDeltaRows(spark, path, "codes",
-      delta.select(col(idCol)), rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = pqEncodePacked(res, idCol, "__res", books, m, dim)
+        .join(res.select(col(idCol), col("__cell")), Seq(idCol))
+        .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
+      SegmentedIndex.mergeDeltaRows(spark, path, "codes",
+        delta.select(col(idCol)), rows)
+    } finally res.unpersist(blocking = false)
   }
 
   /** IVF-PQ top-k (IVFADC): per query, probe the `nprobe` nearest
