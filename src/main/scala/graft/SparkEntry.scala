@@ -1146,6 +1146,33 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    "sample_mix_plan" -> ((s, dir) => {
+      // mixture PLANNING (the step ahead of sample_mix_weighted's
+      // given-rate filter): from target shares per language and a
+      // token budget, derive each source's acceptance rate from what
+      // the corpus actually has — rate = min(1, target_tokens /
+      // available_tokens), flagging undersupplied sources (rate
+      // clamped at 1 means the target share is unreachable). ONE
+      // aggregation over the corpus; the resulting rate table is
+      // vocabulary-sized and broadcasts into the downstream filter.
+      val budget = 200000L
+      val target = when(col("lang") === "en", lit(0.4))
+        .when(col("lang") === "de", lit(0.2))
+        .when(col("lang") === "es", lit(0.2))
+        .when(col("lang") === "fr", lit(0.1))
+        .otherwise(lit(0.1))
+      t(s, dir, "documents")
+        .select(col("lang"), T.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy("lang")
+        .agg(sum("__nt").as("avail"), count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("avail"), col("n_docs"),
+          round(least(lit(1.0),
+            (target * lit(budget.toDouble)) / col("avail").cast("double")), 6)
+            .as("rate"),
+          ((target * lit(budget.toDouble)) >= col("avail").cast("double"))
+            .as("undersupplied"))
+    }),
+
     "sample_mix_weighted" -> ((s, dir) => {
       // weighted source mixing: per-language keep rates applied as a
       // deterministic Bernoulli filter — downsampling 100 TB to a
@@ -3908,6 +3935,22 @@ object SparkEntry {
            FROM (SELECT doc_id,
                         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
                  FROM documents)""",
+
+      "sample_mix_plan" ->
+        """WITH a AS (
+             SELECT lang,
+                    SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS avail,
+                    COUNT(*) AS n_docs
+             FROM documents GROUP BY 1),
+           t AS (SELECT lang, avail, n_docs,
+                        CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                                  WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1
+                                  ELSE 0.1 END * 200000.0 AS want
+                 FROM a)
+           SELECT lang, avail, n_docs,
+                  ROUND(LEAST(1.0, want / CAST(avail AS DOUBLE)), 6) AS rate,
+                  want >= CAST(avail AS DOUBLE) AS undersupplied
+           FROM t""",
 
       "sample_mix_weighted" ->
         """SELECT doc_id, lang, source
