@@ -2102,6 +2102,41 @@ object SparkEntry {
           col("feature").getItem(0).cast("long").as("frame_bytes"))
     }),
 
+    "mm_image_phash" -> ((s, dir) => {
+      // REAL image decode → perceptual hash: deterministic 16×16 PNGs
+      // (ImageFixture — gray RGB so integer luma round-trips exactly),
+      // encoded AND decoded through javax.imageio, hashed by the 8×8
+      // integer aHash (ImageCodec.aHash64). Output as two unsigned
+      // 32-bit words so the oracle's bit arithmetic never touches the
+      // sign bit. Payloads never shuffle; only (id, hash) rows do.
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imagePHashes(payloads, "doc_id", "payload")
+        .select(col("doc_id"),
+          shiftrightunsigned(col("phash"), 32).as("hash_hi"),
+          col("phash").bitwiseAND(lit(0xffffffffL)).as("hash_lo"))
+    }),
+
+    "mm_image_neardup" -> ((s, dir) => {
+      // image near-dup end-to-end: fixture PNGs → real decode → aHash →
+      // 4×16-bit banded candidates (occupancy-capped) → exact popcount
+      // verify at Hamming ≤ 10. Odd ids are tiny perturbations of their
+      // even partner (ImageFixture.flipPositions) and bases repeat mod
+      // 251 (identical-boilerplate clusters), so true pairs surface;
+      // unrelated bases sit ~32 bits apart and are rejected. The oracle
+      // replays the whole chain — pixels, cells, hash words, band keys,
+      // popcount — in closed form.
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
+        .toDF("doc_id", "payload")
+      val hashes = graft.multimodal.Multimodal.imagePHashes(payloads, "doc_id", "payload")
+      graft.multimodal.Multimodal.imageNearDup(hashes, "doc_id", "phash",
+        maxHamming = 10, maxBucket = 10000)
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       // real decodeMeta (mapPartitions, stub path for opaque payloads)
       // feeding the stride-2 frame-sampling plan — the index math the
@@ -4726,6 +4761,86 @@ object SparkEntry {
            SELECT doc_id, CAST(s AS BIGINT) AS sample,
                   CAST(10 + ((doc_id + s - 1) % 4) AS BIGINT) AS frame_bytes
            FROM k""",
+
+      "mm_image_phash" ->
+        // closed-form replay of ImageFixture pixels → 2×2 integer box
+        // cells → aHash bits, packed as two unsigned 32-bit words (the
+        // sign bit never participates in BIGINT arithmetic)
+        """WITH raw AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               ((i + (doc_id // 2) * 37) * (i + (doc_id // 2) * 37)
+                + 3 * (i + (doc_id // 2) * 37) + doc_id // 2) % 251) AS r
+             FROM documents),
+           px AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               CASE WHEN doc_id % 2 = 1 AND list_contains(
+                      list_transform(range(0, doc_id % 4),
+                                     j -> ((doc_id // 2 + 7 * j) * 53) % 256), i)
+                    THEN 255 - r[i + 1] ELSE r[i + 1] END) AS p
+             FROM raw),
+           cells AS (
+             SELECT doc_id, list_transform(range(0, 64), c ->
+               (p[((c // 8) * 2) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2) * 16 + (c % 8) * 2 + 2]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 2]) // 4) AS cell
+             FROM px),
+           meaned AS (
+             SELECT doc_id, cell, CAST(list_sum(cell) // 64 AS BIGINT) AS mean FROM cells)
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN cell[i + 33] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_hi,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN cell[i + 1] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
+           FROM meaned""",
+
+      "mm_image_neardup" ->
+        // same hash replay, then the banded-candidate + popcount-verify
+        // chain: 4×16-bit band keys, occupancy cap 10000, Hamming ≤ 10
+        """WITH raw AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               ((i + (doc_id // 2) * 37) * (i + (doc_id // 2) * 37)
+                + 3 * (i + (doc_id // 2) * 37) + doc_id // 2) % 251) AS r
+             FROM documents),
+           px AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               CASE WHEN doc_id % 2 = 1 AND list_contains(
+                      list_transform(range(0, doc_id % 4),
+                                     j -> ((doc_id // 2 + 7 * j) * 53) % 256), i)
+                    THEN 255 - r[i + 1] ELSE r[i + 1] END) AS p
+             FROM raw),
+           cells AS (
+             SELECT doc_id, list_transform(range(0, 64), c ->
+               (p[((c // 8) * 2) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2) * 16 + (c % 8) * 2 + 2]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 2]) // 4) AS cell
+             FROM px),
+           meaned AS (
+             SELECT doc_id, cell, CAST(list_sum(cell) // 64 AS BIGINT) AS mean FROM cells),
+           words AS (
+             SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 33] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_hi,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 1] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
+             FROM meaned),
+           bands AS (
+             SELECT doc_id, hash_hi, hash_lo, g.b,
+               CASE g.b WHEN 0 THEN hash_lo & 65535 WHEN 1 THEN (hash_lo >> 16) & 65535
+                        WHEN 2 THEN hash_hi & 65535 ELSE (hash_hi >> 16) & 65535 END AS key
+             FROM words, (SELECT unnest(range(0, 4)) AS b) g),
+           ok_b AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 10000),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.hash_hi AS ah, a.hash_lo AS al, b.hash_hi AS bh, b.hash_lo AS bl
+             FROM (SELECT bands.* FROM bands JOIN ok_b USING (b, key)) a
+             JOIN (SELECT bands.* FROM bands JOIN ok_b USING (b, key)) b
+               ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+           SELECT a_id, b_id,
+                  CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming
+           FROM cand
+           WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 10""",
 
       "mm_video_keyframes" ->
         """WITH d AS (SELECT doc_id, doc_id % 5 + 4 AS n FROM documents),

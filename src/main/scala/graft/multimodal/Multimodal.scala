@@ -108,6 +108,59 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         bos.toByteArray
       }
+
+    /** 64-bit average-hash (aHash) perceptual fingerprint, integer-exact
+      * so the DuckDB oracle can replay it bit-for-bit: each pixel maps to
+      * an 8×8 grid cell `(x·8/w, y·8/h)`, cell value = floor(lumaSum /
+      * pixelCount), grid mean = floor(sum(cells) / 64), bit `i = gy·8+gx`
+      * set iff `cell_i > mean`. Near-identical images (crops of the same
+      * scan, re-encodes, tiny edits) land within a few bits of Hamming
+      * distance — the standard image-near-dup signal.
+      *
+      * Single-band (grayscale) images read raster samples directly:
+      * `getRGB` on TYPE_BYTE_GRAY colorspace-converts gray→sRGB
+      * non-linearly, which would silently break the integer luma
+      * contract.
+      */
+    def aHash64(img: java.awt.image.BufferedImage): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      val gray = img.getRaster.getNumBands == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val luma =
+            if (gray) img.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            }
+          val c = (y * 8 / h) * 8 + (x * 8 / w)
+          sums(c) += luma
+          cnts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cells = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+      val mean = cells.sum / 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (cells(i) > mean) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
+    /** aHash of a decodable image payload; None for non-images (callers
+      * drop those rows rather than hashing garbage).
+      */
+    def perceptualHash(payload: Array[Byte]): Option[Long] =
+      sniffFormat(payload).flatMap(_ => readImage(payload)).map(aHash64)
   }
 
   /** Real JDK-only audio codec (`javax.sound.sampled` — WAV/AIFF/AU PCM
@@ -875,6 +928,64 @@ object Multimodal {
           else AudioCodec.extractFeature(id, payload, dim)
         }
       }
+  }
+
+  /** Per-payload 64-bit perceptual hash ([[ImageCodec.aHash64]]) via
+    * real image decode in mapPartitions. Non-image / undecodable rows
+    * are dropped (no stub hash — a fake fingerprint would create fake
+    * duplicate clusters). Only (id, 8-byte hash) rows leave the scan;
+    * the payloads themselves never shuffle — the property that keeps
+    * this linear at 100 TB of blobs.
+    */
+  def imagePHashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          ImageCodec.perceptualHash(Option(p).getOrElse(Array.empty[Byte]))
+            .map(h => (id, h))
+        }
+      }.toDF(idCol, "phash")
+  }
+
+  /** Banded-Hamming image near-duplicate pairs over a perceptual-hash
+    * column: the 64-bit hash splits into four 16-bit bands; rows sharing
+    * any band key become candidates (equi-join on (band, key) — the same
+    * LSH shape as text MinHash banding, shuffling only 8-byte hashes),
+    * then candidates verify with the exact popcount distance
+    * (`bit_count(a ^ b)`, whole-stage codegen). Near-identical images
+    * differ in few bits, so they collide in at least one unchanged band
+    * with high probability; unrelated images (~32 bits apart) almost
+    * never do. `maxBucket` caps pathological band-bucket occupancy
+    * (e.g. monochrome boilerplate images all hashing to 0) so one hot
+    * bucket can't go quadratic — the capped buckets are skipped, same
+    * policy as [[graft.functions.DedupFunctions.minhashPairs]].
+    */
+  def imageNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 16, maxBucket: Int = 10000): DataFrame = {
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(hashCol), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    val keys = hashes
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("__id"), col("__h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val ok = keys.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "key")
+    val inBucket = keys.join(ok, Seq("band", "key"))
+    inBucket.as("a").join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__h").as("__ha"), col("b.__h").as("__hb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Frame sampling plan: every `stride`-th frame index per item —

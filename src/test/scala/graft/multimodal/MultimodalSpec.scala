@@ -706,4 +706,62 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.WebmMeta.decodeMeta(i.toLong, p)
     }
   }
+
+  // ---- perceptual hash (aHash) + image near-dup ----------------------
+
+  test("aHash64: PNG round-trip is integer-exact against the fixture pixel math") {
+    // expected hash computed straight from ImageFixture.pixels — the
+    // decode path (PNG bytes → BufferedImage → luma) must reproduce it
+    def expected(id: Long): Long = {
+      val px = ImageFixture.pixels(id)
+      val cells = Array.tabulate(64) { c =>
+        val (bx, by) = (c % 8, c / 8)
+        (px(2 * by * 16 + 2 * bx) + px(2 * by * 16 + 2 * bx + 1) +
+          px((2 * by + 1) * 16 + 2 * bx) + px((2 * by + 1) * 16 + 2 * bx + 1)).toLong / 4
+      }
+      val mean = cells.sum / 64
+      (0 until 64).foldLeft(0L)((h, c) => if (cells(c) > mean) h | (1L << c) else h)
+    }
+    (0L until 40L).foreach { id =>
+      val got = Multimodal.ImageCodec.perceptualHash(ImageFixture.build(id))
+      assert(got.contains(expected(id)), s"id=$id")
+    }
+  }
+
+  test("aHash64: near pair close, unrelated bases far, gray raster path, non-image None") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = (id: Long) =>
+      Multimodal.ImageCodec.perceptualHash(ImageFixture.build(id)).get
+    assert(ham(h(6L), h(7L)) <= 10)   // odd id perturbs its even partner
+    assert(ham(h(0L), h(40L)) > 10)   // different bases are far apart
+    // TYPE_BYTE_GRAY must read raster samples (getRGB would colorspace-
+    // convert); a constant image has no cell above the mean → hash 0
+    val gray = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      gray.getRaster.setSample(x, y, 0, 128)))
+    assert(Multimodal.ImageCodec.aHash64(gray) == 0L)
+    assert(Multimodal.ImageCodec.perceptualHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDup: banded candidates + popcount verify + bucket occupancy cap") {
+    import spark.implicits._
+    // hashes: 1L and 3L differ in 1 bit (pair); the far hash shares no
+    // 16-bit band with them; 1L vs 0x0002 differ by 2 bits (pair)
+    val far = 0x5a5aa5a55a5aa5a5L
+    val hashes = Seq((1L, 1L), (2L, 3L), (3L, far), (4L, 2L))
+      .toDF("id", "phash")
+    val pairs = Multimodal.imageNearDup(hashes, "id", "phash", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L), (1L, 4L, 2L), (2L, 4L, 1L)))
+    // non-image rows never reach hashing: imagePHashes drops them
+    val docs = Seq((1L, ImageFixture.build(1L)), (2L, "junk".getBytes))
+      .toDF("id", "payload")
+    assert(Multimodal.imagePHashes(docs, "id", "payload").count() == 1L)
+    // occupancy cap: all four rows share band keys of hash 0 except far;
+    // cap 1 excludes every bucket with 2+ members → no pairs at all
+    val capped = Multimodal.imageNearDup(hashes, "id", "phash",
+      maxHamming = 10, maxBucket = 1)
+    assert(capped.count() == 0L)
+  }
 }
