@@ -1374,6 +1374,15 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     }),
 
+    "funnel_conversion" -> ((s, dir) => {
+      // ordered funnel view → click → signup → purchase: one shuffle on
+      // user_id, per-user sorted fold in a codegen'd aggregate HOF
+      // (Funnel.conversion) — equivalent to the oracle's chained
+      // strict-min CTEs because the fold runs in ascending time order.
+      graft.operators.Funnel.conversion(events(s, dir), "user_id", "ts_ms",
+        "event_type", Seq("view", "click", "signup", "purchase"))
+    }),
+
     // ---------------- streaming-shaped agg ---------------------------
     "w5_session_paths" -> ((s, dir) => {
       // funnel/path analysis: per-session ordered event-type path →
@@ -4297,6 +4306,24 @@ object SparkEntry {
            SELECT path, COUNT(*) AS n_sessions
            FROM p GROUP BY 1
            ORDER BY n_sessions DESC, path LIMIT 10""",
+
+      "funnel_conversion" ->
+        // chained strict-min CTEs: t_i = min ts of step-i events with
+        // ts > t_{i-1}; n_users per step = users with t_i defined
+        """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+           s1 AS (SELECT user_id, min(ts_ms) AS t FROM e
+                  WHERE event_type = 'view' GROUP BY 1),
+           s2 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM e JOIN s1 USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts_ms > s1.t GROUP BY 1),
+           s3 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM e JOIN s2 USING (user_id)
+                  WHERE e.event_type = 'signup' AND e.ts_ms > s2.t GROUP BY 1),
+           s4 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM e JOIN s3 USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts_ms > s3.t GROUP BY 1)
+           SELECT * FROM (
+             SELECT 1::BIGINT AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+             UNION ALL SELECT 2::BIGINT, 'click', count(*) FROM s2
+             UNION ALL SELECT 3::BIGINT, 'signup', count(*) FROM s3
+             UNION ALL SELECT 4::BIGINT, 'purchase', count(*) FROM s4)""",
 
       "w4_sliding_rates" ->
         """WITH e AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events),
