@@ -1374,6 +1374,43 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     }),
 
+    "agg_maintain_distinct" -> ((s, dir) => {
+      // distinct-count maintenance: COUNT DISTINCT is not summable, so
+      // the delta refresh rides a mergeable HLL sketch (AggMaintain.
+      // partialDistinct/mergeDistinct — register max-merge). The query
+      // PROVES the maintenance contract in its output: merging sketch
+      // partials must be PARTITION-INVARIANT — a date-split (base +
+      // delta, the maintenance shape) and an orderkey-parity split of
+      // the same facts merge to identical estimates (incr_eq_rebuild;
+      // registers depend only on the value SET, and merged sketches
+      // estimate with the order-free composite estimator) — and land
+      // within 5% of the exact count (within_5pct, deterministic —
+      // DataSketches hashing has no run randomness). The oracle pins
+      // the exact counts and both assertions.
+      val A = graft.operators.AggMaintain
+      val li = t(s, dir, "lineitem")
+      val base = li.filter(col("l_shipdate") < lit("1995-06-01"))
+      val delta = li.filter(col("l_shipdate") >= lit("1995-06-01"))
+      val keys = Seq("l_returnflag")
+      val incr = A.estimateDistinct(A.mergeDistinct(Seq(
+          A.partialDistinct(base, keys, "l_partkey", "sk"),
+          A.partialDistinct(delta, keys, "l_partkey", "sk")),
+          keys, "sk"), "sk", "est_incr")
+        .select(col("l_returnflag"), col("est_incr"))
+      val rebuild = A.estimateDistinct(A.mergeDistinct(Seq(
+          A.partialDistinct(li.filter(col("l_orderkey") % 2 === 0), keys, "l_partkey", "sk"),
+          A.partialDistinct(li.filter(col("l_orderkey") % 2 === 1), keys, "l_partkey", "sk")),
+          keys, "sk"), "sk", "est_rebuild")
+        .select(col("l_returnflag"), col("est_rebuild"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      incr.join(rebuild, "l_returnflag").join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (col("est_incr") === col("est_rebuild")).as("incr_eq_rebuild"),
+          (abs(col("est_incr") - col("n_exact")) <=
+            greatest(lit(2L), col("n_exact") / 20)).as("within_5pct"))
+    }),
+
     "funnel_conversion" -> ((s, dir) => {
       // ordered funnel view → click → signup → purchase: one shuffle on
       // user_id, per-user sorted fold in a codegen'd aggregate HOF
@@ -4306,6 +4343,13 @@ object SparkEntry {
            SELECT path, COUNT(*) AS n_sessions
            FROM p GROUP BY 1
            ORDER BY n_sessions DESC, path LIMIT 10""",
+
+      "agg_maintain_distinct" ->
+        // the engine asserts the sketch contracts in-plan; the oracle
+        // pins the exact counts and that both assertions came out true
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+                  true AS incr_eq_rebuild, true AS within_5pct
+           FROM lineitem GROUP BY 1""",
 
       "funnel_conversion" ->
         // chained strict-min CTEs: t_i = min ts of step-i events with

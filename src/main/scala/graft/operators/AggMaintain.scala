@@ -47,4 +47,41 @@ object AggMaintain {
       .agg(sum(col(valCols.head)).as(valCols.head),
         valCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
+
+  /** Per-key distinct-count sketch of one batch (DataSketches HLL via
+    * the native `hll_sketch_agg`). COUNT DISTINCT is NOT a monoid over
+    * scalars — yesterday's count plus today's count double-counts
+    * returning values, so the plain [[partial]]/[[merge]] path can't
+    * maintain it. The SKETCH is the monoid: HLL registers max-merge
+    * under union, so folding a delta sketch into the stored sketch
+    * yields the same registers as re-sketching base ∪ delta — the
+    * delta-sized refresh this module exists for, extended to distinct
+    * counts. Merged-sketch estimates are PARTITION-INVARIANT (any split
+    * of the facts merges to the same estimate — the composite estimator
+    * reads only the registers); note a single-pass un-merged sketch can
+    * report a slightly different estimate in dense mode because
+    * DataSketches tracks an order-dependent HIP accumulator there, so
+    * the maintenance contract compares merged against merged. (No
+    * retraction: register max is irreversible — deletions need a
+    * rebuild, same as every HLL store.)
+    */
+  def partialDistinct(batch: DataFrame, keys: Seq[String], valueCol: String,
+                      alias: String, lgK: Int = 12): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as(alias))
+
+  /** Merge per-key sketch partials (stored + deltas) into the refreshed
+    * sketch table. Keys absent from one side pass through (union of an
+    * HLL with nothing is itself).
+    */
+  def mergeDistinct(partials: Seq[DataFrame], keys: Seq[String],
+                    sketchCol: String): DataFrame =
+    partials.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
+
+  /** Readable estimate column from a sketch column. */
+  def estimateDistinct(sketches: DataFrame, sketchCol: String,
+                       alias: String): DataFrame =
+    sketches.withColumn(alias, hll_sketch_estimate(col(sketchCol)))
 }

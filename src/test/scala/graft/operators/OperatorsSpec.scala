@@ -147,4 +147,52 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(back == Set(("x", 2L, 3.0), ("y", 1L, 5.0)))
   }
+
+  test("aggmaintain distinct: delta-merged HLL sketch equals from-scratch sketch") {
+    // overlapping values across base/delta — a scalar count would
+    // double-count; the register-max merge must not
+    val base  = (1 to 3000).map(i => ("a", i % 700)) ++ (1 to 500).map(i => ("b", i))
+    val delta = (1 to 2000).map(i => ("a", i % 900)) ++ (1 to 50).map(i => ("c", i))
+    val (bdf, ddf) = (base.toDF("k", "v"), delta.toDF("k", "v"))
+    val merged = AggMaintain.estimateDistinct(
+      AggMaintain.mergeDistinct(
+        Seq(AggMaintain.partialDistinct(bdf, Seq("k"), "v", "sk"),
+          AggMaintain.partialDistinct(ddf, Seq("k"), "v", "sk")),
+        Seq("k"), "sk"),
+      "sk", "est")
+    val scratch = AggMaintain.estimateDistinct(
+      AggMaintain.mergeDistinct(
+        Seq(AggMaintain.partialDistinct(bdf.unionByName(ddf), Seq("k"), "v", "sk")),
+        Seq("k"), "sk"),
+      "sk", "est")
+    val m = merged.select("k", "est").as[(String, Long)].collect().toMap
+    val s = scratch.select("k", "est").as[(String, Long)].collect().toMap
+    assert(m == s, "incremental merge must be estimate-identical to a rebuild")
+    // estimates are close to truth at lgK=12 (exact regime ≤ a few k)
+    val exact = Map("a" -> 900L, "b" -> 500L, "c" -> 50L)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(m(k) - n) <= math.max(2L, n / 50), s"$k: ${m(k)} vs $n")
+    }
+    // keys absent from the delta pass through unchanged
+    assert(m.keySet == Set("a", "b", "c"))
+  }
+
+  test("aggmaintain distinct: dense-mode merges are partition-invariant") {
+    // 30k distinct values — well past the lgK=12 sparse→dense promotion
+    // where the order-dependent HIP estimator would diverge; any split
+    // of the facts must merge to the same composite estimate
+    val vals = (1 to 30000).map(i => ("k", i))
+    val byRange = Seq(vals.filter(_._2 <= 11111), vals.filter(_._2 > 11111))
+    val byMod = Seq(vals.filter(_._2 % 3 == 0), vals.filter(_._2 % 3 != 0))
+    def est(split: Seq[Seq[(String, Int)]]): Long =
+      AggMaintain.estimateDistinct(
+        AggMaintain.mergeDistinct(
+          split.map(part =>
+            AggMaintain.partialDistinct(part.toDF("k", "v"), Seq("k"), "v", "sk")),
+          Seq("k"), "sk"),
+        "sk", "est").select("est").as[Long].head()
+    val (a, b) = (est(byRange), est(byMod))
+    assert(a == b, s"partition-variant estimates: $a vs $b")
+    assert(math.abs(a - 30000L) <= 30000L / 20)
+  }
 }
