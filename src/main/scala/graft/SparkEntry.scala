@@ -1411,6 +1411,24 @@ object SparkEntry {
             greatest(lit(2L), col("n_exact") / 20)).as("within_5pct"))
     }),
 
+    "text_canonical_dedup" -> ((s, dir) => {
+      // unicode canonicalization as the dedup key: each doc emits two
+      // byte-DISTINCT variants — decomposed accent + '#' punctuation
+      // vs composed accent, doubled spaces, uppercase — which the
+      // native normalize_text expression (NFC + casefold + punct/ws
+      // fold, whole-stage codegen, no UDF) collapses to one canonical
+      // key. Canonical md5 keys are what shuffle; the oracle replays
+      // the pipeline via nfc_normalize + POSIX-class regexps.
+      val variants = t(s, dir, "documents").select(col("doc_id"),
+        explode(array(
+          concat(col("text"), lit(" Cafe\u0301 #1")),
+          concat(upper(col("text")), lit("  caf\u00e9  1")))).as("v"))
+      variants.withColumn("ck", md5(T.normalizeText(col("v"))))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("v")).as("n_raw"),
+          countDistinct(col("ck")).as("n_canonical"))
+    }),
+
     "funnel_conversion" -> ((s, dir) => {
       // ordered funnel view → click → signup → purchase: one shuffle on
       // user_id, per-user sorted fold in a codegen'd aggregate HOF
@@ -2157,6 +2175,11 @@ object SparkEntry {
       // sign bit. Payloads never shuffle; only (id, hash) rows do.
       import s.implicits._
       val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        // spread the ids before the encode/decode chain: the documents
+        // table is one small parquet split, and PNG codec work would
+        // otherwise run on a single core (at real scale the blobs
+        // arrive pre-split via files.maxPartitionBytes)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
         .toDF("doc_id", "payload")
       graft.multimodal.Multimodal.imagePHashes(payloads, "doc_id", "payload")
@@ -2176,6 +2199,11 @@ object SparkEntry {
       // popcount — in closed form.
       import s.implicits._
       val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        // spread the ids before the encode/decode chain: the documents
+        // table is one small parquet split, and PNG codec work would
+        // otherwise run on a single core (at real scale the blobs
+        // arrive pre-split via files.maxPartitionBytes)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
         .toDF("doc_id", "payload")
       val hashes = graft.multimodal.Multimodal.imagePHashes(payloads, "doc_id", "payload")
@@ -4343,6 +4371,24 @@ object SparkEntry {
            SELECT path, COUNT(*) AS n_sessions
            FROM p GROUP BY 1
            ORDER BY n_sessions DESC, path LIMIT 10""",
+
+      "text_canonical_dedup" ->
+        // chr(769) = U+0301 combining acute (decomposed), chr(233) =
+        // U+00E9 composed; nfc_normalize + POSIX classes replay the
+        // native normalize_text pipeline step for step
+        """WITH v AS (
+             SELECT doc_id, unnest([
+               text || ' Cafe' || chr(769) || ' #1',
+               upper(text) || '  caf' || chr(233) || '  1']) AS v
+             FROM documents),
+           c AS (
+             SELECT v, md5(trim(regexp_replace(regexp_replace(
+               lower(nfc_normalize(v)), '[[:punct:]]+', ' ', 'g'),
+               '[[:space:]]+', ' ', 'g'))) AS ck
+             FROM v)
+           SELECT count(*) AS n_rows, count(DISTINCT v) AS n_raw,
+                  count(DISTINCT ck) AS n_canonical
+           FROM c""",
 
       "agg_maintain_distinct" ->
         // the engine asserts the sketch contracts in-plan; the oracle

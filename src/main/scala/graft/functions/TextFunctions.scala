@@ -197,6 +197,13 @@ object TextFunctions {
     * token set. Identical modulo token order/multiplicity — the standard
     * "bag fingerprint" for clustering boilerplate variants.
     */
+  /** Unicode canonicalization for dedup keys (NFC + lowercase +
+    * punctuation fold + whitespace collapse) — native codegen'd
+    * [[graft.plans.NormalizeTextExpr]], DuckDB-replayable.
+    */
+  def normalizeText(text: Column, stripPunct: Boolean = true): Column =
+    graft.plans.NormalizeTextExpr.normalizeText(text, stripPunct)
+
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 

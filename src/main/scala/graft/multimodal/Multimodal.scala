@@ -969,10 +969,16 @@ object Multimodal {
       struct(lit(b).as("band"),
         shiftrightunsigned(col(hashCol), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))
     }
+    // the banded keys feed three consumers (occupancy census + both
+    // self-join sides); without a persist each would re-run the
+    // upstream decode+hash scan — the expensive part — three times
+    // (SparkEntry.queries contract: callers clear caches between
+    // queries, like Bench.dropCaches)
     val keys = hashes
       .select(col(idCol).as("__id"), col(hashCol).as("__h"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("__id"), col("__h"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = keys.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
       .select("band", "key")

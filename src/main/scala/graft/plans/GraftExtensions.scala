@@ -121,6 +121,16 @@ object GraftExtensions {
         require(exprs.length == 2, "shingle_hashes(text, n)")
         ShingleHashExpr(exprs.head, intLiteral(exprs(1), "n"))
       },
+      "normalize_text" -> { exprs: Seq[Expression] =>
+        require(exprs.length == 1 || exprs.length == 2,
+          "normalize_text(text[, strip_punct])")
+        val strip = exprs.lift(1).forall {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"strip_punct must be a boolean literal, got $other")
+        }
+        NormalizeTextExpr(exprs.head, strip)
+      },
       "token_gram_stats" -> { exprs: Seq[Expression] =>
         require(exprs.length == 2, "token_gram_stats(text, n)")
         TokenGramStatsExpr(exprs.head, intLiteral(exprs(1), "n"))
