@@ -399,4 +399,44 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.read.parquet(table).as[(Int, String)].collect().toSet
     assert(rows == Set((1, "a"), (2, "B"), (3, "c")))
   }
+
+  test("streaming funnel: cross-batch state continues; final slots equal the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    val b1 = Seq(
+      FunnelStream.StepEvent(1L, 10L, "view"),   // continues in batch 2
+      FunnelStream.StepEvent(2L, 20L, "click"),  // before any view: dead
+      FunnelStream.StepEvent(3L, 15L, "view"),
+      FunnelStream.StepEvent(3L, 12L, "noise"))  // filtered
+    val b2 = Seq(
+      FunnelStream.StepEvent(1L, 30L, "click"),  // fills slot 2 cross-batch
+      FunnelStream.StepEvent(1L, 40L, "buy"),
+      FunnelStream.StepEvent(2L, 25L, "view"),   // view after the dead click
+      FunnelStream.StepEvent(3L, 15L, "click"))  // tie with view: not later
+    val mem = MemoryStream[FunnelStream.StepEvent]
+    val funnels = FunnelStream.userFunnels(mem.toDS(), steps)
+    val q = funnels.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per user: slots only ever fill (monotone state),
+    // so the most-filled emission is the current one
+    val got = spark.table("funnel_stream").as[FunnelStream.UserFunnel]
+      .collect().groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.slots.count(_ != -1L)).slots }
+    assert(got == Map(
+      1L -> Seq(10L, 30L, 40L),
+      2L -> Seq(25L, -1L, -1L),
+      3L -> Seq(15L, -1L, -1L)))
+    // batch twin: the same history through Funnel.userSlots (null = -1)
+    val all = (b1 ++ b2).toDF()
+    val batch = graft.operators.Funnel.userSlots(
+        all, "user_id", "ts_ms", "event_type", steps)
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Any](1).map(v => if (v == null) -1L else v)
+      }.toMap
+    assert(batch == got, s"stream $got vs batch $batch")
+  }
 }
