@@ -2207,7 +2207,40 @@ object SparkEntry {
         .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
         .toDF("doc_id", "payload")
       val hashes = graft.multimodal.Multimodal.imagePHashes(payloads, "doc_id", "payload")
-      graft.multimodal.Multimodal.imageNearDup(hashes, "doc_id", "phash",
+      graft.multimodal.Multimodal.hammingNearDup(hashes, "doc_id", "phash",
+        maxHamming = 10, maxBucket = 10000)
+    }),
+
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      // REAL audio decode → fingerprint: deterministic mono PCM16 WAVs
+      // (AudioFixture), decoded through javax.sound.sampled, hashed by
+      // the 64-window amplitude fingerprint (AudioCodec.fingerprint64).
+      // Same unsigned-word output contract as mm_image_phash.
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(it => it.map(id => (id, graft.multimodal.AudioFixture.build(id))))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(payloads, "doc_id", "payload")
+        .select(col("doc_id"),
+          shiftrightunsigned(col("afp"), 32).as("hash_hi"),
+          col("afp").bitwiseAND(lit(0xffffffffL)).as("hash_lo"))
+    }),
+
+    "mm_audio_neardup" -> ((s, dir) => {
+      // audio near-dup end-to-end: WAV fixtures → real PCM decode →
+      // fingerprint → the SAME banded-Hamming machinery as images
+      // (hammingNearDup is hash-type agnostic). Odd ids carry a +100
+      // amplitude watermark on a few windows of their even partner;
+      // the oracle replays samples → window means → hash words → band
+      // keys → popcount in closed form.
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(it => it.map(id => (id, graft.multimodal.AudioFixture.build(id))))
+        .toDF("doc_id", "payload")
+      val hashes = graft.multimodal.Multimodal.audioFingerprints(payloads, "doc_id", "payload")
+      graft.multimodal.Multimodal.hammingNearDup(hashes, "doc_id", "afp",
         maxHamming = 10, maxBucket = 10000)
     }),
 
@@ -4935,6 +4968,67 @@ object SparkEntry {
              FROM px),
            meaned AS (
              SELECT doc_id, cell, CAST(list_sum(cell) // 64 AS BIGINT) AS mean FROM cells),
+           words AS (
+             SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 33] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_hi,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 1] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
+             FROM meaned),
+           bands AS (
+             SELECT doc_id, hash_hi, hash_lo, g.b,
+               CASE g.b WHEN 0 THEN hash_lo & 65535 WHEN 1 THEN (hash_lo >> 16) & 65535
+                        WHEN 2 THEN hash_hi & 65535 ELSE (hash_hi >> 16) & 65535 END AS key
+             FROM words, (SELECT unnest(range(0, 4)) AS b) g),
+           ok_b AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 10000),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.hash_hi AS ah, a.hash_lo AS al, b.hash_hi AS bh, b.hash_lo AS bl
+             FROM (SELECT bands.* FROM bands JOIN ok_b USING (b, key)) a
+             JOIN (SELECT bands.* FROM bands JOIN ok_b USING (b, key)) b
+               ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+           SELECT a_id, b_id,
+                  CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming
+           FROM cand
+           WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 10""",
+
+      "mm_audio_fingerprint" ->
+        // closed-form replay of AudioFixture samples → 64 window means
+        // → fingerprint bits, packed as two unsigned 32-bit words
+        """WITH wm AS (
+             SELECT doc_id, list_transform(range(0, 64), w ->
+               CAST(list_sum(list_transform(range(0, 16), t ->
+                 abs((((w * 16 + t) + (doc_id // 2) * 17) * ((w * 16 + t) + (doc_id // 2) * 17)
+                      + 5 * ((w * 16 + t) + (doc_id // 2) * 17) + doc_id // 2) % 4001 - 2000)
+                 + CASE WHEN doc_id % 2 = 1 AND list_contains(
+                          list_transform(range(0, doc_id % 4),
+                                         j -> ((doc_id // 2 + 11 * j) * 29) % 64), w)
+                        THEN 100 ELSE 0 END)) // 16 AS BIGINT)) AS cell
+             FROM documents),
+           meaned AS (
+             SELECT doc_id, cell, CAST(list_sum(cell) // 64 AS BIGINT) AS mean FROM wm)
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN cell[i + 33] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_hi,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN cell[i + 1] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
+           FROM meaned""",
+
+      "mm_audio_neardup" ->
+        // same fingerprint replay, then the shared banded-candidate +
+        // popcount-verify chain (cap 10000, Hamming ≤ 10)
+        """WITH wm AS (
+             SELECT doc_id, list_transform(range(0, 64), w ->
+               CAST(list_sum(list_transform(range(0, 16), t ->
+                 abs((((w * 16 + t) + (doc_id // 2) * 17) * ((w * 16 + t) + (doc_id // 2) * 17)
+                      + 5 * ((w * 16 + t) + (doc_id // 2) * 17) + doc_id // 2) % 4001 - 2000)
+                 + CASE WHEN doc_id % 2 = 1 AND list_contains(
+                          list_transform(range(0, doc_id % 4),
+                                         j -> ((doc_id // 2 + 11 * j) * 29) % 64), w)
+                        THEN 100 ELSE 0 END)) // 16 AS BIGINT)) AS cell
+             FROM documents),
+           meaned AS (
+             SELECT doc_id, cell, CAST(list_sum(cell) // 64 AS BIGINT) AS mean FROM wm),
            words AS (
              SELECT doc_id,
                CAST(list_sum(list_transform(range(0, 32), i ->

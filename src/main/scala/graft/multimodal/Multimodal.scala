@@ -235,6 +235,62 @@ object Multimodal {
           Some(MediaFeature(id, dim, hist))
         } catch { case _: Exception => None }
       }.getOrElse(StubCodec.extractFeature(id, payload, dim))
+
+    /** 64-bit amplitude fingerprint, integer-exact for the oracle
+      * replay (the audio analogue of [[ImageCodec.aHash64]]): samples
+      * map to 64 time windows (`t·64/n`), window value = floor(sum of
+      * |16-bit amplitude| / count), overall mean = floor(sum / 64),
+      * bit `i` set iff `window_i > mean`. Re-encodes, small level
+      * edits, and watermarks land within a few bits; unrelated audio
+      * ~32 bits apart — the near-dup signal for audio corpora. None
+      * for non-audio or empty payloads (no stub hash — fake
+      * fingerprints would fabricate duplicate clusters).
+      */
+    def fingerprint64(payload: Array[Byte]): Option[Long] =
+      sniffFormat(payload).flatMap(_ => open(payload)).flatMap { raw =>
+        try {
+          val target = new javax.sound.sampled.AudioFormat(
+            raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+            true /* signed */, false /* little-endian */)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+          val mags = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + 1 < n) {
+              val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt
+              mags += math.min(math.abs(s), 32767)
+              i += 2
+            }
+            n = in.read(buf)
+          }
+          try in.close() catch { case _: Exception => () }
+          if (mags.isEmpty) None
+          else {
+            val total = mags.length
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var t = 0
+            while (t < total) {
+              val w = (t.toLong * 64 / total).toInt
+              sums(w) += mags(t)
+              cnts(w) += 1
+              t += 1
+            }
+            val wins = Array.tabulate(64)(i =>
+              if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+            val mean = wins.sum / 64
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (wins(i) > mean) hash |= 1L << i
+              i += 1
+            }
+            Some(hash)
+          }
+        } catch { case _: Exception => None }
+      }
   }
 
   /** Real JDK-only multi-frame codec: animated GIF is the one
@@ -950,21 +1006,40 @@ object Multimodal {
       }.toDF(idCol, "phash")
   }
 
-  /** Banded-Hamming image near-duplicate pairs over a perceptual-hash
-    * column: the 64-bit hash splits into four 16-bit bands; rows sharing
-    * any band key become candidates (equi-join on (band, key) — the same
-    * LSH shape as text MinHash banding, shuffling only 8-byte hashes),
-    * then candidates verify with the exact popcount distance
-    * (`bit_count(a ^ b)`, whole-stage codegen). Near-identical images
-    * differ in few bits, so they collide in at least one unchanged band
-    * with high probability; unrelated images (~32 bits apart) almost
-    * never do. `maxBucket` caps pathological band-bucket occupancy
-    * (e.g. monochrome boilerplate images all hashing to 0) so one hot
-    * bucket can't go quadratic — the capped buckets are skipped, same
-    * policy as [[graft.functions.DedupFunctions.minhashPairs]].
+  /** Per-payload audio fingerprint ([[AudioCodec.fingerprint64]]) via
+    * real PCM decode in mapPartitions; non-audio rows are dropped.
+    * Only (id, 8-byte hash) rows leave the scan — payloads never
+    * shuffle, same contract as [[imagePHashes]].
     */
-  def imageNearDup(hashes: DataFrame, idCol: String, hashCol: String,
-                   maxHamming: Int = 16, maxBucket: Int = 10000): DataFrame = {
+  def audioFingerprints(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          AudioCodec.fingerprint64(Option(p).getOrElse(Array.empty[Byte]))
+            .map(h => (id, h))
+        }
+      }.toDF(idCol, "afp")
+  }
+
+  /** Banded-Hamming near-duplicate pairs over any 64-bit perceptual
+    * hash column (image aHash, audio fingerprint, …): the hash splits
+    * into four 16-bit bands; rows sharing any band key become
+    * candidates (equi-join on (band, key) — the same LSH shape as text
+    * MinHash banding, shuffling only 8-byte hashes), then candidates
+    * verify with the exact popcount distance (`bit_count(a ^ b)`,
+    * whole-stage codegen). Near-identical items differ in few bits, so
+    * they collide in at least one unchanged band with high probability;
+    * unrelated items (~32 bits apart) almost never do. `maxBucket` caps
+    * pathological band-bucket occupancy (e.g. monochrome boilerplate
+    * images all hashing to 0) so one hot bucket can't go quadratic —
+    * the capped buckets are skipped, same policy as
+    * [[graft.functions.DedupFunctions.minhashPairs]].
+    */
+  def hammingNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 16, maxBucket: Int = 10000): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col(hashCol), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))

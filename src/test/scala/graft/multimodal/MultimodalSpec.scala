@@ -744,14 +744,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageCodec.perceptualHash("not an image".getBytes).isEmpty)
   }
 
-  test("imageNearDup: banded candidates + popcount verify + bucket occupancy cap") {
+  test("fingerprint64: WAV round-trip is integer-exact against the fixture sample math") {
+    def expected(id: Long): Long = {
+      val wins = Array.tabulate(64) { w =>
+        (0 until 16).map(t =>
+          math.abs(AudioFixture.sampleValue(id, w * 16 + t)).toLong).sum / 16
+      }
+      val mean = wins.sum / 64
+      (0 until 64).foldLeft(0L)((h, c) => if (wins(c) > mean) h | (1L << c) else h)
+    }
+    (0L until 40L).foreach { id =>
+      val got = Multimodal.AudioCodec.fingerprint64(AudioFixture.build(id))
+      assert(got.contains(expected(id)), s"id=$id")
+    }
+    // watermarked partner is near, unrelated base is far, non-audio None
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = (id: Long) =>
+      Multimodal.AudioCodec.fingerprint64(AudioFixture.build(id)).get
+    assert(ham(h(6L), h(7L)) <= 10)
+    assert(ham(h(0L), h(40L)) > 10)
+    assert(Multimodal.AudioCodec.fingerprint64("not audio".getBytes).isEmpty)
+    // audioFingerprints drops undecodable rows instead of stub-hashing
+    import spark.implicits._
+    val mixed = Seq((1L, AudioFixture.build(1L)), (2L, "junk".getBytes))
+      .toDF("id", "payload")
+    assert(Multimodal.audioFingerprints(mixed, "id", "payload").count() == 1L)
+  }
+
+  test("hammingNearDup: banded candidates + popcount verify + bucket occupancy cap") {
     import spark.implicits._
     // hashes: 1L and 3L differ in 1 bit (pair); the far hash shares no
     // 16-bit band with them; 1L vs 0x0002 differ by 2 bits (pair)
     val far = 0x5a5aa5a55a5aa5a5L
     val hashes = Seq((1L, 1L), (2L, 3L), (3L, far), (4L, 2L))
       .toDF("id", "phash")
-    val pairs = Multimodal.imageNearDup(hashes, "id", "phash", maxHamming = 10)
+    val pairs = Multimodal.hammingNearDup(hashes, "id", "phash", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 1L), (1L, 4L, 2L), (2L, 4L, 1L)))
     // non-image rows never reach hashing: imagePHashes drops them
@@ -760,7 +787,7 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imagePHashes(docs, "id", "payload").count() == 1L)
     // occupancy cap: all four rows share band keys of hash 0 except far;
     // cap 1 excludes every bucket with 2+ members → no pairs at all
-    val capped = Multimodal.imageNearDup(hashes, "id", "phash",
+    val capped = Multimodal.hammingNearDup(hashes, "id", "phash",
       maxHamming = 10, maxBucket = 1)
     assert(capped.count() == 0L)
   }
