@@ -1517,6 +1517,20 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
+    "sim_int8_topk" -> ((s, dir) => {
+      // memory-bound ANN: int8 codes of the normalized corpus (4×
+      // smaller scan), INTEGER-dot shortlist (engine-portable ordering,
+      // no float ties), exact cosine re-rank of the 20-per-query
+      // survivors through two broadcast joins — corpus floats are
+      // touched once and never shuffle.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      V.int8TopK(q, c, "q_id", "c_id", "q_vec", "c_vec", k = 5, shortlist = 20)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
     // ---------------- S: reader round-trips + SQL surface ------------
     "s3_maf_na_roundtrip" -> ((s, dir) => {
       // documents → MAF-shaped TSV on disk → Maf.read → NA contract:
@@ -4212,6 +4226,52 @@ object SparkEntry {
                     / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE))))
                        * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE))))), 6) AS cos
            FROM b JOIN a ON id_b > id_a AND id_b <= id_a + 25""",
+
+      "sim_int8_topk" ->
+        // replay: normalize → int8 quantize → integer-dot top-20 per
+        // query (idot desc, c_id asc) → exact cosine top-5
+        """WITH n AS (
+             SELECT vec_id, embedding,
+                    SQRT(list_sum(list_transform(range(1, 65),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+             FROM embeddings),
+           nv AS (
+             SELECT vec_id, embedding,
+                    CASE WHEN nrm = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS v
+             FROM n),
+           qz AS (
+             SELECT vec_id, embedding,
+                    CASE WHEN list_max(list_transform(v, x -> ABS(x))) = 0.0
+                         THEN list_transform(v, x -> 0)
+                         ELSE list_transform(v, x -> CAST(ROUND(
+                           x / (list_max(list_transform(v, y -> ABS(y))) / 127.0), 0) AS INTEGER))
+                    END AS q
+             FROM nv),
+           cand AS (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                    list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.q[i] AS BIGINT) * c.q[i])) AS idot
+             FROM (SELECT * FROM qz WHERE vec_id < 8) q
+             JOIN qz c ON q.vec_id <> c.vec_id),
+           short AS (
+             SELECT q_id, c_id FROM cand
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY idot DESC, c_id ASC) <= 20),
+           ex AS (
+             SELECT s.q_id, s.c_id,
+                    list_sum(list_transform(range(1, 65),
+                      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65),
+                         i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65),
+                           i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))))) AS score
+             FROM short s
+             JOIN embeddings qe ON qe.vec_id = s.q_id
+             JOIN embeddings ce ON ce.vec_id = s.c_id)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM ex
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 5""",
 
       "vec_normalize" ->
         """WITH n AS (

@@ -134,6 +134,35 @@ object VectorFunctions {
     rankTopK(joined, qId, cId, k)
   }
 
+  /** Int8 ANN with exact re-rank — the memory-bound scale path: the
+    * corpus scans as symmetric-int8 codes of the L2-NORMALIZED vectors
+    * (4× smaller than float32, quantized scan-side by [[quantizeInt8]]),
+    * candidates rank by the pure INTEGER dot product (engine-portable
+    * ordering — no float ties to diverge on; on normalized vectors
+    * int-dot order ≈ cosine order), and only the `shortlist` survivors
+    * per query pay the exact float cosine, via two broadcast joins of
+    * the driver-small shortlist (the corpus is probed by one scan and
+    * never shuffles). Both stages rank with the bounded
+    * [[graft.plans.TopKAggregate]] (score desc, id asc).
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+               qVec: String, cVec: String, k: Int, shortlist: Int): DataFrame = {
+    def codes(v: Column): Column = quantizeInt8(l2normalize(v)).getField("q")
+    val q0 = queries.select(col(qId), codes(col(qVec)).as("__qq"))
+    val c0 = corpus.select(col(cId), codes(col(cVec)).as("__cq"))
+    val idot = aggregate(
+      zip_with(col("__qq"), col("__cq"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val cand = c0.join(broadcast(q0), col(qId) =!= col(cId))
+      .withColumn("score", idot.cast("double"))
+    val short = rankTopK(cand, qId, cId, shortlist).select(col(qId), col(cId))
+    val exact = corpus.select(col(cId), col(cVec))
+      .join(broadcast(short), cId)
+      .join(broadcast(queries.select(col(qId), col(qVec))), qId)
+      .withColumn("score", cosine(col(qVec), col(cVec)))
+    rankTopK(exact, qId, cId, k)
+  }
+
   /** Banded sign buckets (OR-construction): `bands` independent
     * 1-bit-per-dim hyperplane tables over disjoint dimension slices,
     * returned as an array of `(band << 32) | bucket` keys to explode.

@@ -27,6 +27,10 @@ import java.io.ByteArrayOutputStream
   */
 object ImageFixture {
 
+  // same once-per-JVM memory-path switch as ImageCodec: fixture encode
+  // happens in executor threads before any decode touches that object
+  javax.imageio.ImageIO.setUseCache(false)
+
   val Size = 16
 
   /** Unperturbed pixel value at (x, y) for pair-base `base`. */

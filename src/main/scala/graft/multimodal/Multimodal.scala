@@ -44,6 +44,13 @@ object Multimodal {
     * unchanged, flagged by `format`.
     */
   object ImageCodec {
+    // ImageIO defaults to a DISK-backed stream cache: every decode of an
+    // in-memory payload would write a temp file (per-image I/O + tmpdir
+    // contention across executor threads). Payloads here are always
+    // byte arrays, so the memory path is strictly better. Object-init
+    // side effect = once per JVM, before any reader is created.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Magic-byte sniff (PNG \x89PNG, JPEG FFD8FF, GIF8, BMP "BM"). */
     def sniffFormat(p: Array[Byte]): Option[String] =
       if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')

@@ -685,4 +685,46 @@ class ScaleSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("int8 ANN: quantized shortlist + exact re-rank tracks brute force") {
+    import graft.functions.VectorFunctions
+    // planted-cluster geometry (same as the k-means/PQ specs): real
+    // embedding corpora have separated neighborhoods, where int8's
+    // ~1/127-per-dim rounding noise cannot reorder the shortlist; on
+    // NEAR-UNIFORM directions top-k margins are ~1e-3 and ANY
+    // quantizer scrambles them (the sim_int8_topk oracle still pins
+    // that case exactly, noise and all)
+    val n = 400
+    val dim = 8
+    val vecs = (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim) { d =>
+        val base = if (d == c * 2) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.35f
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 24)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = df.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val int8 = VectorFunctions.int8TopK(q, c, "q_id", "c_id", "q_vec", "c_vec",
+        k = 3, shortlist = 12)
+      .select("q_id", "c_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    val brute = VectorFunctions.bruteForceTopK(q, c, "q_id", "c_id",
+        "q_vec", "c_vec", k = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // scores on returned rows are the EXACT cosine (re-rank contract)
+    val vecMap = vecs.toMap
+    int8.foreach { case (qi, ci, score, _) =>
+      val (a, b) = (vecMap(qi), vecMap(ci))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exact = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+      assert(math.abs(score - exact) < 1e-9, s"($qi,$ci)")
+    }
+    val recall = int8.count { case (qi, ci, _, _) => brute.contains((qi, ci)) }
+      .toDouble / brute.size
+    assert(recall >= 0.9, s"int8 top-3 recall $recall below bound")
+  }
 }
