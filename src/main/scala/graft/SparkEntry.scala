@@ -1411,6 +1411,42 @@ object SparkEntry {
             greatest(lit(2L), col("n_exact") / 20)).as("within_5pct"))
     }),
 
+    "pipeline_training_export" -> ((s, dir) => {
+      // the flagship COMPOSITION: a full training-data export in one
+      // declarative DAG — (1) canonical dedup (native normalize_text
+      // md5 key, min-id survivor per key: one shuffle on the 16-byte
+      // key), (2) mixture planning on the DEDUPED corpus (one
+      // aggregation → vocabulary-sized rate table), (3) hash-Bernoulli
+      // acceptance at the derived per-lang rate (rate table broadcast,
+      // scan-side filter), (4) reproducible train/val/test split (pure
+      // hash, no rand), (5) the export manifest: per (lang, split)
+      // docs + token counts. Catalyst fuses 1+3+4 into the same
+      // scan-side stage; text never shuffles — only keys, counts, and
+      // the manifest rows move.
+      val Sam = graft.functions.Sampling
+      val budget = 150000.0
+      val target = when(col("lang") === "en", lit(0.4))
+        .when(col("lang") === "de", lit(0.2))
+        .when(col("lang") === "es", lit(0.2))
+        .when(col("lang") === "fr", lit(0.1))
+        .otherwise(lit(0.1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__ck").orderBy("doc_id")
+      val kept = t(s, dir, "documents")
+        .withColumn("__ck", md5(T.normalizeText(col("text"))))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .withColumn("__nt", T.tokenCount(col("text")).cast("long"))
+      val rates = kept.groupBy("lang").agg(sum("__nt").as("__avail"))
+        .select(col("lang"), least(lit(1.0),
+          target * lit(budget) / col("__avail").cast("double")).as("__rate"))
+      kept.join(broadcast(rates), "lang")
+        .filter(Sam.rateKeep(col("doc_id"), col("__rate")))
+        .withColumn("split", Sam.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+    }),
+
     "text_canonical_dedup" -> ((s, dir) => {
       // unicode canonicalization as the dedup key: each doc emits two
       // byte-DISTINCT variants — decomposed accent + '#' punctuation
@@ -4464,6 +4500,40 @@ object SparkEntry {
            SELECT path, COUNT(*) AS n_sessions
            FROM p GROUP BY 1
            ORDER BY n_sessions DESC, path LIMIT 10""",
+
+      "pipeline_training_export" ->
+        // replay of the whole export chain: canonical dedup → mixture
+        // rates from the deduped supply → mix-salted acceptance →
+        // split-salted assignment → manifest counts
+        """WITH canon AS (
+             SELECT doc_id, lang, text,
+                    md5(trim(regexp_replace(regexp_replace(
+                      lower(nfc_normalize(text)), '[[:punct:]]+', ' ', 'g'),
+                      '[[:space:]]+', ' ', 'g'))) AS ck
+             FROM documents),
+           kept AS (
+             SELECT doc_id, lang,
+                    len(regexp_split_to_array(trim(text), '\s+')) AS nt
+             FROM canon
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) = 1),
+           rates AS (
+             SELECT lang, LEAST(1.0,
+                      CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                                WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1
+                                ELSE 0.1 END * 150000.0 / CAST(SUM(nt) AS DOUBLE)) AS rate
+             FROM kept GROUP BY lang),
+           acc AS (
+             SELECT k.doc_id, k.lang, k.nt,
+                    ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT AS sb
+             FROM kept k JOIN rates r USING (lang)
+             WHERE ('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   < floor(r.rate * 4294967296.0))
+           SELECT lang,
+                  CASE WHEN sb < floor(0.8 * 4294967296.0) THEN 'train'
+                       WHEN sb < floor((0.8 + 0.1) * 4294967296.0) THEN 'val'
+                       ELSE 'test' END AS split,
+                  COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+           FROM acc GROUP BY 1, 2""",
 
       "text_canonical_dedup" ->
         // chr(769) = U+0301 combining acute (decomposed), chr(233) =
