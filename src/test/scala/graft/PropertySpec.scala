@@ -363,4 +363,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: normalize_text is idempotent and encoding-invariant") {
+    import graft.plans.NormalizeTextExpr
+    // random mixtures of case, accents (composed AND decomposed),
+    // punctuation runs, and whitespace runs
+    val piece = Gen.oneOf("Café", "Café", "HELLO", "world", "  ",
+      "\t", "a-b", "!!", "x.y,z", "À", "À", "42")
+    val textGen = Gen.listOfN(8, piece).map(_.mkString(""))
+    forSamples(Gen.listOfN(20, textGen)) { texts =>
+      texts.foreach { t =>
+        def n(s: String, strip: Boolean = true): String =
+          NormalizeTextExpr.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s), strip).toString
+        // idempotent: a canonical key re-canonicalizes to itself
+        assert(n(n(t)) == n(t), s"not idempotent on ${t.map(_.toInt)}")
+        assert(n(n(t, strip = false), strip = false) == n(t, strip = false))
+        // NFC/NFD encodings of the same glyphs canonicalize identically
+        val nfd = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD)
+        assert(n(nfd) == n(t), s"NFD diverged on ${t.map(_.toInt)}")
+        // output never holds a whitespace run, leading/trailing space,
+        // or (strip mode) any ASCII punctuation
+        assert(!n(t).matches(".*\\s\\s.*") && n(t) == n(t).trim)
+        assert(!n(t).exists(c => c < 128 && !c.isLetterOrDigit && c != ' '))
+      }
+    }
+  }
+
+  test("property: perceptual hashes are re-encode invariant") {
+    import graft.multimodal.{AudioFixture, ImageFixture, Multimodal}
+    (0L until 12L).foreach { id =>
+      // PNG bytes re-encoded through a decode→encode round trip hash
+      // identically (lossless pixels → identical aHash)
+      val png = ImageFixture.build(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      assert(Multimodal.ImageCodec.perceptualHash(bos.toByteArray) ==
+        Multimodal.ImageCodec.perceptualHash(png), s"img id=$id")
+      // WAV re-written through the sound API fingerprints identically
+      val wav = AudioFixture.build(id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val bos2 = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos2)
+      assert(Multimodal.AudioCodec.fingerprint64(bos2.toByteArray) ==
+        Multimodal.AudioCodec.fingerprint64(wav), s"wav id=$id")
+    }
+  }
 }
