@@ -1411,6 +1411,17 @@ object SparkEntry {
             greatest(lit(2L), col("n_exact") / 20)).as("within_5pct"))
     }),
 
+    "text_chunk_windows" -> ((s, dir) => {
+      // sliding token-window chunking (40-token windows, stride 32 →
+      // 8-token overlap): the context-window prep between curation and
+      // packing. Scan-side explode, zero shuffle before the verify
+      // projection; chunk content gated via md5.
+      graft.functions.Curation.chunkByTokens(
+          t(s, dir, "documents"), "doc_id", "text", window = 40, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+    }),
+
     "pipeline_training_export" -> ((s, dir) => {
       // the flagship COMPOSITION: a full training-data export in one
       // declarative DAG — (1) canonical dedup (native normalize_text
@@ -4500,6 +4511,20 @@ object SparkEntry {
            SELECT path, COUNT(*) AS n_sessions
            FROM p GROUP BY 1
            ORDER BY n_sessions DESC, path LIMIT 10""",
+
+      "text_chunk_windows" ->
+        """WITH tok AS (
+             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             FROM documents),
+           st AS (
+             SELECT doc_id, toks,
+                    unnest(range(0, CASE WHEN len(toks) < 1 THEN 1 ELSE len(toks) END, 32)) AS start
+             FROM tok)
+           SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
+                  CAST(LEAST(40, len(toks) - start) AS BIGINT) AS n_tokens,
+                  md5(array_to_string(list_slice(toks, start + 1,
+                    LEAST(start + 40, len(toks))), ' ')) AS chunk_md5
+           FROM st""",
 
       "pipeline_training_export" ->
         // replay of the whole export chain: canonical dedup → mixture

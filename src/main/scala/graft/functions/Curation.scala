@@ -482,4 +482,31 @@ object Curation {
     */
   def dropDuplicateSegments(text: Column, sep: String): Column =
     array_join(array_distinct(segments(text, sep)), sep)
+
+  /** Sliding token-window chunking — the context-window prep step
+    * between curation and packing: each document splits into chunks of
+    * up to `size` whitespace tokens starting every `stride` tokens
+    * (overlap = size − stride, so a span never straddles a boundary
+    * unseen). One row per chunk: `chunk_idx`, `n_tokens`, `chunk`
+    * (rejoined text). Pure scan-side explode — no shuffle, no window;
+    * output volume is the size/stride duplication factor, paid at
+    * write time exactly like any tokenizer's sliding window.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        least(lit(window), size(col("__toks")) - col("__start")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ")
+          .as("chunk"))
+  }
 }

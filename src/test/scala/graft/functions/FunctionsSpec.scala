@@ -665,4 +665,24 @@ class FunctionsSpec extends SparkSpec {
     val s = nodes.map(_.nodeName).mkString(",")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("chunkByTokens: sliding windows overlap by window-stride, tail chunk is partial") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val chunks = graft.functions.Curation.chunkByTokens(
+        Seq((1L, doc), (2L, "solo")).toDF("id", "text"),
+        "id", "text", window = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // starts 0,3,6,9: full windows then the 1-token tail
+    assert(chunks(1L).map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0L, 4L, "t1 t2 t3 t4"), (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10"), (3L, 1L, "t10")))
+    assert(chunks(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, 1L, "solo")))
+    // every adjacent pair overlaps by exactly window - stride tokens
+    val texts = chunks(1L).map(_._4.split(" ").toSeq)
+    texts.zip(texts.tail).foreach { case (a, b) =>
+      assert(a.takeRight(1) == b.take(1))
+    }
+  }
 }
