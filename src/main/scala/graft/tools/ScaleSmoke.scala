@@ -401,6 +401,58 @@ object ScaleSmoke {
         k = 10).count()
     }
 
+    // 20. perceptual-hash near-dup: PNG/WAV codec work per row (the
+    // decode-bound profile), then the banded-Hamming join on 8-byte
+    // hashes only — candidate volume grows with the boilerplate
+    // residue clusters, bounded by the occupancy cap
+    {
+      import spark.implicits._
+      val ids = docs.select(col("doc_id").cast("long")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism)
+      def png = ids.mapPartitions(it =>
+        it.map(id => (id, graft.multimodal.ImageFixture.build(id)))).toDF("doc_id", "payload")
+      time("image_phash", nDocs) {
+        graft.multimodal.Multimodal.imagePHashes(png, "doc_id", "payload").count()
+      }
+      time("image_neardup", nDocs) {
+        val hashes = graft.multimodal.Multimodal.imagePHashes(png, "doc_id", "payload")
+        graft.multimodal.Multimodal.hammingNearDup(hashes, "doc_id", "phash",
+          maxHamming = 10, maxBucket = 10000).count()
+      }
+      time("audio_neardup", nDocs) {
+        val wav = ids.mapPartitions(it =>
+          it.map(id => (id, graft.multimodal.AudioFixture.build(id)))).toDF("doc_id", "payload")
+        val h = graft.multimodal.Multimodal.audioFingerprints(wav, "doc_id", "payload")
+        graft.multimodal.Multimodal.hammingNearDup(h, "doc_id", "afp",
+          maxHamming = 10, maxBucket = 10000).count()
+      }
+    }
+
+    // 21. int8 ANN: integer-dot shortlist over the 40× corpus + exact
+    // re-rank of shortlist rows only
+    time("int8_topk", nEmb) {
+      val q = embN.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = embN.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      V.int8TopK(q, c, "q_id", "c_id", "q_vec", "c_vec", k = 10, shortlist = 40).count()
+    }
+
+    // 22. funnel over the scaled event stream: one shuffle on user_id,
+    // O(1) per-user fold state
+    time("funnel_conversion", nEv) {
+      // Funnel casts the ts column to long itself; any monotonic
+      // representation (nanos-long or NTZ epoch cast) orders the fold
+      graft.operators.Funnel.conversion(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase")).count()
+    }
+
+    // 23. token-window chunking: scan-side explode, write-amplified by
+    // window/stride only
+    time("chunk_windows", nDocs) {
+      graft.functions.Curation.chunkByTokens(docs, "doc_id", "text",
+        window = 40, stride = 32).count()
+    }
+
     // ---- round-5: zipf mega-cluster skew sweep -----------------------
     // the web-corpus shape: ONE 10⁴-member near-dup cluster over a
     // distinct background. Each op also reports the max task
