@@ -2272,6 +2272,33 @@ object SparkEntry {
         maxHamming = 10, maxBucket = 10000)
     }),
 
+    "mm_phash_index_probe" -> ((s, dir) => {
+      // persisted perceptual-hash index LIFECYCLE: build over the
+      // even-id corpus, delete every even%10==0 id via a null-payload
+      // delta (the engine-wide deletion contract — undecodable payload
+      // ⇒ tombstone, nothing re-ingested), then probe the odd-id
+      // incoming batch. Matches surface only against LIVE index rows;
+      // probe time reads 9-byte index rows, never corpus payloads.
+      import s.implicits._
+      val M = graft.multimodal.Multimodal
+      val path = tmpPath(dir, "phidx") + "/index"
+      val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      def payloads(d: org.apache.spark.sql.Dataset[Long]) = d
+        .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
+        .toDF("doc_id", "payload")
+      M.savePHashIndex(
+        M.imagePHashes(payloads(ids.filter(_ % 2 == 0)), "doc_id", "payload"),
+        "doc_id", "phash", path)
+      val delIds = ids.filter(id => id % 2 == 0 && id % 10 == 0).toDF("doc_id")
+      val deadHashes = M.imagePHashes(
+        delIds.withColumn("payload", lit(null).cast("binary")), "doc_id", "payload")
+      M.mergePHashDelta(delIds, deadHashes, "doc_id", "phash", path)
+      M.probePHashIndex(path,
+        M.imagePHashes(payloads(ids.filter(_ % 2 == 1)), "doc_id", "payload"),
+        "doc_id", "phash", maxHamming = 10, maxBucket = 10000)
+    }),
+
     "mm_audio_fingerprint" -> ((s, dir) => {
       // REAL audio decode → fingerprint: deterministic mono PCM16 WAVs
       // (AudioFixture), decoded through javax.sound.sampled, hashed by
@@ -5146,6 +5173,57 @@ object SparkEntry {
                   CAST(bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS BIGINT) AS hamming
            FROM cand
            WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 10""",
+
+      "mm_phash_index_probe" ->
+        // same aHash replay; the live index = even ids minus the
+        // %10==0 deletions; probe = odd ids banded against it
+        """WITH raw AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               ((i + (doc_id // 2) * 37) * (i + (doc_id // 2) * 37)
+                + 3 * (i + (doc_id // 2) * 37) + doc_id // 2) % 251) AS r
+             FROM documents),
+           px AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               CASE WHEN doc_id % 2 = 1 AND list_contains(
+                      list_transform(range(0, doc_id % 4),
+                                     j -> ((doc_id // 2 + 7 * j) * 53) % 256), i)
+                    THEN 255 - r[i + 1] ELSE r[i + 1] END) AS p
+             FROM raw),
+           cells AS (
+             SELECT doc_id, list_transform(range(0, 64), c ->
+               (p[((c // 8) * 2) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2) * 16 + (c % 8) * 2 + 2]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 2]) // 4) AS cell
+             FROM px),
+           meaned AS (
+             SELECT doc_id, cell, CAST(list_sum(cell) // 64 AS BIGINT) AS mean FROM cells),
+           words AS (
+             SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 33] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_hi,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 1] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
+             FROM meaned),
+           bands AS (
+             SELECT doc_id, hash_hi, hash_lo, g.b,
+               CASE g.b WHEN 0 THEN hash_lo & 65535 WHEN 1 THEN (hash_lo >> 16) & 65535
+                        WHEN 2 THEN hash_hi & 65535 ELSE (hash_hi >> 16) & 65535 END AS key
+             FROM words, (SELECT unnest(range(0, 4)) AS b) g),
+           idx AS (
+             SELECT * FROM bands WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),
+           ok_b AS (SELECT b, key FROM idx GROUP BY b, key HAVING count(*) <= 10000),
+           probe AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+           cand AS (
+             SELECT DISTINCT p.doc_id AS in_id, x.doc_id AS index_id,
+                    p.hash_hi AS qh, p.hash_lo AS ql, x.hash_hi AS xh, x.hash_lo AS xl
+             FROM probe p
+             JOIN (SELECT idx.* FROM idx JOIN ok_b USING (b, key)) x
+               ON p.b = x.b AND p.key = x.key)
+           SELECT in_id, index_id,
+                  CAST(bit_count(xor(qh, xh)) + bit_count(xor(ql, xl)) AS BIGINT) AS hamming
+           FROM cand
+           WHERE bit_count(xor(qh, xh)) + bit_count(xor(ql, xl)) <= 10""",
 
       "mm_audio_fingerprint" ->
         // closed-form replay of AudioFixture samples → 64 window means

@@ -256,10 +256,17 @@ object Multimodal {
     def fingerprint64(payload: Array[Byte]): Option[Long] =
       sniffFormat(payload).flatMap(_ => open(payload)).flatMap { raw =>
         try {
-          val target = new javax.sound.sampled.AudioFormat(
-            raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
-            true /* signed */, false /* little-endian */)
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+          val fmt = raw.getFormat
+          // skip the converter stream when the source is already
+          // PCM16LE (the dominant WAV case): the conversion SPI adds
+          // per-payload provider probing + a second buffered stream,
+          // ~2× the decode cost for a byte-identical result
+          val in =
+            if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) raw
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new javax.sound.sampled.AudioFormat(fmt.getSampleRate, 16,
+                fmt.getChannels, true /* signed */, false /* little-endian */), raw)
           val mags = scala.collection.mutable.ArrayBuffer.empty[Int]
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
@@ -1047,19 +1054,12 @@ object Multimodal {
     */
   def hammingNearDup(hashes: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 16, maxBucket: Int = 10000): DataFrame = {
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col(hashCol), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))
-    }
     // the banded keys feed three consumers (occupancy census + both
     // self-join sides); without a persist each would re-run the
     // upstream decode+hash scan — the expensive part — three times
     // (SparkEntry.queries contract: callers clear caches between
     // queries, like Bench.dropCaches)
-    val keys = hashes
-      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("__id"), col("__h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keys = bandedKeys(hashes, idCol, hashCol, "__id", "__h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = keys.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
@@ -1073,6 +1073,73 @@ object Multimodal {
       .distinct()
       .select(col("a_id"), col("b_id"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Banded (band, key) rows for a 64-bit hash column — shared by
+    * [[hammingNearDup]] and the persisted-index probe.
+    */
+  private def bandedKeys(df: DataFrame, idCol: String, hashCol: String,
+                         idOut: String, hashOut: String): DataFrame = {
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(hashCol), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    df.select(col(idCol).as(idOut), col(hashCol).as(hashOut),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idOut), col(hashOut),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Persist a perceptual-hash corpus index (image aHash or audio
+    * fingerprint — any 64-bit hash) as a segmented tree
+    * ([[graft.functions.SegmentedIndex]]): 9 bytes of index state per
+    * payload, the ingest-dedup shape — new items probe the index
+    * instead of re-hashing the corpus.
+    */
+  def savePHashIndex(hashes: DataFrame, idCol: String, hashCol: String,
+                     path: String): Unit =
+    graft.functions.SegmentedIndex.createIndex(hashes.sparkSession, path,
+      "hashes", hashes.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("hash")))
+
+  /** O(delta) refresh: `deltaIds` is every id in the delta batch;
+    * `hashes` the hashes of its DECODABLE payloads. An id whose payload
+    * no longer decodes (or was nulled — the deletion contract shared
+    * with the BM25/dedup indexes) is tombstoned and not re-ingested;
+    * re-ingested ids replace their old hash.
+    */
+  def mergePHashDelta(deltaIds: DataFrame, hashes: DataFrame, idCol: String,
+                      hashCol: String, path: String): Unit =
+    graft.functions.SegmentedIndex.mergeDeltaRows(hashes.sparkSession, path,
+      "hashes", deltaIds.select(col(idCol).cast("long").as("id")),
+      hashes.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("hash")))
+
+  /** Live (id, hash) rows of a persisted perceptual-hash index. */
+  def phashIndexRows(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    graft.functions.SegmentedIndex.liveRows(spark, path, "hashes")
+
+  /** Ingest-time near-dup probe: incoming hashes against the persisted
+    * index via the banded equi-join (index side occupancy-capped),
+    * popcount-verified. The corpus is never re-hashed — only its
+    * 8-byte index rows are read; the stream-legal shape
+    * (stream-static join) for gating ingest on visual/audio dupes.
+    */
+  def probePHashIndex(path: String, incoming: DataFrame, idCol: String,
+                      hashCol: String, maxHamming: Int = 10,
+                      maxBucket: Int = 10000): DataFrame = {
+    val spark = incoming.sparkSession
+    val ib = bandedKeys(phashIndexRows(spark, path), "id", "hash", "__xid", "__xh")
+    val ok = ib.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "key")
+    val qb = bandedKeys(incoming, idCol, hashCol, "__qid", "__qh")
+    qb.join(ib.join(ok, Seq("band", "key")), Seq("band", "key"))
+      .select(col("__qid"), col("__xid"), col("__qh"), col("__xh")).distinct()
+      .select(col("__qid").as("in_id"), col("__xid").as("index_id"),
+        bit_count(col("__qh").bitwiseXOR(col("__xh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

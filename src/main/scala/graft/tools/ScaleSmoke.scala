@@ -440,9 +440,12 @@ object ScaleSmoke {
     // 22. funnel over the scaled event stream: one shuffle on user_id,
     // O(1) per-user fold state
     time("funnel_conversion", nEv) {
-      // Funnel casts the ts column to long itself; any monotonic
-      // representation (nanos-long or NTZ epoch cast) orders the fold
-      graft.operators.Funnel.conversion(ev, "user_id", "ts", "event_type",
+      val tsMs = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") / lit(1000000L)
+        case _ => unix_millis(col("ts").cast("timestamp"))
+      }
+      graft.operators.Funnel.conversion(ev.withColumn("ts_ms", tsMs),
+        "user_id", "ts_ms", "event_type",
         Seq("view", "click", "signup", "purchase")).count()
     }
 

@@ -771,6 +771,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprints(mixed, "id", "payload").count() == 1L)
   }
 
+  test("persisted phash index: replace wins, null-payload delete purges, probe sees live only") {
+    import spark.implicits._
+    val path = tmpDir("phash-idx") + "/idx"
+    Multimodal.savePHashIndex(
+      Seq((2L, 10L), (4L, 20L), (10L, 30L)).toDF("id", "ph"), "id", "ph", path)
+    // delta: id 4 re-ingested with a NEW hash, id 10 deleted (no row)
+    Multimodal.mergePHashDelta(Seq(4L, 10L).toDF("id"),
+      Seq((4L, 21L)).toDF("id", "ph"), "id", "ph", path)
+    val live = Multimodal.phashIndexRows(spark, path)
+      .as[(Long, Long)].collect().toSet
+    assert(live == Set((2L, 10L), (4L, 21L)))
+    // probe: only live rows answer — the deleted id 10 (hash 30, which
+    // WOULD match incoming 101 at hamming 2) must stay silent
+    val probe = Multimodal.probePHashIndex(path,
+        Seq((100L, 21L), (101L, 30L)).toDF("id", "ph"), "id", "ph",
+        maxHamming = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probe == Set((100L, 4L, 0L), (101L, 2L, 2L)))
+  }
+
   test("hammingNearDup: banded candidates + popcount verify + bucket occupancy cap") {
     import spark.implicits._
     // hashes: 1L and 3L differ in 1 bit (pair); the far hash shares no
