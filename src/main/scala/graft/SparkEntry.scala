@@ -1753,6 +1753,27 @@ object SparkEntry {
     }),
 
     // ---------------- similarity: IVF-style coarse partition ----------
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive-training hard-negative mining: per anchor, the
+      // top-2 MOST similar candidates with a DIFFERENT label — the
+      // pairs a contrastive loss learns most from. Same broadcast +
+      // bounded-top-k shape as the ANN family; the label inequality is
+      // a join predicate, not a post-filter, so same-label pairs never
+      // materialize.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 12)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("label").as("c_label"))
+      val joined = c.join(broadcast(q),
+          col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+        .withColumn("score", V.cosine(col("q_vec"), col("c_vec")))
+      V.rankTopK(joined, "q_id", "c_id", 2)
+        .select(col("q_id"), col("c_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+    }),
+
     "sim_ivf_label" -> ((s, dir) => {
       // label column = coarse quantizer cell: search only the query's cell
       val e = t(s, dir, "embeddings")
@@ -2297,6 +2318,24 @@ object SparkEntry {
       M.probePHashIndex(path,
         M.imagePHashes(payloads(ids.filter(_ % 2 == 1)), "doc_id", "payload"),
         "doc_id", "phash", maxHamming = 10, maxBucket = 10000)
+    }),
+
+    "mm_image_dedup_keep" -> ((s, dir) => {
+      // pairs → DECISION: greedy min-id image dedup — any image with a
+      // smaller-id near-dup neighbor is dropped (one anti-join pass
+      // over the pair stream, no transitive closure; the CC clustering
+      // variant exists for text near-dups). The keeper set is what a
+      // curation pipeline persists.
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
+        .toDF("doc_id", "payload")
+      val hashes = graft.multimodal.Multimodal.imagePHashes(payloads, "doc_id", "payload")
+      val pairs = graft.multimodal.Multimodal.hammingNearDup(hashes, "doc_id", "phash",
+        maxHamming = 10, maxBucket = 10000)
+      t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+        .join(pairs.select(col("b_id").as("doc_id")), Seq("doc_id"), "left_anti")
     }),
 
     "mm_audio_fingerprint" -> ((s, dir) => {
@@ -4301,6 +4340,22 @@ object SparkEntry {
                        * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE))))), 6) AS cos
            FROM b JOIN a ON id_b > id_a AND id_b <= id_a + 25""",
 
+      "sim_hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+                      FROM embeddings WHERE vec_id < 12),
+                c AS (SELECT vec_id AS c_id, embedding AS c_vec, label AS c_label
+                      FROM embeddings),
+           scored AS (
+             SELECT q_id, c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))) AS score
+             FROM q JOIN c ON q_id <> c_id AND q_label <> c_label)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 2""",
+
       "sim_int8_topk" ->
         // replay: normalize → int8 quantize → integer-dot top-20 per
         // query (idot desc, c_id asc) → exact cosine top-5
@@ -5224,6 +5279,55 @@ object SparkEntry {
                   CAST(bit_count(xor(qh, xh)) + bit_count(xor(ql, xl)) AS BIGINT) AS hamming
            FROM cand
            WHERE bit_count(xor(qh, xh)) + bit_count(xor(ql, xl)) <= 10""",
+
+      "mm_image_dedup_keep" ->
+        // near-dup pair replay, then keepers = ids never on the
+        // larger-id side of an accepted pair
+        """WITH raw AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               ((i + (doc_id // 2) * 37) * (i + (doc_id // 2) * 37)
+                + 3 * (i + (doc_id // 2) * 37) + doc_id // 2) % 251) AS r
+             FROM documents),
+           px AS (
+             SELECT doc_id, list_transform(range(0, 256), i ->
+               CASE WHEN doc_id % 2 = 1 AND list_contains(
+                      list_transform(range(0, doc_id % 4),
+                                     j -> ((doc_id // 2 + 7 * j) * 53) % 256), i)
+                    THEN 255 - r[i + 1] ELSE r[i + 1] END) AS p
+             FROM raw),
+           cells AS (
+             SELECT doc_id, list_transform(range(0, 64), c ->
+               (p[((c // 8) * 2) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2) * 16 + (c % 8) * 2 + 2]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 1]
+              + p[((c // 8) * 2 + 1) * 16 + (c % 8) * 2 + 2]) // 4) AS cell
+             FROM px),
+           meaned AS (
+             SELECT doc_id, cell, CAST(list_sum(cell) // 64 AS BIGINT) AS mean FROM cells),
+           words AS (
+             SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 33] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_hi,
+               CAST(list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN cell[i + 1] > mean THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hash_lo
+             FROM meaned),
+           bands AS (
+             SELECT doc_id, hash_hi, hash_lo, g.b,
+               CASE g.b WHEN 0 THEN hash_lo & 65535 WHEN 1 THEN (hash_lo >> 16) & 65535
+                        WHEN 2 THEN hash_hi & 65535 ELSE (hash_hi >> 16) & 65535 END AS key
+             FROM words, (SELECT unnest(range(0, 4)) AS b) g),
+           ok_b AS (SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= 10000),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                    a.hash_hi AS ah, a.hash_lo AS al, b.hash_hi AS bh, b.hash_lo AS bl
+             FROM (SELECT bands.* FROM bands JOIN ok_b USING (b, key)) a
+             JOIN (SELECT bands.* FROM bands JOIN ok_b USING (b, key)) b
+               ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+           dropped AS (
+             SELECT DISTINCT b_id FROM cand
+             WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) <= 10)
+           SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT b_id FROM dropped)""",
 
       "mm_audio_fingerprint" ->
         // closed-form replay of AudioFixture samples → 64 window means
