@@ -182,6 +182,44 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming perceptual-hash index upkeep — the multimodal ingest
+    * loop: each micro-batch of media payloads hashes on the executors
+    * (real decode; only (id, 8-byte hash) rows reach the sink) and
+    * lands as one O(batch) segment via
+    * [[graft.multimodal.Multimodal.mergePHashDelta]]; the first
+    * non-empty batch creates the index. The engine-wide deletion
+    * contract rides along (undecodable/null payload ⇒ tombstone), the
+    * serialized sink is the single writer, and inline compaction past
+    * `maxSegments` bounds the tree over unbounded uptime. A replayed
+    * batch re-lands as tombstone+replace with identical hashes —
+    * probe answers are replay-stable. Compose with
+    * [[graft.multimodal.Multimodal.probePHashIndex]] on the query/gate
+    * side (stream-static, no state).
+    */
+  def phashIndexStream(media: DataFrame, idCol: String, payloadCol: String,
+                       path: String, checkpoint: String,
+                       hasher: (DataFrame, String, String) => DataFrame =
+                         graft.multimodal.Multimodal.imagePHashes,
+                       maxSegments: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val M = graft.multimodal.Multimodal
+          val S = graft.functions.SegmentedIndex
+          val hashes = hasher(batch, idCol, payloadCol)
+          val hashCol = hashes.columns.filterNot(_ == idCol).head
+          if (S.exists(batch.sparkSession, path))
+            M.mergePHashDelta(batch.select(col(idCol)), hashes,
+              idCol, hashCol, path)
+          else M.savePHashIndex(hashes, idCol, hashCol, path)
+          if (S.segmentDirs(batch.sparkSession, path).size > maxSegments)
+            S.compactIndex(batch.sparkSession, path, "hashes")
+        }
+      }
+      .start()
+
   /** Streaming curation: the batch curation decisions (language ID,
     * quality score, PII scrub) applied to a live document stream. All
     * three are per-row Column expressions, so this stage is stateless —

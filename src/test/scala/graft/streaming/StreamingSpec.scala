@@ -400,6 +400,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("streaming phash index: upkeep folds batches, delete + replace + inline compaction") {
+    import graft.multimodal.{ImageFixture, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpDir("phash-stream") + "/idx"
+    val cp = tmpDir("phash-stream-cp")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = ValidateStream.phashIndexStream(
+      mem.toDF().toDF("id", "payload"), "id", "payload", path, cp,
+      maxSegments = 1)
+    try {
+      mem.addData((2L, ImageFixture.build(2L)), (4L, ImageFixture.build(4L)))
+      q.processAllAvailable()
+      // batch 2: id 4 re-ingested with DIFFERENT content, id 6 new,
+      // id 2 deleted via null payload
+      mem.addData((4L, ImageFixture.build(40L)), (6L, ImageFixture.build(6L)),
+        (2L, null))
+      q.processAllAvailable()
+    } finally q.stop()
+    def h(i: Long): Long =
+      Multimodal.ImageCodec.perceptualHash(ImageFixture.build(i)).get
+    val live = Multimodal.phashIndexRows(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(live == Map(4L -> h(40L), 6L -> h(6L)))
+    // inline compaction held the tree at one segment
+    assert(graft.functions.SegmentedIndex.segmentDirs(spark, path).size == 1)
+    // the probe gate sees the REPLACED content, and nothing for id 2
+    val probe = Multimodal.probePHashIndex(path,
+        Seq((100L, h(40L)), (101L, h(2L))).toDF("id", "ph"), "id", "ph",
+        maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probe == Set((100L, 4L, 0L)))
+  }
+
   test("streaming funnel: cross-batch state continues; final slots equal the batch fold") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "buy")
