@@ -197,4 +197,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(idx.count() == 0)
     assert(DedupFunctions.spanContainmentFromIndex(idx, 50, 1L).count() == 0)
   }
+
+  test("perceptual hashing: no decodable payloads, empty pair sets, constant images") {
+    import graft.multimodal.Multimodal
+    // a corpus where nothing decodes → zero hashes → zero pairs (no
+    // stub hashes fabricating duplicate clusters)
+    val junk = Seq((1L, "a".getBytes), (2L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val hashes = Multimodal.imagePHashes(junk, "id", "payload")
+    assert(hashes.count() == 0)
+    assert(Multimodal.hammingNearDup(hashes, "id", "phash").count() == 0)
+    // two constant-color images: every cell equals the mean → hash 0
+    // for both → a legitimate hamming-0 pair (boilerplate shape)
+    def flat(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val flats = Seq((1L, flat(30)), (2L, flat(200))).toDF("id", "payload")
+    val fp = Multimodal.imagePHashes(flats, "id", "payload")
+    val pairs = Multimodal.hammingNearDup(fp, "id", "phash", maxHamming = 0)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+
+  test("funnel and chunking on empty/degenerate inputs") {
+    val noSteps = Seq((1L, 5L, "other")).toDF("user_id", "ts_ms", "event_type")
+    assert(graft.operators.Funnel.conversion(noSteps, "user_id", "ts_ms",
+      "event_type", Seq("view", "click")).collect()
+      .forall(_.getLong(2) == 0L))
+    val empty = spark.emptyDataFrame
+      .withColumn("user_id", lit(1L)).withColumn("ts_ms", lit(1L))
+      .withColumn("event_type", lit("view")).limit(0)
+    assert(graft.operators.Funnel.userSlots(empty, "user_id", "ts_ms",
+      "event_type", Seq("view")).count() == 0)
+    // chunking: empty text is one empty-token chunk; whitespace-only trims
+    val chunks = graft.functions.Curation.chunkByTokens(
+        Seq((1L, ""), (2L, "   ")).toDF("id", "text"), "id", "text",
+        window = 4, stride = 4)
+      .select("id", "chunk_idx", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(chunks == Set((1L, 0L, 1L), (2L, 0L, 1L)))
+  }
 }
