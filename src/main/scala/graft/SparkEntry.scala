@@ -1458,6 +1458,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
     }),
 
+    "text_bpe_merges" -> ((s, dir) => {
+      // tokenizer TRAINING in-engine: three BPE merge rules learned
+      // over word types weighted by corpus frequency — one corpus scan
+      // (word counts), then vocab-sized pair aggregations + 1-row
+      // argmax collects per step. The oracle replays every step: pair
+      // stats, (freq desc, l, r) tie-break, and the literal-replace
+      // merge application, whose left-to-right non-overlap semantics
+      // match across engines.
+      T.learnBpeMerges(t(s, dir, "documents").select("text"), "text", iters = 3)
+    }),
+
     "text_canonical_dedup" -> ((s, dir) => {
       // unicode canonicalization as the dedup key: each doc emits two
       // byte-DISTINCT variants — decomposed accent + '#' punctuation
@@ -4641,6 +4652,41 @@ object SparkEntry {
                        ELSE 'test' END AS split,
                   COUNT(*) AS n_docs, SUM(nt) AS n_tokens
            FROM acc GROUP BY 1, 2""",
+
+      "text_bpe_merges" -> {
+        // step-for-step replay of the BPE trainer: pair stats over the
+        // evolving symbol sequences, argmax with the (freq desc, l, r)
+        // tie-break, literal-replace merge application
+        def pairCte(i: Int) =
+          s"""p$i AS (SELECT t[i] AS l, t[i + 1] AS r, CAST(SUM(wc) AS BIGINT) AS freq
+                     FROM (SELECT regexp_split_to_array(trim(seq), ' ') AS t, wc,
+                                  unnest(range(1, len(regexp_split_to_array(trim(seq), ' ')))) AS i
+                           FROM v${i - 1}) GROUP BY 1, 2),
+             m$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1)"""
+        def applyCte(i: Int) =
+          s"""v$i AS (SELECT replace(seq,
+                        ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+                        ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS seq, wc
+                     FROM v${i - 1})"""
+        s"""WITH words AS (
+              SELECT w, COUNT(*) AS wc FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                FROM documents)
+              WHERE len(w) > 0 GROUP BY w),
+            v0 AS (
+              SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                       i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS seq, wc
+              FROM words),
+            ${pairCte(1)},
+            ${applyCte(1)},
+            ${pairCte(2)},
+            ${applyCte(2)},
+            ${pairCte(3)}
+            SELECT * FROM (
+              SELECT 1::BIGINT AS step, l AS l_tok, r AS r_tok, freq FROM m1
+              UNION ALL SELECT 2::BIGINT, l, r, freq FROM m2
+              UNION ALL SELECT 3::BIGINT, l, r, freq FROM m3)"""
+      },
 
       "text_canonical_dedup" ->
         // chr(769) = U+0301 combining acute (decomposed), chr(233) =

@@ -197,6 +197,70 @@ object TextFunctions {
     * token set. Identical modulo token order/multiplicity — the standard
     * "bag fingerprint" for clustering boilerplate variants.
     */
+  /** Learn `iters` BPE merge rules in-engine — the tokenizer-TRAINING
+    * step of a data pipeline, in the shape real trainers use
+    * (HuggingFace tokenizers): pair statistics aggregate over distinct
+    * WORD TYPES weighted by corpus frequency, so after ONE corpus scan
+    * (the word-count table) every iteration is a vocabulary-sized
+    * groupBy plus a 1-row argmax collect. Each word is a
+    * space-delimited symbol sequence with sentinel spaces; applying a
+    * merge is a literal `replace(" l r " → " lr ")`, whose
+    * left-to-right non-overlap semantics are identical across engines
+    * (and to the greedy BPE apply rule), so the DuckDB oracle replays
+    * training step for step. Ties break (freq desc, left, right) —
+    * binary collation both sides.
+    *
+    * Returns (step, l_tok, r_tok, freq) — one row per learned merge.
+    */
+  def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     iters: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = words
+      .select(concat(lit(" "), array_join(chars, " "), lit(" ")).as("seq"),
+        col("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var step = 1
+      var done = false
+      while (step <= iters && !done) {
+        val toks = split(trim(col("seq")), " ")
+        val pairs = explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (l, r) => struct(l.as("l"), r.as("r"))))
+        val top = vocab.select(pairs.as("p"), col("wc"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("wc").as("freq"))
+          .orderBy(col("freq").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, r, f) = (top.head.getString(0), top.head.getString(1),
+            top.head.getLong(2))
+          merges += ((step, l, r, f))
+          val next = vocab
+            .withColumn("seq", replace(col("seq"),
+              lit(s" $l $r "), lit(s" $l$r ")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent
+          vocab.unpersist(blocking = false)
+          vocab = next
+          step += 1
+        }
+      }
+    } finally vocab.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("step", "l_tok", "r_tok", "freq")
+      .select(col("step").cast("long").as("step"), col("l_tok"),
+        col("r_tok"), col("freq"))
+  }
+
   /** Unicode canonicalization for dedup keys (NFC + lowercase +
     * punctuation fold + whitespace collapse) — native codegen'd
     * [[graft.plans.NormalizeTextExpr]], DuckDB-replayable.

@@ -666,6 +666,24 @@ class FunctionsSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("learnBpeMerges: planted corpus learns the hand-computed merges in order") {
+    import spark.implicits._
+    // words: low×3, lower×2, newest×1
+    // step 1: (l,o) and (o,w) tie at 5 → lex tie-break picks (l,o)
+    // step 2: (lo,w) at 5
+    // step 3: (e,r) and (low,e) tie at 2 → (e,r)
+    val docs = Seq("low low low", "lower lower newest").toDF("text")
+    val merges = graft.functions.TextFunctions.learnBpeMerges(docs, "text", 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L)))
+    // fewer pairs than iters: training stops when the vocab is merged out
+    val tiny = Seq("ab ab").toDF("text")
+    val m2 = graft.functions.TextFunctions.learnBpeMerges(tiny, "text", 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m2 == Seq((1L, "a", "b", 2L)))
+  }
+
   test("chunkByTokens: sliding windows overlap by window-stride, tail chunk is partial") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
