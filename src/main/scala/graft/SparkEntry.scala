@@ -1469,6 +1469,23 @@ object SparkEntry {
       T.learnBpeMerges(t(s, dir, "documents").select("text"), "text", iters = 3)
     }),
 
+    "text_bpe_tokenize" -> ((s, dir) => {
+      // tokenizer train → APPLY: learn 3 merges, then count each
+      // document's BPE tokens (greedy apply, identical replace
+      // semantics to training) next to its character-token count —
+      // the compression the learned vocab buys, per doc.
+      val merges = T.learnBpeMerges(
+          t(s, dir, "documents").select("text"), "text", iters = 3)
+        .orderBy("step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = filter(split(trim(lower(col("text"))), "\\s+"),
+        w => length(w) > 0)
+      t(s, dir, "documents").select(col("doc_id"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_char_tokens"),
+        T.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+    }),
+
     "text_canonical_dedup" -> ((s, dir) => {
       // unicode canonicalization as the dedup key: each doc emits two
       // byte-DISTINCT variants — decomposed accent + '#' punctuation
@@ -4686,6 +4703,50 @@ object SparkEntry {
               SELECT 1::BIGINT AS step, l AS l_tok, r AS r_tok, freq FROM m1
               UNION ALL SELECT 2::BIGINT, l, r, freq FROM m2
               UNION ALL SELECT 3::BIGINT, l, r, freq FROM m3)"""
+      },
+
+      "text_bpe_tokenize" -> {
+        // re-train (same replay as text_bpe_merges, words kept through
+        // the chain), then per-doc counts from the word-type table
+        def pairCte(i: Int) =
+          s"""p$i AS (SELECT t[i] AS l, t[i + 1] AS r, CAST(SUM(wc) AS BIGINT) AS freq
+                     FROM (SELECT regexp_split_to_array(trim(seq), ' ') AS t, wc,
+                                  unnest(range(1, len(regexp_split_to_array(trim(seq), ' ')))) AS i
+                           FROM v${i - 1}) GROUP BY 1, 2),
+             m$i AS (SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1)"""
+        def applyCte(i: Int) =
+          s"""v$i AS (SELECT w, wc, replace(seq,
+                        ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+                        ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS seq
+                     FROM v${i - 1})"""
+        s"""WITH words AS (
+              SELECT w, COUNT(*) AS wc FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                FROM documents)
+              WHERE len(w) > 0 GROUP BY w),
+            v0 AS (
+              SELECT w, wc, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                       i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS seq
+              FROM words),
+            ${pairCte(1)},
+            ${applyCte(1)},
+            ${pairCte(2)},
+            ${applyCte(2)},
+            ${pairCte(3)},
+            ${applyCte(3)},
+            wtok AS (SELECT w, len(w) AS nc,
+                            len(regexp_split_to_array(trim(seq), ' ')) AS nt
+                     FROM v3),
+            docw AS (SELECT doc_id, w FROM (
+                       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                       FROM documents)
+                     WHERE len(w) > 0),
+            agg AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n_char_tokens,
+                           CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+                    FROM docw JOIN wtok USING (w) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.n_char_tokens, 0) AS n_char_tokens,
+                   COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+            FROM documents d LEFT JOIN agg a USING (doc_id)"""
       },
 
       "text_canonical_dedup" ->

@@ -261,6 +261,29 @@ object TextFunctions {
         col("r_tok"), col("freq"))
   }
 
+  /** APPLY learned BPE merges: per-document token count after running
+    * the merge list (in learned order) over each word's symbol
+    * sequence — the greedy left-to-right apply rule, expressed as the
+    * same sentinel-space literal replaces the trainer uses, so
+    * train/apply semantics are identical by construction. Pure
+    * scan-side expression (merge list is driver-small and folds into
+    * the plan); at billion-doc scale the word-TYPE token table from
+    * training broadcast-joins instead of re-merging per occurrence —
+    * same answers, amortized work.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = filter(split(trim(lower(text)), "\\s+"), w => length(w) > 0)
+    val perWord = transform(words, w => {
+      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      val seq0 = concat(lit(" "), array_join(chars, " "), lit(" "))
+      val merged = merges.foldLeft(seq0) { case (s, (l, r)) =>
+        replace(s, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      size(split(trim(merged), " ")).cast("long")
+    })
+    aggregate(perWord, lit(0L), (a, x) => a + x)
+  }
+
   /** Unicode canonicalization for dedup keys (NFC + lowercase +
     * punctuation fold + whitespace collapse) — native codegen'd
     * [[graft.plans.NormalizeTextExpr]], DuckDB-replayable.
