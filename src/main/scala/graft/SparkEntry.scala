@@ -1374,6 +1374,25 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     }),
 
+    "agg_maintain_sample" -> ((s, dir) => {
+      // maintained uniform sample: per return flag, the 5 part keys
+      // with the smallest salted hash — a pure function of the value
+      // SET, so the base+delta merge IS the from-scratch sample
+      // (bottom-k of a union = bottom-k of the union of bottom-ks; a
+      // true arrival-order reservoir can't be maintained). The oracle
+      // computes the ground-truth bottom-5 directly.
+      val A = graft.operators.AggMaintain
+      val li = t(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val merged = A.mergeSamples(Seq(
+          A.partialSample(li.filter(col("l_shipdate") < lit("1995-06-01")),
+            keys, "l_partkey", 5),
+          A.partialSample(li.filter(col("l_shipdate") >= lit("1995-06-01")),
+            keys, "l_partkey", 5)),
+        keys, "l_partkey", 5)
+      merged.select(col("l_returnflag"), col("l_partkey").as("sample_partkey"))
+    }),
+
     "agg_maintain_distinct" -> ((s, dir) => {
       // distinct-count maintenance: COUNT DISTINCT is not summable, so
       // the delta refresh rides a mergeable HLL sketch (AggMaintain.
@@ -4766,6 +4785,17 @@ object SparkEntry {
            SELECT count(*) AS n_rows, count(DISTINCT v) AS n_raw,
                   count(DISTINCT ck) AS n_canonical
            FROM c""",
+
+      "agg_maintain_sample" ->
+        // ground truth directly: per flag, the 5 distinct part keys
+        // with the smallest salted 32-bit hash (value tie-break)
+        """WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+           h AS (SELECT l_returnflag, l_partkey,
+                        ('0x' || substr(md5('sample:' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hh
+                 FROM d)
+           SELECT l_returnflag, l_partkey AS sample_partkey
+           FROM h
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hh, l_partkey) <= 5""",
 
       "agg_maintain_distinct" ->
         // the engine asserts the sketch contracts in-plan; the oracle

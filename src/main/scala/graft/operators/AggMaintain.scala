@@ -84,4 +84,43 @@ object AggMaintain {
   def estimateDistinct(sketches: DataFrame, sketchCol: String,
                        alias: String): DataFrame =
     sketches.withColumn(alias, hll_sketch_estimate(col(sketchCol)))
+
+  /** Deterministic bottom-k sample maintenance — a mergeable
+    * "reservoir": per key, keep the k values with the smallest salted
+    * 32-bit hash (value tie-break). The sample is a pure function of
+    * the value SET, because bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)) — so folding a delta partial into the stored partial
+    * is EXACTLY the from-scratch sample (true reservoir sampling is
+    * arrival-order-dependent and can't be maintained this way), and
+    * the hash uniformity makes it uniform-at-random per key. The
+    * maintained artifact: a per-key eval/debug sample that refreshes
+    * at delta cost, bounded k rows per key in state and shuffle
+    * (map-side-combined [[graft.plans.TopKAggregate]]); SET semantics —
+    * duplicate values dedupe before the bottom-k, so re-ingesting a
+    * value is a no-op.
+    */
+  def partialSample(batch: DataFrame, keys: Seq[String], valueCol: String,
+                    k: Int, salt: String = "sample"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(valueCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    graft.plans.TopKAggregate.topKExploded(
+        batch.select((keys.map(col) :+ col(valueCol).cast("long").as("__v"))
+          :+ h.as("__h"): _*).distinct(),
+        keys, col("__h"), col("__v"), k, descending = false)
+      .select((keys.map(col) :+ col("id").as(valueCol))
+        :+ col("score").cast("long").as("__h"): _*)
+  }
+
+  /** Merge sample partials (stored + deltas): union, re-take bottom-k.
+    * Output shape equals [[partialSample]] — (keys, value, hash).
+    */
+  def mergeSamples(partials: Seq[DataFrame], keys: Seq[String],
+                   valueCol: String, k: Int): DataFrame =
+    graft.plans.TopKAggregate.topKExploded(
+        partials.reduce(_ unionByName _)
+          .select((keys.map(col) :+ col(valueCol).as("__v")) :+ col("__h"): _*)
+          .distinct(),
+        keys, col("__h"), col("__v"), k, descending = false)
+      .select((keys.map(col) :+ col("id").as(valueCol))
+        :+ col("score").cast("long").as("__h"): _*)
 }

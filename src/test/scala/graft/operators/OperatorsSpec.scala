@@ -177,6 +177,29 @@ class OperatorsSpec extends SparkSpec {
     assert(m.keySet == Set("a", "b", "c"))
   }
 
+  test("aggmaintain sample: bottom-k reservoir merges exactly with set semantics") {
+    val base = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L)).toDF("k", "v")
+    val delta = Seq(("a", 3L), ("a", 4L), ("b", 9L)).toDF("k", "v") // re-ingests
+    def sample(dfs: Seq[org.apache.spark.sql.DataFrame]): Seq[(String, Long)] =
+      AggMaintain.mergeSamples(
+          dfs.map(d => AggMaintain.partialSample(d, Seq("k"), "v", 2)),
+          Seq("k"), "v", 2)
+        .select("k", "v").as[(String, Long)].collect().toSeq.sorted
+    val incr = sample(Seq(base, delta))
+    val scratch = sample(Seq(base.unionByName(delta)))
+    assert(incr == scratch, "delta merge must equal the from-scratch sample")
+    // set semantics: values 3 and 9 arrived twice, sample holds each once
+    assert(incr.distinct == incr)
+    assert(incr.count(_._1 == "a") == 2 && incr.count(_._1 == "b") == 1)
+    // the sample is the hash-bottom-2 of the DISTINCT values per key
+    def h(v: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sample:$v".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val expectA = Seq(1L, 2L, 3L, 4L).sortBy(v => (h(v), v)).take(2).sorted
+    assert(incr.filter(_._1 == "a").map(_._2).sorted == expectA)
+  }
+
   test("aggmaintain distinct: dense-mode merges are partition-invariant") {
     // 30k distinct values — well past the lgK=12 sparse→dense promotion
     // where the order-dependent HIP estimator would diverge; any split
