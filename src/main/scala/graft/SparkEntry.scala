@@ -1393,6 +1393,44 @@ object SparkEntry {
       merged.select(col("l_returnflag"), col("l_partkey").as("sample_partkey"))
     }),
 
+    "agg_maintain_quantile" -> ((s, dir) => {
+      // maintained QUANTILES: a mergeable bottom-k row sample (hash
+      // over the row identity, so multiplicity is preserved) answers
+      // median queries at delta-refresh cost. The output proves both
+      // contracts: the date-split and parity-split merges are
+      // bit-identical samples (incr_eq_rebuild — split invariance),
+      // and the sample median lands within 10% of the exact median
+      // the oracle pins (deterministic: the sample is a pure function
+      // of the row set).
+      val A = graft.operators.AggMaintain
+      val li = t(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val idc = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity")
+      def part(f: Column) =
+        A.partialRowSample(li.filter(f), keys, "l_quantity", idc, 1024)
+      val byDate = A.mergeSamples(Seq(
+        part(col("l_shipdate") < lit("1995-06-01")),
+        part(col("l_shipdate") >= lit("1995-06-01"))), keys, "l_quantity", 1024)
+      val byParity = A.mergeSamples(Seq(
+        part(col("l_orderkey") % 2 === 0),
+        part(col("l_orderkey") % 2 === 1)), keys, "l_quantity", 1024)
+      def packed(df: org.apache.spark.sql.DataFrame, alias: String) =
+        df.groupBy("l_returnflag")
+          .agg(sort_array(collect_list(struct(col("__h"), col("l_quantity"))))
+            .as(alias))
+      val eq = packed(byDate, "sa").join(packed(byParity, "sb"), "l_returnflag")
+        .select(col("l_returnflag"), (col("sa") === col("sb")).as("incr_eq_rebuild"))
+      val est = byDate.groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("est_p50"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("exact_p50"))
+      eq.join(est, "l_returnflag").join(exact, "l_returnflag")
+        .select(col("l_returnflag"), round(col("exact_p50"), 6).as("exact_p50"),
+          col("incr_eq_rebuild"),
+          (abs(col("est_p50") / col("exact_p50") - 1.0) <= 0.10).as("within_10pct"))
+    }),
+
     "agg_maintain_distinct" -> ((s, dir) => {
       // distinct-count maintenance: COUNT DISTINCT is not summable, so
       // the delta refresh rides a mergeable HLL sketch (AggMaintain.
@@ -4785,6 +4823,12 @@ object SparkEntry {
            SELECT count(*) AS n_rows, count(DISTINCT v) AS n_raw,
                   count(DISTINCT ck) AS n_canonical
            FROM c""",
+
+      "agg_maintain_quantile" ->
+        """SELECT l_returnflag,
+                  ROUND(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+                  true AS incr_eq_rebuild, true AS within_10pct
+           FROM lineitem GROUP BY 1""",
 
       "agg_maintain_sample" ->
         // ground truth directly: per flag, the 5 distinct part keys

@@ -111,6 +111,29 @@ object AggMaintain {
         :+ col("score").cast("long").as("__h"): _*)
   }
 
+  /** Row-identity variant of [[partialSample]] for maintained order
+    * STATISTICS (quantiles over row multiplicity, not distinct
+    * values): the hash ranges over the row-identity columns, so each
+    * physical row is its own sampling unit and the carried member is
+    * the measure value. Same exact-merge property — the maintained
+    * sample is a pure function of the row-identity set — so a
+    * quantile read from it is split-invariant, and its accuracy is
+    * the usual uniform-sample bound (rank error ~ 1/√k).
+    */
+  def partialRowSample(batch: DataFrame, keys: Seq[String], valueCol: String,
+                       identityCols: Seq[String], k: Int,
+                       salt: String = "rows"): DataFrame = {
+    val h = conv(substring(md5(concat_ws("|",
+      lit(salt) +: identityCols.map(c => col(c).cast("string")): _*)), 1, 8),
+      16, 10).cast("long")
+    graft.plans.TopKAggregate.topKExploded(
+        batch.select((keys.map(col) :+ col(valueCol).cast("long").as("__v"))
+          :+ h.as("__h"): _*).distinct(),
+        keys, col("__h"), col("__v"), k, descending = false)
+      .select((keys.map(col) :+ col("id").as(valueCol))
+        :+ col("score").cast("long").as("__h"): _*)
+  }
+
   /** Merge sample partials (stored + deltas): union, re-take bottom-k.
     * Output shape equals [[partialSample]] — (keys, value, hash).
     */
