@@ -1838,27 +1838,6 @@ object SparkEntry {
     }),
 
     // ---------------- similarity: IVF-style coarse partition ----------
-    "sim_hard_negatives" -> ((s, dir) => {
-      // contrastive-training hard-negative mining: per anchor, the
-      // top-2 MOST similar candidates with a DIFFERENT label — the
-      // pairs a contrastive loss learns most from. Same broadcast +
-      // bounded-top-k shape as the ANN family; the label inequality is
-      // a join predicate, not a post-filter, so same-label pairs never
-      // materialize.
-      val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 12)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-          col("label").as("q_label"))
-      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
-        col("label").as("c_label"))
-      val joined = c.join(broadcast(q),
-          col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
-        .withColumn("score", V.cosine(col("q_vec"), col("c_vec")))
-      V.rankTopK(joined, "q_id", "c_id", 2)
-        .select(col("q_id"), col("c_id"),
-          round(col("score"), 6).as("score"), col("rank"))
-    }),
-
     "sim_ivf_label" -> ((s, dir) => {
       // label column = coarse quantizer cell: search only the query's cell
       val e = t(s, dir, "embeddings")
@@ -4424,22 +4403,6 @@ object SparkEntry {
                     / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_a[i] AS DOUBLE) * CAST(vec_a[i] AS DOUBLE))))
                        * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE))))), 6) AS cos
            FROM b JOIN a ON id_b > id_a AND id_b <= id_a + 25""",
-
-      "sim_hard_negatives" ->
-        """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
-                      FROM embeddings WHERE vec_id < 12),
-                c AS (SELECT vec_id AS c_id, embedding AS c_vec, label AS c_label
-                      FROM embeddings),
-           scored AS (
-             SELECT q_id, c_id,
-                    list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
-                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
-                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE))))) AS score
-             FROM q JOIN c ON q_id <> c_id AND q_label <> c_label)
-           SELECT q_id, c_id, ROUND(score, 6) AS score,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
-           FROM scored
-           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 2""",
 
       "sim_int8_topk" ->
         // replay: normalize → int8 quantize → integer-dot top-20 per
