@@ -174,6 +174,26 @@ class CoverageExtrasSpec extends SparkSpec {
     assert(closed == List(SessionizeStream.Session(1L, 0L, 1000L, 2, 3.0)))
     assert(state.getOption.exists(s => s.start_ms == 100000L && s.n_events == 1))
   }
+
+  test("registry hygiene: no silently-shadowed duplicate query/oracle names") {
+    // Map literals dedupe duplicate keys without a warning — a second
+    // registration of an existing name silently drops one definition
+    // and costs the gate a query slot. Parse the source to catch it.
+    val src = java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")
+    assume(java.nio.file.Files.exists(src), "source tree not present")
+    val text = java.nio.file.Files.readString(src)
+    def dups(pattern: scala.util.matching.Regex): Seq[String] = pattern
+      .findAllMatchIn(text).map(_.group(1)).toSeq
+      .groupBy(identity).collect { case (n, hits) if hits.size > 1 => n }.toSeq
+    val qDups = dups(""""([a-z0-9_]+)" -> \(\(s, dir\)""".r)
+    assert(qDups.isEmpty, s"duplicate query registrations: $qDups")
+    // every query has an oracle and vice versa (the driver treats a
+    // missing oracle as a weaker rows-only check — never intended here)
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"query/oracle key mismatch: ${
+        (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet) ++
+          (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet)}")
+  }
 }
 
 /** Minimal GroupState stub for driving flatMapGroupsWithState logic. */
