@@ -148,10 +148,10 @@ object VectorFunctions {
   def int8TopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
                qVec: String, cVec: String, k: Int, shortlist: Int): DataFrame = {
     // codes kept as array<double> so the native codegen'd DotProduct
-    // computes the integer dot EXACTLY (|idot| ≤ 127²·dim ≪ 2⁵³) —
-    // the interpreted HOF fold costs ~100× more per pair
-    def codes(v: Column): Column =
-      quantizeInt8(l2normalize(v)).getField("q").cast("array<double>")
+    // computes the integer dot EXACTLY (|idot| ≤ 127²·dim ≪ 2⁵³); the
+    // normalize+quantize pass is the native Int8CodesExpr — the HOF
+    // composition costs five interpreted lambda passes per vector
+    def codes(v: Column): Column = graft.plans.Int8CodesExpr.int8Codes(v)
     val q0 = queries.select(col(qId), codes(col(qVec)).as("__qq"))
     val c0 = corpus.select(col(cId), codes(col(cVec)).as("__cq"))
     val cand = c0.join(broadcast(q0), col(qId) =!= col(cId))

@@ -267,28 +267,28 @@ object Multimodal {
             else javax.sound.sampled.AudioSystem.getAudioInputStream(
               new javax.sound.sampled.AudioFormat(fmt.getSampleRate, 16,
                 fmt.getChannels, true /* signed */, false /* little-endian */), raw)
-          val mags = scala.collection.mutable.ArrayBuffer.empty[Int]
+          // primitive byte sink, then one indexed pass — a generic
+          // Int buffer here boxes every sample (50k payloads × 1k
+          // samples = GC-bound, measured ~3× the whole decode cost)
+          val bos = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
           while (n > 0) {
-            var i = 0
-            while (i + 1 < n) {
-              val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt
-              mags += math.min(math.abs(s), 32767)
-              i += 2
-            }
+            bos.write(buf, 0, n)
             n = in.read(buf)
           }
           try in.close() catch { case _: Exception => () }
-          if (mags.isEmpty) None
+          val data = bos.toByteArray
+          val total = data.length / 2
+          if (total == 0) None
           else {
-            val total = mags.length
             val sums = new Array[Long](64)
             val cnts = new Array[Long](64)
             var t = 0
             while (t < total) {
+              val s = ((data(2 * t) & 0xff) | (data(2 * t + 1) << 8)).toShort.toInt
               val w = (t.toLong * 64 / total).toInt
-              sums(w) += mags(t)
+              sums(w) += math.min(math.abs(s), 32767)
               cnts(w) += 1
               t += 1
             }

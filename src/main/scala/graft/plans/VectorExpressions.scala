@@ -136,3 +136,83 @@ object AdcDistance {
   def adc(codes: Column, dtab: Column): Column =
     ColumnBridge.column(AdcDistance(ColumnBridge.expression(codes), ColumnBridge.expression(dtab)))
 }
+
+/** Native normalize→int8-quantize codes (the int8-ANN scan path):
+  * bit-identical to the HOF composition
+  * `quantizeInt8(l2normalize(v)).q.cast(array<double>)` — same
+  * float→double widening, same sequential norm fold, the same
+  * string-BigDecimal HALF_UP round Spark's `round(x, 0)` applies, the
+  * same int truncation — but in one tight codegen'd loop instead of
+  * five interpreted per-element lambda passes (property-tested
+  * bit-for-bit, and the DuckDB oracle still matches).
+  */
+case class Int8CodesExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_codes needs a float/double array, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    Int8CodesExpr.compute(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Int8CodesExpr.compute($c, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8CodesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "int8_codes"
+}
+
+object Int8CodesExpr {
+
+  def compute(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      d(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      s += d(i) * d(i)
+      i += 1
+    }
+    val norm = math.sqrt(s)
+    var maxAbs = 0.0
+    i = 0
+    while (i < n) {
+      if (norm != 0.0) d(i) = d(i) / norm
+      val a = math.abs(d(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Double](n)
+    if (maxAbs != 0.0) {
+      val scale = maxAbs / 127.0
+      i = 0
+      while (i < n) {
+        // Spark round(x, 0) on double: string-valueOf BigDecimal,
+        // HALF_UP; the int cast then truncates the rounded double
+        out(i) = java.math.BigDecimal.valueOf(d(i) / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue().toInt.toDouble
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def int8Codes(v: Column): Column =
+    ColumnBridge.column(Int8CodesExpr(ColumnBridge.expression(v)))
+}

@@ -390,6 +390,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Int8CodesExpr matches the HOF normalize+quantize bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
+    forSamples(Gen.listOfN(12, vecGen)) { vecs =>
+      val df = (vecs :+ List.fill(16)(0.0f)).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+      val bad = df.select(
+          graft.plans.Int8CodesExpr.int8Codes(col("v")).as("native"),
+          VectorFunctions.quantizeInt8(VectorFunctions.l2normalize(col("v")))
+            .getField("q").cast("array<double>").as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(bad == 0)
+    }
+  }
+
   test("property: perceptual hashes are re-encode invariant") {
     import graft.multimodal.{AudioFixture, ImageFixture, Multimodal}
     (0L until 12L).foreach { id =>
