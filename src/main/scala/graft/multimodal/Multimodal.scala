@@ -253,7 +253,67 @@ object Multimodal {
       * for non-audio or empty payloads (no stub hash — fake
       * fingerprints would fabricate duplicate clusters).
       */
-    def fingerprint64(payload: Array[Byte]): Option[Long] =
+    /** Direct RIFF chunk walk for the dominant case — plain PCM16LE
+      * WAV: locate `fmt ` (PCM, 16-bit) and `data`, return the sample
+      * byte range. ~10× cheaper than an `AudioSystem` stream per
+      * payload (SPI probing + stream stack dominate at 200µs/payload
+      * over 50k-payload scans); anything unexpected returns None and
+      * falls back to the full javax.sound path. Same bytes either way.
+      */
+    private def pcm16Range(p: Array[Byte]): Option[(Int, Int)] = {
+      def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long = (le16(o) & 0xffffL) | ((le16(o + 2) & 0xffffL) << 16)
+      if (p.length < 44) return None
+      var pos = 12 // past RIFF header
+      var fmtOk = false
+      var data: Option[(Int, Int)] = None
+      while (pos + 8 <= p.length && (data.isEmpty || !fmtOk)) {
+        val id = new String(p, pos, 4, "ISO-8859-1")
+        val size = le32(pos + 4).toInt
+        if (size < 0 || pos + 8 + size > p.length) return None
+        if (id == "fmt " && size >= 16)
+          fmtOk = le16(pos + 8) == 1 && le16(pos + 8 + 14) == 16
+        else if (id == "data") data = Some((pos + 8, size))
+        pos += 8 + size + (size & 1) // chunks pad to even
+      }
+      if (fmtOk) data else None
+    }
+
+    def fingerprint64(payload: Array[Byte]): Option[Long] = {
+      if (sniffFormat(payload).contains("wav")) {
+        pcm16Range(payload).foreach { case (off, len) =>
+          val total = len / 2
+          if (total == 0) return None
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var t = 0
+          while (t < total) {
+            val s = ((payload(off + 2 * t) & 0xff) |
+              (payload(off + 2 * t + 1) << 8)).toShort.toInt
+            val w = (t.toLong * 64 / total).toInt
+            sums(w) += math.min(math.abs(s), 32767)
+            cnts(w) += 1
+            t += 1
+          }
+          return Some(foldWindows(sums, cnts))
+        }
+      }
+      fingerprint64ViaSound(payload)
+    }
+
+    private def foldWindows(sums: Array[Long], cnts: Array[Long]): Long = {
+      val wins = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+      val mean = wins.sum / 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (wins(i) > mean) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
+    private[multimodal] def fingerprint64ViaSound(payload: Array[Byte]): Option[Long] =
       sniffFormat(payload).flatMap(_ => open(payload)).flatMap { raw =>
         try {
           val fmt = raw.getFormat
@@ -292,16 +352,7 @@ object Multimodal {
               cnts(w) += 1
               t += 1
             }
-            val wins = Array.tabulate(64)(i =>
-              if (cnts(i) == 0) 0L else sums(i) / cnts(i))
-            val mean = wins.sum / 64
-            var hash = 0L
-            var i = 0
-            while (i < 64) {
-              if (wins(i) > mean) hash |= 1L << i
-              i += 1
-            }
-            Some(hash)
+            Some(foldWindows(sums, cnts))
           }
         } catch { case _: Exception => None }
       }

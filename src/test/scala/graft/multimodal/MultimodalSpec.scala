@@ -764,6 +764,26 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(h(6L), h(7L)) <= 10)
     assert(ham(h(0L), h(40L)) > 10)
     assert(Multimodal.AudioCodec.fingerprint64("not audio".getBytes).isEmpty)
+    // the direct RIFF walk must agree with the javax.sound path on the
+    // fixture WAVs, and non-PCM16 payloads fall back to it
+    (0L until 10L).foreach { id =>
+      val wav = AudioFixture.build(id)
+      assert(Multimodal.AudioCodec.fingerprint64(wav) ==
+        Multimodal.AudioCodec.fingerprint64ViaSound(wav), s"fastpath id=$id")
+    }
+    val eightBit = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+      val raw = Array.tabulate(200)(i => (i % 120 - 60).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, 200L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.AudioCodec.fingerprint64(eightBit) ==
+      Multimodal.AudioCodec.fingerprint64ViaSound(eightBit))
+    assert(Multimodal.AudioCodec.fingerprint64(eightBit).isDefined)
     // audioFingerprints drops undecodable rows instead of stub-hashing
     import spark.implicits._
     val mixed = Seq((1L, AudioFixture.build(1L)), (2L, "junk".getBytes))
