@@ -17,6 +17,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (warmup still runs them so codegen cost stays amortized)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,12 +47,12 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       dropCaches(spark)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Double, Map[String, Double]) = {
         graft.tools.PhaseTimer.drain() // clear leftovers from prior runs
         val t0 = System.nanoTime()

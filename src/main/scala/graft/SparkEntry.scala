@@ -920,6 +920,78 @@ object SparkEntry {
         k = 5)
     }),
 
+    "text_bm25_asof" -> ((s, dir) => {
+      // SNAPSHOT (time-travel) reads on the segmented index: build v0
+      // on 2/3 of the corpus, merge a delta that adds the rest,
+      // re-ingests every %5 doc with changed text, and DELETES every
+      // delta doc with id %7==1 (null text). asOf=0 then replays the
+      // v0 ranking bit for bit — stats included, because every segment
+      // snapshots n_docs/avgdl at its commit — while the default read
+      // scores the post-delta corpus. History rides the immutable
+      // segments: no copy, no rewrite, reproducible until compaction
+      // folds it (the lakehouse vacuum trade). The reproducible-
+      // training-run story: pin asOf in the run manifest and the
+      // retrieval layer replays identically months later.
+      val docs = t(s, dir, "documents")
+      val idxPath = tmpPath(dir, "bm25_asof")
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxPath)
+      }
+      val delta = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" zzasoftoken")))
+            .otherwise(col("text")))
+      phase("merge") {
+        graft.functions.Curation.mergeBm25Delta(delta, "doc_id", "text", idxPath)
+      }
+      val qs = Seq(
+        0L -> Seq("spark", "window"),
+        1L -> Seq("zzasoftoken", "vector"),
+        2L -> Seq("customer", "query"))
+      val v0 = graft.functions.Curation
+        .bm25TopKFromIndex(s, idxPath, qs, k = 5, asOf = 0)
+        .withColumn("version", lit(0L))
+      val cur = graft.functions.Curation
+        .bm25TopKFromIndex(s, idxPath, qs, k = 5)
+        .withColumn("version", lit(1L))
+      v0.unionByName(cur).select(col("version"), col("query_id"),
+        col("doc_id"), col("score"), col("rank"))
+    }),
+
+    "text_bm25_segments" -> ((s, dir) => {
+      // footer-only index introspection: per-segment doc rows +
+      // tombstones straight from parquet footers — the numbers an
+      // operator watches to schedule compaction. ZERO Spark jobs after
+      // construction; the oracle derives the same counts in closed
+      // form from the corpus slices (build = %2 docs; delta re-ingests
+      // %10==4, adds %10==1, deletes %10==8 via null text — tombstones
+      // = live ∩ delta ids = the %10∈{4,8} evens).
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxPath = tmpPath(dir, "bm25_desc")
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+      }
+      val delta = docs.filter((col("doc_id") % 10).isin(1, 4, 8))
+        .withColumn("text",
+          when(col("doc_id") % 10 === 8, lit(null).cast("string"))
+            .when(col("doc_id") % 10 === 4,
+              concat(col("text"), lit(" zzdesctoken")))
+            .otherwise(col("text")))
+      phase("merge") {
+        graft.functions.Curation.mergeBm25Delta(delta, "doc_id", "text", idxPath)
+      }
+      graft.functions.SegmentedIndex.describe(s, idxPath, "doclen")
+        .toDF("segment", "n_rows", "n_tombstones")
+        .select(col("segment").cast("long").as("segment"),
+          col("n_rows"), col("n_tombstones"))
+    }),
+
     "text_hybrid_rerank" -> ((s, dir) => {
       // RAG-shaped hybrid retrieval: BM25 lexical shortlist (top-20
       // per query from the persisted inverted index) re-ranked by
@@ -2372,13 +2444,17 @@ object SparkEntry {
       def payloads(d: org.apache.spark.sql.Dataset[Long]) = d
         .mapPartitions(it => it.map(id => (id, graft.multimodal.ImageFixture.build(id))))
         .toDF("doc_id", "payload")
-      M.savePHashIndex(
-        M.imagePHashes(payloads(ids.filter(_ % 2 == 0)), "doc_id", "payload"),
-        "doc_id", "phash", path)
+      phase("build") {
+        M.savePHashIndex(
+          M.imagePHashes(payloads(ids.filter(_ % 2 == 0)), "doc_id", "payload"),
+          "doc_id", "phash", path)
+      }
       val delIds = ids.filter(id => id % 2 == 0 && id % 10 == 0).toDF("doc_id")
       val deadHashes = M.imagePHashes(
         delIds.withColumn("payload", lit(null).cast("binary")), "doc_id", "payload")
-      M.mergePHashDelta(delIds, deadHashes, "doc_id", "phash", path)
+      phase("merge") {
+        M.mergePHashDelta(delIds, deadHashes, "doc_id", "phash", path)
+      }
       M.probePHashIndex(path,
         M.imagePHashes(payloads(ids.filter(_ % 2 == 1)), "doc_id", "payload"),
         "doc_id", "phash", maxHamming = 10, maxBucket = 10000)
@@ -4034,6 +4110,68 @@ object SparkEntry {
                     ORDER BY score DESC, doc_id) AS rank
            FROM scored
            QUALIFY rank <= 5""",
+
+      "text_bm25_asof" ->
+        """WITH q(query_id, token) AS (VALUES
+             (0, 'spark'), (0, 'window'),
+             (1, 'zzasoftoken'), (1, 'vector'),
+             (2, 'customer'), (2, 'query')),
+           corpus AS (
+             SELECT 0 AS version, doc_id, text
+             FROM documents WHERE doc_id % 3 <> 0
+             UNION ALL
+             SELECT 1 AS version, doc_id,
+                    CASE WHEN doc_id % 5 = 0 THEN text || ' zzasoftoken'
+                         ELSE text END
+             FROM documents
+             WHERE NOT ((doc_id % 3 = 0 OR doc_id % 5 = 0)
+                        AND doc_id % 7 = 1)),
+           tok AS (
+             SELECT version, doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM corpus),
+           dl AS (SELECT version, doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                  FROM tok GROUP BY 1, 2),
+           stats AS (SELECT version, COUNT(*) AS n_docs,
+                            SUM(dl) / COUNT(*) AS avgdl FROM dl GROUP BY 1),
+           tf AS (SELECT version, doc_id, token, COUNT(*) AS tf FROM tok
+                  WHERE token IN (SELECT DISTINCT token FROM q)
+                  GROUP BY 1, 2, 3),
+           df AS (SELECT version, token, COUNT(*) AS df FROM tf GROUP BY 1, 2),
+           term AS (
+             SELECT tf.version, q.query_id, tf.doc_id,
+                    CAST(ROUND(
+                      ln((CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                         / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                      * (CAST(tf.tf AS DOUBLE) * 2.2)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+                      AS DECIMAL(18,6)) AS s
+             FROM tf JOIN q USING (token)
+                  JOIN dl ON dl.version = tf.version AND dl.doc_id = tf.doc_id
+                  JOIN df ON df.version = tf.version AND df.token = tf.token
+                  JOIN stats ON stats.version = tf.version),
+           scored AS (SELECT version, query_id, doc_id,
+                             CAST(SUM(s) AS DOUBLE) AS score
+                      FROM term GROUP BY 1, 2, 3)
+           SELECT CAST(version AS BIGINT) AS version,
+                  CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY version, query_id
+                    ORDER BY score DESC, doc_id) AS rank
+           FROM scored
+           QUALIFY rank <= 5""",
+
+      "text_bm25_segments" ->
+        """SELECT CAST(0 AS BIGINT) AS segment,
+                  (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+                    AS n_rows,
+                  CAST(0 AS BIGINT) AS n_tombstones
+           UNION ALL
+           SELECT CAST(1 AS BIGINT),
+                  (SELECT COUNT(*) FROM documents
+                   WHERE doc_id % 10 IN (1, 4)),
+                  (SELECT COUNT(*) FROM documents
+                   WHERE doc_id % 10 IN (4, 8))""",
 
       "text_hybrid_rerank" ->
         """WITH q(query_id, token) AS (VALUES

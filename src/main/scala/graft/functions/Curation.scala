@@ -277,9 +277,13 @@ object Curation {
 
   /** Fold all live rows back into a single segment 00000 (dead
     * versions dropped, postings re-sorted by token, stats carried over
-    * unchanged — compaction never changes answers). The new tree is
-    * written beside the old one and swapped in with the two-rename
-    * discipline of [[graft.sources.Layout.swapDirs]].
+    * unchanged — compaction never changes CURRENT answers). The new
+    * tree is written beside the old one and swapped in with the
+    * two-rename discipline of [[graft.sources.Layout.swapDirs]].
+    * Compaction collapses segment HISTORY: `asOf` snapshot reads older
+    * than the compaction stop being answerable — copy the tree first
+    * if a pinned historical read must outlive it (the usual
+    * lakehouse vacuum trade).
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
@@ -312,16 +316,22 @@ object Curation {
     */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: Seq[(Long, Seq[String])], k: Int,
-                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                        k1: Double = 1.2, b: Double = 0.75,
+                        asOf: Int = Int.MaxValue): DataFrame = {
     val q = queryTable(spark, queries)
     val terms = queries.flatMap(_._2).map(_.toLowerCase).distinct
-    val segs = segmentDirs(spark, path)
-    require(segs.nonEmpty, s"no BM25 index at $path")
-    val tf = liveRows(spark, path, "postings")
+    val segs = segmentDirs(spark, path).filter(_._1 <= asOf)
+    require(segs.nonEmpty, s"no BM25 index at $path" +
+      (if (asOf != Int.MaxValue) s" as of segment $asOf" else ""))
+    val tf = liveRows(spark, path, "postings", asOf)
       .filter(col("token").isin(terms: _*))
       .select(col("id").as("doc_id"), col("token"), col("tf"))
-    val dl = liveRows(spark, path, "doclen")
+    val dl = liveRows(spark, path, "doclen", asOf)
       .select(col("id").as("doc_id"), col("dl"))
+    // each segment carries the corpus stats AS OF its commit, so an
+    // asOf read scores with exactly the n_docs/avgdl a live reader saw
+    // at that version — snapshot reads replay historical rankings bit
+    // for bit, not merely historical membership
     val stats = spark.read.parquet(s"${segs.last._2}/stats")
       .select("n_docs", "avgdl")
     bm25Score(tf, dl, stats, q, "doc_id", k, k1, b)
@@ -375,8 +385,9 @@ object Curation {
     * deleted docs.)
     */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
-                       path: String, sub: String): DataFrame =
-    SegmentedIndex.liveRows(spark, path, sub)
+                       path: String, sub: String,
+                       asOf: Int = Int.MaxValue): DataFrame =
+    SegmentedIndex.liveRows(spark, path, sub, asOf)
 
   /** Corpus heavy hitters: every token with frequency strictly above
     * `num/den` of all tokens, with its EXACT count — found without a

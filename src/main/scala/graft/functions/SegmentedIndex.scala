@@ -84,10 +84,21 @@ object SegmentedIndex {
     * When parquet footer row counts (no job) show zero tombstones
     * anywhere, the mask is skipped and this is a plain union of
     * segment scans. Every masked subtable must carry an `id` column.
+    *
+    * `asOf` is the snapshot read (time travel): only segments `<= asOf`
+    * contribute rows AND tombstones, so the result is bit-identical to
+    * what a reader saw right after segment `asOf` committed — a later
+    * delete/re-ingest cannot reach back into the snapshot. Because
+    * segments are immutable, a pinned `asOf` read is reproducible for
+    * as long as the segments exist; [[compactIndex]] collapses history,
+    * after which only the compacted state is addressable.
     */
-  def liveRows(spark: SparkSession, path: String, sub: String): DataFrame = {
-    val segs = segmentDirs(spark, path)
-    require(segs.nonEmpty, s"no segmented index at $path")
+  def liveRows(spark: SparkSession, path: String, sub: String,
+               asOf: Int = Int.MaxValue): DataFrame = {
+    val segs = segmentDirs(spark, path).filter(_._1 <= asOf)
+    require(segs.nonEmpty,
+      s"no segmented index at $path" +
+        (if (asOf != Int.MaxValue) s" as of segment $asOf" else ""))
     val all = segs.map { case (i, d) =>
       spark.read.parquet(s"$d/$sub").withColumn("__seg", lit(i)) }
       .reduce(_ unionByName _)
@@ -105,6 +116,21 @@ object SegmentedIndex {
         .drop("__seg")
     }
   }
+
+  /** Footer-only introspection: (segment, rows in `sub`, tombstones)
+    * per committed segment, read from parquet footers — ZERO Spark
+    * jobs, so an operator can watch segment growth and schedule
+    * compaction on a 100 TB index without touching the cluster. For
+    * one-row-per-id subtables (doclen, digests) live row count =
+    * Σrows − Σtombstones, since every tombstone kills exactly one
+    * earlier live row.
+    */
+  def describe(spark: SparkSession, path: String,
+               sub: String): Seq[(Int, Long, Long)] =
+    segmentDirs(spark, path).map { case (i, d) =>
+      (i, graft.sources.ParquetMeta.rowCount(spark, s"$d/$sub"),
+        graft.sources.ParquetMeta.rowCount(spark, s"$d/tombstones"))
+    }
 
   /** Full (re)build of a single-subtable index: drop any prior tree,
     * write `rows` (which must carry an `id` column) as segment 00000

@@ -494,6 +494,47 @@ class FunctionsSpec extends SparkSpec {
       s"vocab filter not pushed: ${scans.head.metadata.get("PushedFilters")}")
   }
 
+  test("bm25 asOf snapshot replays the pre-merge ranking; later deletes can't reach back") {
+    def baseText(i: Long) = s"w${i % 11} w${i % 5} base text"
+    val base = (1L to 200L).filterNot(_ % 3 == 0)
+      .map(i => (i, baseText(i))).toDF("doc_id", "text")
+    val qs = Seq(0L -> Seq("w1", "base"), 1L -> Seq("w4", "w10"))
+    val path = java.nio.file.Files.createTempDirectory("bm25asof").toString
+    Curation.saveBm25Index(base, "doc_id", "text", path)
+    // the answer a live reader saw at v0, captured BEFORE any merge
+    val v0Live = Curation.bm25TopKFromIndex(spark, path, qs, k = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // delta: new %3 docs, replaced %5 docs, and DELETED %7 docs
+    val delta = (1L to 200L)
+      .filter(i => i % 3 == 0 || i % 5 == 0 || (i % 7 == 0 && i % 3 != 0))
+      .map(i => (i,
+        if (i % 7 == 0) null
+        else if (i % 5 == 0) baseText(i) + " zzasof"
+        else baseText(i)))
+      .toDF("doc_id", "text")
+    Curation.mergeBm25Delta(delta, "doc_id", "text", path)
+    // asOf=0 is bit-identical to the pre-merge live read — membership,
+    // scores (stats snapshot), and ranks; deletes in segment 1 must not
+    // mask v0 rows
+    val v0AsOf = Curation.bm25TopKFromIndex(spark, path, qs, k = 8, asOf = 0)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(v0AsOf == v0Live)
+    // the current read differs (deleted docs gone) — history is real
+    val cur = Curation.bm25TopKFromIndex(spark, path, qs, k = 8)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(cur != v0Live)
+    val deleted = (1L to 200L).filter(i =>
+      (i % 3 == 0 || i % 5 == 0 || i % 7 == 0) && i % 7 == 0).toSet
+    assert(cur.forall { case (_, id, _, _) => !deleted.contains(id) })
+    // asOf past the newest segment behaves like the default read;
+    // asOf before the first segment fails loudly
+    assert(Curation.bm25TopKFromIndex(spark, path, qs, k = 8, asOf = 99)
+      .as[(Long, Long, Double, Long)].collect().toSet == cur)
+    intercept[IllegalArgumentException] {
+      Curation.bm25TopKFromIndex(spark, path, qs, k = 8, asOf = -1)
+    }
+  }
+
   test("bm25 segmented merge: adds + replacements equal a fresh index; compaction preserves") {
     def baseText(i: Long) = s"w${i % 11} w${i % 5} base text"
     val base = (1L to 200L).filterNot(_ % 3 == 0)
