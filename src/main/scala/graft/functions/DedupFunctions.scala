@@ -247,10 +247,12 @@ object DedupFunctions {
     SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "bands",
       delta.select(col(idCol)), bandIndex(delta, idCol, elemsCol, k, bands))
 
-  /** Live (band_key, id) rows — feed [[incrementalNearDupCandidates]]. */
+  /** Live (band_key, id) rows — feed [[incrementalNearDupCandidates]].
+    * `asOf` pins the snapshot to segments <= asOf.
+    */
   def bandIndexLive(spark: org.apache.spark.sql.SparkSession,
-                    path: String): DataFrame =
-    SegmentedIndex.liveRows(spark, path, "bands")
+                    path: String, asOf: Int = Int.MaxValue): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "bands", asOf)
 
   /** Persist the winnow fingerprint index ([[winnowIndex]] rows). */
   def saveWinnowIndexPersisted(df: DataFrame, idCol: String, textCol: String,
@@ -267,8 +269,8 @@ object DedupFunctions {
     * [[probeSpanHits]].
     */
   def winnowIndexLive(spark: org.apache.spark.sql.SparkSession,
-                      path: String): DataFrame =
-    SegmentedIndex.liveRows(spark, path, "hashes")
+                      path: String, asOf: Int = Int.MaxValue): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "hashes", asOf)
 
   /** Span-sharing partners of each probe doc among an index's docs:
     * stop-span prune (df computed on the INDEX side) then an equi-join

@@ -600,10 +600,13 @@ object VectorFunctions {
                       path: String): Unit =
     SegmentedIndex.compactIndex(spark, path, "cells")
 
-  /** Tombstone-masked live (id, cid) rows of a persisted IVF index. */
+  /** Tombstone-masked live (id, cid) rows of a persisted IVF index.
+    * `asOf` pins the snapshot to segments <= asOf (see
+    * [[SegmentedIndex.liveRows]]).
+    */
   def ivfCells(spark: org.apache.spark.sql.SparkSession,
-               path: String): DataFrame =
-    SegmentedIndex.liveRows(spark, path, "cells")
+               path: String, asOf: Int = Int.MaxValue): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "cells", asOf)
 
   /** Drift trigger for the re-cluster decision: the fraction of index
     * rows that arrived AFTER the base build (segments > 00000), from
@@ -893,10 +896,12 @@ object VectorFunctions {
                      path: String): Unit =
     SegmentedIndex.compactIndex(spark, path, "codes")
 
-  /** Tombstone-masked live (id, codes) rows of a persisted PQ index. */
+  /** Tombstone-masked live (id, codes) rows of a persisted PQ index.
+    * `asOf` pins the snapshot to segments <= asOf.
+    */
   def pqCodes(spark: org.apache.spark.sql.SparkSession,
-              path: String): DataFrame =
-    SegmentedIndex.liveRows(spark, path, "codes")
+              path: String, asOf: Int = Int.MaxValue): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "codes", asOf)
 
   /** Appended-row share of the PQ index from parquet footers (see
     * [[ivfDeltaFraction]] — same re-train trigger semantics).

@@ -1167,10 +1167,12 @@ object Multimodal {
       hashes.select(col(idCol).cast("long").as("id"),
         col(hashCol).cast("long").as("hash")))
 
-  /** Live (id, hash) rows of a persisted perceptual-hash index. */
+  /** Live (id, hash) rows of a persisted perceptual-hash index.
+    * `asOf` pins the snapshot to segments <= asOf.
+    */
   def phashIndexRows(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame =
-    graft.functions.SegmentedIndex.liveRows(spark, path, "hashes")
+                     path: String, asOf: Int = Int.MaxValue): DataFrame =
+    graft.functions.SegmentedIndex.liveRows(spark, path, "hashes", asOf)
 
   /** Ingest-time near-dup probe: incoming hashes against the persisted
     * index via the banded equi-join (index side occupancy-capped),

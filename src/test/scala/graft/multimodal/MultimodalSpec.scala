@@ -809,6 +809,11 @@ class MultimodalSpec extends SparkSpec {
         maxHamming = 2)
       .as[(Long, Long, Long)].collect().toSet
     assert(probe == Set((100L, 4L, 0L), (101L, 2L, 2L)))
+    // asOf=0 snapshots the pre-delta state: the segment-1 replace and
+    // delete can't reach back (same machinery as the BM25 asOf read)
+    val v0 = Multimodal.phashIndexRows(spark, path, asOf = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(v0 == Set((2L, 10L), (4L, 20L), (10L, 30L)))
   }
 
   test("hammingNearDup: banded candidates + popcount verify + bucket occupancy cap") {
