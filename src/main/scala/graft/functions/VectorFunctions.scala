@@ -627,6 +627,23 @@ object VectorFunctions {
     else counts.filter(_._1 > 0).map(_._2).sum.toDouble / total
   }
 
+  /** Close the drift loop: when the appended-delta share of the index
+    * crosses `threshold` (footer arithmetic only — deciding costs ZERO
+    * jobs), re-train and re-assign from the caller's current corpus
+    * via [[saveIvfIndex]]; below it, no-op. Returns whether a re-train
+    * ran. The streaming upkeep sinks call the merge path every batch;
+    * an operator (or a scheduled job) calls this between batches —
+    * the re-train is the ONLY corpus-sized pass in the lifecycle, and
+    * this is the documented hook that decides when to pay it.
+    */
+  def retrainIvfIfDrifted(corpus: DataFrame, idCol: String, vecCol: String,
+                          path: String, threshold: Double,
+                          clusters: Int, iters: Int): Boolean = {
+    val drift = ivfDeltaFraction(corpus.sparkSession, path)
+    if (drift <= threshold) false
+    else { saveIvfIndex(corpus, idCol, vecCol, path, clusters, iters); true }
+  }
+
   /** IVF top-k against a persisted index (see [[saveIvfIndex]]): live
     * cell ids join back to the corpus by id for vectors, centroids
     * broadcast for the probe. Identical results to [[kmeansIvfTopK]]

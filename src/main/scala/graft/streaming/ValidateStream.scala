@@ -182,6 +182,35 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming PQ index upkeep — the code-store twin of
+    * [[ivfIndexStream]]: each micro-batch encodes against the FROZEN
+    * codebooks ([[graft.functions.VectorFunctions.mergePqDelta]] —
+    * no re-training ever happens on the hot path) and lands as one
+    * O(batch) code segment; null vectors delete, re-ingests replace,
+    * inline compaction past `maxSegments` bounds the tree. The index
+    * must exist ([[graft.functions.VectorFunctions.savePqIndex]]) —
+    * codebooks are trained offline, exactly the IVF centroid
+    * contract. Watch
+    * [[graft.functions.VectorFunctions.pqDeltaFraction]] for the
+    * re-train trigger.
+    */
+  def pqIndexStream(docs: DataFrame, idCol: String, vecCol: String,
+                    path: String, checkpoint: String, m: Int, dim: Int,
+                    maxSegments: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val V = graft.functions.VectorFunctions
+          V.mergePqDelta(batch, idCol, vecCol, path, m, dim)
+          if (graft.functions.SegmentedIndex
+              .segmentDirs(batch.sparkSession, path).size > maxSegments)
+            V.compactPqIndex(batch.sparkSession, path)
+        }
+      }
+      .start()
+
   /** Streaming perceptual-hash index upkeep — the multimodal ingest
     * loop: each micro-batch of media payloads hashes on the executors
     * (real decode; only (id, 8-byte hash) rows reach the sink) and

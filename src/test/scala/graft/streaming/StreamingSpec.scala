@@ -218,6 +218,77 @@ class StreamingSpec extends SparkSpec {
       s"probe must see the streamed re-ingest in its cell, got $probe")
   }
 
+  test("streaming PQ maintenance: batches encode against frozen codebooks; drift retrain hook") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions
+    val dim = 16
+    def vec(i: Int) = Array.tabulate(dim) { d =>
+      val base = if (d == (i % 4) * 4) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val corpus = (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("pqstream")
+    VectorFunctions.savePqIndex(corpus, "vec_id", "embedding", s"$dir/idx",
+      m = 4, dim = dim, ksub = 8, iters = 2)
+    // two micro-batches: new ids, then a re-ingest of 1000 with a
+    // different cluster's vector (tombstone) + auto-compaction at cap 2
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((1000L, vec(0)), (1001L, vec(1)))
+    val q = ValidateStream.pqIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/ckpt", m = 4, dim = dim, maxSegments = 2)
+    q.processAllAvailable()
+    mem.addData((1002L, vec(2)), (1000L, vec(3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(new java.io.File(s"$dir/idx/segments").list()
+      .count(_.matches("\\d{5}")) <= 2, "auto-compaction must bound segments")
+    // live codes == frozen-codebook re-encode of the latest corpus
+    val latest = (corpus.as[(Long, Array[Float])].collect().toSeq ++
+      Seq((1001L, vec(1)), (1002L, vec(2)), (1000L, vec(3))))
+      .toDF("vec_id", "embedding")
+    val books = spark.read.parquet(s"$dir/idx/codebooks")
+    val expect = VectorFunctions
+      .pqEncodePacked(latest, "vec_id", "embedding", books, 4, dim)
+      .select(col("vec_id").as("id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toSet
+    val live = VectorFunctions.pqCodes(spark, s"$dir/idx")
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(live == expect,
+      "streamed merges must equal a frozen-codebook re-encode")
+  }
+
+  test("IVF drift retrain hook: no-op below threshold, corpus-pass retrain above") {
+    import graft.functions.{SegmentedIndex, VectorFunctions}
+    def vec(i: Int) = Array.tabulate(8) { d =>
+      val base = if (d == (i % 4) * 2) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val base = (0 until 100).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfdrift")
+    VectorFunctions.saveIvfIndex(base, "vec_id", "embedding", s"$dir/idx",
+      clusters = 4, iters = 2)
+    val delta = (100 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    VectorFunctions.mergeIvfDelta(delta, "vec_id", "embedding", s"$dir/idx")
+    val corpus = (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    // ~17% delta share: below a 0.3 threshold the decision is footer
+    // arithmetic only and the tree is untouched
+    assert(!VectorFunctions.retrainIvfIfDrifted(corpus, "vec_id", "embedding",
+      s"$dir/idx", threshold = 0.3, clusters = 4, iters = 2))
+    assert(SegmentedIndex.segmentDirs(spark, s"$dir/idx").map(_._1) == Seq(0, 1))
+    // above it (threshold 0.1) the index re-trains to one fresh segment
+    // covering the whole corpus
+    assert(VectorFunctions.retrainIvfIfDrifted(corpus, "vec_id", "embedding",
+      s"$dir/idx", threshold = 0.1, clusters = 4, iters = 2))
+    assert(SegmentedIndex.segmentDirs(spark, s"$dir/idx").map(_._1) == Seq(0))
+    assert(VectorFunctions.ivfCells(spark, s"$dir/idx").count() == 120L)
+    assert(VectorFunctions.ivfDeltaFraction(spark, s"$dir/idx") == 0.0)
+  }
+
   test("streaming upkeep auto-compaction: segment count stays bounded, answers stable") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
