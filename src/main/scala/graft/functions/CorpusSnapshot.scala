@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Cross-index snapshot manifest — the reproducible-training-run pin.
+  *
+  * A curation pipeline maintains SEVERAL segmented indexes at once
+  * (digest/band/winnow dedup, BM25, IVF/PQ, perceptual hash); each
+  * grows independently through its own delta merges. A run that wants
+  * to be replayable months later needs all of them frozen at one
+  * logical instant. Because every index is a [[SegmentedIndex]] tree of
+  * immutable segments, that freeze is just a map of (label → index
+  * path, newest committed segment): readers pass the pinned segment as
+  * the `asOf` of [[SegmentedIndex.liveRows]] (or the typed accessors —
+  * bm25TopKFromIndex, ivfCells, pqCodes, bandIndexLive,
+  * winnowIndexLive, phashIndexRows) and replay each index bit for bit.
+  * Zero data is copied; the manifest is a few hundred bytes regardless
+  * of corpus size.
+  *
+  * Caveats, both inherent to segment pinning: a snapshot taken while a
+  * writer is mid-commit pins either the old or the new segment (commits
+  * are atomic renames — never a partial state), and COMPACTION of an
+  * index collapses its history, invalidating older pins for that index
+  * (the lakehouse vacuum trade; compact only past your retention
+  * window).
+  *
+  * Format: one JSON object per line is avoided on purpose — the whole
+  * manifest is a single flat JSON object {label: {"path": …,
+  * "segment": n}}, human-diffable in a run log.
+  */
+object CorpusSnapshot {
+
+  /** Capture the current (newest committed segment) pin of every listed
+    * index into a manifest file at `manifestPath`. Fails if any index
+    * has no committed segment — an empty index cannot be pinned.
+    */
+  def write(spark: SparkSession, manifestPath: String,
+            indexes: Map[String, String]): Unit = {
+    require(indexes.nonEmpty, "nothing to snapshot")
+    val pins = indexes.toSeq.sortBy(_._1).map { case (label, path) =>
+      (label, path, SegmentedIndex.currentSegment(spark, path))
+    }
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val json = pins.map { case (l, p, n) =>
+      s"${q(l)}:{${q("path")}:${q(p)},${q("segment")}:$n}"
+    }.mkString("{", ",", "}")
+    val (fs, dest) = SegmentedIndex.hfs(spark, manifestPath)
+    val tmp = new org.apache.hadoop.fs.Path(manifestPath + ".__tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"snapshot commit failed: $manifestPath")
+  }
+
+  /** Read a manifest back as label → (index path, pinned segment) —
+    * feed the segment straight into the `asOf` of the index's reader.
+    */
+  def read(spark: SparkSession,
+           manifestPath: String): Map[String, (String, Int)] = {
+    val (fs, p) = SegmentedIndex.hfs(spark, manifestPath)
+    require(fs.exists(p), s"no snapshot manifest at $manifestPath")
+    val in = fs.open(p)
+    val raw =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    // minimal parser for the exact shape `write` emits (labels/paths
+    // are JSON-escaped strings, segments bare ints) — no JSON library
+    // dependency, and a malformed manifest fails loudly
+    val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\{\\s*\"path\"\\s*:" +
+      "\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"segment\"\\s*:\\s*(\\d+)\\s*\\}").r
+    def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case e => sb.append(e); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val pins = entry.findAllMatchIn(raw).map { m =>
+      unesc(m.group(1)) -> (unesc(m.group(2)), m.group(3).toInt)
+    }.toMap
+    require(pins.nonEmpty, s"malformed snapshot manifest at $manifestPath")
+    pins
+  }
+}

@@ -47,6 +47,15 @@ object SegmentedIndex {
   def exists(spark: SparkSession, path: String): Boolean =
     segmentDirs(spark, path).nonEmpty
 
+  /** Newest committed segment number — the `asOf` pin that freezes the
+    * index at its current state.
+    */
+  def currentSegment(spark: SparkSession, path: String): Int = {
+    val segs = segmentDirs(spark, path)
+    require(segs.nonEmpty, s"no segmented index at $path")
+    segs.map(_._1).max
+  }
+
   /** Delete orphan `__tmp_*` trees left by a crashed writer. Safe under
     * the single-writer contract: no live writer owns a tmp dir when a
     * new write starts.

@@ -494,6 +494,54 @@ class FunctionsSpec extends SparkSpec {
       s"vocab filter not pushed: ${scans.head.metadata.get("PushedFilters")}")
   }
 
+  test("corpus snapshot manifest pins every index; asOf reads replay the pinned instant") {
+    import graft.functions.{CorpusSnapshot, SegmentedIndex}
+    val root = java.nio.file.Files.createTempDirectory("snap").toString
+    val docs = (1L to 60L).map(i => (i, s"tok${i % 7} body $i"))
+      .toDF("doc_id", "text")
+    Curation.saveBm25Index(docs, "doc_id", "text", s"$root/bm25")
+    graft.functions.DedupFunctions.saveDigestIndex(
+      docs, "doc_id", "text", s"$root/digests")
+    // pin the run: both indexes at their newest committed segment
+    CorpusSnapshot.write(spark, s"$root/run1.json",
+      Map("bm25" -> s"$root/bm25", "digests" -> s"$root/digests"))
+    val pinnedBm25 = SegmentedIndex.liveRows(spark, s"$root/bm25", "doclen")
+      .count()
+    val pinnedDig = SegmentedIndex.liveRows(spark, s"$root/digests", "digests")
+      .as[(Long, String)].collect().toSet
+    // both indexes move on: adds + a replacement each
+    Curation.mergeBm25Delta(
+      (61L to 80L).map(i => (i, s"tok${i % 7} later $i")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/bm25")
+    graft.functions.DedupFunctions.mergeDigestDelta(
+      Seq((1L, "rewritten"), (61L, "new")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/digests")
+    // replaying through the manifest recovers the pinned instant for
+    // EVERY index, while unpinned reads see the moved-on state
+    val pins = CorpusSnapshot.read(spark, s"$root/run1.json")
+    assert(pins.keySet == Set("bm25", "digests"))
+    val (bmPath, bmSeg) = pins("bm25")
+    assert(SegmentedIndex.liveRows(spark, bmPath, "doclen", bmSeg).count()
+      == pinnedBm25)
+    assert(SegmentedIndex.liveRows(spark, bmPath, "doclen").count()
+      == pinnedBm25 + 20)
+    val (dgPath, dgSeg) = pins("digests")
+    assert(SegmentedIndex.liveRows(spark, dgPath, "digests", dgSeg)
+      .as[(Long, String)].collect().toSet == pinnedDig)
+    assert(SegmentedIndex.liveRows(spark, dgPath, "digests")
+      .as[(Long, String)].collect().toSet != pinnedDig)
+    // manifest rewrite is atomic-replace: a second snapshot of the
+    // moved-on state overwrites and reads back the new pins
+    CorpusSnapshot.write(spark, s"$root/run1.json",
+      Map("bm25" -> s"$root/bm25", "digests" -> s"$root/digests"))
+    assert(CorpusSnapshot.read(spark, s"$root/run1.json")("bm25")._2 == 1)
+    // an empty/unbuilt index cannot be pinned
+    intercept[IllegalArgumentException] {
+      CorpusSnapshot.write(spark, s"$root/bad.json",
+        Map("nope" -> s"$root/missing"))
+    }
+  }
+
   test("bm25 asOf snapshot replays the pre-merge ranking; later deletes can't reach back") {
     def baseText(i: Long) = s"w${i % 11} w${i % 5} base text"
     val base = (1L to 200L).filterNot(_ % 3 == 0)
