@@ -31,14 +31,19 @@ import org.apache.spark.sql.SparkSession
 object CorpusSnapshot {
 
   /** Capture the current (newest committed segment) pin of every listed
-    * index into a manifest file at `manifestPath`. Fails if any index
-    * has no committed segment — an empty index cannot be pinned.
+    * index into a manifest file at `manifestPath`, together with each
+    * index's tree identity ([[SegmentedIndex.treeId]]) — segment
+    * numbers restart at 0 after a rebuild or compaction, so the id is
+    * what makes a stale pin DETECTABLE instead of silently reading the
+    * wrong tree. Fails if any index has no committed segment — an
+    * empty index cannot be pinned.
     */
   def write(spark: SparkSession, manifestPath: String,
             indexes: Map[String, String]): Unit = {
     require(indexes.nonEmpty, "nothing to snapshot")
     val pins = indexes.toSeq.sortBy(_._1).map { case (label, path) =>
-      (label, path, SegmentedIndex.currentSegment(spark, path))
+      (label, path, SegmentedIndex.currentSegment(spark, path),
+        SegmentedIndex.treeId(spark, path))
     }
     def q(s: String): String =
       "\"" + s.flatMap {
@@ -47,8 +52,8 @@ object CorpusSnapshot {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val json = pins.map { case (l, p, n) =>
-      s"${q(l)}:{${q("path")}:${q(p)},${q("segment")}:$n}"
+    val json = pins.map { case (l, p, n, t) =>
+      s"${q(l)}:{${q("path")}:${q(p)},${q("segment")}:$n,${q("tree")}:${q(t)}}"
     }.mkString("{", ",", "}")
     val (fs, dest) = SegmentedIndex.hfs(spark, manifestPath)
     val tmp = new org.apache.hadoop.fs.Path(manifestPath + ".__tmp")
@@ -59,11 +64,12 @@ object CorpusSnapshot {
       throw new IllegalStateException(s"snapshot commit failed: $manifestPath")
   }
 
-  /** Read a manifest back as label → (index path, pinned segment) —
-    * feed the segment straight into the `asOf` of the index's reader.
+  /** Read a manifest back as label → (index path, pinned segment,
+    * tree id) — feed the segment into the `asOf` of the index's
+    * reader, after [[verify]] has confirmed the pins still resolve.
     */
   def read(spark: SparkSession,
-           manifestPath: String): Map[String, (String, Int)] = {
+           manifestPath: String): Map[String, (String, Int, String)] = {
     val (fs, p) = SegmentedIndex.hfs(spark, manifestPath)
     require(fs.exists(p), s"no snapshot manifest at $manifestPath")
     val in = fs.open(p)
@@ -79,7 +85,8 @@ object CorpusSnapshot {
     // are JSON-escaped strings, segments bare ints) — no JSON library
     // dependency, and a malformed manifest fails loudly
     val entry = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\{\\s*\"path\"\\s*:" +
-      "\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"segment\"\\s*:\\s*(\\d+)\\s*\\}").r
+      "\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"segment\"\\s*:\\s*(\\d+)\\s*,\\s*" +
+      "\"tree\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\}").r
     def unesc(s: String): String = {
       val sb = new StringBuilder
       var i = 0
@@ -97,9 +104,35 @@ object CorpusSnapshot {
       sb.toString
     }
     val pins = entry.findAllMatchIn(raw).map { m =>
-      unesc(m.group(1)) -> (unesc(m.group(2)), m.group(3).toInt)
+      unesc(m.group(1)) -> ((unesc(m.group(2)), m.group(3).toInt,
+        unesc(m.group(4))))
     }.toMap
     require(pins.nonEmpty, s"malformed snapshot manifest at $manifestPath")
     pins
+  }
+
+  /** Read AND validate: every pinned index must still carry the tree
+    * identity recorded at snapshot time — a rebuild or compaction since
+    * then restarts segment numbering, so replaying such a pin would
+    * silently read the WRONG rows. Throws naming the first stale index;
+    * on success the returned pins are safe to feed into `asOf` readers.
+    */
+  def verify(spark: SparkSession,
+             manifestPath: String): Map[String, (String, Int)] = {
+    val pins = read(spark, manifestPath)
+    pins.foreach { case (label, (path, seg, tree)) =>
+      val now = SegmentedIndex.treeId(spark, path)
+      if (now != tree)
+        throw new IllegalStateException(
+          s"snapshot pin '$label' is stale: index tree at $path was " +
+            "rebuilt or compacted since the snapshot (tree id " +
+            s"$tree -> $now) — the pinned history no longer exists")
+      val cur = SegmentedIndex.currentSegment(spark, path)
+      if (seg > cur)
+        throw new IllegalStateException(
+          s"snapshot pin '$label' references segment $seg but $path " +
+            s"only has segments up to $cur")
+    }
+    pins.map { case (l, (p, n, _)) => l -> ((p, n)) }
   }
 }

@@ -86,6 +86,34 @@ object SegmentedIndex {
           "(single-writer contract)")
     if (!fs.rename(tmpP, dest))
       throw new IllegalStateException(s"segment commit failed: $tmp -> $dest")
+    // tree identity: a fresh marker per segments tree. Segment numbers
+    // restart at 0 after a rebuild or compaction swap, so a pinned
+    // `asOf` from before either would otherwise silently read the NEW
+    // tree's rows — snapshot validation compares this id instead
+    // (CorpusSnapshot.verify). Written once per tree, preserved by
+    // merges, replaced by rebuild/compaction (which build a new root).
+    val marker = new Path(s"$root/_tree")
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, false)
+      try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Identity of the current segments tree — changes on every rebuild
+    * or compaction, survives merges. The pin-validity token for
+    * [[graft.functions.CorpusSnapshot]].
+    */
+  def treeId(spark: SparkSession, path: String): String = {
+    val (fs, marker) = hfs(spark, s"$path/segments/_tree")
+    require(fs.exists(marker), s"no segmented index (or pre-identity " +
+      s"tree) at $path")
+    val in = fs.open(marker)
+    try {
+      val b = new Array[Byte](64)
+      val n = in.read(b)
+      new String(b, 0, math.max(n, 0), "UTF-8")
+    } finally in.close()
   }
 
   /** Union one subtable across segments with dead versions masked: a

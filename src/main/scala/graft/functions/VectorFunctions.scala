@@ -651,10 +651,11 @@ object VectorFunctions {
     */
   def ivfTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
                        vecCol: String, queryFilter: Column, k: Int,
-                       roundScale: Int = 6, nprobe: Int = 1): DataFrame = {
+                       roundScale: Int = 6, nprobe: Int = 1,
+                       asOf: Int = Int.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
-    val cells = ivfCells(spark, path)
+    val cells = ivfCells(spark, path, asOf)
       .join(corpus.select(col(idCol).as("id"), col(vecCol).as("c_vec")), Seq("id"))
       .select(col("id").as("c_id"), col("c_vec"), col("cid"))
     val q0 = corpus.filter(queryFilter)
@@ -943,10 +944,11 @@ object VectorFunctions {
     */
   def pqTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
                       vecCol: String, queryFilter: Column,
-                      m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
+                      m: Int, dim: Int, k: Int, shortlist: Int,
+                      asOf: Int = Int.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
     val books = spark.read.parquet(s"$path/codebooks")
-    val packed = pqCodes(spark, path)
+    val packed = pqCodes(spark, path, asOf)
       .select(col("id").as("c_id"), col("codes"))
     val queries = corpus.filter(queryFilter)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -1060,11 +1062,12 @@ object VectorFunctions {
   def ivfPqTopKFromIndex(path: String, corpus: DataFrame, idCol: String,
                          vecCol: String, queryFilter: Column,
                          m: Int, dim: Int, k: Int, shortlist: Int,
-                         nprobe: Int = 1, roundScale: Int = 6): DataFrame = {
+                         nprobe: Int = 1, roundScale: Int = 6,
+                         asOf: Int = Int.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
-    val packed = SegmentedIndex.liveRows(spark, path, "codes")
+    val packed = SegmentedIndex.liveRows(spark, path, "codes", asOf)
       .select(col("id").as("c_id"), col("cell"), col("codes"))
     val q0 = corpus.filter(queryFilter)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))

@@ -399,7 +399,7 @@ class FunctionsSpec extends SparkSpec {
     assert(hits("alpha beta gamma") == Set(1L))
     // compaction folds without changing answers
     SegmentedIndex.compactIndex(spark, dg, "digests")
-    assert(new java.io.File(s"$dg/segments").list().sorted.toSeq == Seq("00000"))
+    assert(new java.io.File(s"$dg/segments").list().filter(_.matches("\\d{5}")).sorted.toSeq == Seq("00000"))
     assert(hits("alpha beta gamma") == Set(1L))
 
     // band index: candidates vanish for a retracted near-dup partner
@@ -518,7 +518,7 @@ class FunctionsSpec extends SparkSpec {
       "doc_id", "text", s"$root/digests")
     // replaying through the manifest recovers the pinned instant for
     // EVERY index, while unpinned reads see the moved-on state
-    val pins = CorpusSnapshot.read(spark, s"$root/run1.json")
+    val pins = CorpusSnapshot.verify(spark, s"$root/run1.json")
     assert(pins.keySet == Set("bm25", "digests"))
     val (bmPath, bmSeg) = pins("bm25")
     assert(SegmentedIndex.liveRows(spark, bmPath, "doclen", bmSeg).count()
@@ -540,6 +540,15 @@ class FunctionsSpec extends SparkSpec {
       CorpusSnapshot.write(spark, s"$root/bad.json",
         Map("nope" -> s"$root/missing"))
     }
+    // compaction restarts segment numbering under a NEW tree identity:
+    // the stale pin is refused instead of silently reading segment 0
+    // of the collapsed tree as if it were the pinned history
+    Curation.compactBm25Index(spark, s"$root/bm25")
+    val stale = intercept[IllegalStateException] {
+      CorpusSnapshot.verify(spark, s"$root/run1.json")
+    }
+    assert(stale.getMessage.contains("bm25") &&
+      stale.getMessage.contains("stale"))
   }
 
   test("bm25 asOf snapshot replays the pre-merge ranking; later deletes can't reach back") {
@@ -603,13 +612,13 @@ class FunctionsSpec extends SparkSpec {
     val merged = Curation.bm25TopKFromIndex(spark, path, qs, k = 8)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(merged == fresh)
-    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+    assert(new java.io.File(s"$path/segments").list().filter(_.matches("\\d{5}")).sorted.toSeq ==
       Seq("00000", "00001"))
     Curation.compactBm25Index(spark, path)
     val compacted = Curation.bm25TopKFromIndex(spark, path, qs, k = 8)
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(compacted == fresh)
-    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+    assert(new java.io.File(s"$path/segments").list().filter(_.matches("\\d{5}")).sorted.toSeq ==
       Seq("00000"), "compaction must fold to a single segment")
   }
 
@@ -648,7 +657,7 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("multiple rows"), e.getMessage)
     // the failed merge must not have committed anything
-    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+    assert(new java.io.File(s"$path/segments").list().filter(_.matches("\\d{5}")).sorted.toSeq ==
       Seq("00000"))
   }
 
@@ -694,7 +703,7 @@ class FunctionsSpec extends SparkSpec {
     Curation.mergeBm25Delta(Seq((3L, "alpha zeta")).toDF("doc_id", "text"),
       "doc_id", "text", path)
     assert(!orphan.exists(), "orphan tmp tree must be swept by the next write")
-    assert(new java.io.File(s"$path/segments").list().sorted.toSeq ==
+    assert(new java.io.File(s"$path/segments").list().filter(_.matches("\\d{5}")).sorted.toSeq ==
       Seq("00000", "00001"))
     // a segment landing on an ALREADY-COMMITTED number (the concurrent
     // second writer both computing n = max+1) must fail loudly instead

@@ -291,7 +291,7 @@ class ScaleSpec extends SparkSpec {
     assert(afterRetract == expect.filterNot(c => c._1 == 1L || c._1 == 2L))
     // compaction folds to one segment without changing answers
     VectorFunctions.compactIvfIndex(spark, path)
-    assert(new java.io.File(s"$path/segments").list().sorted.toSeq == Seq("00000"))
+    assert(new java.io.File(s"$path/segments").list().filter(_.matches("\\d{5}")).sorted.toSeq == Seq("00000"))
     val afterCompact = VectorFunctions.ivfCells(spark, path).as[(Long, Int)].collect().toSet
     assert(afterCompact == afterRetract)
     // queries answer from the segmented tree (vectors re-joined from latest)
@@ -452,7 +452,7 @@ class ScaleSpec extends SparkSpec {
     // retraction drops ids from the shortlist source; compaction folds
     SegmentedIndex.retract(spark, idx, Seq(4L, 8L).toDF("id"), Seq("codes"))
     VectorFunctions.compactPqIndex(spark, idx)
-    assert(new java.io.File(s"$idx/segments").list().sorted.toSeq == Seq("00000"))
+    assert(new java.io.File(s"$idx/segments").list().filter(_.matches("\\d{5}")).sorted.toSeq == Seq("00000"))
     val after = VectorFunctions.pqCodes(spark, idx).as[(Long, Seq[Int])].collect().toSet
     assert(after == expect.filterNot(c => c._1 == 4L || c._1 == 8L))
     // search answers from the compacted tree and never surfaces retracted ids
