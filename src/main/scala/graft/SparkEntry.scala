@@ -1218,6 +1218,21 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    "sample_dsir_select" -> ((s, dir) => {
+      // DSIR data selection (Xie et al. 2023): pick the 200 corpus
+      // docs whose hashed-unigram distribution looks most like the
+      // English target slice — the importance-ratio ranking behind
+      // "select pretraining data that matches a target domain". One
+      // token pass builds both 64-bucket tables; the driver-computed
+      // log-ratio vector (rounded 6 dp for the oracle's ln) ships as
+      // a literal into a zero-shuffle scoring scan; selection is the
+      // bounded global top-k. Oracle replays buckets → smoothed
+      // log-ratios → document-order list_sum → ranked top 200.
+      graft.functions.Sampling.dsirSelect(
+        t(s, dir, "documents"), "doc_id", "text",
+        targetFilter = col("lang") === "en", dims = 64, k = 200)
+    }),
+
     "sample_mix_plan" -> ((s, dir) => {
       // mixture PLANNING (the step ahead of sample_mix_weighted's
       // given-rate filter): from target shares per language and a
@@ -4406,6 +4421,43 @@ object SparkEntry {
            FROM (SELECT doc_id,
                         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
                  FROM documents)""",
+
+      "sample_dsir_select" ->
+        // same md5 buckets as the engine; add-1 smoothing over 64
+        // dims; weights rounded 6 dp BEFORE the document-order
+        // list_sum fold, exactly the literal array the engine embeds
+        """WITH tok AS (
+             SELECT (lang = 'en') AS is_t,
+                    CAST(('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT % 64
+                         AS INT) AS b
+             FROM (SELECT lang,
+                          unnest(list_filter(
+                            regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> strlen(t) > 0)) AS t
+                   FROM documents)),
+           cnt AS (SELECT b, COUNT(*) AS n_c,
+                          SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t
+                   FROM tok GROUP BY 1),
+           tot AS (SELECT SUM(n_c) AS tc, SUM(n_t) AS tt FROM cnt),
+           allb AS (SELECT range AS b FROM range(0, 64)),
+           w AS (SELECT allb.b,
+                        ROUND(ln((COALESCE(cnt.n_t, 0) + 1.0) / (tt + 64.0))
+                            - ln((COALESCE(cnt.n_c, 0) + 1.0) / (tc + 64.0)),
+                          6) AS w
+                 FROM allb LEFT JOIN cnt USING (b) CROSS JOIN tot),
+           wl AS (SELECT list(w ORDER BY b) AS wl FROM w),
+           scored AS (
+             SELECT doc_id,
+                    ROUND(COALESCE(list_sum(list_transform(
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  t -> strlen(t) > 0),
+                      t -> wl[CAST(('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT
+                                   % 64 AS INT) + 1])), 0.0), 6) AS log_w
+             FROM documents CROSS JOIN wl)
+           SELECT doc_id, log_w,
+                  ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id) AS rank
+           FROM scored
+           QUALIFY rank <= 200""",
 
       "sample_mix_plan" ->
         """WITH a AS (

@@ -25,6 +25,60 @@ object Sampling {
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank every corpus
+    * document by the importance ratio of a TARGET slice's hashed
+    * unigram distribution vs the full corpus's, keep the top `k`.
+    * Per document:
+    *   log w(d) = Σ_tokens [ ln p̂_T(b(t)) − ln p̂_C(b(t)) ]
+    * over the same md5 feature buckets as
+    * [[TextFunctions.hashedLinearScore]], with add-α smoothing
+    * p̂(b) = (n_b + α)/(N + α·dims). High log w ⇒ the document looks
+    * like the target domain; selection = deterministic top-k (DSIR's
+    * Gumbel resampling swaps in per-id hash noise — composition with
+    * [[weightedSampleWoR]] — but the ranked form is the reproducible
+    * default).
+    *
+    * Scale shape: ONE token pass builds both bucket tables (dims-sized
+    * aggregation, map-side combined); the log-ratio vector is
+    * driver-computed (dims doubles, rounded to 6 dp for engine
+    * portability) and ships as a literal inside the scoring scan —
+    * scoring 100 TB is a zero-shuffle pass, and the selection is the
+    * k-bounded top-k aggregate, never a full sort.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 targetFilter: Column, dims: Int, k: Int,
+                 alpha: Double = 1.0, salt: String = "feat"): DataFrame = {
+    require(dims > 0 && k > 0, "need dims > 0 and k > 0")
+    val bucket = (t: Column) =>
+      (conv(substring(md5(concat(lit(salt + ":"), t)), 1, 8), 16, 10)
+        .cast("long") % dims).cast("int")
+    val counts = docs
+      .select(targetFilter.as("__is_t"),
+        explode(filter(TextFunctions.tokens(lower(col(textCol))),
+          t => length(t) > lit(0))).as("__t"))
+      .select(col("__is_t"), bucket(col("__t")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("n_c"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("n_t"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val totC = counts.values.map(_._1).sum.toDouble
+    val totT = counts.values.map(_._2).sum.toDouble
+    require(totT > 0, "target slice has no tokens")
+    val w = (0 until dims).map { b =>
+      val (nc, nt) = counts.getOrElse(b, (0L, 0L))
+      val lw = math.log((nt + alpha) / (totT + alpha * dims)) -
+        math.log((nc + alpha) / (totC + alpha * dims))
+      // HALF_UP at 6 dp: the exact ROUND(x, 6) the oracle replays
+      BigDecimal(lw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val scored = docs.select(col(idCol),
+      round(TextFunctions.hashedLinearScore(col(textCol), w, 0.0, salt), 6)
+        .as("__lw"))
+    graft.plans.TopKAggregate
+      .topKExploded(scored, Seq.empty, col("__lw"), col(idCol), k)
+      .select(col("id").as(idCol), col("score").as("log_w"), col("rank"))
+  }
+
   /** Train/val/test-style split assignment: `weights` are
     * (label, fraction) in declaration order, fractions summing to ~1.
     * Every id gets exactly one label; the assignment is a pure

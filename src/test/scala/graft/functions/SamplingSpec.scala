@@ -47,6 +47,41 @@ class SamplingSpec extends SparkSpec {
     assert(s1.collect().toSet == s2.collect().toSet)
   }
 
+  test("dsirSelect: target-like docs outrank off-target; deterministic; literal weights") {
+    // two disjoint vocabularies: "medical" target vs "legal" background;
+    // mixed docs land between the two poles
+    val docs = ((1L to 40L).map(i => (i, s"dose patient trial dose symptom$i", "t")) ++
+      (41L to 80L).map(i => (i, s"clause herein party witness claim$i", "b")) ++
+      (81L to 90L).map(i => (i, s"dose patient clause herein mix$i", "m")))
+      .toDF("doc_id", "text", "grp")
+    val sel = Sampling.dsirSelect(docs, "doc_id", "text",
+      targetFilter = col("grp") === "t", dims = 64, k = 50)
+    val ranked = sel.join(docs.select("doc_id", "grp"), "doc_id")
+      .select("rank", "grp", "log_w").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(ranked.length == 50)
+    // every target doc scores above every background doc; mixed in between
+    val byGrp = ranked.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byGrp("t").min > byGrp.getOrElse("m", Array(Double.NegativeInfinity)).max)
+    assert(!byGrp.contains("b") ||
+      byGrp("b").max < byGrp("m").min,
+      "background must rank below mixed docs")
+    // top 40 are exactly the target docs (tie-broken by id)
+    assert(ranked.take(40).forall(_._2 == "t"))
+    // deterministic across evaluations
+    val again = Sampling.dsirSelect(docs, "doc_id", "text",
+      col("grp") === "t", 64, 50).select("doc_id", "log_w", "rank")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(again == sel.select("doc_id", "log_w", "rank")
+      .as[(Long, Double, Long)].collect().toSet)
+    // the scoring scan carries the weight vector as a literal: no join,
+    // no shuffle between the documents scan and the scoring projection
+    val plan = Sampling.dsirSelect(docs, "doc_id", "text",
+      col("grp") === "t", 64, 5).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"scoring must not join a weight table:\n$plan")
+  }
+
   test("budgetSelect: two-level prefix sum == naive global-order window") {
     // scores with heavy ties + varied costs; id is the tiebreak
     val df = (1L to 500L).map { i =>
