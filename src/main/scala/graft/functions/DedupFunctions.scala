@@ -229,10 +229,11 @@ object DedupFunctions {
     * `corpus_id === batch_id` themselves.
     */
   def digestHitsFromIndex(path: String, batch: DataFrame, idCol: String,
-                          contentCol: String): DataFrame =
+                          contentCol: String,
+                          asOf: Int = Int.MaxValue): DataFrame =
     digestRows(batch, idCol, contentCol)
       .withColumnRenamed("id", "batch_id")
-      .join(SegmentedIndex.liveRows(batch.sparkSession, path, "digests")
+      .join(SegmentedIndex.liveRows(batch.sparkSession, path, "digests", asOf)
         .withColumnRenamed("id", "corpus_id"), Seq("digest"))
       .select(col("batch_id"), col("corpus_id"))
 

@@ -261,8 +261,9 @@ object VectorFunctions {
     */
   def semanticDedupFromIndex(path: String, df: DataFrame, id: String, vec: String,
                              tau: Double, roundScale: Int = 6,
-                             maxCell: Long = Long.MaxValue): DataFrame = {
-    val cells = ivfCells(df.sparkSession, path)
+                             maxCell: Long = Long.MaxValue,
+                             asOf: Int = Int.MaxValue): DataFrame = {
+    val cells = ivfCells(df.sparkSession, path, asOf)
       .withColumnRenamed("id", id)
       .join(df.select(col(id), col(vec)), Seq(id))
     semanticPrune(cells, id, vec, tau, roundScale, maxCell)
@@ -296,11 +297,12 @@ object VectorFunctions {
     * readStream micro-batch — the streaming corpus-refresh gate.
     */
   def nearDupProbeIndex(path: String, incoming: DataFrame, id: String, vec: String,
-                        corpus: DataFrame, tau: Double, roundScale: Int = 6): DataFrame = {
+                        corpus: DataFrame, tau: Double, roundScale: Int = 6,
+                        asOf: Int = Int.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
-    val cells = ivfCells(spark, path).withColumnRenamed("id", "c_id")
+    val cells = ivfCells(spark, path, asOf).withColumnRenamed("id", "c_id")
       .join(corpus.select(col(id).as("c_id"), col(vec).as("c_vec")), Seq("c_id"))
       .withColumn("__cn", norm(col("c_vec"))) // norms once per side
     incoming.select(col(id).as("q_id"), col(vec).as("q_vec"))

@@ -1182,9 +1182,10 @@ object Multimodal {
     */
   def probePHashIndex(path: String, incoming: DataFrame, idCol: String,
                       hashCol: String, maxHamming: Int = 10,
-                      maxBucket: Int = 10000): DataFrame = {
+                      maxBucket: Int = 10000,
+                      asOf: Int = Int.MaxValue): DataFrame = {
     val spark = incoming.sparkSession
-    val ib = bandedKeys(phashIndexRows(spark, path), "id", "hash", "__xid", "__xh")
+    val ib = bandedKeys(phashIndexRows(spark, path, asOf), "id", "hash", "__xid", "__xh")
     val ok = ib.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
       .select("band", "key")
