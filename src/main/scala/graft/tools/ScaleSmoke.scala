@@ -400,6 +400,29 @@ object ScaleSmoke {
         Seq(0L -> Seq("spark", "window"), 1L -> Seq("hash", "merge", "vector")),
         k = 10).count()
     }
+    // asOf snapshot read: same plan shape over FEWER segments — the
+    // contract is "never slower than the live read at the same version"
+    time("bm25_query_asof", nDocs) {
+      graft.functions.Curation.bm25TopKFromIndex(spark, bmPath,
+        Seq(0L -> Seq("spark", "window"), 1L -> Seq("hash", "merge", "vector")),
+        k = 10, asOf = 0).count()
+    }
+    // footer-only introspection + cross-index pin: zero Spark jobs
+    time("bm25_describe_and_pin", 2L) {
+      val d = graft.functions.SegmentedIndex.describe(spark, bmPath, "doclen")
+      graft.functions.CorpusSnapshot.write(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_smoke_pin.json",
+        Map("bm25" -> bmPath))
+      graft.functions.CorpusSnapshot.verify(spark,
+        s"${sys.props("java.io.tmpdir")}/graft_smoke_pin.json")
+      d.size.toLong
+    }
+    // DSIR selection at the full doc multiple: one token pass for the
+    // bucket tables + a zero-shuffle literal-weight scoring scan
+    time("dsir_select", nDocs) {
+      graft.functions.Sampling.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", dims = 64, k = 1000).count()
+    }
 
     // 20. perceptual-hash near-dup: PNG/WAV codec work per row (the
     // decode-bound profile), then the banded-Hamming join on 8-byte
