@@ -405,6 +405,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: CorpusSnapshot manifest round-trips labels/paths with hostile characters") {
+    // the manifest writer/parser are hand-rolled (no JSON lib in the
+    // engine); quotes, backslashes, control chars, and unicode in
+    // labels must survive a write -> read round trip byte for byte
+    val hostile = Gen.listOfN(8, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('"', '\\', '\t', '\n'),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', ' ', ':')
+    )).map(_.mkString)
+    forSamples(Gen.listOfN(3, hostile), n = 12) { labels0 =>
+      val labels = labels0.distinct.filter(_.nonEmpty)
+      if (labels.nonEmpty) {
+        val root = java.nio.file.Files.createTempDirectory("snapprop").toString
+        // one real index reused under every label (identity comes from
+        // the manifest entries, not the tree)
+        graft.functions.DedupFunctions.saveDigestIndex(
+          Seq((1L, "a"), (2L, "b")).toDF("id", "t"), "id", "t", s"$root/idx")
+        val pins = labels.map(_ -> s"$root/idx").toMap
+        graft.functions.CorpusSnapshot.write(spark, s"$root/m.json", pins)
+        val back = graft.functions.CorpusSnapshot.read(spark, s"$root/m.json")
+        assert(back.keySet == pins.keySet,
+          s"labels mangled: wrote ${pins.keySet}, read ${back.keySet}")
+        assert(back.values.forall { case (p, seg, _) =>
+          p == s"$root/idx" && seg == 0 })
+        // verify() accepts the fresh pins and rejects them after rebuild
+        assert(graft.functions.CorpusSnapshot
+          .verify(spark, s"$root/m.json").keySet == pins.keySet)
+      }
+    }
+  }
+
   test("property: perceptual hashes are re-encode invariant") {
     import graft.multimodal.{AudioFixture, ImageFixture, Multimodal}
     (0L until 12L).foreach { id =>
