@@ -962,6 +962,34 @@ object SparkEntry {
         col("doc_id"), col("score"), col("rank"))
     }),
 
+    "text_bm25_changelog" -> ((s, dir) => {
+      // AUDIT between two snapshot pins: which ids were added /
+      // replaced / deleted between index version 0 and version 1 —
+      // computed from the range's delta segments plus one id semi-join
+      // against the pinned v0 state, never a full current-state diff.
+      // Same corpus evolution as text_bm25_asof; the oracle derives
+      // the three classes in closed form from the slice predicates.
+      val docs = t(s, dir, "documents")
+      val idxPath = tmpPath(dir, "bm25_chlog")
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxPath)
+      }
+      val delta = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 1, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" zzchangetoken")))
+            .otherwise(col("text")))
+      phase("merge") {
+        graft.functions.Curation.mergeBm25Delta(delta, "doc_id", "text", idxPath)
+      }
+      graft.functions.SegmentedIndex
+        .changedBetween(s, idxPath, "doclen", fromSeg = 0, toSeg = 1)
+        .select(col("id").as("doc_id"), col("change"))
+    }),
+
     "text_bm25_segments" -> ((s, dir) => {
       // footer-only index introspection: per-segment doc rows +
       // tombstones straight from parquet footers — the numbers an
@@ -4175,6 +4203,15 @@ object SparkEntry {
                     ORDER BY score DESC, doc_id) AS rank
            FROM scored
            QUALIFY rank <= 5""",
+
+      "text_bm25_changelog" ->
+        """SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'added'
+                       WHEN doc_id % 7 = 1 THEN 'deleted'
+                       ELSE 'replaced' END AS change
+           FROM documents
+           WHERE (doc_id % 3 = 0 AND doc_id % 7 <> 1)
+              OR (doc_id % 3 <> 0 AND doc_id % 5 = 0)""",
 
       "text_bm25_segments" ->
         """SELECT CAST(0 AS BIGINT) AS segment,

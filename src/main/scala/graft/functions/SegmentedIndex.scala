@@ -169,6 +169,47 @@ object SegmentedIndex {
         graft.sources.ParquetMeta.rowCount(spark, s"$d/tombstones"))
     }
 
+  /** Change log between two snapshots of one index: the net per-id
+    * transition from the state at `fromSeg` to the state at `toSeg` —
+    * `added` (live at B, not at A), `replaced` (live at both, version
+    * changed), `deleted` (live at A, tombstoned by B). Ids that were
+    * both added and deleted INSIDE the range net to no change and are
+    * omitted, matching a diff of the two live sets.
+    *
+    * Cost shape: only the range's segments — delta-sized — are read
+    * for the event log; the state-at-A flag is one id-column semi-join
+    * against the pinned snapshot (the same join every delta merge
+    * already pays). No current-state full diff, no data columns move.
+    * The audit answer to "what changed between these two training
+    * runs' pins".
+    */
+  def changedBetween(spark: SparkSession, path: String, sub: String,
+                     fromSeg: Int, toSeg: Int): DataFrame = {
+    require(fromSeg < toSeg, s"need fromSeg < toSeg, got $fromSeg, $toSeg")
+    val range = segmentDirs(spark, path)
+      .filter { case (i, _) => i > fromSeg && i <= toSeg }
+    require(range.nonEmpty, s"no segments in ($fromSeg, $toSeg] at $path")
+    def ids(subdir: String) = range.map { case (i, d) =>
+      spark.read.parquet(s"$d/$subdir").select(col("id"), lit(i).as("__s")) }
+      .reduce(_ unionByName _)
+    // last event in range wins: a replacement writes row+tombstone in
+    // ONE segment (row current), a deletion writes only the tombstone
+    val lastRow = ids(sub).groupBy("id").agg(max(col("__s")).as("__r"))
+    val lastTomb = ids("tombstones").groupBy("id").agg(max(col("__s")).as("__t"))
+    val events = lastRow.join(lastTomb, Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("__r"), lit(-1)).as("__r"),
+        coalesce(col("__t"), lit(-1)).as("__t"))
+    val liveA = liveRows(spark, path, sub, fromSeg)
+      .select(col("id")).distinct().withColumn("__a", lit(true))
+    events.join(liveA, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__r") >= col("__t"),
+          when(col("__a").isNotNull, lit("replaced")).otherwise(lit("added")))
+          .otherwise(when(col("__a").isNotNull, lit("deleted"))
+            .otherwise(lit(null).cast("string"))).as("change"))
+      .filter(col("change").isNotNull)
+  }
+
   /** Full (re)build of a single-subtable index: drop any prior tree,
     * write `rows` (which must carry an `id` column) as segment 00000
     * with empty tombstones. The shared build path of the digest/band/

@@ -551,6 +551,39 @@ class FunctionsSpec extends SparkSpec {
       stale.getMessage.contains("stale"))
   }
 
+  test("changedBetween: net add/replace/delete across merge chains; transients omitted") {
+    import graft.functions.{DedupFunctions => DD, SegmentedIndex}
+    val root = java.nio.file.Files.createTempDirectory("chlog").toString + "/idx"
+    def docsOf(rows: (Long, String)*) = rows.toSeq.toDF("id", "t")
+    DD.saveDigestIndex(
+      docsOf((1L to 10L).map(i => i -> s"v0-$i"): _*), "id", "t", root)
+    // delta 1: add 11 and 20, replace 5 and 6, delete 7 and 8
+    DD.mergeDigestDelta(docsOf(11L -> "new", 20L -> "transient",
+      5L -> "v1-5", 6L -> "v1-6", 7L -> null, 8L -> null), "id", "t", root)
+    // delta 2: add 12, re-add 8, delete the transient 20 and the just-replaced 6
+    DD.mergeDigestDelta(docsOf(12L -> "new2", 8L -> "back",
+      20L -> null, 6L -> null), "id", "t", root)
+    val ch = SegmentedIndex.changedBetween(spark, root, "digests", 0, 2)
+      .as[(Long, String)].collect().toMap
+    assert(ch == Map(
+      11L -> "added", 12L -> "added",
+      5L -> "replaced",            // replaced in delta 1, untouched after
+      8L -> "replaced",            // deleted then re-added: live at A and B
+      6L -> "deleted",             // replaced then deleted: net gone
+      7L -> "deleted"),
+      s"got $ch")                  // 20 (added+deleted inside range) omitted
+    // a sub-range sees only its own transitions
+    val ch2 = SegmentedIndex.changedBetween(spark, root, "digests", 1, 2)
+      .as[(Long, String)].collect().toMap
+    assert(ch2 == Map(12L -> "added", 8L -> "added",
+      20L -> "deleted", 6L -> "deleted"), s"got $ch2")
+    // (8 counts as ADDED here: at snapshot 1 it stood deleted, so the
+    // re-add is a fresh appearance relative to that pin)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.changedBetween(spark, root, "digests", 2, 2)
+    }
+  }
+
   test("bm25 asOf snapshot replays the pre-merge ranking; later deletes can't reach back") {
     def baseText(i: Long) = s"w${i % 11} w${i % 5} base text"
     val base = (1L to 200L).filterNot(_ % 3 == 0)
