@@ -189,6 +189,8 @@ object SegmentedIndex {
     val range = segmentDirs(spark, path)
       .filter { case (i, _) => i > fromSeg && i <= toSeg }
     require(range.nonEmpty, s"no segments in ($fromSeg, $toSeg] at $path")
+    // fromSeg < 0 diffs against the EMPTY index: every live-at-B id is
+    // an addition (bootstrap audit of a fresh pin)
     def ids(subdir: String) = range.map { case (i, d) =>
       spark.read.parquet(s"$d/$subdir").select(col("id"), lit(i).as("__s")) }
       .reduce(_ unionByName _)
@@ -199,8 +201,11 @@ object SegmentedIndex {
     val events = lastRow.join(lastTomb, Seq("id"), "full_outer")
       .select(col("id"), coalesce(col("__r"), lit(-1)).as("__r"),
         coalesce(col("__t"), lit(-1)).as("__t"))
-    val liveA = liveRows(spark, path, sub, fromSeg)
-      .select(col("id")).distinct().withColumn("__a", lit(true))
+    val liveA =
+      (if (fromSeg < 0) range.head match { case (_, d) =>
+          spark.read.parquet(s"$d/$sub").select(col("id")).limit(0) }
+       else liveRows(spark, path, sub, fromSeg).select(col("id")).distinct())
+        .withColumn("__a", lit(true))
     events.join(liveA, Seq("id"), "left")
       .select(col("id"),
         when(col("__r") >= col("__t"),

@@ -582,6 +582,13 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SegmentedIndex.changedBetween(spark, root, "digests", 2, 2)
     }
+    // fromSeg = -1 diffs against the empty index: every live id is an
+    // addition and the set equals the live set at toSeg
+    val boot = SegmentedIndex.changedBetween(spark, root, "digests", -1, 2)
+      .as[(Long, String)].collect().toMap
+    val liveNow = SegmentedIndex.liveRows(spark, root, "digests")
+      .select("id").as[Long].collect().toSet
+    assert(boot.values.forall(_ == "added") && boot.keySet == liveNow)
   }
 
   test("bm25 asOf snapshot replays the pre-merge ranking; later deletes can't reach back") {
