@@ -55,6 +55,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Double, Map[String, Double]) = {
         graft.tools.PhaseTimer.drain() // clear leftovers from prior runs
+        // deliberately NO System.gc() here: forcing a full collection
+        // per query was measured at +47 s over the 192-query suite
+        // (121.2 -> 168.6 s) — far worse than the occasional GC-debt
+        // spike it was meant to smooth. Noise handling stays min-of-2
+        // plus isolation re-runs (SPARK_GRAFT_BENCH_ONLY).
         val t0 = System.nanoTime()
         // run the query's OWN plan (df.count() would execute a derived
         // count plan that can skip column materialization — and leaves
