@@ -55,6 +55,11 @@ object CorpusSnapshot {
     val json = pins.map { case (l, p, n, t) =>
       s"${q(l)}:{${q("path")}:${q(p)},${q("segment")}:$n,${q("tree")}:${q(t)}}"
     }.mkString("{", ",", "}")
+    // overwrite = delete + rename (rename onto an existing FILE fails
+    // on local/HDFS): a reader racing an overwrite of the SAME
+    // manifest path can observe a brief not-found window — rare
+    // because manifests are run logs, but callers that re-pin hot
+    // paths should write run-versioned names instead of overwriting
     val (fs, dest) = SegmentedIndex.hfs(spark, manifestPath)
     val tmp = new org.apache.hadoop.fs.Path(manifestPath + ".__tmp")
     val out = fs.create(tmp, true)

@@ -110,9 +110,13 @@ object SegmentedIndex {
       s"tree) at $path")
     val in = fs.open(marker)
     try {
+      // loop: a single read() may legally return fewer bytes than the
+      // file holds, and a truncated id would mis-verify every pin
+      val buf = new java.io.ByteArrayOutputStream()
       val b = new Array[Byte](64)
-      val n = in.read(b)
-      new String(b, 0, math.max(n, 0), "UTF-8")
+      var n = in.read(b)
+      while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+      buf.toString("UTF-8")
     } finally in.close()
   }
 
