@@ -112,7 +112,16 @@ object CorpusSnapshot {
       unesc(m.group(1)) -> ((unesc(m.group(2)), m.group(3).toInt,
         unesc(m.group(4))))
     }.toMap
-    require(pins.nonEmpty, s"malformed snapshot manifest at $manifestPath")
+    // regex extraction silently SKIPS malformed entries, so a
+    // truncated/corrupted manifest could otherwise verify with pins
+    // missing: cross-check the entry count against the raw text (the
+    // writer's escaping guarantees a label/path cannot fake the
+    // `{"path":` opener)
+    val opener = java.util.regex.Pattern.quote("{\"path\":")
+    val expected = s"$opener".r.findAllIn(raw).size
+    require(pins.nonEmpty && pins.size == expected,
+      s"malformed snapshot manifest at $manifestPath: parsed " +
+        s"${pins.size} of $expected entries")
     pins
   }
 

@@ -540,6 +540,23 @@ class FunctionsSpec extends SparkSpec {
       CorpusSnapshot.write(spark, s"$root/bad.json",
         Map("nope" -> s"$root/missing"))
     }
+    // a truncated manifest must fail loudly, not verify with pins
+    // silently missing (regex extraction skips malformed entries)
+    val mf = new java.io.File(s"$root/run1.json")
+    val full = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    val cut = full.substring(0, full.length - 15) // mangle the last entry
+    val crc = new java.io.File(s"$root/.run1.json.crc")
+    def rawWrite(c: String): Unit = { // bypass+drop the hadoop checksum
+      new java.io.PrintWriter(mf) { write(c); close() }
+      if (crc.exists()) assert(crc.delete())
+    }
+    rawWrite(cut)
+    val mangled = intercept[IllegalArgumentException] {
+      CorpusSnapshot.read(spark, s"$root/run1.json")
+    }
+    assert(mangled.getMessage.contains("malformed"))
+    rawWrite(full) // restore
     // compaction restarts segment numbering under a NEW tree identity:
     // the stale pin is refused instead of silently reading segment 0
     // of the collapsed tree as if it were the pinned history
