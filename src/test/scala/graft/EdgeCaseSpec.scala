@@ -243,4 +243,24 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(chunks == Set((1L, 0L, 1L), (2L, 0L, 1L)))
   }
+
+  test("dsirSelect: guard rails and degenerate corpora") {
+    val docs = Seq((1L, "alpha beta", "t"), (2L, "gamma delta", "b"),
+      (3L, null.asInstanceOf[String], "b")).toDF("doc_id", "text", "grp")
+    // invalid params and an empty target slice fail loudly
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.dsirSelect(docs, "doc_id", "text",
+        col("grp") === "t", dims = 0, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Sampling.dsirSelect(docs, "doc_id", "text",
+        col("grp") === "zzz", dims = 8, k = 5)
+    }
+    // null-text docs score null and are excluded from the selection
+    // (TopKAggregate skips null scores); k > corpus returns everyone else
+    val sel = graft.functions.Sampling.dsirSelect(docs, "doc_id", "text",
+        col("grp") === "t", dims = 8, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L, 2L))
+  }
 }
