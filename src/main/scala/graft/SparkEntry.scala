@@ -1270,22 +1270,28 @@ object SparkEntry {
       // clamped at 1 means the target share is unreachable). ONE
       // aggregation over the corpus; the resulting rate table is
       // vocabulary-sized and broadcasts into the downstream filter.
-      val budget = 200000L
-      val target = when(col("lang") === "en", lit(0.4))
-        .when(col("lang") === "de", lit(0.2))
-        .when(col("lang") === "es", lit(0.2))
-        .when(col("lang") === "fr", lit(0.1))
-        .otherwise(lit(0.1))
+      // Shares are exact tenths and the budget is a multiple of 10, so
+      // target_tokens (`want`) is an exact integer — deriving it in Long
+      // arithmetic (tenths × budget/10) keeps the only inexact step the
+      // final double division, which the oracle replays bit-for-bit.
+      // Doubles here (0.4 × 200000.0 = 80000.000000000004…) drifted from
+      // DuckDB's exact-DECIMAL product at ulp scale.
+      val budgetTenth = 200000L / 10
+      val tenths = when(col("lang") === "en", lit(4L))
+        .when(col("lang") === "de", lit(2L))
+        .when(col("lang") === "es", lit(2L))
+        .when(col("lang") === "fr", lit(1L))
+        .otherwise(lit(1L))
+      val want = tenths * lit(budgetTenth)
       t(s, dir, "documents")
         .select(col("lang"), T.tokenCount(col("text")).cast("long").as("__nt"))
         .groupBy("lang")
         .agg(sum("__nt").as("avail"), count(lit(1)).as("n_docs"))
         .select(col("lang"), col("avail"), col("n_docs"),
           round(least(lit(1.0),
-            (target * lit(budget.toDouble)) / col("avail").cast("double")), 6)
+            want.cast("double") / col("avail").cast("double")), 6)
             .as("rate"),
-          ((target * lit(budget.toDouble)) >= col("avail").cast("double"))
-            .as("undersupplied"))
+          (want >= col("avail")).as("undersupplied"))
     }),
 
     "sample_mix_weighted" -> ((s, dir) => {
@@ -1607,12 +1613,16 @@ object SparkEntry {
       // scan-side stage; text never shuffles — only keys, counts, and
       // the manifest rows move.
       val Sam = graft.functions.Sampling
-      val budget = 150000.0
-      val target = when(col("lang") === "en", lit(0.4))
-        .when(col("lang") === "de", lit(0.2))
-        .when(col("lang") === "es", lit(0.2))
-        .when(col("lang") === "fr", lit(0.1))
-        .otherwise(lit(0.1))
+      // want = share × budget derived in exact Long arithmetic (shares
+      // are tenths, budget a multiple of 10) so the acceptance rate's
+      // only inexact step is the final double division — the oracle
+      // replays the identical derivation and floor(rate·2^32) boundary.
+      val budgetTenth = 150000L / 10
+      val tenths = when(col("lang") === "en", lit(4L))
+        .when(col("lang") === "de", lit(2L))
+        .when(col("lang") === "es", lit(2L))
+        .when(col("lang") === "fr", lit(1L))
+        .otherwise(lit(1L))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("__ck").orderBy("doc_id")
       val kept = t(s, dir, "documents")
@@ -1621,7 +1631,8 @@ object SparkEntry {
         .withColumn("__nt", T.tokenCount(col("text")).cast("long"))
       val rates = kept.groupBy("lang").agg(sum("__nt").as("__avail"))
         .select(col("lang"), least(lit(1.0),
-          target * lit(budget) / col("__avail").cast("double")).as("__rate"))
+          (tenths * lit(budgetTenth)).cast("double") /
+            col("__avail").cast("double")).as("__rate"))
       kept.join(broadcast(rates), "lang")
         .filter(Sam.rateKeep(col("doc_id"), col("__rate")))
         .withColumn("split", Sam.splitAssign(col("doc_id"),
@@ -4490,7 +4501,8 @@ object SparkEntry {
                                   t -> strlen(t) > 0),
                       t -> wl[CAST(('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT
                                    % 64 AS INT) + 1])), 0.0), 6) AS log_w
-             FROM documents CROSS JOIN wl)
+             FROM documents CROSS JOIN wl
+             WHERE text IS NOT NULL)
            SELECT doc_id, log_w,
                   ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id) AS rank
            FROM scored
@@ -4503,13 +4515,13 @@ object SparkEntry {
                     COUNT(*) AS n_docs
              FROM documents GROUP BY 1),
            t AS (SELECT lang, avail, n_docs,
-                        CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
-                                  WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1
-                                  ELSE 0.1 END * 200000.0 AS want
+                        CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+                                       WHEN 'es' THEN 2 WHEN 'fr' THEN 1
+                                       ELSE 1 END * 20000 AS BIGINT) AS want
                  FROM a)
            SELECT lang, avail, n_docs,
-                  ROUND(LEAST(1.0, want / CAST(avail AS DOUBLE)), 6) AS rate,
-                  want >= CAST(avail AS DOUBLE) AS undersupplied
+                  ROUND(LEAST(1.0, CAST(want AS DOUBLE) / CAST(avail AS DOUBLE)), 6) AS rate,
+                  want >= avail AS undersupplied
            FROM t""",
 
       "sample_mix_weighted" ->
@@ -4900,9 +4912,10 @@ object SparkEntry {
              QUALIFY ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) = 1),
            rates AS (
              SELECT lang, LEAST(1.0,
-                      CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
-                                WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1
-                                ELSE 0.1 END * 150000.0 / CAST(SUM(nt) AS DOUBLE)) AS rate
+                      CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+                                     WHEN 'es' THEN 2 WHEN 'fr' THEN 1
+                                     ELSE 1 END * 15000 AS DOUBLE)
+                        / CAST(SUM(nt) AS DOUBLE)) AS rate
              FROM kept GROUP BY lang),
            acc AS (
              SELECT k.doc_id, k.lang, k.nt,

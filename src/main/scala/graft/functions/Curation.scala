@@ -200,15 +200,19 @@ object Curation {
     val spark = docs.sparkSession
     val (fs, segRoot) = hfs(spark, s"$path/segments")
     if (fs.exists(segRoot)) fs.delete(segRoot, true) // full rebuild
+    // cached: the doclen write materializes it, the stats aggregation
+    // reads it back — one corpus tokenization instead of two (the
+    // cache is (id, double), ~16 B/doc, negligible next to the corpus)
     val dl = docLengths(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("dl"))
-    writeSegment(spark, s"$path/segments", 0,
+      .select(col(idCol).as("id"), col("dl")).persist()
+    try writeSegment(spark, s"$path/segments", 0,
       postings = tokenPostings(docs, idCol, textCol),
       doclen = dl, tombstones = dl.select("id").limit(0),
       stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         .select(col("n_docs"), col("sum_dl"),
           (col("sum_dl").cast("double") / col("n_docs").cast("double"))
             .as("avgdl")))
+    finally dl.unpersist()
   }
 
   /** O(delta) index refresh: append segment N with the delta's
@@ -236,30 +240,51 @@ object Curation {
     * by contract (see [[writeSegment]]).
     */
   def mergeBm25Delta(delta: DataFrame, idCol: String, textCol: String,
-                     path: String): Unit = {
+                     path: String, trustedDelta: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no BM25 index at $path — saveBm25Index first")
     val n = segs.map(_._1).max + 1
-    val deltaIds = delta.select(col(idCol).as("id")).persist()
+    // ONE delta-sized cached projection — (id, new doc length, null =
+    // deletion) — feeds everything downstream: the dup guard, the delta
+    // stats, the doclen subtable write, and the probe side of the
+    // replaced-id semi-join. Round 7 tokenized the delta three times
+    // (stats agg, doclen write, postings) and ran the dup guard as its
+    // own groupBy job (+40% measured like-for-like merge drift); now
+    // the stats aggregation materializes the cache in the same job, the
+    // dup guard rides that aggregation as count-vs-countDistinct (no
+    // groupBy unless a dup actually exists, and then only to name the
+    // offending id), and only the postings write re-tokenizes.
+    val perId = delta.select(col(idCol).as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
+      .persist()
     try {
-      val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
-          "holds one version per doc; reduce the delta to last-per-key " +
-          "(e.g. WindowOps.latestPerGroup) before merging")
-      // live (non-null-text) versions only; null-text rows fall out here
-      // and surface solely through the tombstone side = deletion
-      val dl = docLengths(delta, idCol, textCol)
-        .select(col(idCol).as("id"), col("dl"))
+      // trusted deltas (the streaming sink reduces to last-per-key
+      // before calling) drop the countDistinct, leaving a pure
+      // scan-side aggregation with no shuffle at all
+      val dupCols =
+        if (trustedDelta) Seq(lit(0L).as("rows"), lit(0L).as("ids"))
+        else Seq(count(lit(1)).as("rows"), countDistinct(col("id")).as("ids"))
+      // live (non-null-text) new versions only; null-text rows fall
+      // out of N/sum_dl and surface solely through the tombstone
+      // side = deletion
+      val d = perId.agg(count(col("dl")).as("dn"),
+        coalesce(sum(col("dl")), lit(0.0)).as("ds") +: dupCols: _*).head()
+      if (!trustedDelta && d.getLong(2) != d.getLong(3)) {
+        val dup = perId.groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).collect()
+        require(dup.isEmpty, // null ids can trip rows≠ids without a dup group
+          s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+            "holds one version per doc; reduce the delta to last-per-key " +
+            "(e.g. WindowOps.latestPerGroup) before merging")
+      }
+      // old versions of delta ids become dead; the probe side reads the
+      // delta-sized cache, the corpus doclen streams once against it
       val replaced = liveRows(spark, path, "doclen")
-        .join(deltaIds, Seq("id"), "left_semi")
+        .join(perId.select("id"), Seq("id"), "left_semi")
         .persist()
       try {
         val r = replaced.agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
-        val d = dl.agg(count(lit(1)).as("n"),
           coalesce(sum(col("dl")), lit(0.0)).as("s")).head()
         val old = spark.read.parquet(s"${segs.last._2}/stats")
           .select(col("n_docs"), col("sum_dl")).head()
@@ -270,9 +295,10 @@ object Curation {
           lit(if (newN == 0) 0.0 else newSum / newN).as("avgdl"))
         writeSegment(spark, s"$path/segments", n,
           postings = tokenPostings(delta, idCol, textCol),
-          doclen = dl, tombstones = replaced.select("id"), stats = stats)
+          doclen = perId.filter(col("dl").isNotNull).select("id", "dl"),
+          tombstones = replaced.select("id"), stats = stats)
       } finally replaced.unpersist()
-    } finally deltaIds.unpersist()
+    } finally perId.unpersist()
   }
 
   /** Fold all live rows back into a single segment 00000 (dead

@@ -132,7 +132,12 @@ object ValidateStream {
         if (!batch.isEmpty) {
           val C = graft.functions.Curation
           if (C.bm25IndexExists(batch.sparkSession, path))
-            C.mergeBm25Delta(batch, idCol, textCol, path)
+            // trustedDelta: the sink contract is one row per id per
+            // micro-batch (CDC sources reduce to last-per-key before
+            // this sink), so the merge skips the dup-guard groupBy —
+            // one less delta shuffle per batch on the upkeep hot path
+            C.mergeBm25Delta(batch, idCol, textCol, path,
+              trustedDelta = true)
           else C.saveBm25Index(batch, idCol, textCol, path)
           // inline auto-compaction: a long-running upkeep stream must
           // not accumulate one segment per micro-batch forever — past
