@@ -125,6 +125,45 @@ object CorpusSnapshot {
     pins
   }
 
+  /** Live pins onto `indexPath`'s CURRENT segments tree recorded under
+    * `manifestSource` — a single manifest file or a directory of them
+    * (a run-log folder): (manifest file, label, pinned segment). Pins
+    * whose recorded tree id no longer matches are already stale (their
+    * history is gone; [[verify]] rejects them) and are not returned.
+    * This is the retention input for compaction guards: a live pin
+    * means compacting `indexPath` would orphan a replayable snapshot.
+    * A missing source, an unreadable tree marker, or zero matches all
+    * yield empty — "no pins" must not block maintenance of an index
+    * nobody snapshotted.
+    */
+  def pinsOn(spark: SparkSession, indexPath: String,
+             manifestSource: String): Seq[(String, String, Int)] = {
+    val (fs, src) = SegmentedIndex.hfs(spark, manifestSource)
+    if (!fs.exists(src)) return Seq.empty
+    val files =
+      if (fs.getFileStatus(src).isDirectory)
+        fs.listStatus(src).toSeq.filter(_.isFile).map(_.getPath)
+          // a crashed write's orphan tmp is not a committed manifest
+          .filterNot(_.getName.endsWith(".__tmp"))
+      else Seq(src)
+    val tree =
+      try Some(SegmentedIndex.treeId(spark, indexPath))
+      catch { case _: IllegalArgumentException => None }
+    val target = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+    tree match {
+      case None => Seq.empty
+      case Some(t) =>
+        files.flatMap { f =>
+          read(spark, f.toString).toSeq.collect {
+            case (label, (p, seg, pt))
+                if pt == t &&
+                  fs.makeQualified(new org.apache.hadoop.fs.Path(p)) == target =>
+              (f.toString, label, seg)
+          }
+        }
+    }
+  }
+
   /** Read AND validate: every pinned index must still carry the tree
     * identity recorded at snapshot time — a rebuild or compaction since
     * then restarts segment numbering, so replaying such a pin would

@@ -312,10 +312,12 @@ object Curation {
     * lakehouse vacuum trade).
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Unit = {
+                       path: String,
+                       pinnedBy: Option[String] = None): Unit = {
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no BM25 index at $path")
     if (segs.size == 1) return // single segment is compact by construction
+    SegmentedIndex.requireNotPinned(spark, path, pinnedBy)
     val tmpRoot = s"$path/__segments_tmp"
     val (fs, tmpP) = hfs(spark, tmpRoot)
     if (fs.exists(tmpP)) fs.delete(tmpP, true)

@@ -263,13 +263,39 @@ object SegmentedIndex {
     } finally ids.unpersist()
   }
 
-  /** Fold a single-subtable index back to segment 00000 (two-rename
-    * swap; answers unchanged).
+  /** Refuse to collapse a tree that live snapshot manifests still pin.
+    * Compaction restarts segment numbering under a NEW tree id, so ANY
+    * pin onto the current tree — even one at the newest segment — stops
+    * replaying after it; without this guard a routine compaction
+    * silently breaks every manifest written before it. `pinnedBy` is
+    * the caller's manifest file or run-log directory
+    * ([[CorpusSnapshot.pinsOn]]); None preserves the documented
+    * unguarded vacuum trade for callers without a snapshot discipline.
     */
-  def compactIndex(spark: SparkSession, path: String, sub: String): Unit = {
+  def requireNotPinned(spark: SparkSession, path: String,
+                       pinnedBy: Option[String]): Unit =
+    pinnedBy.foreach { src =>
+      val pins = CorpusSnapshot.pinsOn(spark, path, src)
+      if (pins.nonEmpty) {
+        val (m, label, seg) = pins.head
+        throw new IllegalStateException(
+          s"refusing to compact $path: ${pins.size} live snapshot pin(s) " +
+            s"reference its current tree (first: '$label' @ segment $seg " +
+            s"in $m) — compaction would collapse the pinned history; " +
+            "retire or re-pin those manifests first")
+      }
+    }
+
+  /** Fold a single-subtable index back to segment 00000 (two-rename
+    * swap; answers unchanged). `pinnedBy` guards live snapshot pins —
+    * see [[requireNotPinned]].
+    */
+  def compactIndex(spark: SparkSession, path: String, sub: String,
+                   pinnedBy: Option[String] = None): Unit = {
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no segmented index at $path")
     if (segs.size == 1) return
+    requireNotPinned(spark, path, pinnedBy)
     val tmpRoot = s"$path/__segments_tmp"
     val (fs, tmpP) = hfs(spark, tmpRoot)
     if (fs.exists(tmpP)) fs.delete(tmpP, true)

@@ -599,8 +599,9 @@ object VectorFunctions {
     * BM25 compaction.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit =
-    SegmentedIndex.compactIndex(spark, path, "cells")
+                      path: String,
+                      pinnedBy: Option[String] = None): Unit =
+    SegmentedIndex.compactIndex(spark, path, "cells", pinnedBy)
 
   /** Tombstone-masked live (id, cid) rows of a persisted IVF index.
     * `asOf` pins the snapshot to segments <= asOf (see
@@ -913,8 +914,9 @@ object VectorFunctions {
 
   /** Fold live code rows back to segment 00000 (answers unchanged). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Unit =
-    SegmentedIndex.compactIndex(spark, path, "codes")
+                     path: String,
+                     pinnedBy: Option[String] = None): Unit =
+    SegmentedIndex.compactIndex(spark, path, "codes", pinnedBy)
 
   /** Tombstone-masked live (id, codes) rows of a persisted PQ index.
     * `asOf` pins the snapshot to segments <= asOf.

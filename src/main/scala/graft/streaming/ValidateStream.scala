@@ -17,6 +17,16 @@ import graft.rules.{RowRule, Rules}
   */
 object ValidateStream {
 
+  /** Whether live snapshot manifests under `pinnedBy` pin `path`'s
+    * current tree — the upkeep sinks' auto-compaction checks this and
+    * DEFERS (skips) compaction rather than crashing the stream; the
+    * tree resumes folding once the pins retire. None = unguarded.
+    */
+  private def pinned(spark: SparkSession, path: String,
+                     pinnedBy: Option[String]): Boolean =
+    pinnedBy.exists(src =>
+      graft.functions.CorpusSnapshot.pinsOn(spark, path, src).nonEmpty)
+
   /** Stream a directory of TSVs through the validation battery;
     * each micro-batch appends one findings row-set (one row per rule)
     * tagged with the batch id. foreachBatch keeps the battery's
@@ -124,7 +134,8 @@ object ValidateStream {
     */
   def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
                       path: String, checkpoint: String,
-                      maxSegments: Int = Int.MaxValue)
+                      maxSegments: Int = Int.MaxValue,
+                      pinnedBy: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -145,8 +156,11 @@ object ValidateStream {
           // (answers unchanged, two-rename swap). Safe here because
           // foreachBatch serializes the sink: the compactor IS the
           // single writer.
+          // live snapshot pins defer compaction instead of crashing
+          // the stream — segments accumulate until the pins retire
           if (graft.functions.SegmentedIndex
-              .segmentDirs(batch.sparkSession, path).size > maxSegments)
+                .segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
             C.compactBm25Index(batch.sparkSession, path)
         }
       }
@@ -170,7 +184,8 @@ object ValidateStream {
     */
   def ivfIndexStream(docs: DataFrame, idCol: String, vecCol: String,
                      path: String, checkpoint: String,
-                     maxSegments: Int = Int.MaxValue)
+                     maxSegments: Int = Int.MaxValue,
+                     pinnedBy: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -181,7 +196,8 @@ object ValidateStream {
           // see bm25IndexStream: the serialized sink is the single
           // writer, so inline compaction past maxSegments is safe
           if (graft.functions.SegmentedIndex
-              .segmentDirs(batch.sparkSession, path).size > maxSegments)
+                .segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
             V.compactIvfIndex(batch.sparkSession, path)
         }
       }
@@ -201,7 +217,8 @@ object ValidateStream {
     */
   def pqIndexStream(docs: DataFrame, idCol: String, vecCol: String,
                     path: String, checkpoint: String, m: Int, dim: Int,
-                    maxSegments: Int = Int.MaxValue)
+                    maxSegments: Int = Int.MaxValue,
+                    pinnedBy: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -210,7 +227,8 @@ object ValidateStream {
           val V = graft.functions.VectorFunctions
           V.mergePqDelta(batch, idCol, vecCol, path, m, dim)
           if (graft.functions.SegmentedIndex
-              .segmentDirs(batch.sparkSession, path).size > maxSegments)
+                .segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
             V.compactPqIndex(batch.sparkSession, path)
         }
       }
@@ -234,7 +252,8 @@ object ValidateStream {
                        path: String, checkpoint: String,
                        hasher: (DataFrame, String, String) => DataFrame =
                          graft.multimodal.Multimodal.imagePHashes,
-                       maxSegments: Int = Int.MaxValue)
+                       maxSegments: Int = Int.MaxValue,
+                       pinnedBy: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
@@ -248,7 +267,8 @@ object ValidateStream {
             M.mergePHashDelta(batch.select(col(idCol)), hashes,
               idCol, hashCol, path)
           else M.savePHashIndex(hashes, idCol, hashCol, path)
-          if (S.segmentDirs(batch.sparkSession, path).size > maxSegments)
+          if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
             S.compactIndex(batch.sparkSession, path, "hashes")
         }
       }

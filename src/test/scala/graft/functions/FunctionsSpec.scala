@@ -568,6 +568,66 @@ class FunctionsSpec extends SparkSpec {
       stale.getMessage.contains("stale"))
   }
 
+  test("compaction retention guard: a live snapshot pin blocks compaction until retired") {
+    import graft.functions.{CorpusSnapshot, SegmentedIndex}
+    val root = java.nio.file.Files.createTempDirectory("pinguard").toString
+    val docs = (1L to 40L).map(i => (i, s"tok${i % 5} body $i"))
+      .toDF("doc_id", "text")
+    Curation.saveBm25Index(docs, "doc_id", "text", s"$root/bm25")
+    Curation.mergeBm25Delta(
+      (41L to 50L).map(i => (i, s"tok${i % 5} later $i")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/bm25")
+    val qs = Seq(0L -> Seq("tok1"), 1L -> Seq("later"))
+    val pinnedSeg = SegmentedIndex.currentSegment(spark, s"$root/bm25")
+    val pinnedRead = Curation
+      .bm25TopKFromIndex(spark, s"$root/bm25", qs, k = 5, asOf = pinnedSeg)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // two run manifests pin the index; a manifest for a DIFFERENT
+    // index in the same run-log dir must not block this one
+    val pins = s"$root/pins"
+    new java.io.File(pins).mkdirs()
+    CorpusSnapshot.write(spark, s"$pins/run1.json",
+      Map("bm25" -> s"$root/bm25"))
+    CorpusSnapshot.write(spark, s"$pins/run2.json",
+      Map("bm25" -> s"$root/bm25"))
+    graft.functions.DedupFunctions.saveDigestIndex(
+      docs, "doc_id", "text", s"$root/digests")
+    CorpusSnapshot.write(spark, s"$pins/other.json",
+      Map("digests" -> s"$root/digests"))
+    val e = intercept[IllegalStateException] {
+      Curation.compactBm25Index(spark, s"$root/bm25", pinnedBy = Some(pins))
+    }
+    assert(e.getMessage.contains("refusing to compact"), e.getMessage)
+    // the guard refused, so the pinned asOf read still replays bit for bit
+    assert(Curation
+      .bm25TopKFromIndex(spark, s"$root/bm25", qs, k = 5, asOf = pinnedSeg)
+      .as[(Long, Long, Double, Long)].collect().toSet == pinnedRead)
+    // one retired pin is not enough — run2 still holds
+    assert(new java.io.File(s"$pins/run1.json").delete())
+    intercept[IllegalStateException] {
+      Curation.compactBm25Index(spark, s"$root/bm25", pinnedBy = Some(pins))
+    }
+    // the other-index pin alone never blocked; all pins retired → folds
+    assert(new java.io.File(s"$pins/run2.json").delete())
+    Curation.compactBm25Index(spark, s"$root/bm25", pinnedBy = Some(pins))
+    assert(SegmentedIndex.segmentDirs(spark, s"$root/bm25").map(_._1) == Seq(0))
+    // other.json now pins a tree id the compacted bm25 never had —
+    // stale-by-tree pins don't resurrect the guard
+    Curation.mergeBm25Delta(
+      Seq((51L, "tok1 post")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/bm25")
+    Curation.compactBm25Index(spark, s"$root/bm25", pinnedBy = Some(pins))
+    // the guarded digest index still refuses while other.json lives
+    // (single-segment trees are a no-op, so grow it to two first)
+    graft.functions.DedupFunctions.mergeDigestDelta(
+      Seq((41L, "fresh")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/digests")
+    intercept[IllegalStateException] {
+      SegmentedIndex.compactIndex(spark, s"$root/digests", "digests",
+        pinnedBy = Some(pins))
+    }
+  }
+
   test("changedBetween: net add/replace/delete across merge chains; transients omitted") {
     import graft.functions.{DedupFunctions => DD, SegmentedIndex}
     val root = java.nio.file.Files.createTempDirectory("chlog").toString + "/idx"
