@@ -247,10 +247,22 @@ object ReleaseJob {
     import scala.jdk.CollectionConverters._
     val base = java.nio.file.Paths.get(releaseDir)
     val walked = java.nio.file.Files.walk(base)
-    try walked.iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => base.relativize(p).toString).toSeq.sorted
-    finally walked.close()
+    val artifacts =
+      try walked.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString).toSeq.sorted
+      finally walked.close()
+
+    // ---- data guide (templates/data_guide_template.Rnw:1-502, the
+    // release-time documentation artifact): rendered from the gated
+    // release inputs + the artifact list just written ----
+    graft.stats.DataGuide.write(
+      graft.stats.DataGuide.render(genieVersion, in.assayInfo,
+        dataFiles = artifacts,
+        clinicalColumns =
+          (in.clinicalSample.columns ++ in.clinicalPatient.columns).toSeq.distinct),
+      s"$releaseDir/data_guide.md")
+    (artifacts :+ "data_guide.md").sorted
   }
 
   /** Release-dashboard wiki document (R/dashboard_markdown_generator.R —

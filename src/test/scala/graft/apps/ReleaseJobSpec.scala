@@ -135,7 +135,9 @@ class ReleaseJobSpec extends SparkSpec {
       "case_lists/cases_all.txt", "case_lists/cases_sequenced.txt",
       "case_lists/cases_cna.txt", "case_lists/cases_sv.txt",
       "case_lists/cases_cnaseq.txt",
-      "case_lists/cases_non_small_cell_lung_cancer.txt")
+      "case_lists/cases_non_small_cell_lung_cancer.txt",
+      // release documentation (templates/data_guide_template.Rnw)
+      "data_guide.md")
     assert(manifest.toSet == expectedFixed,
       s"manifest mismatch:\n missing=${expectedFixed -- manifest.toSet}\n extra=${manifest.toSet -- expectedFixed}")
     // versioned layout: Release <major>/<version> (database_to_staging.py:2034-2125)
