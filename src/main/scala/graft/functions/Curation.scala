@@ -372,7 +372,17 @@ object Curation {
                       path: String): Boolean =
     segmentDirs(spark, path).nonEmpty
 
-  /** (token, id, tf) postings of one corpus slice */
+  /** (token, id, tf) postings of one corpus slice.
+    *
+    * Deliberately TWO shuffles on the write path (hash groupBy, then
+    * the caller's range repartition): collapsing them into one
+    * repartitionByRange(token, id) before the aggregation was measured
+    * to plan with a single exchange (range partitioning satisfies the
+    * groupBy's clustering), but it ships RAW token occurrences —
+    * avg-tf × |postings| rows, 2-3× for natural text — where the
+    * two-step ships map-side-combined postings twice. At 100 TB the
+    * byte trade loses; one extra stage round-trip is the cheaper side.
+    */
   private def tokenPostings(docs: DataFrame, idCol: String,
                             textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),

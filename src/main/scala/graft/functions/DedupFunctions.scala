@@ -219,9 +219,10 @@ object DedupFunctions {
       digestRows(df, idCol, contentCol))
 
   def mergeDigestDelta(delta: DataFrame, idCol: String, contentCol: String,
-                       path: String): Unit =
+                       path: String, trustedDelta: Boolean = false): Unit =
     SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "digests",
-      delta.select(col(idCol)), digestRows(delta, idCol, contentCol))
+      delta.select(col(idCol)), digestRows(delta, idCol, contentCol),
+      trustedDelta)
 
   /** Exact-dup hits of a batch against the live digest index: one row
     * per (batch id, matching live corpus id). Self-matches are NOT
@@ -244,9 +245,11 @@ object DedupFunctions {
       bandIndex(df, idCol, elemsCol, k, bands))
 
   def mergeBandDelta(delta: DataFrame, idCol: String, elemsCol: Column,
-                     path: String, k: Int = 16, bands: Int = 4): Unit =
+                     path: String, k: Int = 16, bands: Int = 4,
+                     trustedDelta: Boolean = false): Unit =
     SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "bands",
-      delta.select(col(idCol)), bandIndex(delta, idCol, elemsCol, k, bands))
+      delta.select(col(idCol)), bandIndex(delta, idCol, elemsCol, k, bands),
+      trustedDelta)
 
   /** Live (band_key, id) rows — feed [[incrementalNearDupCandidates]].
     * `asOf` pins the snapshot to segments <= asOf.
@@ -262,9 +265,11 @@ object DedupFunctions {
       winnowIndex(df, idCol, textCol, k, w))
 
   def mergeWinnowDelta(delta: DataFrame, idCol: String, textCol: String,
-                       path: String, k: Int = 5, w: Int = 4): Unit =
+                       path: String, k: Int = 5, w: Int = 4,
+                       trustedDelta: Boolean = false): Unit =
     SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "hashes",
-      delta.select(col(idCol)), winnowIndex(delta, idCol, textCol, k, w))
+      delta.select(col(idCol)), winnowIndex(delta, idCol, textCol, k, w),
+      trustedDelta)
 
   /** Live (id, h) winnow rows — feed [[spanContainmentFromIndex]] or
     * [[probeSpanHits]].

@@ -243,17 +243,22 @@ object SegmentedIndex {
     * nothing re-ingested, exactly the BM25 null-text contract.
     */
   def mergeDeltaRows(spark: SparkSession, path: String, sub: String,
-                     deltaIds: DataFrame, rows: DataFrame): Unit = {
+                     deltaIds: DataFrame, rows: DataFrame,
+                     trustedDelta: Boolean = false): Unit = {
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no segmented index at $path — createIndex first")
     val n = segs.map(_._1).max + 1
     val ids = deltaIds.select(col(deltaIds.columns.head).as("id")).persist()
     try {
-      val dup = ids.groupBy("id").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
-          "holds one version per id; reduce to last-per-key first")
+      // trusted deltas (streaming sinks whose contract is one row per
+      // id per batch) skip the dup-guard job on the upkeep hot path
+      if (!trustedDelta) {
+        val dup = ids.groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+            "holds one version per id; reduce to last-per-key first")
+      }
       val replaced = liveRows(spark, path, sub).select("id").distinct()
         .join(ids, Seq("id"), "left_semi")
       commitSegment(spark, s"$path/segments", n) { tmp =>

@@ -569,18 +569,20 @@ object VectorFunctions {
     * ([[saveIvfIndex]]) is due.
     */
   def mergeIvfDelta(delta: DataFrame, idCol: String, vecCol: String,
-                    path: String): Unit = {
+                    path: String, trustedDelta: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val segs = SegmentedIndex.segmentDirs(spark, path)
     require(segs.nonEmpty, s"no IVF index at $path — saveIvfIndex first")
     val n = segs.map(_._1).max + 1
     val deltaIds = delta.select(col(idCol).as("id")).persist()
     try {
-      val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
-          "holds one version per id; reduce to last-per-key first")
+      if (!trustedDelta) { // see SegmentedIndex.mergeDeltaRows
+        val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+            "holds one version per id; reduce to last-per-key first")
+      }
       val cents = spark.read.parquet(s"$path/centroids")
       val replaced = SegmentedIndex.liveRows(spark, path, "cells")
         .select("id").join(deltaIds, Seq("id"), "left_semi")
@@ -887,18 +889,21 @@ object VectorFunctions {
     * [[pqDeltaFraction]] is the footer-only trigger.
     */
   def mergePqDelta(delta: DataFrame, idCol: String, vecCol: String,
-                   path: String, m: Int, dim: Int): Unit = {
+                   path: String, m: Int, dim: Int,
+                   trustedDelta: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val segs = SegmentedIndex.segmentDirs(spark, path)
     require(segs.nonEmpty, s"no PQ index at $path — savePqIndex first")
     val n = segs.map(_._1).max + 1
     val deltaIds = delta.select(col(idCol).as("id")).persist()
     try {
-      val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
-          "holds one version per id; reduce to last-per-key first")
+      if (!trustedDelta) { // see SegmentedIndex.mergeDeltaRows
+        val dup = deltaIds.groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
+            "holds one version per id; reduce to last-per-key first")
+      }
       val books = spark.read.parquet(s"$path/codebooks")
       val replaced = SegmentedIndex.liveRows(spark, path, "codes")
         .select("id").join(deltaIds, Seq("id"), "left_semi")
@@ -1031,7 +1036,8 @@ object VectorFunctions {
     * compact with [[SegmentedIndex.compactIndex]](path, "codes").
     */
   def mergeIvfPqDelta(delta: DataFrame, idCol: String, vecCol: String,
-                      path: String, m: Int, dim: Int): Unit = {
+                      path: String, m: Int, dim: Int,
+                      trustedDelta: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
@@ -1049,7 +1055,7 @@ object VectorFunctions {
         .join(res.select(col(idCol), col("__cell")), Seq(idCol))
         .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
       SegmentedIndex.mergeDeltaRows(spark, path, "codes",
-        delta.select(col(idCol)), rows)
+        delta.select(col(idCol)), rows, trustedDelta)
     } finally res.unpersist(blocking = false)
   }
 

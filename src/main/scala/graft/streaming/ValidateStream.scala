@@ -192,7 +192,8 @@ object ValidateStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val V = graft.functions.VectorFunctions
-          V.mergeIvfDelta(batch, idCol, vecCol, path)
+          // trustedDelta: sink contract is one row per id per batch
+          V.mergeIvfDelta(batch, idCol, vecCol, path, trustedDelta = true)
           // see bm25IndexStream: the serialized sink is the single
           // writer, so inline compaction past maxSegments is safe
           if (graft.functions.SegmentedIndex
@@ -225,7 +226,9 @@ object ValidateStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val V = graft.functions.VectorFunctions
-          V.mergePqDelta(batch, idCol, vecCol, path, m, dim)
+          // trustedDelta: sink contract is one row per id per batch
+          V.mergePqDelta(batch, idCol, vecCol, path, m, dim,
+            trustedDelta = true)
           if (graft.functions.SegmentedIndex
                 .segmentDirs(batch.sparkSession, path).size > maxSegments &&
               !pinned(batch.sparkSession, path, pinnedBy))
@@ -264,8 +267,9 @@ object ValidateStream {
           val hashes = hasher(batch, idCol, payloadCol)
           val hashCol = hashes.columns.filterNot(_ == idCol).head
           if (S.exists(batch.sparkSession, path))
+            // trustedDelta: sink contract is one row per id per batch
             M.mergePHashDelta(batch.select(col(idCol)), hashes,
-              idCol, hashCol, path)
+              idCol, hashCol, path, trustedDelta = true)
           else M.savePHashIndex(hashes, idCol, hashCol, path)
           if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
               !pinned(batch.sparkSession, path, pinnedBy))

@@ -296,6 +296,52 @@ object ScaleSmoke {
         nprobe = 2).count()
     }
 
+    // 16b4. ANN parameter REALISM at the replicated corpus size:
+    // √n-scaled coarse quantizer (256 cells for the ~200k-vector
+    // corpus), m=8 codes, nprobe swept 8 → 32. The replicas get a
+    // small deterministic per-copy perturbation first — identical
+    // copies would make every query's exact top-k its own clones and
+    // recall a tautology. Probing p of 256 cells scans ~p/256 of the
+    // corpus as m-byte codes, so probe latency should grow with
+    // nprobe while staying far below a full-corpus ADC pass — the
+    // sub-linear probe property that makes IVF the 100 TB layout.
+    // Recall@10 vs exact cosine prints per nprobe (near-random
+    // harness embeddings cap the ceiling well below a clustered real
+    // corpus; the committed rows document the cost/recall TREND).
+    val embR = emb.select(col("vec_id"),
+      V.l2normalize(transform(col("embedding"),
+        (x, i) => x.cast("double") +
+          sin(col("vec_id") * (i + lit(1))) * lit(0.05))).as("embedding"))
+      .persist()
+    val realIdx = s"${sys.props("java.io.tmpdir")}/graft_smoke_ivfpq_real"
+    time("ivfpq_real_build_256c", nEmb) {
+      V.saveIvfPqIndex(embR, "vec_id", "embedding", realIdx,
+        clusters = 256, citers = 2, m = 8, dim = 64, ksub = 16,
+        piters = 2, trainFilter = col("vec_id") % 50 === 0)
+      graft.functions.SegmentedIndex.liveRows(spark, realIdx, "codes").count()
+    }
+    val exactReal = V.bruteForceTopK(
+        embR.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        embR.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "q_id", "c_id", "q_vec", "c_vec", k = 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (nprobe <- Seq(8, 32)) {
+      var hits = 0
+      time(s"ivfpq_real_probe_np$nprobe", nEmb) {
+        val got = V.ivfPqTopKFromIndex(realIdx, embR, "vec_id", "embedding",
+            col("vec_id") < 10, m = 8, dim = 64, k = 10, shortlist = 2000,
+            nprobe = nprobe)
+          .select("q_id", "c_id").collect()
+        hits = got.count(r => exactReal.contains((r.getLong(0), r.getLong(1))))
+        got.length.toLong
+      }
+      println(f"SMOKE ivfpq_real_recall_np$nprobe recall@10=" +
+        f"${hits.toDouble / exactReal.size}%.3f")
+    }
+    embR.unpersist(blocking = false)
+
     // 16c. SemDeDup over the 40× embedding corpus: cells trained on a
     // 10% sample, the quadratic prune confined per cell; each base
     // vector's 40 identical replicas collapse toward the min id
