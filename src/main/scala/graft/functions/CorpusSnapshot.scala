@@ -164,6 +164,30 @@ object CorpusSnapshot {
     }
   }
 
+  /** PRESERVE a snapshot before compacting: clone every pinned index's
+    * tree as of its pin ([[SegmentedIndex.cloneAt]] — immutable-file
+    * copies, zero Spark jobs) under `destRoot/<label>`, and write a new
+    * manifest at `destRoot/manifest.json` whose paths point at the
+    * clones. The original manifest is untouched; retire it once the
+    * preserved one is adopted, and the compaction retention guard
+    * ([[SegmentedIndex.requireNotPinned]]) clears. The constructive
+    * answer to "compaction would orphan this pin" — pay the pinned
+    * bytes, keep both the history and the fold.
+    */
+  def preserve(spark: SparkSession, manifestPath: String,
+               destRoot: String): String = {
+    val pins = verify(spark, manifestPath) // stale pins must not clone
+    pins.foreach { case (label, (path, seg)) =>
+      require(!label.contains("/") && !label.contains("..") &&
+        label.nonEmpty, s"label '$label' is not a safe directory name")
+      SegmentedIndex.cloneAt(spark, path, s"$destRoot/$label", seg)
+    }
+    val newManifest = s"$destRoot/manifest.json"
+    write(spark, newManifest,
+      pins.map { case (label, _) => label -> s"$destRoot/$label" })
+    newManifest
+  }
+
   /** Read AND validate: every pinned index must still carry the tree
     * identity recorded at snapshot time — a rebuild or compaction since
     * then restarts segment numbering, so replaying such a pin would

@@ -219,6 +219,44 @@ object SegmentedIndex {
       .filter(col("change").isNotNull)
   }
 
+  /** Clone the tree at `path` AS OF segment `asOf` into `destPath`:
+    * segments <= asOf plus any sibling top-level tables (centroids,
+    * codebooks) are copied byte-for-byte, and the tree identity marker
+    * rides along so a manifest re-pointed at the clone still verifies.
+    * A pure filesystem copy of immutable files — zero Spark jobs; cost
+    * is the pinned bytes, which is the price of retention by
+    * definition. The constructive half of the compaction retention
+    * guard: preserve the pinned history aside, then compact the live
+    * tree.
+    */
+  def cloneAt(spark: SparkSession, path: String, destPath: String,
+              asOf: Int): Unit = {
+    val segs = segmentDirs(spark, path).filter(_._1 <= asOf)
+    require(segs.nonEmpty, s"no segments <= $asOf at $path")
+    val (fs, src) = hfs(spark, path)
+    val dest = new Path(destPath)
+    require(!fs.exists(new Path(s"$destPath/segments")),
+      s"clone destination $destPath already holds a segments tree")
+    val conf = spark.sessionState.newHadoopConf()
+    def copy(from: Path, to: Path): Unit = {
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to,
+          false /* keep source */, conf))
+        throw new IllegalStateException(s"clone copy failed: $from -> $to")
+    }
+    segs.foreach { case (_, d) =>
+      val seg = new Path(d)
+      copy(seg, new Path(s"$destPath/segments/${seg.getName}"))
+    }
+    copy(new Path(s"$path/segments/_tree"),
+      new Path(s"$destPath/segments/_tree"))
+    // sibling parameter tables (IVF centroids, PQ codebooks) are part
+    // of the index identity — frozen at build time, so as-of-invariant
+    fs.listStatus(src).toSeq
+      .filter(s => s.getPath.getName != "segments" &&
+        !s.getPath.getName.startsWith("__"))
+      .foreach(s => copy(s.getPath, new Path(s"$destPath/${s.getPath.getName}")))
+  }
+
   /** Full (re)build of a single-subtable index: drop any prior tree,
     * write `rows` (which must carry an `id` column) as segment 00000
     * with empty tombstones. The shared build path of the digest/band/

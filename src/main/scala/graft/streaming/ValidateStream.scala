@@ -237,6 +237,38 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming IVF-PQ (IVFADC) index upkeep — completes the ANN index
+    * family's streaming symmetry: each micro-batch assigns to the
+    * FROZEN coarse centroids and residual-encodes against the FROZEN
+    * codebooks ([[graft.functions.VectorFunctions.mergeIvfPqDelta]]),
+    * landing as one O(batch) segment; null vectors delete, re-ingests
+    * replace. The index must exist ([[graft.functions.VectorFunctions
+    * .saveIvfPqIndex]] — both parameter sets train offline). Inline
+    * compaction past `maxSegments` bounds the tree and defers while
+    * `pinnedBy` manifests hold live pins.
+    */
+  def ivfPqIndexStream(docs: DataFrame, idCol: String, vecCol: String,
+                       path: String, checkpoint: String, m: Int, dim: Int,
+                       maxSegments: Int = Int.MaxValue,
+                       pinnedBy: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val V = graft.functions.VectorFunctions
+          // trustedDelta: sink contract is one row per id per batch
+          V.mergeIvfPqDelta(batch, idCol, vecCol, path, m, dim,
+            trustedDelta = true)
+          if (graft.functions.SegmentedIndex
+                .segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
+            graft.functions.SegmentedIndex
+              .compactIndex(batch.sparkSession, path, "codes")
+        }
+      }
+      .start()
+
   /** Streaming perceptual-hash index upkeep — the multimodal ingest
     * loop: each micro-batch of media payloads hashes on the executors
     * (real decode; only (id, 8-byte hash) rows reach the sink) and

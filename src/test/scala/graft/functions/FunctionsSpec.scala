@@ -628,6 +628,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot preserve: clone pinned history aside, then compact the live tree") {
+    import graft.functions.{CorpusSnapshot, SegmentedIndex}
+    val root = java.nio.file.Files.createTempDirectory("snappres").toString
+    val docs = (1L to 40L).map(i => (i, s"tok${i % 5} body $i"))
+      .toDF("doc_id", "text")
+    Curation.saveBm25Index(docs, "doc_id", "text", s"$root/bm25")
+    val pinsDir = s"$root/pins"
+    new java.io.File(pinsDir).mkdirs()
+    CorpusSnapshot.write(spark, s"$pinsDir/run.json",
+      Map("bm25" -> s"$root/bm25"))
+    val qs = Seq(0L -> Seq("tok1"), 1L -> Seq("tok3"))
+    val pinnedRead = Curation
+      .bm25TopKFromIndex(spark, s"$root/bm25", qs, k = 5, asOf = 0)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // the index moves on past the pin
+    Curation.mergeBm25Delta(
+      (41L to 60L).map(i => (i, s"tok${i % 5} later $i")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/bm25")
+    // preserve the pinned history aside; the original pin then retires
+    val preserved = CorpusSnapshot.preserve(
+      spark, s"$pinsDir/run.json", s"$root/preserved")
+    assert(new java.io.File(s"$pinsDir/run.json").delete())
+    // live tree compacts now that no live pin references it
+    Curation.compactBm25Index(spark, s"$root/bm25", pinnedBy = Some(pinsDir))
+    assert(SegmentedIndex.segmentDirs(spark, s"$root/bm25").map(_._1) == Seq(0))
+    // the preserved manifest still verifies (tree id rode along) and
+    // the cloned asOf read replays the pinned ranking bit for bit
+    val pins2 = CorpusSnapshot.verify(spark, preserved)
+    val (clonePath, cloneSeg) = pins2("bm25")
+    assert(Curation
+      .bm25TopKFromIndex(spark, clonePath, qs, k = 5, asOf = cloneSeg)
+      .as[(Long, Long, Double, Long)].collect().toSet == pinnedRead)
+    // clone-onto-existing refuses; stale pins refuse to clone
+    intercept[IllegalArgumentException] {
+      CorpusSnapshot.preserve(spark, preserved, s"$root/preserved")
+    }
+  }
+
   test("changedBetween: net add/replace/delete across merge chains; transients omitted") {
     import graft.functions.{DedupFunctions => DD, SegmentedIndex}
     val root = java.nio.file.Files.createTempDirectory("chlog").toString + "/idx"

@@ -259,6 +259,54 @@ class StreamingSpec extends SparkSpec {
       "streamed merges must equal a frozen-codebook re-encode")
   }
 
+  test("streaming IVF-PQ maintenance: batches encode residuals against frozen parameters") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions
+    val dim = 16
+    def vec(i: Int) = Array.tabulate(dim) { d =>
+      val base = if (d == (i % 4) * 4) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val corpus = (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfpqstream")
+    VectorFunctions.saveIvfPqIndex(corpus, "vec_id", "embedding", s"$dir/idx",
+      clusters = 4, citers = 2, m = 4, dim = dim, ksub = 8, piters = 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((1000L, vec(0)), (1001L, vec(1)))
+    val q = ValidateStream.ivfPqIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/ckpt", m = 4, dim = dim, maxSegments = 2)
+    q.processAllAvailable()
+    mem.addData((1002L, vec(2)), (1000L, vec(3))) // re-ingest tombstones
+    q.processAllAvailable()
+    q.stop()
+    assert(new java.io.File(s"$dir/idx/segments").list()
+      .count(_.matches("\\d{5}")) <= 2, "auto-compaction must bound segments")
+    // live (cell, codes) == one fresh frozen-parameter pass over the
+    // latest corpus — the mergeIvfPqDelta identity, through the stream
+    val latest = (corpus.as[(Long, Array[Float])].collect().toSeq ++
+      Seq((1001L, vec(1)), (1002L, vec(2)), (1000L, vec(3))))
+      .toDF("vec_id", "embedding")
+    val cents = spark.read.parquet(s"$dir/idx/centroids")
+    val books = spark.read.parquet(s"$dir/idx/codebooks")
+    val res = VectorFunctions.kmeansAssign(latest, "vec_id", "embedding", cents)
+      .join(org.apache.spark.sql.functions.broadcast(cents), Seq("cid"))
+      .withColumn("__res", zip_with(col("embedding").cast("array<double>"),
+        col("centroid"), (a, b) => a - b))
+      .select(col("vec_id"), col("cid").as("cell"), col("__res"))
+    val expect = VectorFunctions
+      .pqEncodePacked(res, "vec_id", "__res", books, 4, dim)
+      .join(res.select("vec_id", "cell"), Seq("vec_id"))
+      .select(col("vec_id").as("id"), col("cell"), col("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val live = graft.functions.SegmentedIndex.liveRows(spark, s"$dir/idx", "codes")
+      .select("id", "cell", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(live == expect,
+      "streamed merges must equal a frozen-parameter re-encode")
+  }
+
   test("IVF drift retrain hook: no-op below threshold, corpus-pass retrain above") {
     import graft.functions.{SegmentedIndex, VectorFunctions}
     def vec(i: Int) = Array.tabulate(8) { d =>
