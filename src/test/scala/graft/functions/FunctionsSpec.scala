@@ -666,6 +666,33 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("snapshot preserve clones sibling parameter tables (IVF centroids)") {
+    import graft.functions.{CorpusSnapshot, SegmentedIndex, VectorFunctions => V}
+    val root = java.nio.file.Files.createTempDirectory("snapivf").toString
+    def vec(i: Int) = Array.tabulate(8) { d =>
+      (if (d == (i % 4) * 2) 10.0f else 0.0f) + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val base = (0 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    V.saveIvfIndex(base, "vec_id", "embedding", s"$root/ivf",
+      clusters = 4, iters = 2)
+    CorpusSnapshot.write(spark, s"$root/run.json", Map("ivf" -> s"$root/ivf"))
+    val pinned = V.ivfTopKFromIndex(s"$root/ivf", base, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, asOf = 0)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    V.mergeIvfDelta((60 until 80).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", s"$root/ivf")
+    val preserved = CorpusSnapshot.preserve(
+      spark, s"$root/run.json", s"$root/kept")
+    // the clone carries the frozen centroids, so the pinned probe
+    // answers from the clone alone, bit for bit
+    val (clonePath, cloneSeg) = CorpusSnapshot.verify(spark, preserved)("ivf")
+    assert(new java.io.File(s"$clonePath/centroids").exists(),
+      "sibling parameter table must ride along")
+    assert(V.ivfTopKFromIndex(clonePath, base, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, asOf = cloneSeg)
+      .as[(Long, Long, Double, Long)].collect().toSet == pinned)
+  }
+
   test("changedBetween: net add/replace/delete across merge chains; transients omitted") {
     import graft.functions.{DedupFunctions => DD, SegmentedIndex}
     val root = java.nio.file.Files.createTempDirectory("chlog").toString + "/idx"
