@@ -52,6 +52,56 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(30, scale))).cast("double")
 
+  /** Shared int8-ANN oracle replay: normalize → int8 quantize →
+    * integer-dot top-20 per query (idot desc, c_id asc) → exact cosine
+    * top-5. One replay gates the train-per-call, persisted, and
+    * incremental variants — `corpus` is the table expression holding
+    * the latest-version corpus each variant must serve.
+    */
+  private def int8OracleSql(corpus: String): String =
+    s"""WITH n AS (
+             SELECT vec_id, embedding,
+                    SQRT(list_sum(list_transform(range(1, 65),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+             FROM $corpus),
+           nv AS (
+             SELECT vec_id, embedding,
+                    CASE WHEN nrm = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS v
+             FROM n),
+           qz AS (
+             SELECT vec_id, embedding,
+                    CASE WHEN list_max(list_transform(v, x -> ABS(x))) = 0.0
+                         THEN list_transform(v, x -> 0)
+                         ELSE list_transform(v, x -> CAST(ROUND(
+                           x / (list_max(list_transform(v, y -> ABS(y))) / 127.0), 0) AS INTEGER))
+                    END AS q
+             FROM nv),
+           cand AS (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                    list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.q[i] AS BIGINT) * c.q[i])) AS idot
+             FROM (SELECT * FROM qz WHERE vec_id < 8) q
+             JOIN qz c ON q.vec_id <> c.vec_id),
+           short AS (
+             SELECT q_id, c_id FROM cand
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY idot DESC, c_id ASC) <= 20),
+           ex AS (
+             SELECT s.q_id, s.c_id,
+                    list_sum(list_transform(range(1, 65),
+                      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65),
+                         i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65),
+                           i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))))) AS score
+             FROM short s
+             JOIN $corpus qe ON qe.vec_id = s.q_id
+             JOIN $corpus ce ON ce.vec_id = s.c_id)
+           SELECT q_id, c_id, ROUND(score, 6) AS score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM ex
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 5"""
+
   /** per-(query,sf) scratch dir for sink round-trips */
   private def tmpPath(dir: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-z0-9.]", "_")}"
@@ -1800,6 +1850,51 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       V.int8TopK(q, c, "q_id", "c_id", "q_vec", "c_vec", k = 5, shortlist = 20)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
+    "sim_int8_persisted" -> ((s, dir) => {
+      // int8 as an operational index: codes computed ONCE into a
+      // segmented tree (saveInt8Index — the 4x-smaller scan amortizes
+      // across query batches), probes answer from the stored codes.
+      // Quantization is a pure per-row function, so this must be
+      // bit-identical to train-per-call sim_int8_topk — one oracle
+      // gates both.
+      val e = t(s, dir, "embeddings")
+      val idxPath = tmpPath(dir, "int8_index")
+      phase("build") {
+        V.saveInt8Index(e, "vec_id", "embedding", idxPath)
+      }
+      V.int8TopKFromIndex(idxPath, e, "vec_id", "embedding",
+          col("vec_id") < 8, k = 5, shortlist = 20)
+        .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
+    "sim_int8_incremental" -> ((s, dir) => {
+      // O(delta) int8 refresh: build on 2/3 of the corpus, merge the
+      // rest plus %10==5 re-ingests (tombstone exercise — identical
+      // codes re-land) and %100==97 null-vector deletes. No frozen
+      // parameters exist (per-row quantization), so the merged index
+      // must serve exactly the train-per-call ranking over the
+      // latest-version corpus, which the oracle replays directly.
+      val e = t(s, dir, "embeddings")
+      val idxPath = tmpPath(dir, "int8_inc")
+      phase("build") {
+        V.saveInt8Index(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", idxPath)
+      }
+      val delta = e
+        .filter(col("vec_id") % 3 === 0 || col("vec_id") % 10 === 5 ||
+          col("vec_id") % 100 === 97)
+        .select(col("vec_id"),
+          when(col("vec_id") % 100 === 97, lit(null).cast("array<double>"))
+            .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+      phase("merge") {
+        V.mergeInt8Delta(delta, "vec_id", "embedding", idxPath)
+      }
+      val latest = e.filter(col("vec_id") % 100 =!= 97)
+      V.int8TopKFromIndex(idxPath, latest, "vec_id", "embedding",
+          col("vec_id") < 8, k = 5, shortlist = 20)
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
@@ -4661,51 +4756,16 @@ object SparkEntry {
                        * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(vec_b[i] AS DOUBLE) * CAST(vec_b[i] AS DOUBLE))))), 6) AS cos
            FROM b JOIN a ON id_b > id_a AND id_b <= id_a + 25""",
 
-      "sim_int8_topk" ->
-        // replay: normalize → int8 quantize → integer-dot top-20 per
-        // query (idot desc, c_id asc) → exact cosine top-5
-        """WITH n AS (
-             SELECT vec_id, embedding,
-                    SQRT(list_sum(list_transform(range(1, 65),
-                      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-             FROM embeddings),
-           nv AS (
-             SELECT vec_id, embedding,
-                    CASE WHEN nrm = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
-                         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS v
-             FROM n),
-           qz AS (
-             SELECT vec_id, embedding,
-                    CASE WHEN list_max(list_transform(v, x -> ABS(x))) = 0.0
-                         THEN list_transform(v, x -> 0)
-                         ELSE list_transform(v, x -> CAST(ROUND(
-                           x / (list_max(list_transform(v, y -> ABS(y))) / 127.0), 0) AS INTEGER))
-                    END AS q
-             FROM nv),
-           cand AS (
-             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-                    list_sum(list_transform(range(1, 65),
-                      i -> CAST(q.q[i] AS BIGINT) * c.q[i])) AS idot
-             FROM (SELECT * FROM qz WHERE vec_id < 8) q
-             JOIN qz c ON q.vec_id <> c.vec_id),
-           short AS (
-             SELECT q_id, c_id FROM cand
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY idot DESC, c_id ASC) <= 20),
-           ex AS (
-             SELECT s.q_id, s.c_id,
-                    list_sum(list_transform(range(1, 65),
-                      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
-                    / (SQRT(list_sum(list_transform(range(1, 65),
-                         i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))))
-                       * SQRT(list_sum(list_transform(range(1, 65),
-                           i -> CAST(ce.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE))))) AS score
-             FROM short s
-             JOIN embeddings qe ON qe.vec_id = s.q_id
-             JOIN embeddings ce ON ce.vec_id = s.c_id)
-           SELECT q_id, c_id, ROUND(score, 6) AS score,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
-           FROM ex
-           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 5""",
+      "sim_int8_topk" -> int8OracleSql("embeddings"),
+
+      // the persisted index must serve EXACTLY the train-per-call
+      // ranking (quantization is per-row) — one replay gates both
+      "sim_int8_persisted" -> int8OracleSql("embeddings"),
+
+      // merged index ≡ train-per-call over the latest-version corpus
+      // (deletes gone; re-ingests landed identical codes)
+      "sim_int8_incremental" -> int8OracleSql(
+        "(SELECT * FROM embeddings WHERE vec_id % 100 <> 97)"),
 
       "vec_normalize" ->
         """WITH n AS (

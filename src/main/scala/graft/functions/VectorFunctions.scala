@@ -164,6 +164,68 @@ object VectorFunctions {
     rankTopK(exact, qId, cId, k)
   }
 
+  /** Persist int8 codes as a segmented index — the operational form of
+    * [[int8TopK]]: codes are computed ONCE per corpus build instead of
+    * per query batch (the 4×-smaller scan then amortizes across every
+    * probe). Unlike IVF/PQ there are NO trained parameters — symmetric
+    * 127-scale quantization of the L2-normalized vector is a pure
+    * per-row function — so deltas need no frozen-parameter discipline
+    * and a merge chain is trivially bit-identical to a fresh build
+    * over the latest corpus. NULL vectors delete; retract/compact via
+    * the generic [[SegmentedIndex]] machinery ("codes8" subtable).
+    */
+  def saveInt8Index(df: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit =
+    SegmentedIndex.createIndex(df.sparkSession, path, "codes8",
+      df.filter(col(vecCol).isNotNull).select(col(idCol).as("id"),
+        graft.plans.Int8CodesExpr.int8Codes(col(vecCol)).as("codes")))
+
+  /** O(delta) int8 refresh — [[SegmentedIndex.mergeDeltaRows]] contract
+    * (one row per id, NULL vector = deletion, `trustedDelta` skips the
+    * dup guard for one-row-per-id streaming batches).
+    */
+  def mergeInt8Delta(delta: DataFrame, idCol: String, vecCol: String,
+                     path: String, trustedDelta: Boolean = false): Unit =
+    SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "codes8",
+      delta.select(col(idCol)),
+      delta.filter(col(vecCol).isNotNull).select(col(idCol).as("id"),
+        graft.plans.Int8CodesExpr.int8Codes(col(vecCol)).as("codes")),
+      trustedDelta)
+
+  /** Tombstone-masked live (id, codes) rows of a persisted int8 index.
+    * `asOf` pins the snapshot to segments <= asOf.
+    */
+  def int8Codes(spark: org.apache.spark.sql.SparkSession, path: String,
+                asOf: Int = Int.MaxValue): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "codes8", asOf)
+
+  /** [[int8TopK]] answering from the persisted codes: the stored-code
+    * scan ranks by INTEGER dot against broadcast query codes (corpus
+    * floats untouched), then only the shortlist survivors pay the
+    * exact cosine via two broadcast joins. Bit-identical to
+    * train-per-call [[int8TopK]] on the same live corpus — quantization
+    * is per-row, so the stored codes ARE the per-call codes.
+    */
+  def int8TopKFromIndex(path: String, corpus: DataFrame, idCol: String,
+                        vecCol: String, queryFilter: Column, k: Int,
+                        shortlist: Int, asOf: Int = Int.MaxValue): DataFrame = {
+    val spark = corpus.sparkSession
+    val q0 = corpus.filter(queryFilter).select(col(idCol).as("q_id"),
+      graft.plans.Int8CodesExpr.int8Codes(col(vecCol)).as("__qq"))
+    val c0 = int8Codes(spark, path, asOf)
+      .select(col("id").as("c_id"), col("codes").as("__cq"))
+    val cand = c0.join(broadcast(q0), col("q_id") =!= col("c_id"))
+      .withColumn("score", dot(col("__qq"), col("__cq")))
+    val short = rankTopK(cand, "q_id", "c_id", shortlist)
+      .select(col("q_id"), col("c_id"))
+    val exact = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(short), "c_id")
+      .join(broadcast(corpus.filter(queryFilter)
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), "q_id")
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    rankTopK(exact, "q_id", "c_id", k)
+  }
+
   /** Banded sign buckets (OR-construction): `bands` independent
     * 1-bit-per-dim hyperplane tables over disjoint dimension slices,
     * returned as an array of `(band << 32) | bucket` keys to explode.

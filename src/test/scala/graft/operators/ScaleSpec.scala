@@ -727,4 +727,48 @@ class ScaleSpec extends SparkSpec {
       .toDouble / brute.size
     assert(recall >= 0.9, s"int8 top-3 recall $recall below bound")
   }
+
+  test("int8 index lifecycle: merge chain serves per-call ranking; retract and compact") {
+    import graft.functions.{SegmentedIndex, VectorFunctions}
+    val n = 200
+    val dim = 8
+    def vec(i: Int) = Array.tabulate(dim) { d =>
+      val base = if (d == (i % 4) * 2) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.35f
+    }
+    val all = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val idx = tmpDir("int8idx") + "/idx"
+    VectorFunctions.saveInt8Index(all.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", idx)
+    // delta: the %3 slice + a deletion (id 9) — quantization is
+    // per-row, so the merged index must serve exactly the per-call
+    // ranking over the latest corpus
+    val delta = all.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        when(col("vec_id") === 9L, lit(null).cast("array<double>"))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+    VectorFunctions.mergeInt8Delta(delta, "vec_id", "embedding", idx)
+    val latest = all.filter(col("vec_id") =!= 9L)
+    def probe() = VectorFunctions.int8TopKFromIndex(idx, latest,
+        "vec_id", "embedding", col("vec_id") < 8, k = 3, shortlist = 12)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val perCall = VectorFunctions.int8TopK(
+        latest.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        latest.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        "q_id", "c_id", "q_vec", "c_vec", k = 3, shortlist = 12)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(probe() == perCall)
+    // retract a live id: it leaves the search results
+    VectorFunctions.mergeInt8Delta(
+      Seq((12L, null: Array[Float])).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    assert(!VectorFunctions.int8Codes(spark, idx)
+      .filter(col("id") === 12L).head(1).nonEmpty)
+    // compaction folds to one segment, answers unchanged
+    SegmentedIndex.compactIndex(spark, idx, "codes8")
+    assert(SegmentedIndex.segmentDirs(spark, idx).map(_._1) == Seq(0))
+    assert(!VectorFunctions.int8Codes(spark, idx)
+      .filter(col("id") === 12L).head(1).nonEmpty)
+  }
 }
