@@ -1130,6 +1130,19 @@ object SparkEntry {
           round(dsum(col("mean_tok_freq"), 6) / count(lit(1)), 6).as("avg_tok_freq"))
     }),
 
+    "text_bigram_lm" -> ((s, dir) => {
+      // CCNet-style LM quality filter: an add-α bigram LM trained on
+      // the corpus itself (top-64 vocab + <unk>), each doc scored by
+      // its mean log P(w_i | w_{i-1}) — low scores flag the
+      // boilerplate/gibberish unigram stats miss. Two training
+      // aggregations; the 6-dp log-prob tables ship as LITERALS into a
+      // zero-shuffle scoring scan (the DSIR discipline). Oracle
+      // replays vocab → bigram/context counts → smoothed logs →
+      // document-order fold.
+      T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+        vocabK = 64, alpha = 0.5)
+    }),
+
     "sessionize_batch" -> ((s, dir) => {
       // gap-based sessionization (30-min gap): per-user session index →
       // per-session event count + bounds. Batch twin of SessionizeStream.
@@ -3643,6 +3656,46 @@ object SparkEntry {
            LEFT JOIN dh ON dh.probe_id = p.doc_id
            LEFT JOIN bh ON bh.probe_id = p.doc_id
            LEFT JOIN wh ON wh.probe_id = p.doc_id""",
+
+      "text_bigram_lm" ->
+        // replay: vocab (count desc, token asc top-64) → vocab-mapped
+        // adjacent pairs → bigram + context counts → add-0.5 smoothed
+        // log-probs rounded 6 dp → per-doc document-order fold / n.
+        // (The COALESCE fallbacks mirror the engine's out-of-corpus
+        // scoring API; on the training corpus itself every pair is in
+        // the bigram table, so they never fire here.)
+        """WITH toks AS (
+             SELECT doc_id,
+                    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                t -> strlen(t) > 0) AS t
+             FROM documents WHERE text IS NOT NULL),
+           uni AS (SELECT unnest(t) AS w FROM toks),
+           vocab AS (
+             SELECT w FROM (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1)
+             ORDER BY c DESC, w ASC LIMIT 64),
+           vl AS (SELECT list(w) AS vl FROM vocab),
+           m AS (
+             SELECT doc_id,
+                    list_transform(t, w -> CASE WHEN list_contains(vl.vl, w)
+                                                THEN w ELSE '<unk>' END) AS mt
+             FROM toks CROSS JOIN vl
+             WHERE len(t) >= 2),
+           pairs AS (
+             SELECT doc_id, i, mt[i] AS a, mt[i + 1] AS b FROM (
+               SELECT doc_id, mt, unnest(range(1, len(mt))) AS i FROM m)),
+           bg AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+           ctx AS (SELECT a, SUM(c) AS cc FROM bg GROUP BY 1),
+           eff AS (
+             SELECT p.doc_id, p.i,
+                    COALESCE(ROUND(LN((g.c + 0.5) / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / 32.5), 6)) AS lp
+             FROM pairs p
+             LEFT JOIN bg g ON g.a = p.a AND g.b = p.b
+             LEFT JOIN ctx x ON x.a = p.a)
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  ROUND(list_sum(list(lp ORDER BY i)) / COUNT(*), 6) AS lm_score
+           FROM eff GROUP BY 1""",
 
       "text_rarity" ->
         """WITH tok AS (

@@ -408,4 +408,82 @@ object TextFunctions {
     regexp_count(text, lit(emailPattern)).cast("long").as("n_emails"),
     regexp_count(text, lit(ipv4Pattern)).cast("long").as("n_ips"),
     regexp_count(text, lit(phonePattern)).cast("long").as("n_phones"))
+
+  /** Bigram language-model quality score — the CCNet-style "LM
+    * perplexity" filter: train an add-α-smoothed bigram LM on the
+    * corpus itself (top-`vocabK` tokens + `<unk>`), score each doc by
+    * its mean log P(wᵢ | wᵢ₋₁). Low scores flag boilerplate/gibberish
+    * the unigram quality signals miss.
+    *
+    * Shape (the DSIR discipline): TWO training aggregations — unigram
+    * counts → the vocabulary, then bigram counts over vocab-mapped
+    * tokens (≤ (vocabK+1)² rows, driver-collected; context counts
+    * derive from the same table with no extra job) — and the
+    * per-bigram log-probs ship as LITERAL maps into a zero-shuffle
+    * scoring scan (per-doc left fold in document order; each entry
+    * pre-rounded to 6 dp so both engines sum identical doubles).
+    * At a vocab where the tables outgrow literals, the same derivation
+    * broadcasts as a join — the scan-side shape is the point.
+    * Docs with fewer than two tokens have no bigrams and are omitted.
+    * Token separator in map keys is a space — impossible inside a
+    * whitespace-split token.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, vocabK: Int = 64,
+                    alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = filter(tokens(lower(col(textCol))), t => length(t) > lit(0))
+    // vocabulary: top-K tokens by (count desc, token asc) — the
+    // deterministic tie-break both engines replay
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(vocabK)
+      .select("__w").as[String].collect().toSeq
+    val vMap = typedLit(vocab.map(w => w -> w).toMap)
+    def mapped = transform(toks, w => coalesce(element_at(vMap, w), lit("<unk>")))
+    // bigram counts over mapped adjacent pairs; contexts derive from
+    // the SAME table (Σ_b c(a,b)) so training is exactly two jobs
+    val m = docs.filter(col(textCol).isNotNull)
+      .select(mapped.as("__m")).filter(size(col("__m")) >= 2)
+    val bigrams = m
+      .select(explode(zip_with(
+        slice(col("__m"), lit(1), size(col("__m")) - 1),
+        slice(col("__m"), lit(2), size(col("__m")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("__p"))
+      .groupBy("__p").agg(count(lit(1)).as("__c"))
+      .as[(String, Long)].collect()
+    val ctxCount: Map[String, Long] = bigrams
+      .groupBy(_._1.split(" ", 2)(0)).view.mapValues(_.map(_._2).sum).toMap
+    val denomK = alpha * (vocabK + 1)
+    def lp6(num: Double, den: Double): Double =
+      BigDecimal(math.log(num / den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bigramLp: Map[String, Double] = bigrams.map { case (p, c) =>
+      val cc = ctxCount(p.split(" ", 2)(0))
+      p -> lp6(c + alpha, cc + denomK)
+    }.toMap
+    val ctxLp: Map[String, Double] =
+      ctxCount.map { case (a, cc) => a -> lp6(alpha, cc + denomK) }
+    val unseenCtxLp = lp6(alpha, denomK) // context never seen: ln(1/(V+1))
+    val bMap = typedLit(bigramLp)
+    val cMap = typedLit(ctxLp)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), mapped.as("__m"))
+      .filter(size(col("__m")) >= 2)
+      .select(col(idCol),
+        zip_with(
+          slice(col("__m"), lit(1), size(col("__m")) - 1),
+          slice(col("__m"), lit(2), size(col("__m")) - 1),
+          (a, b) => coalesce(
+            element_at(bMap, concat(a, lit(" "), b)),
+            element_at(cMap, a),
+            lit(unseenCtxLp))).as("__lp"))
+      .select(col(idCol),
+        size(col("__lp")).cast("long").as("n_pairs"),
+        round(aggregate(col("__lp"), lit(0.0), (acc, x) => acc + x) /
+          size(col("__lp")).cast("double"), 6).as("lm_score"))
+  }
 }

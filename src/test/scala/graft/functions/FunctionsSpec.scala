@@ -373,6 +373,32 @@ class FunctionsSpec extends SparkSpec {
     assert(w == w2, "training must be partitioning-invariant")
   }
 
+  test("bigramLmScore: fluent docs outscore scrambled ones; short docs omitted; deterministic") {
+    import graft.functions.{TextFunctions => T}
+    // a corpus dominated by one phrase: its bigrams become high-prob;
+    // a doc of the same TOKENS in scrambled order shares the unigram
+    // stats but hits unseen bigrams — the signal unigram scoring misses
+    val fluent = "the cat sat on the mat"
+    val docs = ((0 until 30).map(i => (i.toLong, fluent)) ++ Seq(
+      (100L, "mat the on sat cat the"), // scrambled (same unigrams)
+      (101L, "onetoken"),               // < 2 tokens: omitted
+      (102L, ""),                       // no tokens: omitted
+      (103L, null: String)              // null text: omitted
+    )).toDF("doc_id", "text")
+    val out = T.bigramLmScore(docs, "doc_id", "text", vocabK = 8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(101L) && !out.contains(102L) && !out.contains(103L))
+    val (nF, sF) = out(0L)
+    val (nS, sS) = out(100L)
+    assert(nF == 5L && nS == 5L)
+    assert(sF > sS,
+      s"fluent doc must outscore scrambled same-unigram doc: $sF vs $sS")
+    // deterministic under repartitioning (literal tables, scan-side fold)
+    val out2 = T.bigramLmScore(docs.repartition(7), "doc_id", "text", vocabK = 8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == out2)
+  }
+
   test("persisted dedup indexes: merge replaces, null content deletes, retract purges") {
     import graft.functions.SegmentedIndex
     val docs = Seq(
