@@ -430,13 +430,19 @@ object TextFunctions {
     */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, vocabK: Int = 64,
-                    alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+                    alpha: Double = 0.5,
+                    trainFilter: Column = lit(true)): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = filter(tokens(lower(col(textCol))), t => length(t) > lit(0))
+    // the true CCNet shape: `trainFilter` picks the reference-domain
+    // slice the LM trains on (e.g. a known-clean subcorpus); the WHOLE
+    // corpus is then scored against that model. Default trains on
+    // everything (self-perplexity).
+    val trainDocs = docs.filter(col(textCol).isNotNull).filter(trainFilter)
     // vocabulary: top-K tokens by (count desc, token asc) — the
     // deterministic tie-break both engines replay
-    val vocab = docs.filter(col(textCol).isNotNull)
+    val vocab = trainDocs
       .select(explode(toks).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w").asc)
@@ -446,7 +452,7 @@ object TextFunctions {
     def mapped = transform(toks, w => coalesce(element_at(vMap, w), lit("<unk>")))
     // bigram counts over mapped adjacent pairs; contexts derive from
     // the SAME table (Σ_b c(a,b)) so training is exactly two jobs
-    val m = docs.filter(col(textCol).isNotNull)
+    val m = trainDocs
       .select(mapped.as("__m")).filter(size(col("__m")) >= 2)
     val bigrams = m
       .select(explode(zip_with(

@@ -269,6 +269,36 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming int8 code-store upkeep — the simplest member of the ANN
+    * streaming family: quantization is a pure per-row function (no
+    * trained parameters at all), so the first non-empty batch may
+    * CREATE the index and every later batch lands as one O(batch)
+    * segment ([[graft.functions.VectorFunctions.mergeInt8Delta]]);
+    * null vectors delete, re-ingests replace, and the merged store is
+    * trivially identical to a fresh build over the latest corpus.
+    */
+  def int8IndexStream(docs: DataFrame, idCol: String, vecCol: String,
+                      path: String, checkpoint: String,
+                      maxSegments: Int = Int.MaxValue,
+                      pinnedBy: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val V = graft.functions.VectorFunctions
+          val S = graft.functions.SegmentedIndex
+          if (S.exists(batch.sparkSession, path))
+            // trustedDelta: sink contract is one row per id per batch
+            V.mergeInt8Delta(batch, idCol, vecCol, path, trustedDelta = true)
+          else V.saveInt8Index(batch, idCol, vecCol, path)
+          if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
+            S.compactIndex(batch.sparkSession, path, "codes8")
+        }
+      }
+      .start()
+
   /** Streaming perceptual-hash index upkeep — the multimodal ingest
     * loop: each micro-batch of media payloads hashes on the executors
     * (real decode; only (id, 8-byte hash) rows reach the sink) and

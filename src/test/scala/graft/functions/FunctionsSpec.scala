@@ -397,6 +397,16 @@ class FunctionsSpec extends SparkSpec {
     val out2 = T.bigramLmScore(docs.repartition(7), "doc_id", "text", vocabK = 8)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out == out2)
+    // the true CCNet shape: train on a reference slice, score everything
+    // against it — the scrambled doc's unseen-bigram fallbacks fire
+    // (out-of-domain contexts score through the ctx/unseen tables)
+    val target = T.bigramLmScore(docs, "doc_id", "text", vocabK = 8,
+        trainFilter = col("doc_id") < 30)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(target(0L) > target(100L),
+      "reference-domain doc must outscore the out-of-domain one")
+    // every doc still gets a defined score under the target-trained LM
+    assert(target.keySet == out.keySet)
   }
 
   test("persisted dedup indexes: merge replaces, null content deletes, retract purges") {

@@ -307,6 +307,37 @@ class StreamingSpec extends SparkSpec {
       "streamed merges must equal a frozen-parameter re-encode")
   }
 
+  test("streaming int8 maintenance: first batch creates, merges equal a fresh build") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions
+    val dim = 8
+    def vec(i: Int) = Array.tabulate(dim) { d =>
+      val base = if (d == (i % 4) * 2) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.35f
+    }
+    val dir = tmpDir("int8stream")
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((0 until 40).map(i => (i.toLong, vec(i))): _*)
+    val q = ValidateStream.int8IndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/ckpt", maxSegments = 2)
+    q.processAllAvailable() // first batch CREATES the index
+    mem.addData((40L, vec(40)), (3L, vec(41))) // add + re-ingest
+    q.processAllAvailable()
+    q.stop()
+    val latest = ((0 until 40).filterNot(_ == 3).map(i => (i.toLong, vec(i))) ++
+      Seq((40L, vec(40)), (3L, vec(41)))).toDF("vec_id", "embedding")
+    val fresh = {
+      val p = tmpDir("int8fresh") + "/idx"
+      VectorFunctions.saveInt8Index(latest, "vec_id", "embedding", p)
+      VectorFunctions.int8Codes(spark, p)
+        .as[(Long, Seq[Double])].collect().toSet
+    }
+    val live = VectorFunctions.int8Codes(spark, s"$dir/idx")
+      .as[(Long, Seq[Double])].collect().toSet
+    assert(live == fresh, "streamed merges must equal a fresh build")
+  }
+
   test("IVF drift retrain hook: no-op below threshold, corpus-pass retrain above") {
     import graft.functions.{SegmentedIndex, VectorFunctions}
     def vec(i: Int) = Array.tabulate(8) { d =>
