@@ -1143,6 +1143,16 @@ object SparkEntry {
         vocabK = 64, alpha = 0.5)
     }),
 
+    "text_bigram_lm_target" -> ((s, dir) => {
+      // the actual CCNet arrangement: the LM trains ONLY on the
+      // reference-domain slice (lang='en') and the WHOLE corpus scores
+      // against it — out-of-domain docs hit the unseen-bigram and
+      // unseen-context fallback tables, which this variant is the
+      // oracle gate for (self-perplexity never exercises them).
+      T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+        vocabK = 64, alpha = 0.5, trainFilter = col("lang") === "en")
+    }),
+
     "sessionize_batch" -> ((s, dir) => {
       // gap-based sessionization (30-min gap): per-user session index →
       // per-session event count + bounds. Batch twin of SessionizeStream.
@@ -3684,6 +3694,46 @@ object SparkEntry {
              SELECT doc_id, i, mt[i] AS a, mt[i + 1] AS b FROM (
                SELECT doc_id, mt, unnest(range(1, len(mt))) AS i FROM m)),
            bg AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+           ctx AS (SELECT a, SUM(c) AS cc FROM bg GROUP BY 1),
+           eff AS (
+             SELECT p.doc_id, p.i,
+                    COALESCE(ROUND(LN((g.c + 0.5) / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / 32.5), 6)) AS lp
+             FROM pairs p
+             LEFT JOIN bg g ON g.a = p.a AND g.b = p.b
+             LEFT JOIN ctx x ON x.a = p.a)
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  ROUND(list_sum(list(lp ORDER BY i)) / COUNT(*), 6) AS lm_score
+           FROM eff GROUP BY 1""",
+
+      "text_bigram_lm_target" ->
+        // same replay with the TRAINING CTEs restricted to the
+        // reference slice (lang='en'): the COALESCE fallbacks now do
+        // real work — out-of-domain pairs miss the bigram table and
+        // score through the context table (or the unseen-context
+        // constant ln(1/65))
+        """WITH toks AS (
+             SELECT doc_id, lang,
+                    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                t -> strlen(t) > 0) AS t
+             FROM documents WHERE text IS NOT NULL),
+           uni AS (SELECT unnest(t) AS w FROM toks WHERE lang = 'en'),
+           vocab AS (
+             SELECT w FROM (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1)
+             ORDER BY c DESC, w ASC LIMIT 64),
+           vl AS (SELECT list(w) AS vl FROM vocab),
+           m AS (
+             SELECT doc_id, lang,
+                    list_transform(t, w -> CASE WHEN list_contains(vl.vl, w)
+                                                THEN w ELSE '<unk>' END) AS mt
+             FROM toks CROSS JOIN vl
+             WHERE len(t) >= 2),
+           pairs AS (
+             SELECT doc_id, lang, i, mt[i] AS a, mt[i + 1] AS b FROM (
+               SELECT doc_id, lang, mt, unnest(range(1, len(mt))) AS i FROM m)),
+           bg AS (SELECT a, b, COUNT(*) AS c FROM pairs
+                  WHERE lang = 'en' GROUP BY 1, 2),
            ctx AS (SELECT a, SUM(c) AS cc FROM bg GROUP BY 1),
            eff AS (
              SELECT p.doc_id, p.i,
