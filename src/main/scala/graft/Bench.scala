@@ -112,8 +112,17 @@ object Bench {
     // settle pause before each run — and reports them in an
     // "isolated" block. Like-for-like regressions are graded from
     // that block, not from the suite numbers.
-    val isolatedN = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(12)
+    // malformed values fail loudly, same policy as SPARK_GRAFT_BENCH_ONLY
+    // — a silent fallback to 12 would grade regressions from a narrower
+    // isolated set than the operator asked for
+    val isolatedN = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED") match {
+      case None => 12
+      case Some(s) => scala.util.Try(s.trim.toInt).getOrElse {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_ISOLATED is not an int: '$s'")
+        sys.exit(1)
+      }
+    }
     val isolatedFull = results.sortBy(-_._2).take(isolatedN).map { case (name, _, _, _) =>
       val fn = SparkEntry.queries(name)
       def quiesce(): Unit = {

@@ -250,7 +250,11 @@ object ReleaseJob {
     val artifacts =
       try walked.iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_))
-        .map(p => base.relativize(p).toString).toSeq.sorted
+        .map(p => base.relativize(p).toString)
+        // a re-release over an existing dir must not list the previous
+        // run's guide (it is re-rendered and re-appended below)
+        .filter(_ != "data_guide.md")
+        .toSeq.sorted
       finally walked.close()
 
     // ---- data guide (templates/data_guide_template.Rnw:1-502, the

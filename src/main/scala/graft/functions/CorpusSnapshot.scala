@@ -132,9 +132,13 @@ object CorpusSnapshot {
     * history is gone; [[verify]] rejects them) and are not returned.
     * This is the retention input for compaction guards: a live pin
     * means compacting `indexPath` would orphan a replayable snapshot.
-    * A missing source, an unreadable tree marker, or zero matches all
-    * yield empty — "no pins" must not block maintenance of an index
-    * nobody snapshotted.
+    * A missing source, an unreadable index tree marker, or zero
+    * matches all yield empty — "no pins" must not block maintenance of
+    * an index nobody snapshotted. A MALFORMED manifest under the
+    * source throws (via [[read]]'s count cross-check): a truncated
+    * manifest may hold a real pin, so it must never silently read as
+    * "no pins" — batch compaction then refuses loudly, and the
+    * streaming sinks catch and DEFER (`ValidateStream.pinned`).
     */
   def pinsOn(spark: SparkSession, indexPath: String,
              manifestSource: String): Seq[(String, String, Int)] = {

@@ -234,7 +234,6 @@ object SegmentedIndex {
     val segs = segmentDirs(spark, path).filter(_._1 <= asOf)
     require(segs.nonEmpty, s"no segments <= $asOf at $path")
     val (fs, src) = hfs(spark, path)
-    val dest = new Path(destPath)
     require(!fs.exists(new Path(s"$destPath/segments")),
       s"clone destination $destPath already holds a segments tree")
     val conf = spark.sessionState.newHadoopConf()

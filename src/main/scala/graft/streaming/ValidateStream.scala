@@ -21,11 +21,16 @@ object ValidateStream {
     * current tree — the upkeep sinks' auto-compaction checks this and
     * DEFERS (skips) compaction rather than crashing the stream; the
     * tree resumes folding once the pins retire. None = unguarded.
+    * A malformed manifest (pinsOn throws — it may hold a real pin)
+    * also defers: a long-running stream must not die on a run-log
+    * hygiene problem, and deferral is the safe direction.
     */
   private def pinned(spark: SparkSession, path: String,
                      pinnedBy: Option[String]): Boolean =
-    pinnedBy.exists(src =>
-      graft.functions.CorpusSnapshot.pinsOn(spark, path, src).nonEmpty)
+    pinnedBy.exists { src =>
+      try graft.functions.CorpusSnapshot.pinsOn(spark, path, src).nonEmpty
+      catch { case _: IllegalArgumentException => true }
+    }
 
   /** Stream a directory of TSVs through the validation battery;
     * each micro-batch appends one findings row-set (one row per rule)
@@ -135,7 +140,8 @@ object ValidateStream {
   def bm25IndexStream(docs: DataFrame, idCol: String, textCol: String,
                       path: String, checkpoint: String,
                       maxSegments: Int = Int.MaxValue,
-                      pinnedBy: Option[String] = None)
+                      pinnedBy: Option[String] = None,
+                      trustedDelta: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -143,12 +149,14 @@ object ValidateStream {
         if (!batch.isEmpty) {
           val C = graft.functions.Curation
           if (C.bm25IndexExists(batch.sparkSession, path))
-            // trustedDelta: the sink contract is one row per id per
-            // micro-batch (CDC sources reduce to last-per-key before
-            // this sink), so the merge skips the dup-guard groupBy —
-            // one less delta shuffle per batch on the upkeep hot path
+            // trustedDelta default true: the sink contract is one row
+            // per id per micro-batch (CDC sources reduce to
+            // last-per-key first), so the merge skips the dup-guard
+            // shuffle on the hot path; pass trustedDelta = false when
+            // the source cannot prove uniqueness and a duplicate must
+            // fail the batch loudly instead of double-counting stats
             C.mergeBm25Delta(batch, idCol, textCol, path,
-              trustedDelta = true)
+              trustedDelta = trustedDelta)
           else C.saveBm25Index(batch, idCol, textCol, path)
           // inline auto-compaction: a long-running upkeep stream must
           // not accumulate one segment per micro-batch forever — past
@@ -185,15 +193,18 @@ object ValidateStream {
   def ivfIndexStream(docs: DataFrame, idCol: String, vecCol: String,
                      path: String, checkpoint: String,
                      maxSegments: Int = Int.MaxValue,
-                     pinnedBy: Option[String] = None)
+                     pinnedBy: Option[String] = None,
+                     trustedDelta: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val V = graft.functions.VectorFunctions
-          // trustedDelta: sink contract is one row per id per batch
-          V.mergeIvfDelta(batch, idCol, vecCol, path, trustedDelta = true)
+          // trustedDelta: see bm25IndexStream — false restores the
+          // loud dup guard for sources that cannot prove uniqueness
+          V.mergeIvfDelta(batch, idCol, vecCol, path,
+            trustedDelta = trustedDelta)
           // see bm25IndexStream: the serialized sink is the single
           // writer, so inline compaction past maxSegments is safe
           if (graft.functions.SegmentedIndex
@@ -219,16 +230,17 @@ object ValidateStream {
   def pqIndexStream(docs: DataFrame, idCol: String, vecCol: String,
                     path: String, checkpoint: String, m: Int, dim: Int,
                     maxSegments: Int = Int.MaxValue,
-                    pinnedBy: Option[String] = None)
+                    pinnedBy: Option[String] = None,
+                    trustedDelta: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val V = graft.functions.VectorFunctions
-          // trustedDelta: sink contract is one row per id per batch
+          // trustedDelta: see bm25IndexStream
           V.mergePqDelta(batch, idCol, vecCol, path, m, dim,
-            trustedDelta = true)
+            trustedDelta = trustedDelta)
           if (graft.functions.SegmentedIndex
                 .segmentDirs(batch.sparkSession, path).size > maxSegments &&
               !pinned(batch.sparkSession, path, pinnedBy))
@@ -250,16 +262,17 @@ object ValidateStream {
   def ivfPqIndexStream(docs: DataFrame, idCol: String, vecCol: String,
                        path: String, checkpoint: String, m: Int, dim: Int,
                        maxSegments: Int = Int.MaxValue,
-                       pinnedBy: Option[String] = None)
+                       pinnedBy: Option[String] = None,
+                       trustedDelta: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val V = graft.functions.VectorFunctions
-          // trustedDelta: sink contract is one row per id per batch
+          // trustedDelta: see bm25IndexStream
           V.mergeIvfPqDelta(batch, idCol, vecCol, path, m, dim,
-            trustedDelta = true)
+            trustedDelta = trustedDelta)
           if (graft.functions.SegmentedIndex
                 .segmentDirs(batch.sparkSession, path).size > maxSegments &&
               !pinned(batch.sparkSession, path, pinnedBy))
@@ -280,7 +293,8 @@ object ValidateStream {
   def int8IndexStream(docs: DataFrame, idCol: String, vecCol: String,
                       path: String, checkpoint: String,
                       maxSegments: Int = Int.MaxValue,
-                      pinnedBy: Option[String] = None)
+                      pinnedBy: Option[String] = None,
+                      trustedDelta: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -289,8 +303,9 @@ object ValidateStream {
           val V = graft.functions.VectorFunctions
           val S = graft.functions.SegmentedIndex
           if (S.exists(batch.sparkSession, path))
-            // trustedDelta: sink contract is one row per id per batch
-            V.mergeInt8Delta(batch, idCol, vecCol, path, trustedDelta = true)
+            // trustedDelta: see bm25IndexStream
+            V.mergeInt8Delta(batch, idCol, vecCol, path,
+              trustedDelta = trustedDelta)
           else V.saveInt8Index(batch, idCol, vecCol, path)
           if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
               !pinned(batch.sparkSession, path, pinnedBy))
@@ -318,7 +333,8 @@ object ValidateStream {
                        hasher: (DataFrame, String, String) => DataFrame =
                          graft.multimodal.Multimodal.imagePHashes,
                        maxSegments: Int = Int.MaxValue,
-                       pinnedBy: Option[String] = None)
+                       pinnedBy: Option[String] = None,
+                       trustedDelta: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
@@ -329,9 +345,9 @@ object ValidateStream {
           val hashes = hasher(batch, idCol, payloadCol)
           val hashCol = hashes.columns.filterNot(_ == idCol).head
           if (S.exists(batch.sparkSession, path))
-            // trustedDelta: sink contract is one row per id per batch
+            // trustedDelta: see bm25IndexStream
             M.mergePHashDelta(batch.select(col(idCol)), hashes,
-              idCol, hashCol, path, trustedDelta = true)
+              idCol, hashCol, path, trustedDelta = trustedDelta)
           else M.savePHashIndex(hashes, idCol, hashCol, path)
           if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
               !pinned(batch.sparkSession, path, pinnedBy))

@@ -140,6 +140,12 @@ class ReleaseJobSpec extends SparkSpec {
       "data_guide.md")
     assert(manifest.toSet == expectedFixed,
       s"manifest mismatch:\n missing=${expectedFixed -- manifest.toSet}\n extra=${manifest.toSet -- expectedFixed}")
+    assert(manifest.distinct == manifest, "manifest must not repeat entries")
+    // re-release over the existing dir (a data-fix re-run) is
+    // idempotent: the previous run's data_guide.md must not surface as
+    // a duplicate manifest entry
+    val manifest2 = ReleaseJob.writeFullRelease(full, base, "genie_test", "15.1-consortium")
+    assert(manifest2 == manifest)
     // versioned layout: Release <major>/<version> (database_to_staging.py:2034-2125)
     assert(new java.io.File(s"$base/Release 15/15.1-consortium/data_clinical.txt").exists())
 

@@ -368,6 +368,30 @@ class StreamingSpec extends SparkSpec {
     assert(VectorFunctions.ivfDeltaFraction(spark, s"$dir/idx") == 0.0)
   }
 
+  test("streaming upkeep trustedDelta=false restores the loud dup guard") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dir = tmpDir("bm25dupguard")
+    val q = ValidateStream.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/ckpt", trustedDelta = false)
+    mem.addData((1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable() // clean first batch creates the index
+    // a CDC source that cannot prove uniqueness: two versions of doc 1
+    // in one batch must FAIL the batch, not double-count stats
+    mem.addData((1L, "gamma"), (1L, "gamma delta"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("multiple rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple rows")),
+      s"expected the dup-guard message, got: ${e.getMessage}")
+    // the failed batch committed nothing — segment 0 alone survives
+    assert(graft.functions.SegmentedIndex
+      .segmentDirs(spark, s"$dir/idx").map(_._1) == Seq(0))
+  }
+
   test("streaming upkeep auto-compaction: segment count stays bounded, answers stable") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
