@@ -1138,9 +1138,12 @@ object SparkEntry {
       // aggregations; the 6-dp log-prob tables ship as LITERALS into a
       // zero-shuffle scoring scan (the DSIR discipline). Oracle
       // replays vocab → bigram/context counts → smoothed logs →
-      // document-order fold.
-      T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
-        vocabK = 64, alpha = 0.5)
+      // document-order fold. Training collects run eagerly in the
+      // builder — phase("build") splits them from the scoring scan.
+      phase("build") {
+        T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+          vocabK = 64, alpha = 0.5)
+      }
     }),
 
     "text_bigram_lm_target" -> ((s, dir) => {
@@ -1149,8 +1152,10 @@ object SparkEntry {
       // against it — out-of-domain docs hit the unseen-bigram and
       // unseen-context fallback tables, which this variant is the
       // oracle gate for (self-perplexity never exercises them).
-      T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
-        vocabK = 64, alpha = 0.5, trainFilter = col("lang") === "en")
+      phase("build") {
+        T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+          vocabK = 64, alpha = 0.5, trainFilter = col("lang") === "en")
+      }
     }),
 
     "sessionize_batch" -> ((s, dir) => {

@@ -432,6 +432,8 @@ object TextFunctions {
                     textCol: String, vocabK: Int = 64,
                     alpha: Double = 0.5,
                     trainFilter: Column = lit(true)): org.apache.spark.sql.DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    require(alpha > 0.0, s"alpha must be > 0 (smoothing divides by it), got $alpha")
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = filter(tokens(lower(col(textCol))), t => length(t) > lit(0))

@@ -263,4 +263,27 @@ class EdgeCaseSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(sel == Set(1L, 2L))
   }
+
+  test("bigramLmScore: guard rails and degenerate corpora") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // invalid params fail loudly
+    intercept[IllegalArgumentException] {
+      T.bigramLmScore(docs, "doc_id", "text", vocabK = 0)
+    }
+    intercept[IllegalArgumentException] {
+      T.bigramLmScore(docs, "doc_id", "text", alpha = 0.0)
+    }
+    // a trainFilter matching nothing: empty vocab, every token <unk>,
+    // every pair scores through the unseen-context constant ln(1/(V+1))
+    val out = T.bigramLmScore(docs, "doc_id", "text", vocabK = 4,
+        trainFilter = lit(false))
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L)
+    val expected = BigDecimal(math.log(0.5 / (0.5 * 5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head._3 - expected) < 1e-9,
+      s"expected the unseen-context constant $expected, got ${out.head._3}")
+  }
 }
