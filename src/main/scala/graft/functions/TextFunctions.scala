@@ -432,8 +432,13 @@ object TextFunctions {
                     textCol: String, vocabK: Int = 64,
                     alpha: Double = 0.5,
                     trainFilter: Column = lit(true)): org.apache.spark.sql.DataFrame = {
-    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
-    require(alpha > 0.0, s"alpha must be > 0 (smoothing divides by it), got $alpha")
+    // 2^20 vocab bound: far above any literal-map-friendly vocabulary
+    // AND keeps vocabK+1 safely inside Int — Int.MaxValue would
+    // overflow the smoothing denominator into a NaN deep in training
+    require(vocabK >= 1 && vocabK <= (1 << 20),
+      s"vocabK must be in [1, ${1 << 20}], got $vocabK")
+    require(alpha > 0.0 && java.lang.Double.isFinite(alpha),
+      s"alpha must be finite and > 0 (smoothing divides by it), got $alpha")
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = filter(tokens(lower(col(textCol))), t => length(t) > lit(0))

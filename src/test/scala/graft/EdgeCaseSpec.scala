@@ -276,7 +276,9 @@ class EdgeCaseSpec extends SparkSpec {
       T.bigramLmScore(docs, "doc_id", "text", alpha = 0.0)
     }
     // a trainFilter matching nothing: empty vocab, every token <unk>,
-    // every pair scores through the unseen-context constant ln(1/(V+1))
+    // every pair scores through the unseen-context constant
+    // ln(alpha/(alpha*(vocabK+1))) = ln(1/(vocabK+1)) — the denominator
+    // is always sized by the CONFIGURED vocabK, not the realized vocab
     val out = T.bigramLmScore(docs, "doc_id", "text", vocabK = 4,
         trainFilter = lit(false))
       .as[(Long, Long, Double)].collect()
