@@ -342,6 +342,26 @@ object ScaleSmoke {
     }
     embR.unpersist(blocking = false)
 
+    // 16b5. int8 code-store lifecycle at 40×: codes persisted once
+    // (no trained parameters — per-row quantization), probes answer
+    // from the stored 4×-smaller scan, O(delta) merge is just code
+    // rows + tombstones (the cheapest index maintenance in the family)
+    val int8Idx = s"${sys.props("java.io.tmpdir")}/graft_smoke_int8"
+    time("int8_index_build", nEmb) {
+      V.saveInt8Index(embN.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", int8Idx)
+      V.int8Codes(spark, int8Idx).count()
+    }
+    time("int8_delta_merge", nEmb) {
+      V.mergeInt8Delta(embN.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", int8Idx)
+      V.int8Codes(spark, int8Idx).count()
+    }
+    time("int8_query_indexed", nEmb) {
+      V.int8TopKFromIndex(int8Idx, embN, "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, shortlist = 200).count()
+    }
+
     // 16c. SemDeDup over the 40× embedding corpus: cells trained on a
     // 10% sample, the quadratic prune confined per cell; each base
     // vector's 40 identical replicas collapse toward the min id
