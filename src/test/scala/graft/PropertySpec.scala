@@ -458,4 +458,62 @@ class PropertySpec extends SparkSpec {
         Multimodal.AudioCodec.fingerprint64(wav), s"wav id=$id")
     }
   }
+
+  test("property: bigramLmScore equals a direct reference implementation") {
+    // random corpora over a tiny word alphabet, including empty and
+    // 1-token docs and a train/score split — the engine's literal-map
+    // plumbing (vocab tie-breaks, fallback chain, fold order, 6-dp
+    // rounding) must reproduce a straight Scala computation exactly
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    val docGen = for {
+      n  <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      docs   <- Gen.listOfN(14, docGen)
+      vocabK <- Gen.oneOf(2, 3, 8)
+      split  <- Gen.choose(2, 13) // ids < split train; all score
+    } yield (docs, vocabK, split)
+    def lp6(num: Double, den: Double): Double =
+      BigDecimal(math.log(num / den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    forSamples(corpusGen) { case (docs, vocabK, split) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextFunctions.bigramLmScore(df, "doc_id", "text",
+          vocabK = vocabK, alpha = 0.5,
+          trainFilter = col("doc_id") < split)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // ---- reference ----
+      def toks(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val trainToks = docs.zipWithIndex.filter(_._2 < split).map(d => toks(d._1))
+      val uni = trainToks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val vocab = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(vocabK)
+        .map(_._1).toSet
+      def mapped(ts: Seq[String]) = ts.map(w => if (vocab(w)) w else "<unk>")
+      val trainPairs = trainToks.map(mapped).filter(_.size >= 2)
+        .flatMap(m => m.zip(m.tail))
+      val bg = trainPairs.groupBy(identity).view.mapValues(_.size).toMap
+      val ctx = trainPairs.groupBy(_._1).view.mapValues(_.size).toMap
+      val denomK = 0.5 * (vocabK + 1)
+      val expect = docs.zipWithIndex.flatMap { case (t, i) =>
+        val m = mapped(toks(t))
+        if (m.size < 2) None
+        else {
+          val lps = m.zip(m.tail).map { p =>
+            bg.get(p).map(c => lp6(c + 0.5, ctx(p._1) + denomK))
+              .orElse(ctx.get(p._1).map(cc => lp6(0.5, cc + denomK)))
+              .getOrElse(lp6(0.5, denomK))
+          }
+          val sum = lps.foldLeft(0.0)(_ + _) // engine fold order
+          Some(i.toLong -> ((lps.size.toLong,
+            BigDecimal(sum / lps.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        }
+      }.toMap
+      assert(got == expect,
+        s"vocabK=$vocabK split=$split\n got=$got\n exp=$expect")
+    }
+  }
 }
