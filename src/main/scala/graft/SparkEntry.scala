@@ -52,6 +52,90 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(30, scale))).cast("double")
 
+  // ---- shared stages of the training-export pipeline ----------------
+  // pipeline_training_export plus its pipeline_stage_* diagnostics run
+  // the SAME code through these helpers, so a red composite query is
+  // localizable to whichever integer-output stage disagrees.
+
+  /** Per-lang target token budget (`want`) for the export pipeline:
+    * shares in exact tenths × budget/10, all in Long.
+    */
+  private def exportWant: Column = {
+    val tenths = when(col("lang") === "en", lit(4L))
+      .when(col("lang") === "de", lit(2L))
+      .when(col("lang") === "es", lit(2L))
+      .when(col("lang") === "fr", lit(1L))
+      .otherwise(lit(1L))
+    tenths * lit(150000L / 10)
+  }
+
+  /** Stage 1: canonical-dedup survivors (native normalize_text md5 key,
+    * min-doc_id survivor per key — one shuffle on the 16-byte key) with
+    * their Long token counts attached.
+    */
+  private def exportKept(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ck").orderBy("doc_id")
+    t(s, dir, "documents")
+      .withColumn("__ck", md5(T.normalizeText(col("text"))))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("__nt", T.tokenCount(col("text")).cast("long"))
+  }
+
+  /** Stage 2: per-lang acceptance thresholds as EXACT Longs —
+    * `thr = min(2³², floor(want·2³² / avail))` via [[Sampling.longFloorDiv]].
+    * No double ever enters the accept/reject comparison, so the
+    * hash-Bernoulli knife-edge (`bucket < thr`) is engine-independent.
+    * Vocabulary-sized output: broadcasts into the acceptance filter.
+    */
+  private def exportThresholds(kept: DataFrame): DataFrame =
+    kept.groupBy("lang").agg(sum("__nt").as("avail"))
+      .select(col("lang"), col("avail"),
+        least(lit(4294967296L),
+          graft.functions.Sampling.longFloorDiv(
+            exportWant * lit(4294967296L), col("avail"))).as("thr"))
+
+  /** Stage 3: survivors that pass the deterministic hash-Bernoulli
+    * acceptance at their lang's exact-Long threshold.
+    */
+  private def exportAccepted(s: SparkSession, dir: String): DataFrame = {
+    val kept = exportKept(s, dir)
+    kept.join(broadcast(exportThresholds(kept).select("lang", "thr")), "lang")
+      .filter(graft.functions.Sampling.hashBucket(col("doc_id"), "mix") <
+        col("thr"))
+  }
+
+  /** Shared oracle CTE chain replaying stages 1-2 (canonical dedup →
+    * integer thresholds); the stage queries and the full export SELECT
+    * from these.
+    */
+  private val exportOracleCtes: String =
+    """WITH canon AS (
+             SELECT doc_id, lang, text,
+                    md5(trim(regexp_replace(regexp_replace(
+                      lower(nfc_normalize(text)), '[[:punct:]]+', ' ', 'g'),
+                      '[[:space:]]+', ' ', 'g'))) AS ck
+             FROM documents),
+           kept AS (
+             SELECT doc_id, lang,
+                    len(regexp_split_to_array(trim(text), '\s+')) AS nt
+             FROM canon
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) = 1),
+           rates AS (
+             SELECT lang, CAST(SUM(nt) AS BIGINT) AS avail,
+                    CAST(LEAST(4294967296,
+                      (CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+                                      WHEN 'es' THEN 2 WHEN 'fr' THEN 1
+                                      ELSE 1 END AS BIGINT) * 15000 * 4294967296)
+                      // SUM(nt)) AS BIGINT) AS thr
+             FROM kept GROUP BY lang),
+           acc AS (
+             SELECT k.doc_id, k.lang, k.nt,
+                    ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT AS sb
+             FROM kept k JOIN rates r USING (lang)
+             WHERE ('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   < r.thr)"""
+
   /** Shared int8-ANN oracle replay: normalize → int8 quantize →
     * integer-dot top-20 per query (idot desc, c_id asc) → exact cosine
     * top-5. One replay gates the train-per-call, persisted, and
@@ -1363,11 +1447,11 @@ object SparkEntry {
       // aggregation over the corpus; the resulting rate table is
       // vocabulary-sized and broadcasts into the downstream filter.
       // Shares are exact tenths and the budget is a multiple of 10, so
-      // target_tokens (`want`) is an exact integer — deriving it in Long
-      // arithmetic (tenths × budget/10) keeps the only inexact step the
-      // final double division, which the oracle replays bit-for-bit.
-      // Doubles here (0.4 × 200000.0 = 80000.000000000004…) drifted from
-      // DuckDB's exact-DECIMAL product at ulp scale.
+      // target_tokens (`want`) is an exact integer — and the rate is
+      // emitted as BIGINT parts-per-million via exact half-up Long
+      // division (longDivHalfUp), so the output schema carries NO
+      // double at all: every engine reproduces rate_ppm bit-for-bit,
+      // with no ROUND(DOUBLE) representation sensitivity.
       val budgetTenth = 200000L / 10
       val tenths = when(col("lang") === "en", lit(4L))
         .when(col("lang") === "de", lit(2L))
@@ -1375,14 +1459,15 @@ object SparkEntry {
         .when(col("lang") === "fr", lit(1L))
         .otherwise(lit(1L))
       val want = tenths * lit(budgetTenth)
+      val Sam = graft.functions.Sampling
       t(s, dir, "documents")
         .select(col("lang"), T.tokenCount(col("text")).cast("long").as("__nt"))
         .groupBy("lang")
         .agg(sum("__nt").as("avail"), count(lit(1)).as("n_docs"))
         .select(col("lang"), col("avail"), col("n_docs"),
-          round(least(lit(1.0),
-            want.cast("double") / col("avail").cast("double")), 6)
-            .as("rate"),
+          least(lit(1000000L),
+            Sam.longDivHalfUp(want * lit(1000000L), col("avail")))
+            .as("rate_ppm"),
           (want >= col("avail")).as("undersupplied"))
     }),
 
@@ -1703,34 +1788,36 @@ object SparkEntry {
       // hash, no rand), (5) the export manifest: per (lang, split)
       // docs + token counts. Catalyst fuses 1+3+4 into the same
       // scan-side stage; text never shuffles — only keys, counts, and
-      // the manifest rows move.
-      val Sam = graft.functions.Sampling
-      // want = share × budget derived in exact Long arithmetic (shares
-      // are tenths, budget a multiple of 10) so the acceptance rate's
-      // only inexact step is the final double division — the oracle
-      // replays the identical derivation and floor(rate·2^32) boundary.
-      val budgetTenth = 150000L / 10
-      val tenths = when(col("lang") === "en", lit(4L))
-        .when(col("lang") === "de", lit(2L))
-        .when(col("lang") === "es", lit(2L))
-        .when(col("lang") === "fr", lit(1L))
-        .otherwise(lit(1L))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__ck").orderBy("doc_id")
-      val kept = t(s, dir, "documents")
-        .withColumn("__ck", md5(T.normalizeText(col("text"))))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .withColumn("__nt", T.tokenCount(col("text")).cast("long"))
-      val rates = kept.groupBy("lang").agg(sum("__nt").as("__avail"))
-        .select(col("lang"), least(lit(1.0),
-          (tenths * lit(budgetTenth)).cast("double") /
-            col("__avail").cast("double")).as("__rate"))
-      kept.join(broadcast(rates), "lang")
-        .filter(Sam.rateKeep(col("doc_id"), col("__rate")))
-        .withColumn("split", Sam.splitAssign(col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      // the manifest rows move. The acceptance threshold is an EXACT
+      // Long (`min(2³², floor(want·2³²/avail))`, exportThresholds) so
+      // no double sits on the accept/reject knife-edge; stage outputs
+      // are separately gated as pipeline_stage_{dedup,avail,accept}.
+      exportAccepted(s, dir)
+        .withColumn("split", graft.functions.Sampling.splitAssign(
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+    }),
+
+    "pipeline_stage_dedup" -> ((s, dir) => {
+      // export-pipeline diagnostic, stage 1: canonical-dedup survivor
+      // count per lang — integer-only, so a composite-hash mismatch
+      // localizes to the dedup stage (or not) from the driver artifact
+      exportKept(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("__nt").as("avail"))
+    }),
+
+    "pipeline_stage_avail" -> ((s, dir) => {
+      // stage 2: the per-lang exact-Long acceptance-threshold table the
+      // filter broadcasts — avail and thr are both BIGINT
+      exportThresholds(exportKept(s, dir))
+    }),
+
+    "pipeline_stage_accept" -> ((s, dir) => {
+      // stage 3: accepted docs/tokens per lang BEFORE split assignment —
+      // isolates the hash-Bernoulli acceptance from the split stage
+      exportAccepted(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_acc"), sum("__nt").as("nt_acc"))
     }),
 
     "text_bpe_merges" -> ((s, dir) => {
@@ -4741,7 +4828,8 @@ object SparkEntry {
                                        ELSE 1 END * 20000 AS BIGINT) AS want
                  FROM a)
            SELECT lang, avail, n_docs,
-                  ROUND(LEAST(1.0, CAST(want AS DOUBLE) / CAST(avail AS DOUBLE)), 6) AS rate,
+                  CAST(LEAST(1000000, (want * 1000000 * 2 + avail) // (2 * avail))
+                       AS BIGINT) AS rate_ppm,
                   want >= avail AS undersupplied
            FROM t""",
 
@@ -5082,39 +5170,30 @@ object SparkEntry {
            FROM st""",
 
       "pipeline_training_export" ->
-        // replay of the whole export chain: canonical dedup → mixture
-        // rates from the deduped supply → mix-salted acceptance →
-        // split-salted assignment → manifest counts
-        """WITH canon AS (
-             SELECT doc_id, lang, text,
-                    md5(trim(regexp_replace(regexp_replace(
-                      lower(nfc_normalize(text)), '[[:punct:]]+', ' ', 'g'),
-                      '[[:space:]]+', ' ', 'g'))) AS ck
-             FROM documents),
-           kept AS (
-             SELECT doc_id, lang,
-                    len(regexp_split_to_array(trim(text), '\s+')) AS nt
-             FROM canon
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) = 1),
-           rates AS (
-             SELECT lang, LEAST(1.0,
-                      CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
-                                     WHEN 'es' THEN 2 WHEN 'fr' THEN 1
-                                     ELSE 1 END * 15000 AS DOUBLE)
-                        / CAST(SUM(nt) AS DOUBLE)) AS rate
-             FROM kept GROUP BY lang),
-           acc AS (
-             SELECT k.doc_id, k.lang, k.nt,
-                    ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT AS sb
-             FROM kept k JOIN rates r USING (lang)
-             WHERE ('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   < floor(r.rate * 4294967296.0))
+        // replay of the whole export chain: canonical dedup → exact-Long
+        // acceptance thresholds from the deduped supply → mix-salted
+        // acceptance → split-salted assignment → manifest counts
+        (exportOracleCtes + """
            SELECT lang,
                   CASE WHEN sb < floor(0.8 * 4294967296.0) THEN 'train'
                        WHEN sb < floor((0.8 + 0.1) * 4294967296.0) THEN 'val'
                        ELSE 'test' END AS split,
                   COUNT(*) AS n_docs, SUM(nt) AS n_tokens
-           FROM acc GROUP BY 1, 2""",
+           FROM acc GROUP BY 1, 2"""),
+
+      "pipeline_stage_dedup" ->
+        (exportOracleCtes + """
+           SELECT lang, COUNT(*) AS n_kept, CAST(SUM(nt) AS BIGINT) AS avail
+           FROM kept GROUP BY 1"""),
+
+      "pipeline_stage_avail" ->
+        (exportOracleCtes + """
+           SELECT lang, avail, thr FROM rates"""),
+
+      "pipeline_stage_accept" ->
+        (exportOracleCtes + """
+           SELECT lang, COUNT(*) AS n_acc, CAST(SUM(nt) AS BIGINT) AS nt_acc
+           FROM acc GROUP BY 1"""),
 
       "text_bpe_merges" -> {
         // step-for-step replay of the BPE trainer: pair stats over the

@@ -25,6 +25,28 @@ object Sampling {
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
+  /** Exact `floor(num / den)` over non-negative Long columns with
+    * `num < 2⁵³`. `num - pmod(num, den)` is an exact multiple of `den`,
+    * and IEEE division of two exactly-representable doubles whose
+    * quotient is an integer is itself exact — so the result carries no
+    * floating-point sensitivity, unlike `floor(numDouble / denDouble)`
+    * whose 1-ulp drift can flip an acceptance-threshold boundary.
+    * Cross-engine contracts (mixture rates, hash-Bernoulli thresholds)
+    * should derive every cut-off through this, keeping DOUBLE out of
+    * the comparison path entirely.
+    */
+  def longFloorDiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)) / den).cast("long")
+
+  /** Exact half-up `round(num / den)` for non-negative Longs:
+    * `floor((2·num + den) / (2·den))` — the parts-per-million form of a
+    * rate (`longDivHalfUp(want·10⁶, avail)`) replaces a
+    * `round(double, 6)` output column with a BIGINT that every engine
+    * reproduces bit-for-bit.
+    */
+  def longDivHalfUp(num: Column, den: Column): Column =
+    longFloorDiv(num * lit(2L) + den, den * lit(2L))
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank every corpus
     * document by the importance ratio of a TARGET slice's hashed
