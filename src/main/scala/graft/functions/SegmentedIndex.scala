@@ -234,11 +234,19 @@ object SegmentedIndex {
     val segs = segmentDirs(spark, path).filter(_._1 <= asOf)
     require(segs.nonEmpty, s"no segments <= $asOf at $path")
     val (fs, src) = hfs(spark, path)
-    require(!fs.exists(new Path(s"$destPath/segments")),
-      s"clone destination $destPath already holds a segments tree")
+    // dest gets its OWN FileSystem (it may live on a different scheme
+    // than the source tree), and the WHOLE destination must be absent:
+    // a partial dir left by a crashed earlier preserve (e.g. stray
+    // centroids) would make FileUtil.copy nest into it
+    // (dest/centroids/centroids) and yield a silently inconsistent
+    // clone — refuse instead and let the caller clean up explicitly
+    val (dfs, dest) = hfs(spark, destPath)
+    require(!dfs.exists(dest),
+      s"clone destination $destPath already exists — remove it first " +
+        "(a partial dir would absorb copies into nested subdirs)")
     val conf = spark.sessionState.newHadoopConf()
     def copy(from: Path, to: Path): Unit = {
-      if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to,
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, dfs, to,
           false /* keep source */, conf))
         throw new IllegalStateException(s"clone copy failed: $from -> $to")
     }

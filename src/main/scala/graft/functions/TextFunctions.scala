@@ -422,8 +422,17 @@ object TextFunctions {
     * per-bigram log-probs ship as LITERAL maps into a zero-shuffle
     * scoring scan (per-doc left fold in document order; each entry
     * pre-rounded to 6 dp so both engines sum identical doubles).
-    * At a vocab where the tables outgrow literals, the same derivation
-    * broadcasts as a join — the scan-side shape is the point.
+    * `vocabK` is HARD-CAPPED at 4096: the implementation
+    * driver-collects the bigram table and plans (vocabK+1)²-entry
+    * literal maps, which is honest up to a few-thousand-token vocab
+    * (≤ ~16.8M map entries at the cap is already the outer limit of a
+    * sane plan; typical CCNet-style use is 10²-10³). A larger
+    * vocabulary needs a different physical shape — explode tokens to
+    * (prev, cur) pairs and broadcast-JOIN the bigram table instead of
+    * shipping it as a literal — which this function deliberately does
+    * NOT silently switch to, because the scoring fold's in-document
+    * sequential order (and hence the 6-dp-rounded sum the oracle
+    * replays) is the contract here.
     * Docs with fewer than two tokens have no bigrams and are omitted.
     * Token separator in map keys is a space — impossible inside a
     * whitespace-split token.
@@ -432,11 +441,13 @@ object TextFunctions {
                     textCol: String, vocabK: Int = 64,
                     alpha: Double = 0.5,
                     trainFilter: Column = lit(true)): org.apache.spark.sql.DataFrame = {
-    // 2^20 vocab bound: far above any literal-map-friendly vocabulary
-    // AND keeps vocabK+1 safely inside Int — Int.MaxValue would
-    // overflow the smoothing denominator into a NaN deep in training
-    require(vocabK >= 1 && vocabK <= (1 << 20),
-      s"vocabK must be in [1, ${1 << 20}], got $vocabK")
+    // literal-map-honest vocab bound (see scaladoc): the bigram table
+    // is driver-collected and shipped as typedLit maps, so vocabK is
+    // capped where that physical shape stays sane; larger vocabularies
+    // need the broadcast-join shape instead
+    require(vocabK >= 1 && vocabK <= 4096,
+      s"vocabK must be in [1, 4096] (bigram table ships as a literal " +
+        s"map; use a broadcast-join scoring shape beyond that), got $vocabK")
     require(alpha > 0.0 && java.lang.Double.isFinite(alpha),
       s"alpha must be finite and > 0 (smoothing divides by it), got $alpha")
     val spark = docs.sparkSession
@@ -468,6 +479,13 @@ object TextFunctions {
         (a, b) => concat(a, lit(" "), b))).as("__p"))
       .groupBy("__p").agg(count(lit(1)).as("__c"))
       .as[(String, Long)].collect()
+    // the vocabK cap bounds the WORST case; this bounds the ACTUAL
+    // driver state and plan size — observed bigrams on a diverse corpus
+    // can approach (vocabK+1)² long before vocabK looks large
+    require(bigrams.length <= 200000,
+      s"observed bigram table has ${bigrams.length} entries — too large " +
+        "to ship as a literal map; reduce vocabK or use a broadcast-join " +
+        "scoring shape")
     val ctxCount: Map[String, Long] = bigrams
       .groupBy(_._1.split(" ", 2)(0)).view.mapValues(_.map(_._2).sum).toMap
     val denomK = alpha * (vocabK + 1)

@@ -21,15 +21,18 @@ object ValidateStream {
     * current tree — the upkeep sinks' auto-compaction checks this and
     * DEFERS (skips) compaction rather than crashing the stream; the
     * tree resumes folding once the pins retire. None = unguarded.
-    * A malformed manifest (pinsOn throws — it may hold a real pin)
-    * also defers: a long-running stream must not die on a run-log
-    * hygiene problem, and deferral is the safe direction.
+    * ANY failure to read the run-log (malformed manifest, a foreign
+    * file whose \u escape throws NumberFormat/StringIndexOutOfBounds
+    * deep in unescape, filesystem IO errors) also defers: the
+    * directory may hold a real pin we could not read, a long-running
+    * stream must not die on a run-log hygiene problem, and deferral
+    * is the safe direction (compaction retries next batch).
     */
   private def pinned(spark: SparkSession, path: String,
                      pinnedBy: Option[String]): Boolean =
     pinnedBy.exists { src =>
       try graft.functions.CorpusSnapshot.pinsOn(spark, path, src).nonEmpty
-      catch { case _: IllegalArgumentException => true }
+      catch { case scala.util.control.NonFatal(_) => true }
     }
 
   /** Stream a directory of TSVs through the validation battery;
@@ -141,7 +144,7 @@ object ValidateStream {
                       path: String, checkpoint: String,
                       maxSegments: Int = Int.MaxValue,
                       pinnedBy: Option[String] = None,
-                      trustedDelta: Boolean = true)
+                      trustedDelta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -149,12 +152,14 @@ object ValidateStream {
         if (!batch.isEmpty) {
           val C = graft.functions.Curation
           if (C.bm25IndexExists(batch.sparkSession, path))
-            // trustedDelta default true: the sink contract is one row
-            // per id per micro-batch (CDC sources reduce to
-            // last-per-key first), so the merge skips the dup-guard
-            // shuffle on the hot path; pass trustedDelta = false when
-            // the source cannot prove uniqueness and a duplicate must
-            // fail the batch loudly instead of double-counting stats
+            // trustedDelta default FALSE: the stream cannot itself
+            // verify the one-row-per-id-per-micro-batch contract, and
+            // a CDC source emitting two versions of an id in one batch
+            // would double-count stats under the fast path. Opt IN
+            // with trustedDelta = true when the source provably
+            // reduces to last-per-key first — that skips the
+            // dup-guard shuffle on the hot path (see
+            // Curation.mergeBm25Delta / SegmentedIndex.mergeDeltaRows)
             C.mergeBm25Delta(batch, idCol, textCol, path,
               trustedDelta = trustedDelta)
           else C.saveBm25Index(batch, idCol, textCol, path)
@@ -194,7 +199,7 @@ object ValidateStream {
                      path: String, checkpoint: String,
                      maxSegments: Int = Int.MaxValue,
                      pinnedBy: Option[String] = None,
-                     trustedDelta: Boolean = true)
+                     trustedDelta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -231,7 +236,7 @@ object ValidateStream {
                     path: String, checkpoint: String, m: Int, dim: Int,
                     maxSegments: Int = Int.MaxValue,
                     pinnedBy: Option[String] = None,
-                    trustedDelta: Boolean = true)
+                    trustedDelta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -263,7 +268,7 @@ object ValidateStream {
                        path: String, checkpoint: String, m: Int, dim: Int,
                        maxSegments: Int = Int.MaxValue,
                        pinnedBy: Option[String] = None,
-                       trustedDelta: Boolean = true)
+                       trustedDelta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -294,7 +299,7 @@ object ValidateStream {
                       path: String, checkpoint: String,
                       maxSegments: Int = Int.MaxValue,
                       pinnedBy: Option[String] = None,
-                      trustedDelta: Boolean = true)
+                      trustedDelta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -334,7 +339,7 @@ object ValidateStream {
                          graft.multimodal.Multimodal.imagePHashes,
                        maxSegments: Int = Int.MaxValue,
                        pinnedBy: Option[String] = None,
-                       trustedDelta: Boolean = true)
+                       trustedDelta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)

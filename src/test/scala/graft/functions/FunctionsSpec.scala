@@ -407,6 +407,15 @@ class FunctionsSpec extends SparkSpec {
       "reference-domain doc must outscore the out-of-domain one")
     // every doc still gets a defined score under the target-trained LM
     assert(target.keySet == out.keySet)
+    // the vocabK guard is literal-map-honest: the implementation ships
+    // the bigram table as typedLit maps, so vocabularies beyond the cap
+    // must be rejected loudly (the broadcast-join shape is a different
+    // function), not silently planned as a multi-million-entry literal
+    val big = intercept[IllegalArgumentException] {
+      T.bigramLmScore(docs, "doc_id", "text", vocabK = 4097)
+    }
+    assert(big.getMessage.contains("4096"))
+    assert(T.bigramLmScore(docs, "doc_id", "text", vocabK = 4096).count() > 0)
   }
 
   test("persisted dedup indexes: merge replaces, null content deletes, retract purges") {
@@ -727,6 +736,15 @@ class FunctionsSpec extends SparkSpec {
     assert(V.ivfTopKFromIndex(clonePath, base, "vec_id", "embedding",
         col("vec_id") < 5, k = 3, asOf = cloneSeg)
       .as[(Long, Long, Double, Long)].collect().toSet == pinned)
+    // a PARTIAL dest left by a crashed earlier preserve (stray sibling
+    // dir, no segments tree) must refuse — FileUtil.copy would nest
+    // centroids into dest/centroids/centroids and clone inconsistently
+    val stray = s"$root/crashed"
+    new java.io.File(s"$stray/centroids").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      SegmentedIndex.cloneAt(spark, s"$root/ivf", stray, asOf = 0)
+    }
+    assert(e.getMessage.contains("already exists"))
   }
 
   test("changedBetween: net add/replace/delete across merge chains; transients omitted") {

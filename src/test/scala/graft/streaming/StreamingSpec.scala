@@ -476,6 +476,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) == 0, s"retired tokens must not hit: $got")
   }
 
+  test("stream compaction defers (not crashes) on unreadable run-log content") {
+    // a FOREIGN file in the pins dir whose \u escape explodes deep in
+    // CorpusSnapshot.read (NumberFormatException, not the
+    // IllegalArgumentException the manifest count-check raises) — the
+    // upkeep stream's pinned() must treat ANY unreadable run-log as
+    // "maybe pinned" and defer compaction, never die mid-stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dir = tmpDir("bm25defer")
+    val pins = s"$dir/pins"
+    new java.io.File(pins).mkdirs()
+    // (backslash-u assembled at runtime: the Scala lexer would reject
+    // a literal invalid unicode escape even inside triple quotes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$pins/garbage.json"),
+      ("""{"x":{"path":"a""" + "\\" + """uZZZZ","segment":0,"tree":"t"}}""")
+        .getBytes("UTF-8"))
+    val q = ValidateStream.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/ckpt", maxSegments = 1,
+      pinnedBy = Some(pins))
+    try {
+      mem.addData((1L, "alpha beta"), (2L, "gamma delta"))
+      q.processAllAvailable()
+      mem.addData((3L, "epsilon zeta"))
+      q.processAllAvailable()
+      // stream survived AND compaction deferred: tree kept both segments
+      assert(q.isActive, "stream must survive unreadable run-log content")
+      assert(graft.functions.SegmentedIndex
+        .segmentDirs(spark, s"$dir/index").size == 2)
+    } finally q.stop()
+    // cleaning the garbage lets the next batch compact as usual
+    assert(new java.io.File(s"$pins/garbage.json").delete())
+    val q2 = ValidateStream.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/ckpt", maxSegments = 1,
+      pinnedBy = Some(pins))
+    try {
+      mem.addData((4L, "eta theta"))
+      q2.processAllAvailable()
+      assert(graft.functions.SegmentedIndex
+        .segmentDirs(spark, s"$dir/index").size == 1)
+    } finally q2.stop()
+  }
+
   test("streaming session_window: sessions close when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
