@@ -1242,6 +1242,19 @@ object SparkEntry {
       }
     }),
 
+    "text_bigram_lm_joined" -> ((s, dir) => {
+      // the JOIN-shaped scoring path (bigramLmScoreJoined): vocab /
+      // bigram / context tables stay DataFrames end-to-end — nothing
+      // driver-collected, nothing shipped as a literal — so the same
+      // CCNet arrangement (train on lang='en', score everything)
+      // survives vocabularies past the literal-map cap. Contract
+      // difference the oracle pins: log-probs sum through
+      // DECIMAL(30,6) (order-free) instead of the document-order
+      // double fold.
+      T.bigramLmScoreJoined(t(s, dir, "documents"), "doc_id", "text",
+        vocabK = 64, alpha = 0.5, trainFilter = col("lang") === "en")
+    }),
+
     "sessionize_batch" -> ((s, dir) => {
       // gap-based sessionization (30-min gap): per-user session index →
       // per-session event count + bounds. Batch twin of SessionizeStream.
@@ -3837,6 +3850,45 @@ object SparkEntry {
              LEFT JOIN ctx x ON x.a = p.a)
            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
                   ROUND(list_sum(list(lp ORDER BY i)) / COUNT(*), 6) AS lm_score
+           FROM eff GROUP BY 1""",
+
+      "text_bigram_lm_joined" ->
+        // same lang='en'-trained replay as text_bigram_lm_target, but
+        // the per-doc sum goes through DECIMAL(30,6) (order-free) —
+        // the joined variant's contract
+        """WITH toks AS (
+             SELECT doc_id, lang,
+                    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                t -> strlen(t) > 0) AS t
+             FROM documents WHERE text IS NOT NULL),
+           uni AS (SELECT unnest(t) AS w FROM toks WHERE lang = 'en'),
+           vocab AS (
+             SELECT w FROM (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1)
+             ORDER BY c DESC, w ASC LIMIT 64),
+           vl AS (SELECT list(w) AS vl FROM vocab),
+           m AS (
+             SELECT doc_id, lang,
+                    list_transform(t, w -> CASE WHEN list_contains(vl.vl, w)
+                                                THEN w ELSE '<unk>' END) AS mt
+             FROM toks CROSS JOIN vl
+             WHERE len(t) >= 2),
+           pairs AS (
+             SELECT doc_id, lang, mt[i] AS a, mt[i + 1] AS b FROM (
+               SELECT doc_id, lang, mt, unnest(range(1, len(mt))) AS i FROM m)),
+           bg AS (SELECT a, b, COUNT(*) AS c FROM pairs
+                  WHERE lang = 'en' GROUP BY 1, 2),
+           ctx AS (SELECT a, SUM(c) AS cc FROM bg GROUP BY 1),
+           eff AS (
+             SELECT p.doc_id,
+                    COALESCE(ROUND(LN((g.c + 0.5) / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / 32.5), 6)) AS lp
+             FROM pairs p
+             LEFT JOIN bg g ON g.a = p.a AND g.b = p.b
+             LEFT JOIN ctx x ON x.a = p.a)
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                  ROUND(CAST(SUM(CAST(lp AS DECIMAL(30,6))) AS DOUBLE)
+                        / COUNT(*), 6) AS lm_score
            FROM eff GROUP BY 1""",
 
       "text_rarity" ->

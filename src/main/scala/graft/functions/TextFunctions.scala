@@ -517,4 +517,87 @@ object TextFunctions {
         round(aggregate(col("__lp"), lit(0.0), (acc, x) => acc + x) /
           size(col("__lp")).cast("double"), 6).as("lm_score"))
   }
+
+  /** [[bigramLmScore]]'s JOIN-shaped sibling for vocabularies past the
+    * literal-map cap: the vocab / bigram / context tables stay
+    * DataFrames end-to-end (nothing driver-collected, nothing shipped
+    * as a literal), pairs explode scan-side from each doc's token
+    * array, and scoring is three joins — token→vocab (twice, mapping
+    * out-of-vocab to `<unk>`), pair→bigram log-prob, context→fallback
+    * log-prob — followed by ONE per-doc aggregation. Catalyst picks
+    * broadcast joins while the tables fit and falls back to shuffle
+    * joins beyond that, which is exactly the scale behavior the
+    * literal shape cannot have.
+    *
+    * The price of order-free distribution is the fold: the literal
+    * variant sums log-probs in document order (its cross-engine
+    * contract), while this one sums the SAME 6-dp-rounded entries
+    * through DECIMAL(30,6) so partial-aggregation order cannot change
+    * the result — the two variants agree to the last bit whenever the
+    * double fold happens not to round differently, but their contracts
+    * are deliberately separate. Same training semantics: top-`vocabK`
+    * tokens by (count desc, token asc), add-α smoothing, `trainFilter`
+    * picks the reference slice, docs with < 2 tokens are omitted.
+    */
+  def bigramLmScoreJoined(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, vocabK: Int = 64,
+                          alpha: Double = 0.5,
+                          trainFilter: Column = lit(true)): org.apache.spark.sql.DataFrame = {
+    // 2^20 bound: the vocab rides a TakeOrderedAndProject + broadcast,
+    // honest far beyond the literal-map cap, and keeps vocabK+1 inside
+    // Int for the smoothing denominator
+    require(vocabK >= 1 && vocabK <= (1 << 20),
+      s"vocabK must be in [1, ${1 << 20}], got $vocabK")
+    require(alpha > 0.0 && java.lang.Double.isFinite(alpha),
+      s"alpha must be finite and > 0 (smoothing divides by it), got $alpha")
+    val toks = filter(tokens(lower(col(textCol))), t => length(t) > lit(0))
+    val trainDocs = docs.filter(col(textCol).isNotNull).filter(trainFilter)
+    val vocab = trainDocs
+      .select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(vocabK)
+      .select("__w")
+    // raw adjacent pairs, exploded scan-side (the token arrays never
+    // shuffle — only (id, pair) rows move, and only into partial aggs)
+    def pairsOf(d: org.apache.spark.sql.DataFrame) = d
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("ra"), b.as("rb")))).as("__p"))
+      .select(col("__id"), col("__p.ra").as("__ra"), col("__p.rb").as("__rb"))
+    // vocab-map both slots via joins (left: misses become <unk>)
+    def mapped(p: org.apache.spark.sql.DataFrame) = p
+      .join(vocab.select(col("__w").as("__ra"), col("__w").as("__va")),
+        Seq("__ra"), "left")
+      .join(vocab.select(col("__w").as("__rb"), col("__w").as("__vb")),
+        Seq("__rb"), "left")
+      .select(col("__id"), coalesce(col("__va"), lit("<unk>")).as("__a"),
+        coalesce(col("__vb"), lit("<unk>")).as("__b"))
+    val denomK = alpha * (vocabK + 1)
+    val bg = mapped(pairsOf(trainDocs))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__bc"))
+    val ctx = bg.groupBy("__a").agg(sum("__bc").as("__cc"))
+    // 6-dp log-probs computed WHERE THE ROWS ARE (same Math.log +
+    // HALF_UP round the literal variant applies on the driver)
+    val bgLp = bg.join(ctx, "__a").select(col("__a"), col("__b"),
+      round(log((col("__bc") + lit(alpha)) / (col("__cc") + lit(denomK))), 6)
+        .as("__blp"))
+    val ctxLp = ctx.select(col("__a"),
+      round(log(lit(alpha) / (col("__cc") + lit(denomK))), 6).as("__clp"))
+    val unseenCtxLp = BigDecimal(math.log(alpha / denomK))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    mapped(pairsOf(docs))
+      .join(bgLp, Seq("__a", "__b"), "left")
+      .join(ctxLp, Seq("__a"), "left")
+      .select(col("__id"),
+        coalesce(col("__blp"), col("__clp"), lit(unseenCtxLp)).as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("__lp").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("lm_score"))
+  }
 }

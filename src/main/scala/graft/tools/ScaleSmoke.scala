@@ -340,6 +340,28 @@ object ScaleSmoke {
       println(f"SMOKE ivfpq_real_recall_np$nprobe recall@10=" +
         f"${hits.toDouble / exactReal.size}%.3f")
     }
+    // int8 tier on the SAME perturbed corpus and query set, so the
+    // quantized-index family reads as ONE comparable table (probe
+    // latency + recall@10 next to the IVF-PQ nprobe sweep). int8 is
+    // the honest quantized-brute-force baseline: a LINEAR scan of
+    // 4×-smaller codes + exact re-rank of the shortlist — recall
+    // should sit at ~1.0, and its probe latency is the number the
+    // sub-linear tiers must beat as the corpus grows.
+    val int8RealIdx = s"${sys.props("java.io.tmpdir")}/graft_smoke_int8_real"
+    time("int8_real_build", nEmb) {
+      V.saveInt8Index(embR, "vec_id", "embedding", int8RealIdx)
+      V.int8Codes(spark, int8RealIdx).count()
+    }
+    var hits8 = 0
+    time("int8_real_probe", nEmb) {
+      val got = V.int8TopKFromIndex(int8RealIdx, embR, "vec_id", "embedding",
+          col("vec_id") < 10, k = 10, shortlist = 2000)
+        .select("q_id", "c_id").collect()
+      hits8 = got.count(r => exactReal.contains((r.getLong(0), r.getLong(1))))
+      got.length.toLong
+    }
+    println(f"SMOKE int8_real_recall recall@10=" +
+      f"${hits8.toDouble / exactReal.size}%.3f")
     embR.unpersist(blocking = false)
 
     // 16b5. int8 code-store lifecycle at 40×: codes persisted once

@@ -416,6 +416,20 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(big.getMessage.contains("4096"))
     assert(T.bigramLmScore(docs, "doc_id", "text", vocabK = 4096).count() > 0)
+    // the JOIN-shaped sibling: same training semantics, order-free
+    // decimal fold — on this corpus every per-doc sum is a small exact
+    // decimal total, so the two variants must agree entry for entry
+    val joined = T.bigramLmScoreJoined(docs, "doc_id", "text", vocabK = 8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(joined == out, s"joined variant diverged:\n $joined\n vs $out")
+    // and it accepts a vocabulary far past the literal-map cap
+    assert(T.bigramLmScoreJoined(docs, "doc_id", "text", vocabK = 100000)
+      .count() > 0)
+    val joinedT = T.bigramLmScoreJoined(docs.repartition(5), "doc_id", "text",
+        vocabK = 8, trainFilter = col("doc_id") < 30)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(joinedT(0L) > joinedT(100L),
+      "reference-domain doc must outscore the out-of-domain one (joined)")
   }
 
   test("persisted dedup indexes: merge replaces, null content deletes, retract purges") {
