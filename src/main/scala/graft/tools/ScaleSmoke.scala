@@ -362,6 +362,45 @@ object ScaleSmoke {
     }
     println(f"SMOKE int8_real_recall recall@10=" +
       f"${hits8.toDouble / exactReal.size}%.3f")
+    // IVF (√n cells, exact in-cell rank) and flat PQ (codes only, ADC
+    // shortlist + exact re-rank) on the SAME corpus/queries complete
+    // the four-tier comparison table: every tier's probe latency and
+    // recall@10 measured under identical conditions.
+    val ivfRealIdx = s"${sys.props("java.io.tmpdir")}/graft_smoke_ivf_real"
+    time("ivf_real_build_256c", nEmb) {
+      V.saveIvfIndex(embR, "vec_id", "embedding", ivfRealIdx,
+        clusters = 256, iters = 2)
+      graft.functions.SegmentedIndex.liveRows(spark, ivfRealIdx, "cells").count()
+    }
+    for (nprobe <- Seq(8, 32)) {
+      var hitsI = 0
+      time(s"ivf_real_probe_np$nprobe", nEmb) {
+        val got = V.ivfTopKFromIndex(ivfRealIdx, embR, "vec_id", "embedding",
+            col("vec_id") < 10, k = 10, nprobe = nprobe)
+          .select("q_id", "c_id").collect()
+        hitsI = got.count(r => exactReal.contains((r.getLong(0), r.getLong(1))))
+        got.length.toLong
+      }
+      println(f"SMOKE ivf_real_recall_np$nprobe recall@10=" +
+        f"${hitsI.toDouble / exactReal.size}%.3f")
+    }
+    val pqRealIdx = s"${sys.props("java.io.tmpdir")}/graft_smoke_pq_real"
+    time("pq_real_build_m8", nEmb) {
+      V.savePqIndex(embR, "vec_id", "embedding", pqRealIdx,
+        m = 8, dim = 64, ksub = 16, iters = 2,
+        trainFilter = col("vec_id") % 50 === 0)
+      V.pqCodes(spark, pqRealIdx).count()
+    }
+    var hitsP = 0
+    time("pq_real_probe", nEmb) {
+      val got = V.pqTopKFromIndex(pqRealIdx, embR, "vec_id", "embedding",
+          col("vec_id") < 10, m = 8, dim = 64, k = 10, shortlist = 2000)
+        .select("q_id", "c_id").collect()
+      hitsP = got.count(r => exactReal.contains((r.getLong(0), r.getLong(1))))
+      got.length.toLong
+    }
+    println(f"SMOKE pq_real_recall recall@10=" +
+      f"${hitsP.toDouble / exactReal.size}%.3f")
     embR.unpersist(blocking = false)
 
     // 16b5. int8 code-store lifecycle at 40×: codes persisted once
