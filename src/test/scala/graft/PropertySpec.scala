@@ -516,4 +516,35 @@ class PropertySpec extends SparkSpec {
         s"vocabK=$vocabK split=$split\n got=$got\n exp=$expect")
     }
   }
+
+  test("property: longFloorDiv/longDivHalfUp are exact integer division") {
+    import graft.functions.Sampling
+    // the integer-contract primitives (mixture rate_ppm, acceptance
+    // thresholds) must equal BigInt arithmetic for every in-bound
+    // input — including the knife-edge shapes: exact multiples,
+    // one-off-from-multiple, den=1, and the want·2³² magnitude ceiling
+    val pairGen = for {
+      n0 <- Gen.oneOf(
+        Gen.choose(0L, 1L << 51), // halfUp doubles num: keep 2n+d < 2^53
+        Gen.choose(0L, 1000L),
+        Gen.const(60000L * 4294967296L)) // the export threshold ceiling
+      d <- Gen.oneOf(Gen.choose(1L, 1L << 30), Gen.const(1L),
+        Gen.choose(1L, 7L))
+      // bias onto boundaries: exact multiple and multiple±1
+      n <- Gen.oneOf(n0, (n0 / d) * d,
+        math.max(0L, (n0 / d) * d - 1L), (n0 / d) * d + 1L)
+    } yield (n, d)
+    forSamples(Gen.listOfN(40, pairGen), n = 25) { pairs =>
+      val df = pairs.toDF("n", "d")
+        .select(col("n"), col("d"),
+          Sampling.longFloorDiv(col("n"), col("d")).as("fd"),
+          Sampling.longDivHalfUp(col("n"), col("d")).as("hu"))
+      df.collect().foreach { r =>
+        val (n, d) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)))
+        assert(BigInt(r.getLong(2)) == n / d, s"floorDiv($n, $d)")
+        assert(BigInt(r.getLong(3)) == (n * 2 + d) / (d * 2),
+          s"halfUpDiv($n, $d)")
+      }
+    }
+  }
 }
