@@ -1329,6 +1329,19 @@ object SparkEntry {
         md5(array_join(kept, " | ")).as("kept_md5"))
     }),
 
+    "text_paragraph_dedup" -> ((s, dir) => {
+      // CROSS-document paragraph dedup (Dolma/RefinedWeb step): a
+      // segment survives only at its global first occurrence in
+      // (doc_id, position) order — later copies drop, in the same doc
+      // or any other. One shuffle on segment text (rank<=1 compiles to
+      // WindowGroupLimit: boilerplate with millions of copies forwards
+      // one candidate per map partition), one per-doc reassembly agg.
+      graft.functions.Curation.dedupSegmentsAcross(
+          t(s, dir, "documents"), "doc_id", "text", " the ", minWords = 3)
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          md5(col("rebuilt")).as("rebuilt_md5"))
+    }),
+
     "text_chunk_overlap" -> ((s, dir) => {
       // overlapping-window chunking (RAG / context-window prep): chunks
       // of 50 tokens with 10-token overlap (stride 40). Pure per-row
@@ -4736,6 +4749,34 @@ object SparkEntry {
                   CAST(len(list_distinct(kept)) AS BIGINT) AS n_unique,
                   md5(array_to_string(kept, ' | ')) AS kept_md5
            FROM k""",
+
+      "text_paragraph_dedup" ->
+        // replay: split (literal, trailing empties kept) → min-words
+        // filter → re-index kept segments per doc → global
+        // first-occurrence rank over (doc_id, idx) → per-doc counts +
+        // survivors rejoined in position order
+        """WITH raw AS (
+             SELECT doc_id, s[i] AS seg, i
+             FROM (SELECT doc_id, string_split(text, ' the ') AS s,
+                          unnest(range(1, len(string_split(text, ' the ')) + 1)) AS i
+                   FROM documents WHERE text IS NOT NULL)),
+           kept AS (
+             SELECT doc_id, seg,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx
+             FROM raw
+             WHERE len(string_split(seg, ' ')) >= 3),
+           ranked AS (
+             SELECT doc_id, idx, seg,
+                    ROW_NUMBER() OVER (PARTITION BY seg
+                                       ORDER BY doc_id, idx) AS rn
+             FROM kept)
+           SELECT doc_id,
+                  COUNT(*) AS n_segments,
+                  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                  md5(COALESCE(array_to_string(
+                    list(seg ORDER BY idx) FILTER (WHERE rn = 1), ' the '),
+                    '')) AS rebuilt_md5
+           FROM ranked GROUP BY 1""",
 
       "text_chunk_overlap" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

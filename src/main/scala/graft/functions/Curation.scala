@@ -523,6 +523,44 @@ object Curation {
   def segments(text: Column, sep: String): Column =
     split(text, java.util.regex.Pattern.quote(sep), -1)
 
+  /** CROSS-document duplicate-segment removal — the Dolma/RefinedWeb
+    * curation step the intra-doc [[dropDuplicateSegments]] cannot
+    * express: a segment is kept only at its GLOBAL first occurrence in
+    * (document id, segment position) order; every later exact copy —
+    * in the same document or any other — drops. Returns one row per
+    * document that still has segments after the `minWords` filter:
+    * `n_segments` (post-filter), `n_kept` (global first occurrences),
+    * and `rebuilt` (survivors rejoined with `sep` in original order;
+    * empty string when everything was someone else's duplicate).
+    *
+    * Scale shape: segments explode scan-side; ONE shuffle partitions
+    * them by segment text for the first-occurrence rank (rank ≤ 1
+    * compiles to map-side WindowGroupLimit, so each partition forwards
+    * only its candidate winner per segment — boilerplate segments with
+    * millions of copies do NOT all cross the wire), and ONE per-doc
+    * aggregation reassembles survivors with an in-row array_sort on
+    * (position, segment) structs — no second ordering shuffle. Only
+    * (id, position, segment) rows ever move, never whole documents.
+    */
+  def dedupSegmentsAcross(docs: DataFrame, idCol: String, textCol: String,
+                          sep: String, minWords: Int = 1): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val segs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(keepSegments(col(textCol), sep, minWords))
+          .as(Seq("__idx", "__seg")))
+    val w = Window.partitionBy(col("__seg"))
+      .orderBy(col("__id").asc, col("__idx").asc)
+    segs.withColumn("__rn", row_number().over(w))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__idx"), col("__seg"))))),
+          e => e.getField("__seg")), sep).as("rebuilt"))
+  }
+
   /** Intra-document duplicate-segment REMOVAL (the C4 "discard
     * duplicate three-sentence spans" cleaning step, separator-
     * parameterized): keep each segment's FIRST occurrence in order,

@@ -82,7 +82,14 @@ class ExecutedPlanLintSpec extends SparkSpec {
                              exception: Exception): Unit =
         captured.add((current, qe))
     }
-    spark.listenerManager.register(listener)
+    // ISOLATED session: sbt runs suites in parallel inside the one
+    // forked JVM, and a listener on the SHARED session would capture
+    // every concurrent suite's executions and attribute them to
+    // whatever query is current here. newSession() shares the
+    // SparkContext but owns its listenerManager, so only the plans
+    // this spec drives reach the capture queue.
+    val s = spark.newSession()
+    s.listenerManager.register(listener)
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     val distObserved = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val localObserved = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
@@ -90,16 +97,16 @@ class ExecutedPlanLintSpec extends SparkSpec {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         current = name
         try {
-          val df = fn(spark, sfDir)
+          val df = fn(s, sfDir)
           // noop sink: executes the real plan through the listener-
           // covered Dataset path without materializing output
           df.write.format("noop").mode("overwrite").save()
         } catch {
           case e: Throwable => failures += s"$name: execution failed: ${e.getMessage}"
-        } finally spark.catalog.clearCache()
+        } finally s.catalog.clearCache()
       }
       current = "<done>"
-      org.apache.spark.graftbus.BusFlush.flush(spark.sparkContext)
+      org.apache.spark.graftbus.BusFlush.flush(s.sparkContext)
       captured.asScala.foreach { case (name, qe) =>
         val nodes = allNodes(qe.executedPlan)
         nodes.foreach {
@@ -125,7 +132,7 @@ class ExecutedPlanLintSpec extends SparkSpec {
       assert(captured.size > SparkEntry.queries.size,
         "listener must have captured side jobs beyond the returned plans " +
           s"(got ${captured.size} plans for ${SparkEntry.queries.size} queries)")
-    } finally spark.listenerManager.unregister(listener)
+    } finally s.listenerManager.unregister(listener)
     assert(failures.isEmpty, "executed-plan lint violations:\n" + failures.mkString("\n"))
   }
 }

@@ -270,6 +270,36 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3L) == "no dups here at all")
   }
 
+  test("dedupSegmentsAcross: global first occurrence wins; later docs lose their copies") {
+    val df = Seq(
+      (1L, "shared boiler plate. unique one here. repeat me twice. repeat me twice"),
+      (2L, "shared boiler plate. unique two here"),
+      (3L, "shared boiler plate"),                 // everything is a dup → empty rebuild
+      (4L, "tiny. unique four here"),              // "tiny" dies to minWords, idx re-packs
+      (5L, null.asInstanceOf[String])              // null text → absent from output
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupSegmentsAcross(df, "doc_id", "text", ". ", minWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 1 owns the first copy of everything it says; its own second
+    // "repeat me twice" drops (intra-doc dup through the same rank)
+    assert(out(1L) == ((4L, 3L,
+      "shared boiler plate. unique one here. repeat me twice")))
+    // doc 2 loses the boilerplate to doc 1, keeps its unique segment
+    assert(out(2L) == ((2L, 1L, "unique two here")))
+    // doc 3 loses everything
+    assert(out(3L) == ((1L, 0L, "")))
+    // doc 4: minWords drops "tiny" BEFORE positions are assigned
+    assert(out(4L) == ((1L, 1L, "unique four here")))
+    // deterministic under repartitioning (total order on (id, idx))
+    val out2 = Curation.dedupSegmentsAcross(df.repartition(7), "doc_id", "text",
+        ". ", minWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out2 == out)
+  }
+
   test("spanContainment: planted shared passage found; boilerplate dropped") {
     val passage = "the quick brown fox jumped over the extremely lazy dog today"
     val boiler  = "standard footer text appearing on every single page here"
