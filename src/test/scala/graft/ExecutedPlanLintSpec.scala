@@ -103,10 +103,16 @@ class ExecutedPlanLintSpec extends SparkSpec {
           df.write.format("noop").mode("overwrite").save()
         } catch {
           case e: Throwable => failures += s"$name: execution failed: ${e.getMessage}"
-        } finally s.catalog.clearCache()
+        } finally {
+          // listener callbacks ride the ASYNC bus: drain it before
+          // advancing `current`, or this query's last events get
+          // attributed to the next query (a real failure seen in the
+          // full suite — budget_select's window landed on dsir_select)
+          org.apache.spark.graftbus.BusFlush.flush(s.sparkContext)
+          s.catalog.clearCache()
+        }
       }
       current = "<done>"
-      org.apache.spark.graftbus.BusFlush.flush(s.sparkContext)
       captured.asScala.foreach { case (name, qe) =>
         val nodes = allNodes(qe.executedPlan)
         nodes.foreach {
