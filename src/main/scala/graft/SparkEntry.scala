@@ -1342,6 +1342,35 @@ object SparkEntry {
           md5(col("rebuilt")).as("rebuilt_md5"))
     }),
 
+    "text_phrase_search" -> ((s, dir) => {
+      // ORDER-aware retrieval: exact phrase occurrence counts from
+      // positional postings. The postings are vocabulary-pruned at the
+      // scan (only query-term hits shuffle) and any-length phrases
+      // match via ONE broadcast join + ONE aggregation (offset-aligned
+      // start voting, overlapping occurrences counted — see
+      // PhraseSearch.phraseSearch). Oracle checks adjacency the
+      // opposite way: a list_filter conjunction over the token array.
+      graft.functions.PhraseSearch.phraseSearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        phrases = Seq(
+          0L -> Seq("batch", "batch"),
+          1L -> Seq("spark", "window"),
+          2L -> Seq("merge", "sort", "agg")))
+    }),
+
+    "text_proximity_search" -> ((s, dir) => {
+      // bounded-window co-occurrence: |pos(t1) − pos(t2)| ≤ 4 pair
+      // counts per doc. One postings pass, one shuffle; the pair
+      // predicate folds over per-doc position arrays so no pair rows
+      // ever materialize. Oracle replays it as a positions self-join.
+      graft.functions.PhraseSearch.proximitySearch(
+        t(s, dir, "documents"), "doc_id", "text",
+        pairs = Seq(
+          (0L, "spark", "window"),
+          (1L, "customer", "query")),
+        window = 4)
+    }),
+
     "text_chunk_overlap" -> ((s, dir) => {
       // overlapping-window chunking (RAG / context-window prep): chunks
       // of 50 tokens with 10-token overlap (stride 40). Pure per-row
@@ -4777,6 +4806,56 @@ object SparkEntry {
                     list(seg ORDER BY idx) FILTER (WHERE rn = 1), ' the '),
                     '')) AS rebuilt_md5
            FROM ranked GROUP BY 1""",
+
+      "text_phrase_search" ->
+        // independent adjacency check: per-phrase list_filter
+        // conjunction over the token array (the engine instead votes
+        // offset-aligned starts from positional postings)
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           hits AS (
+             SELECT 0 AS query_id, doc_id,
+                    len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'batch' AND ts[i+1] = 'batch')) AS n_occurrences
+             FROM toks
+             UNION ALL
+             SELECT 1, doc_id,
+                    len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'spark' AND ts[i+1] = 'window'))
+             FROM toks
+             UNION ALL
+             SELECT 2, doc_id,
+                    len(list_filter(range(1, len(ts) - 1),
+                        i -> ts[i] = 'merge' AND ts[i+1] = 'sort' AND ts[i+2] = 'agg'))
+             FROM toks)
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                  CAST(n_occurrences AS BIGINT) AS n_occurrences
+           FROM hits WHERE n_occurrences > 0
+           ORDER BY query_id, doc_id""",
+
+      "text_proximity_search" ->
+        // independent pair count: positions self-join with the range
+        // predicate (the engine folds over per-doc position arrays)
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ts) AS token,
+                    unnest(range(0, len(ts))) AS p
+             FROM toks),
+           prs(query_id, t1, t2) AS (VALUES (0, 'spark', 'window'),
+                                            (1, 'customer', 'query')),
+           a AS (SELECT q.query_id, pos.doc_id, pos.p AS p1
+                 FROM pos JOIN prs q ON pos.token = q.t1),
+           b AS (SELECT q.query_id, pos.doc_id, pos.p AS p2
+                 FROM pos JOIN prs q ON pos.token = q.t2)
+           SELECT CAST(a.query_id AS BIGINT) AS query_id, a.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_pairs
+           FROM a JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+           WHERE abs(a.p1 - b.p2) <= 4
+           GROUP BY 1, 2
+           ORDER BY 1, 2""",
 
       "text_chunk_overlap" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

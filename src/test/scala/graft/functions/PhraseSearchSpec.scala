@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class PhraseSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a b a b a"),        // overlapping phrase starts
+    (1L, "A  B   a"),         // case + multi-space normalization
+    (2L, "b b b"),            // phrase terms present, order wrong for "a b"
+    (3L, "x y z a"),          // phrase at doc end
+    (4L, "")                  // empty doc
+  ).toDF("doc_id", "text")
+
+  test("phrase occurrences count overlapping starts") {
+    val out = PhraseSearch.phraseSearch(docs, "doc_id", "text",
+      Seq(0L -> Seq("a", "b", "a")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "a b a b a": starts 0 and 2 both match a-b-a; "A  B   a"
+    // normalizes to [a, b, a] and matches once
+    assert(out.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L)))
+  }
+
+  test("tokenization is lowercased whitespace-split") {
+    val out = PhraseSearch.phraseSearch(docs, "doc_id", "text",
+      Seq(7L -> Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0: starts 0, 2; doc 1: "A  B" normalizes to a b
+    assert(out.toSeq == Seq((7L, 0L, 2L), (7L, 1L, 1L)))
+  }
+
+  test("wrong order and absent terms do not match") {
+    val out = PhraseSearch.phraseSearch(docs, "doc_id", "text",
+      Seq(0L -> Seq("b", "a"), 1L -> Seq("a", "q")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "b a" matches docs 0 (starts 1, 3) and 1 ("B a"); "a q" nowhere
+    assert(out.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L)))
+  }
+
+  test("single-token phrase degenerates to term frequency") {
+    val out = PhraseSearch.phraseSearch(docs, "doc_id", "text",
+      Seq(0L -> Seq("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 3L)))
+  }
+
+  test("phrase longer than the document never matches") {
+    val out = PhraseSearch.phraseSearch(
+      Seq((0L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(0L -> Seq("a", "b", "a")))
+    assert(out.count() == 0L)
+  }
+
+  test("proximity counts position pairs within the window, inclusive") {
+    val d = Seq(
+      (0L, "x . . . y"),      // |0-4| = 4
+      (1L, "x . . . . y"),    // |0-5| = 5 > 4
+      (2L, "x y x"),          // pairs (0,1) and (2,1)
+      (3L, "y . x")           // order-free: |2-0| = 2
+    ).toDF("doc_id", "text")
+    val out = PhraseSearch.proximitySearch(d, "doc_id", "text",
+      Seq((0L, "x", "y")), window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 2L), (0L, 3L, 1L)))
+  }
+
+  test("proximity requires both terms") {
+    val d = Seq((0L, "x x x"), (1L, "y")).toDF("doc_id", "text")
+    val out = PhraseSearch.proximitySearch(d, "doc_id", "text",
+      Seq((0L, "x", "y")), window = 10)
+    assert(out.count() == 0L)
+  }
+
+  test("parameter guards") {
+    intercept[IllegalArgumentException] {
+      PhraseSearch.phraseSearch(docs, "doc_id", "text", Seq(0L -> Seq()))
+    }
+    intercept[IllegalArgumentException] {
+      PhraseSearch.proximitySearch(docs, "doc_id", "text",
+        Seq((0L, "same", "SAME")), window = 3)
+    }
+    intercept[IllegalArgumentException] {
+      PhraseSearch.proximitySearch(docs, "doc_id", "text",
+        Seq((0L, "a", "b")), window = 0)
+    }
+  }
+}
