@@ -1358,6 +1358,54 @@ object SparkEntry {
           2L -> Seq("merge", "sort", "agg")))
     }),
 
+    "text_phrase_persisted" -> ((s, dir) => {
+      // the operational phrase path: positional postings persisted as a
+      // SegmentedIndex (token-sorted segments → row-group pruning under
+      // the vocab IN filter); a phrase query reads only its terms'
+      // postings — the corpus text is never re-read. Bit-identical to
+      // scan-side text_phrase_search: the same oracle gates both.
+      val idxPath = tmpPath(dir, "phrase_index")
+      phase("build") {
+        graft.functions.PhraseSearch.savePositionalIndex(
+          t(s, dir, "documents"), "doc_id", "text", idxPath)
+      }
+      graft.functions.PhraseSearch.phraseSearchFromIndex(s, idxPath,
+        phrases = Seq(
+          0L -> Seq("batch", "batch"),
+          1L -> Seq("spark", "window"),
+          2L -> Seq("merge", "sort", "agg")))
+    }),
+
+    "text_phrase_incremental" -> ((s, dir) => {
+      // O(delta) positional refresh: index 2/3 of the corpus, merge the
+      // rest as a delta that RE-INGESTS every %5 doc with a new
+      // two-token tail (tombstone mask + replaced-position correctness),
+      // then answer phrase queries — including one that only exists in
+      // merged versions — from the segmented index. Oracle replays the
+      // latest-version corpus scan-side.
+      val docs = t(s, dir, "documents")
+      val idxPath = tmpPath(dir, "phrase_inc")
+      phase("build") {
+        graft.functions.PhraseSearch.savePositionalIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idxPath)
+      }
+      val delta = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" zzphrase marker")))
+            .otherwise(col("text")))
+      phase("merge") {
+        graft.functions.PhraseSearch.mergePositionalDelta(
+          delta, "doc_id", "text", idxPath)
+      }
+      graft.functions.PhraseSearch.phraseSearchFromIndex(s, idxPath,
+        phrases = Seq(
+          0L -> Seq("zzphrase", "marker"),
+          1L -> Seq("spark", "window"),
+          2L -> Seq("batch", "batch")))
+    }),
+
     "text_proximity_search" -> ((s, dir) => {
       // bounded-window co-occurrence: |pos(t1) − pos(t2)| ≤ 4 pair
       // counts per doc. One postings pass, one shuffle; the pair
@@ -4828,6 +4876,63 @@ object SparkEntry {
              SELECT 2, doc_id,
                     len(list_filter(range(1, len(ts) - 1),
                         i -> ts[i] = 'merge' AND ts[i+1] = 'sort' AND ts[i+2] = 'agg'))
+             FROM toks)
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                  CAST(n_occurrences AS BIGINT) AS n_occurrences
+           FROM hits WHERE n_occurrences > 0
+           ORDER BY query_id, doc_id""",
+
+      "text_phrase_persisted" ->
+        // identical contract to text_phrase_search — the index path
+        // must be bit-identical to the scan path
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           hits AS (
+             SELECT 0 AS query_id, doc_id,
+                    len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'batch' AND ts[i+1] = 'batch')) AS n_occurrences
+             FROM toks
+             UNION ALL
+             SELECT 1, doc_id,
+                    len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'spark' AND ts[i+1] = 'window'))
+             FROM toks
+             UNION ALL
+             SELECT 2, doc_id,
+                    len(list_filter(range(1, len(ts) - 1),
+                        i -> ts[i] = 'merge' AND ts[i+1] = 'sort' AND ts[i+2] = 'agg'))
+             FROM toks)
+           SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                  CAST(n_occurrences AS BIGINT) AS n_occurrences
+           FROM hits WHERE n_occurrences > 0
+           ORDER BY query_id, doc_id""",
+
+      "text_phrase_incremental" ->
+        // replay over the LATEST-version corpus: %5 docs carry the
+        // re-ingested two-token tail
+        """WITH eff AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0 THEN text || ' zzphrase marker'
+                         ELSE text END AS text
+             FROM documents),
+           toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM eff),
+           hits AS (
+             SELECT 0 AS query_id, doc_id,
+                    len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'zzphrase' AND ts[i+1] = 'marker')) AS n_occurrences
+             FROM toks
+             UNION ALL
+             SELECT 1, doc_id,
+                    len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'spark' AND ts[i+1] = 'window'))
+             FROM toks
+             UNION ALL
+             SELECT 2, doc_id,
+                    len(list_filter(range(1, len(ts)),
+                        i -> ts[i] = 'batch' AND ts[i+1] = 'batch'))
              FROM toks)
            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                   CAST(n_occurrences AS BIGINT) AS n_occurrences

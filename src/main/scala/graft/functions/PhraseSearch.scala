@@ -39,6 +39,24 @@ import org.apache.spark.sql.functions._
   */
 object PhraseSearch {
 
+  private def requirePhrases(phrases: Seq[(Long, Seq[String])]): Unit = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    require(phrases.forall(_._2.nonEmpty), "phrases must be non-empty")
+    require(phrases.map(_._1).distinct.size == phrases.size,
+      "query ids must be unique")
+  }
+
+  /** Scan-side positional postings `(doc_id, pos, token)`, pruned to
+    * `vocab` before anything leaves the scan.
+    */
+  private def scanPostings(docs: DataFrame, idCol: String, textCol: String,
+                           vocab: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("pos", "token")))
+      .where(col("token").isin(vocab: _*))
+
   /** Exact-phrase search: one row per (query, document) with at least
     * one occurrence, `n_occurrences` counting every aligned start
     * (overlaps included). Phrases are matched case-insensitively
@@ -47,14 +65,22 @@ object PhraseSearch {
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrases: Seq[(Long, Seq[String])]): DataFrame = {
-    require(phrases.nonEmpty, "need at least one phrase")
-    require(phrases.forall(_._2.nonEmpty), "phrases must be non-empty")
-    require(phrases.map(_._1).distinct.size == phrases.size,
-      "query ids must be unique")
-    val spark = docs.sparkSession
+    requirePhrases(phrases)
+    matchPhrases(
+      scanPostings(docs, idCol, textCol,
+        phrases.flatMap(_._2).map(_.toLowerCase).distinct),
+      phrases)
+  }
+
+  /** The phrase matcher over any `(doc_id, pos, token)` postings
+    * relation (scan-side or index-side): one broadcast join + one
+    * aggregation regardless of phrase length.
+    */
+  private def matchPhrases(postings: DataFrame,
+                           phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = postings.sparkSession
     import spark.implicits._
 
-    val vocab = phrases.flatMap(_._2).map(_.toLowerCase).distinct
     // (query_id, j, token): the phrase terms with their offsets —
     // query-batch-sized, broadcast.
     val terms = phrases
@@ -64,14 +90,6 @@ object PhraseSearch {
       .toDF("query_id", "j", "token")
     val lens = phrases.map { case (qid, ws) => (qid, ws.size.toLong) }
       .toDF("query_id", "phrase_len")
-
-    // Scan-side positional postings, vocabulary-pruned BEFORE the join:
-    // only query-term hits leave the scan.
-    val postings = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(lower(col(textCol))))
-          .as(Seq("pos", "token")))
-      .where(col("token").isin(vocab: _*))
 
     val aligned = postings
       .join(broadcast(terms), "token")
@@ -107,8 +125,21 @@ object PhraseSearch {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val vocab =
-      pairs.flatMap(p => Seq(p._2, p._3)).map(_.toLowerCase).distinct
+    countPairs(
+      scanPostings(docs, idCol, textCol,
+        pairs.flatMap(p => Seq(p._2, p._3)).map(_.toLowerCase).distinct),
+      pairs, window)
+  }
+
+  /** The proximity counter over any `(doc_id, pos, token)` postings
+    * relation.
+    */
+  private def countPairs(postings: DataFrame,
+                         pairs: Seq[(Long, String, String)],
+                         window: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+
     // (query_id, side, token): side 1 = t1, side 2 = t2. One broadcast
     // table for both sides → ONE postings pass, ONE shuffle; the pair
     // predicate runs as an array fold after the per-doc group, so no
@@ -118,12 +149,6 @@ object PhraseSearch {
         Seq((qid, 1, t1.toLowerCase), (qid, 2, t2.toLowerCase))
       }
       .toDF("query_id", "side", "token")
-
-    val postings = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(lower(col(textCol))))
-          .as(Seq("pos", "token")))
-      .where(col("token").isin(vocab: _*))
 
     postings
       .join(broadcast(terms), "token")
@@ -138,5 +163,95 @@ object PhraseSearch {
           .as("n_pairs"))
       .where(col("n_pairs") > 0)
       .orderBy("query_id", "doc_id")
+  }
+
+  // ---- persisted positional index ------------------------------------
+  //
+  // A single-subtable [[SegmentedIndex]] ("postings": one row per live
+  // (doc, token) with the sorted position list), giving phrase /
+  // proximity queries the same operational path the BM25 stack has:
+  // build once, refresh by O(delta) merge (null text deletes), purge by
+  // id ([[SegmentedIndex.retract]]), compact periodically. Query-side
+  // reads prune on `token IN vocab` — segments are written
+  // token-sorted, so parquet row-group stats keep non-matching row
+  // groups on disk; the corpus text is never re-read once indexed.
+
+  /** (id, token, positions) rows — the positional postings of a corpus
+    * slice. Positions are ascending; null text yields no rows (the
+    * deletion contract of [[mergePositionalDelta]]).
+    */
+  def positionalRows(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(lower(col(textCol))))
+          .as(Seq("pos", "token")))
+      .groupBy("id", "token")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Persist the positional index (full rebuild). Rows land
+    * token-sorted within each output file so a vocab-filtered read
+    * prunes row groups.
+    */
+  def savePositionalIndex(docs: DataFrame, idCol: String, textCol: String,
+                          path: String): Unit =
+    SegmentedIndex.createIndex(docs.sparkSession, path, "postings",
+      positionalRows(docs, idCol, textCol).sortWithinPartitions("token"))
+
+  /** O(delta) refresh: tombstone replaced ids, append the delta's
+    * postings as segment N. Same contract as the other index merges:
+    * one row per id per delta (asserted unless `trustedDelta`), null
+    * text = deletion.
+    */
+  def mergePositionalDelta(delta: DataFrame, idCol: String, textCol: String,
+                           path: String,
+                           trustedDelta: Boolean = false): Unit =
+    SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "postings",
+      delta.select(col(idCol)),
+      positionalRows(delta, idCol, textCol).sortWithinPartitions("token"),
+      trustedDelta)
+
+  /** Live index postings exploded back to `(doc_id, pos, token)`,
+    * vocabulary-pruned at the segment scan. `asOf` pins a snapshot.
+    */
+  private def indexPostings(spark: org.apache.spark.sql.SparkSession,
+                            path: String, vocab: Seq[String],
+                            asOf: Int): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "postings", asOf)
+      .where(col("token").isin(vocab: _*))
+      .select(col("id").as("doc_id"), col("token"),
+        explode(col("positions")).as("pos"))
+
+  /** [[phraseSearch]] answered from the persisted index —
+    * bit-identical to the scan-side pass over the same live corpus.
+    */
+  def phraseSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            phrases: Seq[(Long, Seq[String])],
+                            asOf: Int = Int.MaxValue): DataFrame = {
+    requirePhrases(phrases)
+    matchPhrases(
+      indexPostings(spark, path,
+        phrases.flatMap(_._2).map(_.toLowerCase).distinct, asOf),
+      phrases)
+  }
+
+  /** [[proximitySearch]] answered from the persisted index. */
+  def proximitySearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               pairs: Seq[(Long, String, String)],
+                               window: Int,
+                               asOf: Int = Int.MaxValue): DataFrame = {
+    require(pairs.nonEmpty, "need at least one term pair")
+    require(window >= 1, "window must be >= 1")
+    require(pairs.forall(p => p._2.toLowerCase != p._3.toLowerCase),
+      "proximity terms must differ")
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      "query ids must be unique")
+    countPairs(
+      indexPostings(spark, path,
+        pairs.flatMap(p => Seq(p._2, p._3)).map(_.toLowerCase).distinct,
+        asOf),
+      pairs, window)
   }
 }

@@ -72,6 +72,50 @@ class PhraseSearchSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("persisted index answers match the scan-side pass bit for bit") {
+    val path = tmpDir("phrase_idx")
+    PhraseSearch.savePositionalIndex(docs, "doc_id", "text", path)
+    val phrases = Seq(0L -> Seq("a", "b"), 1L -> Seq("b"))
+    val fromIdx = PhraseSearch.phraseSearchFromIndex(spark, path, phrases)
+      .collect().toSeq
+    val fromScan = PhraseSearch.phraseSearch(docs, "doc_id", "text", phrases)
+      .collect().toSeq
+    assert(fromIdx == fromScan)
+    val pairs = Seq((0L, "a", "b"))
+    assert(
+      PhraseSearch.proximitySearchFromIndex(spark, path, pairs, 2)
+        .collect().toSeq ==
+        PhraseSearch.proximitySearch(docs, "doc_id", "text", pairs, 2)
+          .collect().toSeq)
+  }
+
+  test("delta merge replaces, deletes, and supports asOf") {
+    val path = tmpDir("phrase_inc")
+    PhraseSearch.savePositionalIndex(docs, "doc_id", "text", path)
+    // doc 0 re-ingested without the phrase; doc 3 deleted (null text)
+    val delta = Seq(
+      (0L, Option("c c c")),
+      (3L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    PhraseSearch.mergePositionalDelta(delta, "doc_id", "text", path)
+
+    val phrases = Seq(0L -> Seq("a", "b"), 1L -> Seq("c"), 2L -> Seq("a"))
+    val latest = Seq(
+      (1L, "A  B   a"), (2L, "b b b"), (4L, ""), (0L, "c c c")
+    ).toDF("doc_id", "text")
+    assert(
+      PhraseSearch.phraseSearchFromIndex(spark, path, phrases)
+        .collect().toSeq ==
+        PhraseSearch.phraseSearch(latest, "doc_id", "text", phrases)
+          .collect().toSeq)
+    // asOf segment 0: the pre-merge corpus answers
+    assert(
+      PhraseSearch.phraseSearchFromIndex(spark, path, phrases, asOf = 0)
+        .collect().toSeq ==
+        PhraseSearch.phraseSearch(docs, "doc_id", "text", phrases)
+          .collect().toSeq)
+  }
+
   test("parameter guards") {
     intercept[IllegalArgumentException] {
       PhraseSearch.phraseSearch(docs, "doc_id", "text", Seq(0L -> Seq()))
