@@ -189,14 +189,25 @@ object PhraseSearch {
       .groupBy("id", "token")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** The postings layout every segment writer applies: token-range
+    * partitioning + (token, id) sort, the BM25 segment discipline
+    * (Curation.writeSegment) — a query-vocab IN filter then prunes
+    * whole FILES via parquet min/max footers, not just row groups,
+    * which is the difference between touching a few hundred MB and
+    * re-listing the full postings tree at corpus scale.
+    */
+  private def shapePostings(rows: DataFrame): DataFrame =
+    rows.repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"), col("id"))
+
   /** Persist the positional index (full rebuild). Rows land
-    * token-sorted within each output file so a vocab-filtered read
-    * prunes row groups.
+    * token-range-partitioned and sorted so a vocab-filtered read
+    * prunes files and row groups.
     */
   def savePositionalIndex(docs: DataFrame, idCol: String, textCol: String,
                           path: String): Unit =
     SegmentedIndex.createIndex(docs.sparkSession, path, "postings",
-      positionalRows(docs, idCol, textCol).sortWithinPartitions("token"))
+      shapePostings(positionalRows(docs, idCol, textCol)))
 
   /** O(delta) refresh: tombstone replaced ids, append the delta's
     * postings as segment N. Same contract as the other index merges:
@@ -208,8 +219,26 @@ object PhraseSearch {
                            trustedDelta: Boolean = false): Unit =
     SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "postings",
       delta.select(col(idCol)),
-      positionalRows(delta, idCol, textCol).sortWithinPartitions("token"),
+      shapePostings(positionalRows(delta, idCol, textCol)),
       trustedDelta)
+
+  /** Fold accumulated segments to one (answers unchanged, token
+    * clustering re-established, live snapshot pins deferred to —
+    * see [[SegmentedIndex.compactIndex]]).
+    */
+  def compactPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             pinnedBy: Option[String] = None): Unit =
+    SegmentedIndex.compactIndex(spark, path, "postings", pinnedBy,
+      shapePostings)
+
+  /** GDPR-style purge: tombstone `ids` without rewriting any data
+    * segment — the retracted documents stop matching every phrase /
+    * proximity query immediately ([[SegmentedIndex.retract]]).
+    */
+  def retractPositional(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ids: DataFrame): Unit =
+    SegmentedIndex.retract(spark, path, ids, Seq("postings"))
 
   /** Live index postings exploded back to `(doc_id, pos, token)`,
     * vocabulary-pruned at the segment scan. `asOf` pins a snapshot.

@@ -338,10 +338,15 @@ object SegmentedIndex {
 
   /** Fold a single-subtable index back to segment 00000 (two-rename
     * swap; answers unchanged). `pinnedBy` guards live snapshot pins —
-    * see [[requireNotPinned]].
+    * see [[requireNotPinned]]. `shape` re-applies the index's physical
+    * layout (range partitioning / sort keys) to the folded rows —
+    * without it a compaction would silently discard the clustering
+    * the per-segment writers established and the query-side pushdown
+    * prunes on.
     */
   def compactIndex(spark: SparkSession, path: String, sub: String,
-                   pinnedBy: Option[String] = None): Unit = {
+                   pinnedBy: Option[String] = None,
+                   shape: DataFrame => DataFrame = identity): Unit = {
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no segmented index at $path")
     if (segs.size == 1) return
@@ -351,7 +356,7 @@ object SegmentedIndex {
     if (fs.exists(tmpP)) fs.delete(tmpP, true)
     val live = liveRows(spark, path, sub)
     commitSegment(spark, tmpRoot, 0) { tmp =>
-      live.write.mode("overwrite").parquet(s"$tmp/$sub")
+      shape(live).write.mode("overwrite").parquet(s"$tmp/$sub")
       live.select("id").limit(0)
         .write.mode("overwrite").parquet(s"$tmp/tombstones")
     }

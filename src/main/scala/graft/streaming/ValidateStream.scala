@@ -179,6 +179,41 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming positional-index upkeep — the phrase/proximity twin of
+    * [[bm25IndexStream]]: the first micro-batch creates the index
+    * ([[graft.functions.PhraseSearch.savePositionalIndex]]), every
+    * later one lands as an O(batch) token-sorted segment
+    * ([[graft.functions.PhraseSearch.mergePositionalDelta]] — null
+    * text deletes, re-ingested ids tombstone their old postings), and
+    * past `maxSegments` the serialized sink compacts inline unless a
+    * live snapshot pin defers it. Replay-stable: a re-delivered
+    * batch's segment tombstones its first copy and re-derives
+    * identical postings. `trustedDelta` opt-in skips the dup-guard
+    * shuffle when the source provably emits one row per id per batch.
+    */
+  def phraseIndexStream(docs: DataFrame, idCol: String, textCol: String,
+                        path: String, checkpoint: String,
+                        maxSegments: Int = Int.MaxValue,
+                        pinnedBy: Option[String] = None,
+                        trustedDelta: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val P = graft.functions.PhraseSearch
+          val S = graft.functions.SegmentedIndex
+          if (S.exists(batch.sparkSession, path))
+            P.mergePositionalDelta(batch, idCol, textCol, path,
+              trustedDelta = trustedDelta)
+          else P.savePositionalIndex(batch, idCol, textCol, path)
+          if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
+            P.compactPositionalIndex(batch.sparkSession, path)
+        }
+      }
+      .start()
+
   /** Streaming IVF cell-index maintenance — the write half of the
     * ingest loop whose read half is [[nearDupProbeStream]]: each
     * micro-batch of ACCEPTED rows folds into the persisted IVF index

@@ -116,6 +116,35 @@ class PhraseSearchSpec extends SparkSpec {
           .collect().toSeq)
   }
 
+  test("compaction folds segments without changing answers") {
+    val path = tmpDir("phrase_compact")
+    PhraseSearch.savePositionalIndex(docs, "doc_id", "text", path)
+    PhraseSearch.mergePositionalDelta(
+      Seq((0L, "c c c")).toDF("doc_id", "text"), "doc_id", "text", path)
+    PhraseSearch.mergePositionalDelta(
+      Seq((5L, "a b fresh")).toDF("doc_id", "text"), "doc_id", "text", path)
+    val phrases = Seq(0L -> Seq("a", "b"), 1L -> Seq("c"))
+    val before = PhraseSearch.phraseSearchFromIndex(spark, path, phrases)
+      .collect().toSeq
+    PhraseSearch.compactPositionalIndex(spark, path)
+    assert(SegmentedIndex.segmentDirs(spark, path).map(_._1) == Seq(0))
+    assert(PhraseSearch.phraseSearchFromIndex(spark, path, phrases)
+      .collect().toSeq == before)
+  }
+
+  test("retraction purges a document from every query") {
+    val path = tmpDir("phrase_retract")
+    PhraseSearch.savePositionalIndex(docs, "doc_id", "text", path)
+    PhraseSearch.retractPositional(spark, path, Seq(0L).toDF("doc_id"))
+    val out = PhraseSearch.phraseSearchFromIndex(spark, path,
+        Seq(0L -> Seq("a", "b"), 1L -> Seq("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!out.exists(_._2 == 0L), s"retracted doc 0 still matches: ${out.toSeq}")
+    assert(out.nonEmpty)
+    // retracting an unknown id is a no-op, not an error
+    PhraseSearch.retractPositional(spark, path, Seq(99L).toDF("doc_id"))
+  }
+
   test("parameter guards") {
     intercept[IllegalArgumentException] {
       PhraseSearch.phraseSearch(docs, "doc_id", "text", Seq(0L -> Seq()))

@@ -476,6 +476,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) == 0, s"retired tokens must not hit: $got")
   }
 
+  test("streaming phrase-index upkeep: segments answer like a scan of the latest corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dir = tmpDir("phrasestream")
+    val q = ValidateStream.phraseIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/ckpt", maxSegments = 2)
+    // four micro-batches incl. a replacement of doc 1 (its old phrase
+    // "spark window" must stop matching) — the cap forces at least one
+    // inline compaction along the way
+    Seq(
+      Seq((1L, "spark window functions"), (2L, "merge sort agg")),
+      Seq((3L, "spark spark window")),
+      Seq((1L, "rewritten without the phrase")),
+      Seq((4L, "window spark window"))
+    ).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    assert(graft.functions.SegmentedIndex
+      .segmentDirs(spark, s"$dir/idx").size <= 3)
+    val phrases = Seq(0L -> Seq("spark", "window"), 1L -> Seq("merge", "sort"))
+    val latest = Seq(
+      (1L, "rewritten without the phrase"), (2L, "merge sort agg"),
+      (3L, "spark spark window"), (4L, "window spark window")
+    ).toDF("doc_id", "text")
+    assert(
+      graft.functions.PhraseSearch
+        .phraseSearchFromIndex(spark, s"$dir/idx", phrases)
+        .collect().toSeq ==
+        graft.functions.PhraseSearch
+          .phraseSearch(latest, "doc_id", "text", phrases)
+          .collect().toSeq)
+  }
+
   test("stream compaction defers (not crashes) on unreadable run-log content") {
     // a FOREIGN file in the pins dir whose \u escape explodes deep in
     // CorpusSnapshot.read (NumberFormatException, not the
