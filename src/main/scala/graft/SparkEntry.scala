@@ -1419,6 +1419,14 @@ object SparkEntry {
         window = 4)
     }),
 
+    "text_collocations" -> ((s, dir) => {
+      // top-20 adjacent-bigram collocations by PMI (min pair count 5):
+      // one corpus scan → (w1, w2) counts; margins and the total are
+      // re-aggregations of the reduced pair table; bounded top-k.
+      graft.functions.Curation.collocations(
+        t(s, dir, "documents"), "text", minCount = 5L, k = 20)
+    }),
+
     "text_chunk_overlap" -> ((s, dir) => {
       // overlapping-window chunking (RAG / context-window prep): chunks
       // of 50 tokens with 10-token overlap (stride 40). Pure per-row
@@ -4961,6 +4969,34 @@ object SparkEntry {
            WHERE abs(a.p1 - b.p2) <= 4
            GROUP BY 1, 2
            ORDER BY 1, 2""",
+
+      "text_collocations" ->
+        // PMI over the bigram distribution: margins from the pair
+        // table itself; 6-dp round before ranking, (w1, w2) tie-break
+        """WITH toks AS (
+             SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           pairs AS (
+             SELECT ts[i] AS w1, ts[i + 1] AS w2
+             FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)),
+           cnts AS (
+             SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+             FROM pairs GROUP BY 1, 2),
+           lefts AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1
+                     FROM cnts GROUP BY 1),
+           rights AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS c2
+                      FROM cnts GROUP BY 1),
+           tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM cnts)
+           SELECT c.w1, c.w2, c.n_pair,
+                  round(ln((c.n_pair::DOUBLE * tot.n::DOUBLE) /
+                           (l.c1::DOUBLE * r.c2::DOUBLE)), 6) AS pmi
+           FROM cnts c
+           JOIN lefts l ON c.w1 = l.w1
+           JOIN rights r ON c.w2 = r.w2
+           CROSS JOIN tot
+           WHERE c.n_pair >= 5
+           ORDER BY pmi DESC, c.w1, c.w2
+           LIMIT 20""",
 
       "text_chunk_overlap" ->
         """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

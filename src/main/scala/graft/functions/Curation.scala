@@ -90,6 +90,53 @@ object Curation {
       .select(col(idCol), col("token"), col("tfidf"), col("rank"))
   }
 
+  /** Top-k adjacent-bigram collocations by pointwise mutual
+    * information — the corpus-analytics step that surfaces multi-word
+    * expressions ("new york", "machine learning") for phrase-aware
+    * tokenizers and boilerplate catalogs.
+    *
+    * pmi = ln(c₁₂·N / (c₁·c₂)) over the BIGRAM distribution: N = total
+    * adjacent pairs, c₁ = pairs with w1 on the left, c₂ = pairs with
+    * w2 on the right (the margins of the pair table itself, so no
+    * separate unigram pass and no document-edge mismatch). Pairs with
+    * fewer than `minCount` occurrences are dropped BEFORE scoring (the
+    * classic PMI-favors-hapax fix), pmi is rounded to 6 dp before
+    * ranking, ties break on (w1, w2).
+    *
+    * Scale shape: ONE corpus scan — adjacent pairs explode scan-side
+    * (`zip_with` against the shifted array, the null tail dropped) into
+    * a (w1, w2) count; the left/right margins and the grand total are
+    * re-aggregations of that already-reduced pair table (identical
+    * exchange, reused), margins are vocab-sized joins Catalyst sizes
+    * itself, and the final ranking is a bounded
+    * TakeOrderedAndProject — no global window, nothing driver-side.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    val pairCounts = docs
+      .select(TextFunctions.tokens(lower(col(textCol))).as("ts"))
+      .select(explode(expr(
+        "zip_with(ts, slice(ts, 2, size(ts)), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .where(col("p.w2").isNotNull && col("p.w1") =!= "")
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val lefts = pairCounts.groupBy("w1").agg(sum("n_pair").as("c1"))
+    val rights = pairCounts.groupBy("w2").agg(sum("n_pair").as("c2"))
+    val total = pairCounts.agg(sum("n_pair").as("n"))
+    pairCounts
+      .where(col("n_pair") >= minCount)
+      .join(lefts, "w1")
+      .join(rights, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(
+        log((col("n_pair").cast("double") * col("n").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** BM25 top-k retrieval for a batch of keyword queries (Robertson/
     * Lucene idf: ln((N - df + 0.5)/(df + 0.5) + 1), so scores are
     * always positive).

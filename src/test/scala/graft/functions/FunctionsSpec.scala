@@ -117,6 +117,33 @@ class FunctionsSpec extends SparkSpec {
     assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
   }
 
+  test("collocations: bound pairs outrank chance pairs; minCount floors hapax") {
+    // "new york" always adjacent (strong collocation); "the" pairs with
+    // everything (chance-level PMI); "rara avis" appears once (floored)
+    val docs = Seq(
+      (1L, "the new york office and the new york team"),
+      (2L, "new york is the city the team likes"),
+      (3L, "the city and the office and the team"),
+      (4L, "rara avis")
+    ).toDF("doc_id", "text")
+    val out = Curation.collocations(docs, "text", minCount = 2L, k = 5)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.head._1 == "new" && out.head._2 == "york" && out.head._3 == 3L,
+      s"'new york' must top the PMI ranking, got ${out.toSeq}")
+    assert(!out.exists(p => p._1 == "rara" || p._1 == "avis"),
+      "hapax pairs below minCount must be floored")
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq)
+    assert(out.length <= 5)
+    // margins come from the pair table: 'the' is high-frequency on the
+    // left, so any surviving 'the *' pair scores below 'new york'
+    assert(out.filter(_._1 == "the").forall(_._4 < out.head._4))
+    // partitioning-invariant: same answers from a repartitioned corpus
+    val rep = Curation.collocations(docs.repartition(7), "text",
+        minCount = 2L, k = 5)
+      .as[(String, String, Long, Double)].collect()
+    assert(rep.toSeq == out.toSeq)
+  }
+
   test("hashedLinearScore: bucket-sum margin, bias, determinism") {
     val docs = Seq((1L, "aa bb aa"), (2L, ""), (3L, "  AA  ")).toDF("doc_id", "text")
     // all-zero weights → margin is exactly the bias (empty text included)
