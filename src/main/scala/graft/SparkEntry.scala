@@ -1419,6 +1419,22 @@ object SparkEntry {
         window = 4)
     }),
 
+    "text_proximity_persisted" -> ((s, dir) => {
+      // proximity answered from the persisted positional index —
+      // same contract as text_proximity_search (shared oracle shape):
+      // only the two terms' postings leave the segment scan.
+      val idxPath = tmpPath(dir, "prox_index")
+      phase("build") {
+        graft.functions.PhraseSearch.savePositionalIndex(
+          t(s, dir, "documents"), "doc_id", "text", idxPath)
+      }
+      graft.functions.PhraseSearch.proximitySearchFromIndex(s, idxPath,
+        pairs = Seq(
+          (0L, "spark", "window"),
+          (1L, "customer", "query")),
+        window = 4)
+    }),
+
     "text_collocations" -> ((s, dir) => {
       // top-20 adjacent-bigram collocations by PMI (min pair count 5):
       // one corpus scan → (w1, w2) counts; margins and the total are
@@ -4950,6 +4966,28 @@ object SparkEntry {
       "text_proximity_search" ->
         // independent pair count: positions self-join with the range
         // predicate (the engine folds over per-doc position arrays)
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           pos AS (
+             SELECT doc_id, unnest(ts) AS token,
+                    unnest(range(0, len(ts))) AS p
+             FROM toks),
+           prs(query_id, t1, t2) AS (VALUES (0, 'spark', 'window'),
+                                            (1, 'customer', 'query')),
+           a AS (SELECT q.query_id, pos.doc_id, pos.p AS p1
+                 FROM pos JOIN prs q ON pos.token = q.t1),
+           b AS (SELECT q.query_id, pos.doc_id, pos.p AS p2
+                 FROM pos JOIN prs q ON pos.token = q.t2)
+           SELECT CAST(a.query_id AS BIGINT) AS query_id, a.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_pairs
+           FROM a JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+           WHERE abs(a.p1 - b.p2) <= 4
+           GROUP BY 1, 2
+           ORDER BY 1, 2""",
+
+      "text_proximity_persisted" ->
+        // the index path must answer exactly like the scan path
         """WITH toks AS (
              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
              FROM documents),
