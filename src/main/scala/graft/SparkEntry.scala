@@ -1528,6 +1528,19 @@ object SparkEntry {
         .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_overlap"))
     }),
 
+    "decontam_span" -> ((s, dir) => {
+      // decontamination REPORT, not just a flag: longest shared token
+      // run per (train, eval) pair via diagonal runs of positional
+      // n-gram matches (GPT-3/PaLM-style span lengths; real pipelines
+      // run 8-13-grams — bigrams keep the synthetic corpus's gate
+      // populated). Eval side broadcast as hashes; the fold over each
+      // diagonal's sorted positions is in-row, never a self-join.
+      graft.functions.DedupFunctions.contaminationSpans(
+        t(s, dir, "documents").filter(col("doc_id") % 97 =!= 0),
+        t(s, dir, "documents").filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 2, minSpanTokens = 3)
+    }),
+
     // ---------------- deterministic sampling / mixing ----------------
     "sample_split" -> ((s, dir) => {
       // reproducible train/val/test assignment: pure hash of doc_id,
@@ -5093,6 +5106,33 @@ object SparkEntry {
            SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_overlap
            FROM train t JOIN bench b USING (sh)
            GROUP BY t.doc_id""",
+
+      "decontam_span" ->
+        // diagonal runs via gaps-and-islands over positional bigrams
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           grams AS (
+             SELECT doc_id,
+                    CASE WHEN len(ts) >= 2 THEN
+                      list_transform(range(0, len(ts) - 1),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+2], ' ')})
+                    ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
+             FROM toks),
+           tr AS (SELECT doc_id, unnest(gs) AS u FROM grams WHERE doc_id % 97 <> 0),
+           ev AS (SELECT doc_id AS eval_id, unnest(gs) AS u FROM grams WHERE doc_id % 97 = 0),
+           m AS (SELECT t.doc_id, e.eval_id, t.u.p - e.u.p AS diag, t.u.p AS tpos
+                 FROM tr t JOIN ev e ON t.u.g = e.u.g),
+           isl AS (SELECT doc_id, eval_id, diag, tpos,
+                          tpos - row_number() OVER (PARTITION BY doc_id, eval_id, diag
+                                                    ORDER BY tpos) AS grp
+                   FROM m),
+           runs AS (SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS run
+                    FROM isl GROUP BY doc_id, eval_id, diag, grp)
+           SELECT doc_id, eval_id, CAST(max(run) + 1 AS BIGINT) AS span_tokens
+           FROM runs GROUP BY doc_id, eval_id
+           HAVING max(run) + 1 >= 3
+           ORDER BY doc_id, eval_id""",
 
       "sample_weighted_wor" ->
         """WITH d AS (

@@ -355,4 +355,61 @@ object DedupFunctions {
         round(col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
+
+  /** Longest contaminated SPAN per (train doc, eval doc) — the
+    * decontamination report real pipelines publish (GPT-3 appendix C /
+    * PaLM style): not just "shares an n-gram" but HOW LONG the shared
+    * run of text is, in tokens. A run of L consecutive matching n-gram
+    * starts is a span of L + n − 1 shared tokens.
+    *
+    * Mechanics: positional n-gram hashes on both sides
+    * ([[graft.plans.ShingleHashExpr]] — the array index IS the gram's
+    * token start). Matches land on a DIAGONAL (tpos − epos constant)
+    * exactly when the shared grams are consecutive in BOTH documents,
+    * so the longest shared run is the longest consecutive tpos run
+    * within one (train, eval, diagonal) group — computed by an in-row
+    * fold over the group's sorted positions, never a self-join.
+    *
+    * Scale shape: the eval side is benchmark-sized → broadcast (hashes
+    * only, ~8 bytes per gram); the corpus side explodes scan-side and
+    * shuffles only matched (ids, diag, pos) longs — for a typical
+    * corpus almost everything is filtered AT the broadcast-hash join.
+    * Spans below `minSpanTokens` are dropped (with fewer than n tokens
+    * a document hashes as one whole-text gram, so keep
+    * `minSpanTokens > n` to exclude degenerate short-doc "spans").
+    */
+  def contaminationSpans(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, minSpanTokens: Int): DataFrame = {
+    require(n >= 2, "contaminationSpans: need n >= 2")
+    require(minSpanTokens >= n, "minSpanTokens must be >= n")
+    def positional(df: DataFrame, id: String, pos: String) =
+      df.select(col(idCol).as(id),
+        posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
+          .as(Seq(pos, "sh")))
+    val matches = positional(train, "doc_id", "tpos")
+      .join(broadcast(positional(eval, "eval_id", "epos")), "sh")
+      .select(col("doc_id"), col("eval_id"),
+        (col("tpos") - col("epos")).as("diag"), col("tpos"))
+    // (doc, eval, diag, tpos) is unique by construction (epos is
+    // determined by the diagonal), so the sorted collect is a set
+    val runs = matches
+      .groupBy("doc_id", "eval_id", "diag")
+      .agg(sort_array(collect_list(col("tpos"))).as("ps"))
+      .select(col("doc_id"), col("eval_id"),
+        expr("""aggregate(ps,
+                  named_struct('best', 1, 'cur', 1, 'prev', ps[0]),
+                  (s, x) -> named_struct(
+                    'best', greatest(s.best,
+                              IF(x = s.prev + 1, s.cur + 1, 1)),
+                    'cur',  IF(x = s.prev + 1, s.cur + 1, 1),
+                    'prev', x),
+                  s -> s.best)""").as("run"))
+    runs.groupBy("doc_id", "eval_id")
+      .agg(max(col("run")).as("max_run"))
+      .select(col("doc_id"), col("eval_id"),
+        (col("max_run") + lit(n - 1)).cast("long").as("span_tokens"))
+      .where(col("span_tokens") >= minSpanTokens)
+      .orderBy("doc_id", "eval_id")
+  }
 }

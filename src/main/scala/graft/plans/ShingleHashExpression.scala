@@ -90,6 +90,26 @@ object ShingleHashExpr {
   }
 
   def compute(text: UTF8String, n: Int): ArrayData = {
+    val grams = gramSeq(text, n)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < grams.length) { selected.add(grams(i)); i += 1 }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** POSITIONAL gram hashes: document order, duplicates preserved —
+    * the array index is the gram's token start position. The span /
+    * alignment primitive ([[ShingleHashSeqExpr]]); [[compute]] is its
+    * distinct-set projection.
+    */
+  def computeSeq(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(gramSeq(text, n))
+
+  private def gramSeq(text: UTF8String, n: Int): Array[Long] = {
     val bytes = text.getBytes
     // space-trim (Spark trim removes 0x20 only)
     var lo = 0
@@ -128,40 +148,77 @@ object ShingleHashExpr {
     }
 
     val nTok = tokBuf.size
-    val selected = new java.util.TreeSet[java.lang.Long]()
     if (nTok < n) {
       // whole token list as the single gram (shingles' else-branch)
       var g = 0L
       var i = 0
       while (i < nTok) { g = g * GramBase + tokBuf.get(i); i += 1 }
-      selected.add(g)
+      Array(g)
     } else {
       // rolling window: g' = (g - h_out·base^(n-1))·base + h_in, exact
       // mod 2^64 via Long wrap-around
       var top = 1L
       var p = 0
       while (p < n - 1) { top *= GramBase; p += 1 }
+      val out = new Array[Long](nTok - n + 1)
       var g = 0L
       var i = 0
       while (i < nTok) {
         if (i < n) {
           g = g * GramBase + tokBuf.get(i)
-          if (i == n - 1) selected.add(g)
+          if (i == n - 1) out(0) = g
         } else {
           g = (g - tokBuf.get(i - n) * top) * GramBase + tokBuf.get(i)
-          selected.add(g)
+          out(i - n + 1) = g
         }
         i += 1
       }
+      out
     }
-    val out = new Array[Long](selected.size)
-    val it = selected.iterator()
-    var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    new GenericArrayData(out)
   }
 
   /** Distinct n-gram hash array for `text` (see class doc). */
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n))
+
+  /** Positional n-gram hash array: document order, duplicates kept —
+    * index i is the hash of the gram starting at token i. Same
+    * tokenization/lowering/edge semantics as [[shingleHashes]] (which
+    * is this array's distinct-set projection).
+    */
+  def shingleHashesSeq(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSeqExpr(ColumnBridge.expression(text), n))
+}
+
+/** Positional sibling of [[ShingleHashExpr]]: grams in document order,
+  * duplicates preserved — the alignment/span primitive (array index =
+  * token start). Shares the token-hash and rolling-gram core.
+  */
+case class ShingleHashSeqExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle_hashes_seq: need n >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes_seq needs string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashExpr.computeSeq(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHashExpr.computeSeq($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSeqExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes_seq"
 }

@@ -117,6 +117,36 @@ class FunctionsSpec extends SparkSpec {
     assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
   }
 
+  test("contaminationSpans: longest shared token run per (train, eval) pair") {
+    val train = Seq(
+      (1L, "x x p q r s t y"),   // 5-token run shared with eval 10
+      (2L, "p q r only"),        // one shared trigram -> span 3, floored
+      (3L, "m n m n m n"),       // periodic text: two diagonals, both run-2
+      (4L, "nothing shared here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a p q r s t b"),
+      (11L, "m n m n")
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions.contaminationSpans(train, eval,
+        "doc_id", "text", n = 3, minSpanTokens = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 x eval 10: grams (p q r)(q r s)(r s t) consecutive on one
+    // diagonal -> run 3 -> span 3 + 2 = 5; doc 2's single trigram is a
+    // span of 3 < 4; doc 3 x eval 11: diagonals 0 and 2 each carry a
+    // 2-run -> span 4 (the repeated-gram/multi-diagonal case)
+    assert(out == Seq((1L, 10L, 5L), (3L, 11L, 4L)), s"got $out")
+    // partitioning-invariant
+    val rep = DedupFunctions.contaminationSpans(train.repartition(5),
+        eval.repartition(3), "doc_id", "text", n = 3, minSpanTokens = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep == out)
+    intercept[IllegalArgumentException] {
+      DedupFunctions.contaminationSpans(train, eval, "doc_id", "text",
+        n = 3, minSpanTokens = 2)
+    }
+  }
+
   test("collocations: bound pairs outrank chance pairs; minCount floors hapax") {
     // "new york" always adjacent (strong collocation); "the" pairs with
     // everything (chance-level PMI); "rara avis" appears once (floored)

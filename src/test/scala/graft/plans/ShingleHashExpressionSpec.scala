@@ -61,4 +61,39 @@ class ShingleHashExpressionSpec extends SparkSpec {
       .head().isNullAt(0)
     assert(n, "null text must stay null")
   }
+
+  test("positional variant: document order, duplicates kept, set-projects to the distinct variant") {
+    for (n <- Seq(2, 3)) {
+      // positional STRING grams (no dedup — TextFunctions.shingles
+      // array_distincts, so build the raw sequence inline)
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val strSeq = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(toks, " ")))
+      val both = docs.select(col("doc_id"),
+        ShingleHashExpr.shingleHashesSeq(col("text"), n).as("seq"),
+        ShingleHashExpr.shingleHashes(col("text"), n).as("set"),
+        strSeq.as("strs"))
+        .collect()
+      both.foreach { r =>
+        val seq = r.getSeq[Long](1)
+        val set = r.getSeq[Long](2)
+        val strs = r.getSeq[String](3)
+        assert(seq.distinct.sorted == set,
+          s"n=$n doc ${r.getLong(0)}: seq must set-project to the distinct variant")
+        assert(seq.size == strs.size,
+          s"n=$n doc ${r.getLong(0)}: positional length must equal the string gram count")
+        // equal string grams <-> equal hashes, position for position
+        for (i <- strs.indices; j <- strs.indices)
+          assert((strs(i) == strs(j)) == (seq(i) == seq(j)),
+            s"n=$n doc ${r.getLong(0)}: positions $i,$j hash/string equality diverged")
+      }
+    }
+    // six repeats of one token: five identical 2-gram hashes IN ORDER
+    val rep = docs.filter(col("doc_id") === 7)
+      .select(ShingleHashExpr.shingleHashesSeq(col("text"), 2))
+      .as[Seq[Long]].head()
+    assert(rep.size == 5 && rep.distinct.size == 1)
+  }
 }
