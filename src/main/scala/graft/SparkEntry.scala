@@ -555,6 +555,14 @@ object SparkEntry {
           (col("ts_ms") - col("view_ts_ms")).as("gap_ms"))
     }),
 
+    "j10_fuzzy_pairs" -> ((s, dir) => {
+      // record linkage: distinct part-name pairs within edit distance
+      // 3, via token blocking (df-capped) + levenshtein verify — the
+      // prefix-filter shape, never an all-pairs cross join.
+      graft.functions.DedupFunctions.fuzzyNamePairs(
+        t(s, dir, "part"), "p_name", maxDist = 3, maxDf = 12L)
+    }),
+
     // ---------------- A: aggregations --------------------------------
     "a2_rollup_total" -> ((s, dir) => {
       // per-CENTER counts + Total row (dashboard_table_updater.py:127-175)
@@ -4216,6 +4224,23 @@ object SparkEntry {
            FROM (SELECT * FROM events WHERE event_type = 'click') c
            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+
+      "j10_fuzzy_pairs" ->
+        """WITH p AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+           tok AS (SELECT DISTINCT name,
+                          unnest(regexp_split_to_array(name, '\s+')) AS t
+                   FROM p),
+           keep AS (SELECT t FROM (SELECT t, count(*) AS df FROM tok GROUP BY 1)
+                    WHERE df <= 12),
+           tk AS (SELECT tok.name, tok.t FROM tok JOIN keep USING (t)),
+           cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                    FROM tk a JOIN tk b
+                    ON a.t = b.t AND a.name < b.name)
+           SELECT name_a, name_b,
+                  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+           FROM cand
+           WHERE levenshtein(name_a, name_b) <= 3
+           ORDER BY name_a, name_b""",
 
       "a2_rollup_total" ->
         """SELECT COALESCE(o_orderstatus, 'Total') AS o_orderstatus, COUNT(*) AS n

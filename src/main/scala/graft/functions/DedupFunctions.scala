@@ -356,6 +356,43 @@ object DedupFunctions {
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
 
+  /** Fuzzy entity-name matching (record linkage): all DISTINCT name
+    * pairs within `maxDist` edit distance, found by token blocking —
+    * the classic prefix-filtering shape, never an all-pairs cross
+    * join.
+    *
+    * Scale shape: dedup to the NAME CATALOG first (entity catalogs are
+    * orders of magnitude smaller than the rows that mention them),
+    * block on shared tokens with a document-frequency cap (`maxDf` —
+    * a stopword-ish token that appears in half the catalog would
+    * produce a quadratic block; capped tokens simply don't generate
+    * candidates, the standard rare-token prefix filter), then verify
+    * only blocked candidates with `levenshtein` (codegen'd, exact).
+    * Shuffles carry (token, name) and the reduced candidate pairs —
+    * both catalog-sized, independent of the corpus row count.
+    */
+  def fuzzyNamePairs(df: DataFrame, textCol: String,
+                     maxDist: Int, maxDf: Long): DataFrame = {
+    require(maxDist >= 1, "fuzzyNamePairs: need maxDist >= 1")
+    require(maxDf >= 1, "fuzzyNamePairs: need maxDf >= 1")
+    val names = df.select(lower(col(textCol)).as("name")).distinct()
+    val tok = names.select(col("name"),
+      explode(array_distinct(split(col("name"), "\\s+"))).as("t"))
+    val keep = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("t")
+    val blocked = tok.join(keep, Seq("t"))
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.t") === col("b.t") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("lev") <= maxDist)
+      .orderBy("name_a", "name_b")
+  }
+
   /** Longest contaminated SPAN per (train doc, eval doc) — the
     * decontamination report real pipelines publish (GPT-3 appendix C /
     * PaLM style): not just "shares an n-gram" but HOW LONG the shared

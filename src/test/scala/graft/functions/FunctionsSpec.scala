@@ -117,6 +117,27 @@ class FunctionsSpec extends SparkSpec {
     assert(out.filter(_._2 == "common").forall(_._3 == 0.0))
   }
 
+  test("fuzzyNamePairs: token blocking + levenshtein verify, df cap prunes hot tokens") {
+    val rows = Seq(
+      (1L, "Acme Corp"), (2L, "acme corpx"), (3L, "acme inc"),
+      (4L, "zeta corp"), (5L, "acme corp") // duplicate mention of 1
+    ).toDF("id", "name")
+    val out = DedupFunctions.fuzzyNamePairs(rows, "name",
+        maxDist = 2, maxDf = 3L)
+      .as[(String, String, Long)].collect().toSeq
+    // catalog dedup: "Acme Corp" and "acme corp" are ONE name; the only
+    // pair within lev 2 is (acme corp, acme corpx); (acme inc, lev 4)
+    // and (zeta corp, lev 4) verify out
+    assert(out == Seq(("acme corp", "acme corpx", 1L)), s"got $out")
+    // df cap: 'acme' blocks 3 names; with maxDf = 2 the pair is only
+    // reachable through the capped token and must disappear
+    assert(DedupFunctions.fuzzyNamePairs(rows, "name",
+      maxDist = 2, maxDf = 2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      DedupFunctions.fuzzyNamePairs(rows, "name", maxDist = 0, maxDf = 1L)
+    }
+  }
+
   test("contaminationSpans: longest shared token run per (train, eval) pair") {
     val train = Seq(
       (1L, "x x p q r s t y"),   // 5-token run shared with eval 10
