@@ -873,6 +873,26 @@ object SparkEntry {
       ConnectedComponents.clusters(d.select("doc_id"), "doc_id", edges, "id_a", "id_b")
     }),
 
+    "dedup_repeated_spans" -> ((s, dir) => {
+      // ExactSubstr audit (Lee et al. 2022): per-doc count/total/max of
+      // token spans whose every 5-gram occurs >= 2 times corpus-wide
+      // (including within the same doc). Positional gram hashes explode
+      // scan-side; the occurrence count and the filter-back join are
+      // co-partitioned on the hash; the island merge is an in-row fold.
+      graft.functions.DedupFunctions.repeatedSpanStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, minCount = 2L)
+    }),
+
+    "dedup_repeated_removal" -> ((s, dir) => {
+      // the removal pass itself: every doc rewritten with repeated
+      // spans cut out (unaffected docs come back normalized, fully-
+      // covered docs come back empty) — string output, but fully
+      // deterministic: token filtering, no floats anywhere.
+      graft.functions.DedupFunctions.removeRepeatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 5, minCount = 2L)
+        .orderBy("doc_id")
+    }),
+
     // ---------------- text analysis ----------------------------------
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -4335,6 +4355,84 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
            FROM documents GROUP BY lang""",
+
+      "dedup_repeated_spans" ->
+        // positional string 5-grams -> corpus-wide occurrence counts ->
+        // covered positions -> gaps-and-islands (pairwise gap > n breaks)
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           grams AS (
+             SELECT doc_id, len(ts) AS n_tokens,
+                    CASE WHEN len(ts) >= 5 THEN
+                      list_transform(range(0, len(ts) - 4),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+5], ' ')})
+                    ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
+             FROM toks),
+           g AS (SELECT doc_id, n_tokens, unnest(gs) AS u FROM grams),
+           g2 AS (SELECT doc_id, n_tokens, u.p AS p, u.g AS gm FROM g),
+           cnt AS (SELECT gm, count(*) AS c FROM g2 GROUP BY gm),
+           rep AS (SELECT doc_id, n_tokens, p
+                   FROM g2 JOIN cnt USING (gm) WHERE c >= 2),
+           isl AS (SELECT doc_id, n_tokens, p,
+                          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                     ORDER BY p) <= 5
+                               THEN 0 ELSE 1 END AS brk
+                   FROM rep),
+           grp AS (SELECT doc_id, n_tokens, p,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                   FROM isl),
+           spans AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                            min(p) AS s,
+                            least(max(p) + 5, any_value(n_tokens)) AS e
+                     FROM grp GROUP BY doc_id, grp)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s) AS BIGINT) AS span_tokens,
+                  CAST(max(e - s) AS BIGINT) AS max_span,
+                  CAST(any_value(n_tokens) AS BIGINT) AS n_tokens
+           FROM spans GROUP BY doc_id ORDER BY doc_id""",
+
+      "dedup_repeated_removal" ->
+        """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           grams AS (
+             SELECT doc_id, len(ts) AS n_tokens,
+                    CASE WHEN len(ts) >= 5 THEN
+                      list_transform(range(0, len(ts) - 4),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+5], ' ')})
+                    ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
+             FROM toks),
+           g AS (SELECT doc_id, n_tokens, unnest(gs) AS u FROM grams),
+           g2 AS (SELECT doc_id, n_tokens, u.p AS p, u.g AS gm FROM g),
+           cnt AS (SELECT gm, count(*) AS c FROM g2 GROUP BY gm),
+           rep AS (SELECT doc_id, n_tokens, p
+                   FROM g2 JOIN cnt USING (gm) WHERE c >= 2),
+           isl AS (SELECT doc_id, n_tokens, p,
+                          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                     ORDER BY p) <= 5
+                               THEN 0 ELSE 1 END AS brk
+                   FROM rep),
+           grp AS (SELECT doc_id, n_tokens, p,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                   FROM isl),
+           spans AS (SELECT doc_id, min(p) AS s,
+                            least(max(p) + 5, any_value(n_tokens)) AS e
+                     FROM grp GROUP BY doc_id, grp),
+           cov AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS cp FROM spans),
+           tok AS (SELECT doc_id, unnest(ts) AS tk,
+                          unnest(range(0, len(ts))) AS i
+                   FROM toks),
+           kept AS (SELECT t.doc_id, t.i, t.tk
+                    FROM tok t LEFT JOIN cov c
+                      ON t.doc_id = c.doc_id AND t.i = c.cp
+                    WHERE c.cp IS NULL),
+           agg AS (SELECT doc_id,
+                          array_to_string(list(tk ORDER BY i), ' ') AS clean_text
+                   FROM kept GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+           FROM documents d LEFT JOIN agg a USING (doc_id)
+           ORDER BY doc_id""",
 
       "dedup_minhash_sig" -> {
         s"""WITH tok AS (

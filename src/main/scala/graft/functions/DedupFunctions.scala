@@ -449,4 +449,103 @@ object DedupFunctions {
       .where(col("span_tokens") >= minSpanTokens)
       .orderBy("doc_id", "eval_id")
   }
+
+  /** ExactSubstr-style repeated-substring discovery WITHIN a corpus
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — remove substrings that occur verbatim more than
+    * once anywhere in the training set, including inside the same
+    * document). n-gram approximation: a repeated substring of >= n
+    * tokens repeats every one of its n-grams, so token positions whose
+    * positional n-gram hash reaches `minCount` occurrences CORPUS-WIDE
+    * are "covered"; overlapping/adjacent covered ranges merge into
+    * maximal spans (gaps-and-islands over sorted gram starts, folded
+    * IN-ROW — no per-doc window, no position self-join).
+    *
+    * Scale shape: one scan explodes positional hashes
+    * ([[graft.plans.ShingleHashExpr.shingleHashesSeq]], codegen'd); the
+    * occurrence count and the count-filter join are BOTH partitioned by
+    * the gram hash (the join is co-partitioned — one shuffle each); the
+    * per-doc island fold runs on a (doc, sorted positions) row. Every
+    * shuffled row is a pair of longs; text never shuffles.
+    *
+    * Returns one row per document that HAS a repeated span:
+    * `(idCol, spans array<struct<s int, e int>>, n_tokens int)` with
+    * `[s, e)` token-index ranges capped at the document's token count
+    * (a sub-n-token document hashes as one whole-text gram; the cap
+    * keeps its span honest).
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 2, "repeatedSpans: need n >= 2")
+    require(minCount >= 2L, "repeatedSpans: minCount < 2 covers every position")
+    val grams = docs.select(col(idCol),
+      posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
+        .as(Seq("p", "sh")))
+    val hot = grams.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("sh")
+    // co-partitioned equi-join on sh (both sides just shuffled on it)
+    val covered = grams.join(hot, "sh")
+    val nTok = docs.select(col(idCol),
+      size(split(trim(col(textCol)), "\\s+")).as("n_tokens"))
+    covered.groupBy(idCol)
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .join(nTok, idCol)
+      .select(col(idCol),
+        expr(s"""transform(
+                   aggregate(ps,
+                     cast(array() as array<struct<s: int, e: int>>),
+                     (acc, x) -> IF(size(acc) > 0 AND x <= element_at(acc, -1).e,
+                       concat(slice(acc, 1, size(acc) - 1),
+                              array(named_struct('s', element_at(acc, -1).s,
+                                                 'e', x + $n))),
+                       concat(acc, array(named_struct('s', x, 'e', x + $n))))),
+                   sp -> named_struct('s', sp.s, 'e', least(sp.e, n_tokens)))""")
+          .as("spans"),
+        col("n_tokens"))
+  }
+
+  /** Per-document integer report over [[repeatedSpans]]: span count,
+    * covered-token total, longest span, document token count — the
+    * audit table behind a repeated-substring removal pass (how much of
+    * the corpus is verbatim-duplicated text, and where it concentrates).
+    * Integer-only output by construction.
+    */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minCount: Long = 2L): DataFrame =
+    repeatedSpans(docs, idCol, textCol, n, minCount)
+      .select(col(idCol),
+        size(col("spans")).cast("long").as("n_spans"),
+        expr("aggregate(spans, 0L, (a, sp) -> a + (sp.e - sp.s))").as("span_tokens"),
+        expr("aggregate(spans, 0L, (a, sp) -> greatest(a, cast(sp.e - sp.s as bigint)))")
+          .as("max_span"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(idCol)
+
+  /** The removal pass itself: every document rewritten with its
+    * repeated spans cut out (Lee et al. 2022 drop the duplicated bytes,
+    * keeping the flanks). Output is `(idCol, clean_text)` for EVERY
+    * input document — unaffected documents come back whitespace- and
+    * case-normalized (single-space-joined lowercased tokens, the same
+    * normalization the gram hashes use), fully-covered documents come
+    * back empty. The rewrite is in-row (token filter against the doc's
+    * own span list); the only joins are [[repeatedSpans]]'s hash-keyed
+    * ones plus one id-keyed left join back to the corpus.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, minCount: Long = 2L): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, n, minCount)
+      .select(col(idCol), col("spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        expr(s"""array_join(
+                   transform(
+                     filter(
+                       transform(split(trim(lower(`$textCol`)), '\\\\s+'),
+                                 (t, i) -> named_struct('t', t, 'i', i)),
+                       x -> spans IS NULL OR
+                            NOT exists(spans,
+                                       sp -> x.i >= sp.s AND x.i < sp.e)),
+                     x -> x.t),
+                   ' ')""").as("clean_text"))
+  }
 }

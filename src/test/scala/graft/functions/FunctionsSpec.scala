@@ -168,6 +168,68 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans/removal: ExactSubstr-style corpus-wide span cut") {
+    // doc 1 and doc 2 share the 5-token phrase "p q r s t" (cross-doc
+    // repeat); doc 3 repeats "u v w" twice WITHIN itself (intra-doc
+    // repeat counts, per Lee et al.); doc 4 is clean; docs 5 and 6 are
+    // short (< n tokens) exact duplicates (whole-doc gram, span capped
+    // at token count).
+    val docs = Seq(
+      (1L, "a b p q r s t c d"),
+      (2L, "e f g p q r s t h"),
+      (3L, "u v w k1 k2 k3 k4 u v w"),
+      (4L, "all these tokens appear once only zz"),
+      (5L, "tiny dup"),
+      (6L, "tiny dup")
+    ).toDF("doc_id", "text")
+
+    val stats = DedupFunctions.repeatedSpanStats(docs, "doc_id", "text",
+        n = 3, minCount = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: grams (p q r)(q r s)(r s t) at positions 2..4 -> one span
+    // of 3 + 3 - 1 = 5 tokens; doc 2: same phrase at 3..5 -> 5 tokens;
+    // doc 3: "u v w" at 0 and 7 -> two 3-token spans (gap 7 > n=3, no
+    // merge); docs 5/6: whole-doc gram repeated -> span capped at 2.
+    assert(stats == Seq(
+      (1L, 1L, 5L, 5L, 9L),
+      (2L, 1L, 5L, 5L, 9L),
+      (3L, 2L, 6L, 3L, 10L),
+      (5L, 1L, 2L, 2L, 2L),
+      (6L, 1L, 2L, 2L, 2L)), s"got $stats")
+
+    val clean = DedupFunctions.removeRepeatedSpans(docs, "doc_id", "text",
+        n = 3, minCount = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(clean(1L) == "a b c d")
+    assert(clean(2L) == "e f g h")
+    assert(clean(3L) == "k1 k2 k3 k4")
+    assert(clean(4L) == "all these tokens appear once only zz") // untouched
+    assert(clean(5L) == "" && clean(6L) == "")                  // fully covered
+    assert(clean.size == 6)
+
+    // partitioning-invariant
+    val rep = DedupFunctions.repeatedSpanStats(docs.repartition(7),
+        "doc_id", "text", n = 3, minCount = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep == stats)
+
+    // overlapping covered ranges merge: "x1 x2 x3 x4" repeated as a
+    // block gives consecutive gram starts -> ONE span, not three
+    val merged = Seq(
+      (1L, "x1 x2 x3 x4 mid y1 y2"),
+      (2L, "x1 x2 x3 x4 tail")
+    ).toDF("doc_id", "text")
+    val m = DedupFunctions.repeatedSpanStats(merged, "doc_id", "text",
+        n = 3, minCount = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m == Seq((1L, 1L, 4L, 4L, 7L), (2L, 1L, 4L, 4L, 5L)), s"got $m")
+
+    intercept[IllegalArgumentException] {
+      DedupFunctions.repeatedSpanStats(docs, "doc_id", "text", n = 3,
+        minCount = 1L)
+    }
+  }
+
   test("collocations: bound pairs outrank chance pairs; minCount floors hapax") {
     // "new york" always adjacent (strong collocation); "the" pairs with
     // everything (chance-level PMI); "rara avis" appears once (floored)
