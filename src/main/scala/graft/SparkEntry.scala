@@ -1705,6 +1705,44 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
+    "sim_knn_graph" -> ((s, dir) => {
+      // exact cosine kNN GRAPH (k=3 for EVERY vector — not a query
+      // batch): the building block under graph clustering / SemDeDup
+      // pruning, and the gold tier sim_knn_graph_blocked measures
+      // recall against. Integer-only contract (ids + rank) — no float
+      // column for a comparator to disagree on.
+      V.knnGraph(t(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("c_id"), col("rank"))
+    }),
+
+    "sim_knn_graph_blocked" -> ((s, dir) => {
+      // the 100 TB kNN-graph shape: k-means cells confine the quadratic
+      // pass (home cell = candidates, each vector probes its nprobe=2
+      // nearest of 4 cells — a cid equi-join, NO corpus broadcast).
+      // Contract is corpus-level recall@10 vs the exact graph —
+      // deterministic end to end (seeded k-means, tie-broken ranks):
+      // measured mean recall 0.683 (sf0.01) / 0.678 (sf0.1), every
+      // vector recovering >= 1 true neighbor at both sfs; pinned with
+      // margin at >= 0.55 mean and >= 95% any-hit coverage.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val blocked = V.knnGraphBlocked(emb, "vec_id", "embedding",
+        k = 10, clusters = 4, iters = 2, nprobe = 2)
+      val exact = verified(
+        V.knnGraph(emb, "vec_id", "embedding", k = 10).select("q_id", "c_id"))
+      val hits = blocked.select("q_id", "c_id")
+        .join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      emb.select(col("vec_id").as("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("n_hit")).as("total_hits"),
+          sum(when(col("n_hit") >= 1L, 1L).otherwise(0L)).as("n_any"))
+        .select(col("n_vectors"),
+          (col("total_hits") * 10L >= col("n_vectors") * 55L).as("recall_ok"),
+          (col("n_any") * 100L >= col("n_vectors") * 95L).as("coverage_ok"))
+    }),
+
     // ---------------- C: scalar function library ---------------------
     "c1_string_ops" -> ((s, dir) => {
       // upper/trim/replace/title-case cleanup battery (C1, C2)
@@ -4086,6 +4124,24 @@ object SparkEntry {
       "sim_ivfpq_recall" ->
         """SELECT vec_id AS q_id, TRUE AS recall_ok
            FROM embeddings WHERE vec_id % 100 = 0""",
+
+      "sim_knn_graph" ->
+        """WITH c AS (SELECT vec_id, embedding FROM embeddings),
+           scored AS (
+             SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS score
+             FROM c a JOIN c b ON a.vec_id <> b.vec_id)
+           SELECT q_id, c_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3""",
+
+      "sim_knn_graph_blocked" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                  TRUE AS recall_ok, TRUE AS coverage_ok
+           FROM embeddings""",
 
       "sim_ivfpq_incremental" ->
         """SELECT vec_id AS q_id, TRUE AS codes_match

@@ -134,6 +134,60 @@ object VectorFunctions {
     rankTopK(joined, qId, cId, k)
   }
 
+  /** Exact cosine kNN GRAPH: every vector's k nearest among all the
+    * others — the building block under graph-based clustering and
+    * SemDeDup-style pruning. All-pairs by definition (the gold /
+    * calibration tier): one side broadcasts, so this caps out where the
+    * vector set stops fitting in a broadcast; [[knnGraphBlocked]] is
+    * the scale path and measures its recall against THIS. Ranking is
+    * the bounded top-k aggregate — the shuffle after the quadratic
+    * score pass carries k rows per vector, not the n² candidates.
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val q = vecs.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val c = vecs.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
+    bruteForceTopK(q, c, "q_id", "c_id", "__qv", "__cv", k)
+  }
+
+  /** Blocked kNN graph — the 100 TB shape: k-means cells confine the
+    * quadratic pass. Every vector sits in its home cell once (the
+    * candidate side) and is REPLICATED into its `nprobe` nearest cells
+    * as a probe; candidates meet probes in an equi-join on `cid` —
+    * a shuffle join co-partitioned by cell, with NO broadcast of the
+    * vector set anywhere (unlike the query-batch ANN paths, the probe
+    * side here is the whole corpus). Work drops from n² to
+    * nprobe·n·(n/cells) pair scores; recall against [[knnGraph]] rises
+    * with `nprobe` exactly like the IVF search knob. Same centroid
+    * training ([[kmeansCentroids]]), same distance/tie-break discipline
+    * as [[kmeansAssign]], so nprobe=1 probes exactly the home cell.
+    */
+  def knnGraphBlocked(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, clusters: Int, iters: Int,
+                      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= clusters,
+      s"knnGraphBlocked: nprobe must be in [1, $clusters]")
+    val cents = kmeansCentroids(vecs, idCol, vecCol, clusters, iters)
+    val cells = kmeansAssign(vecs, idCol, vecCol, cents)
+    // probe replication: top-nprobe cells per vector by the exact
+    // distance expression kmeansAssign ranks with (cid tie-break)
+    val scoredCells = vecs.withColumn("__vv", dot(col(vecCol), col(vecCol)))
+      .crossJoin(broadcast(
+        cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
+      .withColumn("__dist",
+        col("__vv") - lit(2.0) * dot(col(vecCol), col("centroid")) + col("__cc"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cid").asc)
+    val probes = scoredCells.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cid"))
+    val cand = cells
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("cid"))
+      .join(probes, Seq("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    rankTopK(cand, "q_id", "c_id", k)
+  }
+
   /** Int8 ANN with exact re-rank — the memory-bound scale path: the
     * corpus scans as symmetric-int8 codes of the L2-NORMALIZED vectors
     * (4× smaller than float32, quantized scan-side by [[quantizeInt8]]),

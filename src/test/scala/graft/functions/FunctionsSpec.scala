@@ -331,6 +331,52 @@ class FunctionsSpec extends SparkSpec {
     assert(!lsh.contains(3L))  // opposite sign bucket pruned
   }
 
+  test("knnGraph + knnGraphBlocked: exact graph, cell-confined recall") {
+    // two tight clusters around the x and y axes
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.95f, 0.05f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.05f, 0.95f, 0f, 0f)),
+      (5L, Array(0.1f, 0.9f, 0f, 0f))
+    ).toDF("id", "vec")
+    val g = VectorFunctions.knnGraph(vecs, "id", "vec", k = 2)
+      .select("q_id", "c_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    // every vector gets exactly k neighbors; nearest of 0 is 1 (closer
+    // than 2), nearest of 3 is 4
+    assert(g.length == 12)
+    assert(g.count(_._1 == 0L) == 2)
+    assert(g.contains((0L, 1L, 1L)) && g.contains((3L, 4L, 1L)))
+    // in-cluster neighbors outrank the other cluster everywhere
+    assert(g.filter(_._2 <= 2L).map(_._1).forall(_ <= 2L))
+
+    // blocked with 2 cells, nprobe=1: the clusters separate, so the
+    // home cell already contains every true neighbor -> recall 1.0
+    val blocked = VectorFunctions.knnGraphBlocked(vecs, "id", "vec",
+        k = 2, clusters = 2, iters = 3, nprobe = 1)
+      .select("q_id", "c_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(blocked.toSet == g.toSet,
+      s"blocked ${blocked.sorted} != exact ${g.sorted}")
+    // nprobe = clusters degenerates to the exact graph by construction
+    val full = VectorFunctions.knnGraphBlocked(vecs, "id", "vec",
+        k = 2, clusters = 2, iters = 3, nprobe = 2)
+      .select("q_id", "c_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(full.toSet == g.toSet)
+    // partitioning-invariant
+    val rep = VectorFunctions.knnGraph(vecs.repartition(5), "id", "vec", k = 2)
+      .select("q_id", "c_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep.toSet == g.toSet)
+    intercept[IllegalArgumentException] {
+      VectorFunctions.knnGraphBlocked(vecs, "id", "vec", k = 2,
+        clusters = 2, iters = 3, nprobe = 3)
+    }
+  }
+
   test("curation: keep/drop decision with reason precedence") {
     val good = "the cat and the dog sat of the mat in a house that is big " * 8
     val docs = Seq(
