@@ -907,6 +907,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), T.langId(col("text")).as("lang_pred"))
     }),
 
+    "text_ngram_diversity" -> ((s, dir) => {
+      // distinct-n diversity per source (the self-repetition audit
+      // behind "is this source template spam?"): trigram type/token
+      // ratio as ppm, integer-only output. One scan, grams reduce with
+      // map-side combine; gram identity is the 64-bit positional hash —
+      // the same negligible-collision contract the dedup family rides.
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.plans.ShingleHashExpr.shingleHashesSeq(col("text"), 3))
+            .as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("g")).as("distinct_grams"))
+        .select(col("source"), col("total_grams"), col("distinct_grams"),
+          graft.functions.Sampling.longDivHalfUp(
+            col("distinct_grams") * lit(1000000L), col("total_grams"))
+            .as("distinct_ppm"))
+        .orderBy("source")
+    }),
+
     "text_winnow_fingerprint" -> ((s, dir) => {
       // rolling-hash winnowing (k=5-gram base-31 hash, window w=4):
       // per-doc selected-hash count + md5 of the sorted selection
@@ -5491,6 +5511,24 @@ object SparkEntry {
            ${step("w1", "p2", "e2", "g2", "w2")}
            SELECT CAST(b AS BIGINT) AS bucket, ROUND(w, 6) AS weight FROM w2"""
       },
+
+      "text_ngram_diversity" ->
+        """WITH toks AS (
+             SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           grams AS (
+             SELECT source,
+                    CASE WHEN len(ts) >= 3 THEN
+                      list_transform(range(0, len(ts) - 2),
+                        i -> array_to_string(ts[i+1:i+3], ' '))
+                    ELSE [array_to_string(ts, ' ')] END AS gs
+             FROM toks),
+           g AS (SELECT source, unnest(gs) AS gm FROM grams)
+           SELECT source, CAST(count(*) AS BIGINT) AS total_grams,
+                  CAST(count(DISTINCT gm) AS BIGINT) AS distinct_grams,
+                  CAST((count(DISTINCT gm) * 1000000 * 2 + count(*)) // (2 * count(*))
+                       AS BIGINT) AS distinct_ppm
+           FROM g GROUP BY source ORDER BY source""",
 
       "text_langid" ->
         """WITH sc AS (
