@@ -907,6 +907,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), T.langId(col("text")).as("lang_pred"))
     }),
 
+    "text_blocklist_hits" -> ((s, dir) => {
+      // banned-phrase pass over the corpus: mixed-length phrase list,
+      // token-boundary matching via broadcast gram-hash joins (see
+      // Curation.blocklistHits) — text never shuffles.
+      graft.functions.Curation.blocklistHits(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("small query line", "query big part", "window merge hash",
+            "slow key"))
+        .orderBy("doc_id", "phrase")
+    }),
+
     "text_ngram_diversity" -> ((s, dir) => {
       // distinct-n diversity per source (the self-repetition audit
       // behind "is this source template spam?"): trigram type/token
@@ -1734,6 +1745,33 @@ object SparkEntry {
       V.knnGraph(t(s, dir, "embeddings").select("vec_id", "embedding"),
           "vec_id", "embedding", k = 3)
         .select(col("q_id"), col("c_id"), col("rank"))
+    }),
+
+    "sim_knn_graph_incremental" -> ((s, dir) => {
+      // graph-tier index lifecycle: base exact graph over the old
+      // corpus (vec_id % 7 != 3), delta arrives, merge = new rows vs
+      // updated corpus + old rows re-ranked against the delta only —
+      // O(|D|·|C|) instead of the rebuild's |C ∪ D|². Contract: the
+      // merged graph EQUALS a fresh rebuild bit-for-bit (join keys
+      // include the double score — bitwise, not rounded), rolled up to
+      // one integer/boolean row so the comparator sees no floats.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+      val delta = emb.filter(col("vec_id") % 7 === 3)
+      val base = V.knnGraph(corpus, "vec_id", "embedding", k = 3)
+      val inc = V.knnGraphMergeDelta(base, corpus, delta,
+        "vec_id", "embedding", k = 3)
+      val fresh = verified(
+        V.knnGraph(emb, "vec_id", "embedding", k = 3)
+          .select("q_id", "c_id", "score", "rank"))
+      val keys = Seq("q_id", "c_id", "score", "rank")
+      val cmp = fresh.withColumn("__f", lit(1))
+        .join(inc.select(keys.map(col): _*).withColumn("__i", lit(1)),
+          keys, "full_outer")
+      cmp.agg(count(lit(1)).as("n_edges"),
+          sum(when(col("__f").isNull || col("__i").isNull, 1L)
+            .otherwise(0L)).as("n_mismatch"))
+        .select(col("n_edges"), (col("n_mismatch") === 0L).as("graph_match"))
     }),
 
     "sim_knn_graph_blocked" -> ((s, dir) => {
@@ -4163,6 +4201,11 @@ object SparkEntry {
                   TRUE AS recall_ok, TRUE AS coverage_ok
            FROM embeddings""",
 
+      "sim_knn_graph_incremental" ->
+        """SELECT CAST(3 * count(*) AS BIGINT) AS n_edges,
+                  TRUE AS graph_match
+           FROM embeddings""",
+
       "sim_ivfpq_incremental" ->
         """SELECT vec_id AS q_id, TRUE AS codes_match
            FROM embeddings WHERE vec_id % 100 = 0""",
@@ -5511,6 +5554,20 @@ object SparkEntry {
            ${step("w1", "p2", "e2", "g2", "w2")}
            SELECT CAST(b AS BIGINT) AS bucket, ROUND(w, 6) AS weight FROM w2"""
       },
+
+      "text_blocklist_hits" ->
+        """WITH p AS (
+             SELECT * FROM (VALUES ('small query line'), ('query big part'),
+                                   ('window merge hash'), ('slow key')) t(phrase)),
+           d AS (
+             SELECT doc_id,
+                    ' ' || array_to_string(
+                      regexp_split_to_array(trim(lower(text)), '\s+'), ' ')
+                        || ' ' AS norm
+             FROM documents)
+           SELECT DISTINCT doc_id, phrase
+           FROM d JOIN p ON d.norm LIKE '% ' || p.phrase || ' %'
+           ORDER BY doc_id, phrase""",
 
       "text_ngram_diversity" ->
         """WITH toks AS (

@@ -111,6 +111,39 @@ object Curation {
     * itself, and the final ranking is a bounded
     * TakeOrderedAndProject — no global window, nothing driver-side.
     */
+  /** Multi-word banned-phrase matching at corpus scale (the NSFW /
+    * policy wordlist pass every curation pipeline runs): a phrase of n
+    * tokens is present in a document iff its single n-gram hash appears
+    * among the document's positional n-gram hashes — token-boundary
+    * semantics, not substring LIKE. Per distinct phrase LENGTH the
+    * corpus explodes its n-gram hashes scan-side (codegen'd) and
+    * broadcast-joins the (tiny) phrase-hash table; document text never
+    * shuffles, and the match column is an 8-byte hash. Phrases are
+    * hashed by the SAME expression, so case/whitespace normalization
+    * can't drift. Returns distinct `(idCol, phrase)` hit pairs.
+    */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+                    phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistHits: empty phrase list")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val byLen = phrases
+      .map(p => (p.trim.split("\\s+").length, p))
+      .groupBy(_._1)
+    require(!byLen.contains(0), "blocklistHits: blank phrase")
+    byLen.toSeq.sortBy(_._1).map { case (n, ps) =>
+      val pdf = ps.map(_._2).toDF("phrase").select(col("phrase"),
+        element_at(
+          graft.plans.ShingleHashExpr.shingleHashesSeq(col("phrase"), n), 1)
+          .as("h"))
+      docs.select(col(idCol),
+          explode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
+            .as("h"))
+        .join(broadcast(pdf), "h")
+        .select(col(idCol), col("phrase"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
   def collocations(docs: DataFrame, textCol: String,
                    minCount: Long, k: Int): DataFrame = {
     val pairCounts = docs

@@ -150,6 +150,44 @@ object VectorFunctions {
     bruteForceTopK(q, c, "q_id", "c_id", "__qv", "__cv", k)
   }
 
+  /** O(|delta|·|corpus|) maintenance of an exact kNN graph under vector
+    * arrivals — the graph tier of the engine's index-lifecycle
+    * discipline (merge chain must equal a fresh rebuild, bit-for-bit):
+    *
+    *  - NEW vectors get lists by scoring against the UPDATED corpus
+    *    (corpus ∪ delta, the delta side broadcasts);
+    *  - EXISTING vectors merge their old bounded list with their
+    *    scores against the delta ONLY — the old corpus is never
+    *    re-paired with itself, which is where the rebuild's |C|² goes.
+    *
+    * Exactness composes: the old list is exact over C, the delta scores
+    * are exact over D, and the bounded re-rank of their union is exact
+    * over C ∪ D; the cosine expression is the same pure function of the
+    * two vectors on every path, so merged scores (and ties) are
+    * bit-identical to a fresh [[knnGraph]]. `baseGraph` must carry
+    * (q_id, c_id, score) as produced by [[knnGraph]] at the same k.
+    */
+  def knnGraphMergeDelta(baseGraph: DataFrame, corpus: DataFrame,
+                         delta: DataFrame, idCol: String, vecCol: String,
+                         k: Int): DataFrame = {
+    val full = corpus.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val d = delta.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    val c = full.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
+    val deltaRows = bruteForceTopK(d, c, "q_id", "c_id", "__qv", "__cv", k)
+    val qn = corpus.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val dn = delta.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val vsDelta = qn.join(broadcast(dn), col("q_id") =!= col("c_id"))
+      .withColumn("score",
+        safeRatio(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
+      .select(col("q_id"), col("c_id"), col("score"))
+    val merged = baseGraph.select(col("q_id"), col("c_id"), col("score"))
+      .unionByName(vsDelta)
+    rankTopK(merged, "q_id", "c_id", k).unionByName(deltaRows)
+  }
+
   /** Blocked kNN graph — the 100 TB shape: k-means cells confine the
     * quadratic pass. Every vector sits in its home cell once (the
     * candidate side) and is REPLICATED into its `nprobe` nearest cells

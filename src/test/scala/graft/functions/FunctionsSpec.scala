@@ -230,6 +230,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("blocklistHits: token-boundary phrase match, mixed lengths, case-blind") {
+    val docs = Seq(
+      (1L, "intro bad phrase here outro"),       // 2-token hit
+      (2L, "the badly phrased one"),              // substring but NOT token-boundary
+      (3L, "BAD   PHRASE"),                       // exact doc == phrase, odd case/ws
+      (4L, "a very bad thing happened today ok"), // 3-token hit
+      (5L, "nothing to see"),
+      (6L, "bad phrase and very bad thing twice") // both phrases, once each pair
+    ).toDF("doc_id", "text")
+    val out = Curation.blocklistHits(docs, "doc_id", "text",
+        Seq("bad phrase", "very bad thing"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, "bad phrase"), (3L, "bad phrase"), (4L, "very bad thing"),
+      (6L, "bad phrase"), (6L, "very bad thing")), s"got $out")
+    // duplicate occurrences collapse to one (doc, phrase) row
+    val dup = Curation.blocklistHits(
+        Seq((9L, "bad phrase mid bad phrase")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("bad phrase"))
+      .as[(Long, String)].collect().toSeq
+    assert(dup == Seq((9L, "bad phrase")))
+    intercept[IllegalArgumentException] {
+      Curation.blocklistHits(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+
   test("collocations: bound pairs outrank chance pairs; minCount floors hapax") {
     // "new york" always adjacent (strong collocation); "the" pairs with
     // everything (chance-level PMI); "rara avis" appears once (floored)
@@ -375,6 +401,32 @@ class FunctionsSpec extends SparkSpec {
       VectorFunctions.knnGraphBlocked(vecs, "id", "vec", k = 2,
         clusters = 2, iters = 3, nprobe = 3)
     }
+  }
+
+  test("knnGraphMergeDelta: merge chain equals fresh rebuild, displacement included") {
+    val all = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.1f, 0.9f, 0f, 0f)),
+      // delta: 4 lands between 0 and 1 (displaces an old edge), 5 is
+      // a new far-away vector that must still get a full list
+      (4L, Array(0.99f, 0.01f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f))
+    ).toDF("id", "vec")
+    val corpus = all.filter($"id" <= 3)
+    val delta = all.filter($"id" >= 4)
+    val base = VectorFunctions.knnGraph(corpus, "id", "vec", k = 2)
+    val inc = VectorFunctions.knnGraphMergeDelta(base, corpus, delta,
+        "id", "vec", k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val fresh = VectorFunctions.knnGraph(all, "id", "vec", k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(inc == fresh, s"merged $inc != fresh $fresh")
+    // the displacement actually happened: 4 is now 0's nearest
+    assert(fresh.contains((0L, 4L, 1L)))
+    // and delta vectors carry full lists
+    assert(inc.count(_._1 == 4L) == 2 && inc.count(_._1 == 5L) == 2)
   }
 
   test("curation: keep/drop decision with reason precedence") {
