@@ -1747,6 +1747,57 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), col("rank"))
     }),
 
+    "sim_knn_graph_persisted" -> ((s, dir) => {
+      // the operational graph shape: build ONCE into a segmented index
+      // (one bounded list per id; vectors never copied), answer from
+      // the index. Must be bit-identical to the in-memory sim_knn_graph
+      // — the same oracle gates both.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idxPath = tmpPath(dir, "knn_graph")
+      phase("build") {
+        V.saveKnnGraph(emb, "vec_id", "embedding", idxPath, k = 3)
+      }
+      V.knnGraphEdges(s, idxPath).select(col("q_id"), col("c_id"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "sim_knn_graph_lifecycle" -> ((s, dir) => {
+      // full lifecycle on the persisted graph: build on 6/7 of the
+      // corpus, merge the rest as a delta (changed-lists-only segment),
+      // then GDPR-retract every %11==5 vector (tombstone + exact repair
+      // of every surviving list that cited one). Contract: the live
+      // graph equals a fresh build over the survivors BIT-FOR-BIT
+      // (join keys include the double scores), rolled up to one
+      // integer/boolean row.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+      val delta = emb.filter(col("vec_id") % 7 === 3)
+      val deadIds = emb.filter(col("vec_id") % 11 === 5).select("vec_id")
+      val idxPath = tmpPath(dir, "knn_graph_lc")
+      phase("build") {
+        V.saveKnnGraph(corpus, "vec_id", "embedding", idxPath, k = 3)
+      }
+      phase("merge") {
+        V.mergeKnnGraphDelta(s, idxPath, corpus, delta,
+          "vec_id", "embedding", k = 3)
+        V.retractKnnGraph(s, idxPath, deadIds, emb,
+          "vec_id", "embedding", k = 3)
+      }
+      val survivors = emb.filter(col("vec_id") % 11 =!= 5)
+      val fresh = verified(
+        V.knnGraph(survivors, "vec_id", "embedding", k = 3)
+          .select("q_id", "c_id", "score", "rank"))
+      val keys = Seq("q_id", "c_id", "score", "rank")
+      val cmp = fresh.withColumn("__f", lit(1))
+        .join(V.knnGraphEdges(s, idxPath).select(keys.map(col): _*)
+            .withColumn("__i", lit(1)),
+          keys, "full_outer")
+      cmp.agg(count(lit(1)).as("n_edges"),
+          sum(when(col("__f").isNull || col("__i").isNull, 1L)
+            .otherwise(0L)).as("n_mismatch"))
+        .select(col("n_edges"), (col("n_mismatch") === 0L).as("lifecycle_ok"))
+    }),
+
     "sim_knn_graph_incremental" -> ((s, dir) => {
       // graph-tier index lifecycle: base exact graph over the old
       // corpus (vec_id % 7 != 3), delta arrives, merge = new rows vs
@@ -4205,6 +4256,25 @@ object SparkEntry {
         """SELECT CAST(3 * count(*) AS BIGINT) AS n_edges,
                   TRUE AS graph_match
            FROM embeddings""",
+
+      "sim_knn_graph_persisted" ->
+        """WITH c AS (SELECT vec_id, embedding FROM embeddings),
+           scored AS (
+             SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS score
+             FROM c a JOIN c b ON a.vec_id <> b.vec_id)
+           SELECT q_id, c_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
+           FROM scored
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3
+           ORDER BY q_id, rank""",
+
+      "sim_knn_graph_lifecycle" ->
+        """SELECT CAST(3 * count(*) AS BIGINT) AS n_edges,
+                  TRUE AS lifecycle_ok
+           FROM embeddings WHERE vec_id % 11 <> 5""",
 
       "sim_ivfpq_incremental" ->
         """SELECT vec_id AS q_id, TRUE AS codes_match

@@ -188,6 +188,109 @@ object VectorFunctions {
     rankTopK(merged, "q_id", "c_id", k).unionByName(deltaRows)
   }
 
+  /** (q_id, c_id, score, rank) edge rows folded to one bounded list per
+    * vector — the persisted form of the graph (rank = array position,
+    * so the row is one version per id for the segment contract).
+    */
+  private def graphLists(rows: DataFrame): DataFrame =
+    rows.groupBy(col("q_id").as("id"))
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("c_id"), col("score")))).as("__t"))
+      .select(col("id"),
+        expr("transform(__t, x -> named_struct('c_id', x.c_id, 'score', x.score))")
+          .as("nbrs"))
+
+  private def graphEdges(lists: DataFrame): DataFrame =
+    lists.select(col("id").as("q_id"),
+        posexplode(col("nbrs")).as(Seq("__p", "__n")))
+      .select(col("q_id"), col("__n.c_id").as("c_id"),
+        col("__n.score").as("score"), (col("__p") + 1).cast("long").as("rank"))
+
+  /** Persist the exact kNN graph as a [[SegmentedIndex]] tree (subtable
+    * `graph`: one row per vector id, bounded neighbor list in rank
+    * order). Build once over the corpus, then maintain by delta
+    * ([[mergeKnnGraphDelta]]) and purge by tombstone + repair
+    * ([[retractKnnGraph]]) — the same lifecycle discipline as the
+    * BM25/IVF/PQ/int8 indexes: every refresh is delta-sized, and the
+    * live graph stays bit-identical to a fresh rebuild. Vectors are NOT
+    * copied into the index; maintenance re-joins the corpus.
+    */
+  def saveKnnGraph(vecs: DataFrame, idCol: String, vecCol: String,
+                   path: String, k: Int): Unit =
+    SegmentedIndex.createIndex(vecs.sparkSession, path, "graph",
+      graphLists(knnGraph(vecs, idCol, vecCol, k)))
+
+  /** Live graph read (tombstone-masked, optional `asOf` pin) in edge
+    * form: (q_id, c_id, score, rank).
+    */
+  def knnGraphEdges(spark: org.apache.spark.sql.SparkSession, path: String,
+                    asOf: Int = Int.MaxValue): DataFrame =
+    graphEdges(SegmentedIndex.liveRows(spark, path, "graph", asOf))
+
+  /** O(delta) graph refresh: `corpus` is the PRE-delta vector set the
+    * index was built over, `delta` the arrivals. The updated lists come
+    * from [[knnGraphMergeDelta]] (old lists merge against the delta
+    * only; new ids score against corpus ∪ delta); the segment written
+    * carries ONLY the ids whose list actually changed plus the delta
+    * ids — on a 100 TB corpus a small delta perturbs a bounded
+    * neighborhood, and the segment is sized to it, not to the corpus.
+    */
+  def mergeKnnGraphDelta(spark: org.apache.spark.sql.SparkSession,
+                         path: String, corpus: DataFrame, delta: DataFrame,
+                         idCol: String, vecCol: String, k: Int): Unit = {
+    val base = knnGraphEdges(spark, path)
+    val updated = graphLists(
+      knnGraphMergeDelta(base, corpus, delta, idCol, vecCol, k))
+    val old = SegmentedIndex.liveRows(spark, path, "graph")
+      .select(col("id"), col("nbrs").as("__old"))
+    // array-of-struct equality is exact (bitwise doubles) — unchanged
+    // lists stay in their old segment
+    val changed = updated.join(old, Seq("id"), "left")
+      .filter(col("__old").isNull || !(col("nbrs") === col("__old")))
+      .select("id", "nbrs")
+      .persist()
+    try
+      SegmentedIndex.mergeDeltaRows(spark, path, "graph",
+        changed.select("id"), changed, trustedDelta = true)
+    finally changed.unpersist(blocking = false)
+  }
+
+  /** GDPR purge from the persisted graph: drop the retracted vectors'
+    * OWN rows (tombstone segment) and REPAIR every surviving list that
+    * cited a retracted id — those queries re-score exactly against the
+    * surviving corpus (broadcast of the affected queries; the corpus
+    * scans once). Cost is O(|affected|·|corpus|), never a rebuild, and
+    * the live graph afterwards is bit-identical to a fresh build over
+    * the surviving vectors. `corpus` is the full pre-retraction vector
+    * set; the retracted ids are filtered here.
+    */
+  def retractKnnGraph(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, k: Int): Unit = {
+    val dead = ids.select(col(ids.columns.head).as("__dead")).persist()
+    try {
+      val pre = SegmentedIndex.liveRows(spark, path, "graph")
+      val affected = pre
+        .select(col("id"), explode(col("nbrs.c_id")).as("__c"))
+        .join(broadcast(dead), col("__c") === col("__dead"), "left_semi")
+        .select("id").distinct()
+        .join(broadcast(dead), col("id") === col("__dead"), "left_anti")
+      SegmentedIndex.retract(spark, path, dead, Seq("graph"))
+      val live = corpus.join(broadcast(dead),
+        col(idCol) === col("__dead"), "left_anti")
+      val q = live.join(affected.withColumnRenamed("id", idCol),
+          Seq(idCol), "left_semi")
+        .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+      val c = live.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
+      val repaired = graphLists(
+        bruteForceTopK(q, c, "q_id", "c_id", "__qv", "__cv", k)).persist()
+      try
+        SegmentedIndex.mergeDeltaRows(spark, path, "graph",
+          repaired.select("id"), repaired, trustedDelta = true)
+      finally repaired.unpersist(blocking = false)
+    } finally dead.unpersist(blocking = false)
+  }
+
   /** Blocked kNN graph — the 100 TB shape: k-means cells confine the
     * quadratic pass. Every vector sits in its home cell once (the
     * candidate side) and is REPLICATED into its `nprobe` nearest cells

@@ -230,6 +230,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("persisted kNN graph: changed-lists-only merge, retraction repairs citing lists") {
+    val all = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.1f, 0.9f, 0f, 0f)),
+      (4L, Array(0.99f, 0.01f, 0f, 0f)), // delta, lands inside the x-cluster
+      (5L, Array(0f, 0f, 1f, 0f))        // delta, far from everyone
+    ).toDF("id", "vec")
+    val corpus = all.filter($"id" <= 3)
+    val delta = all.filter($"id" >= 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("knn_graph_spec").toString + "/idx"
+
+    VectorFunctions.saveKnnGraph(corpus, "id", "vec", path, k = 2)
+    VectorFunctions.mergeKnnGraphDelta(spark, path, corpus, delta,
+      "id", "vec", k = 2)
+    val live = VectorFunctions.knnGraphEdges(spark, path)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val fresh = VectorFunctions.knnGraph(all, "id", "vec", k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(live == fresh)
+    // the merge segment carries ONLY the delta ids plus the old lists 4
+    // displaced (0 and 1 — the y-cluster never cites the newcomers)
+    val segs = SegmentedIndex.describe(spark, path, "graph")
+    assert(segs.map(_._1) == Seq(0, 1))
+    assert(segs(0)._2 == 4L && segs(1)._2 == 4L,
+      s"merge segment must be changed-only, got $segs")
+
+    // retract 4: its own row dies; 0 and 1 (which cite it) repair; the
+    // live graph equals a fresh build over the survivors
+    VectorFunctions.retractKnnGraph(spark, path,
+      Seq(4L).toDF("id"), all, "id", "vec", k = 2)
+    val after = VectorFunctions.knnGraphEdges(spark, path)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val freshAfter = VectorFunctions.knnGraph(all.filter($"id" =!= 4L),
+        "id", "vec", k = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(after == freshAfter)
+    assert(!after.exists(e => e._1 == 4L || e._2 == 4L))
+    // repair segment holds exactly the two citing lists
+    val segs2 = SegmentedIndex.describe(spark, path, "graph")
+    assert(segs2.map(_._2) == Seq(4L, 4L, 0L, 2L), s"got $segs2")
+  }
+
   test("blocklistHits: token-boundary phrase match, mixed lengths, case-blind") {
     val docs = Seq(
       (1L, "intro bad phrase here outro"),       // 2-token hit
