@@ -1747,6 +1747,19 @@ object SparkEntry {
         .select(col("q_id"), col("c_id"), col("rank"))
     }),
 
+    "dedup_semantic_graph" -> ((s, dir) => {
+      // SemDeDup riding the graph artifact: with a maintained kNN graph
+      // the dedup decision is a pure FILTER over bounded lists — drop v
+      // iff its k-list holds a smaller-id neighbor at cosine >= tau; no
+      // pair is scored at dedup time. Integer-only output: dropped id +
+      // its deterministic anchor (min qualifying smaller id).
+      V.knnGraph(t(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 3)
+        .filter(col("c_id") < col("q_id") && col("score") >= 0.35)
+        .groupBy("q_id").agg(min("c_id").as("anchor_id"))
+        .orderBy("q_id")
+    }),
+
     "sim_knn_graph_persisted" -> ((s, dir) => {
       // the operational graph shape: build ONCE into a segmented index
       // (one bounded list per id; vectors never copied), answer from
@@ -4256,6 +4269,22 @@ object SparkEntry {
         """SELECT CAST(3 * count(*) AS BIGINT) AS n_edges,
                   TRUE AS graph_match
            FROM embeddings""",
+
+      "dedup_semantic_graph" ->
+        """WITH c AS (SELECT vec_id, embedding FROM embeddings),
+           scored AS (
+             SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS score
+             FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+           g AS (
+             SELECT q_id, c_id, score
+             FROM scored
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 3)
+           SELECT q_id, min(c_id) AS anchor_id
+           FROM g WHERE c_id < q_id AND score >= 0.35
+           GROUP BY q_id ORDER BY q_id""",
 
       "sim_knn_graph_persisted" ->
         """WITH c AS (SELECT vec_id, embedding FROM embeddings),

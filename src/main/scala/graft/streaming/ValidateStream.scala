@@ -322,6 +322,54 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming upkeep of the persisted kNN GRAPH
+    * ([[graft.functions.VectorFunctions.saveKnnGraph]]): each
+    * micro-batch of arriving vectors merges in O(|batch|·|corpus|)
+    * (new lists for the batch, changed-lists-only repair of the old
+    * ones) and then APPENDS itself to `corpusPath` — the stream owns
+    * both artifacts, so the pre-delta corpus every merge needs is
+    * always the previous batch's post-state. The graph tier is
+    * ARRIVALS-ONLY: a re-ingested id would corrupt the bounded lists,
+    * so unless `trustedDelta` the sink proves each batch is new ids
+    * with unique rows and fails loudly otherwise; replacements and
+    * deletes route through
+    * [[graft.functions.VectorFunctions.retractKnnGraph]] + re-ingest.
+    */
+  def knnGraphStream(docs: DataFrame, idCol: String, vecCol: String,
+                     graphPath: String, corpusPath: String,
+                     checkpoint: String, k: Int,
+                     trustedDelta: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val V = graft.functions.VectorFunctions
+          val delta = batch.select(col(idCol), col(vecCol)).persist()
+          try {
+            val corpus = spark.read.parquet(corpusPath)
+            if (!trustedDelta) {
+              val dup = delta.groupBy(idCol).agg(count(lit(1)).as("c"))
+                .filter(col("c") > 1).limit(1).collect()
+              require(dup.isEmpty,
+                s"knnGraphStream: batch has multiple rows for id " +
+                  s"${dup.headOption.map(_.get(0)).orNull} — one vector per id")
+              val clash = delta.join(corpus.select(col(idCol)),
+                Seq(idCol), "left_semi").limit(1).collect()
+              require(clash.isEmpty,
+                s"knnGraphStream: id ${clash.headOption.map(_.get(0)).orNull} " +
+                  "already in the corpus — the graph stream is arrivals-only; " +
+                  "route replacements through retractKnnGraph + re-ingest")
+            }
+            V.mergeKnnGraphDelta(spark, graphPath, corpus, delta,
+              idCol, vecCol, k)
+            delta.write.mode("append").parquet(corpusPath)
+          } finally delta.unpersist(blocking = false)
+        }
+      }
+      .start()
+
   /** Streaming int8 code-store upkeep — the simplest member of the ANN
     * streaming family: quantization is a pure per-row function (no
     * trained parameters at all), so the first non-empty batch may

@@ -259,6 +259,52 @@ class StreamingSpec extends SparkSpec {
       "streamed merges must equal a frozen-codebook re-encode")
   }
 
+  test("streaming kNN-graph maintenance: arrivals fold in, live graph equals rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions
+    def vec(i: Int) = Array.tabulate(8) { d =>
+      val base = if (d == (i % 4) * 2) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("knnstream")
+    corpus.write.parquet(s"$dir/corpus")
+    VectorFunctions.saveKnnGraph(corpus, "vec_id", "embedding",
+      s"$dir/idx", k = 3)
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((1000L, vec(0)), (1001L, vec(1)))
+    val q = ValidateStream.knnGraphStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt", k = 3)
+    q.processAllAvailable()
+    mem.addData((1002L, vec(2)))
+    q.processAllAvailable()
+    q.stop()
+    val latest = (corpus.as[(Long, Array[Float])].collect().toSeq ++
+      Seq((1000L, vec(0)), (1001L, vec(1)), (1002L, vec(2))))
+      .toDF("vec_id", "embedding")
+    val live = VectorFunctions.knnGraphEdges(spark, s"$dir/idx")
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val fresh = VectorFunctions.knnGraph(latest, "vec_id", "embedding", k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(live == fresh, "streamed graph must equal a fresh rebuild")
+    // and the stream kept the corpus artifact in lockstep
+    assert(spark.read.parquet(s"$dir/corpus").count() == 63L)
+    // a re-ingested id is refused loudly (arrivals-only contract)
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    mem2.addData((1000L, vec(3))) // 1000 already in the corpus
+    val q2 = ValidateStream.knnGraphStream(
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt2", k = 3)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("arrivals-only") ||
+      Option(err.getCause).exists(_.getMessage.contains("arrivals-only")))
+  }
+
   test("streaming IVF-PQ maintenance: batches encode residuals against frozen parameters") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.VectorFunctions
