@@ -338,6 +338,8 @@ object ValidateStream {
   def knnGraphStream(docs: DataFrame, idCol: String, vecCol: String,
                      graphPath: String, corpusPath: String,
                      checkpoint: String, k: Int,
+                     maxSegments: Int = Int.MaxValue,
+                     pinnedBy: Option[String] = None,
                      trustedDelta: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -365,6 +367,13 @@ object ValidateStream {
             V.mergeKnnGraphDelta(spark, graphPath, corpus, delta,
               idCol, vecCol, k)
             delta.write.mode("append").parquet(corpusPath)
+            // see bm25IndexStream: single serialized writer, so inline
+            // compaction past maxSegments is safe; pins defer it
+            if (graft.functions.SegmentedIndex
+                  .segmentDirs(spark, graphPath).size > maxSegments &&
+                !pinned(spark, graphPath, pinnedBy))
+              graft.functions.SegmentedIndex
+                .compactIndex(spark, graphPath, "graph")
           } finally delta.unpersist(blocking = false)
         }
       }

@@ -401,6 +401,28 @@ object ScaleSmoke {
     }
     println(f"SMOKE pq_real_recall recall@10=" +
       f"${hitsP.toDouble / exactReal.size}%.3f")
+
+    // 16b6. blocked kNN GRAPH at the same 40× corpus — the all-vectors
+    // twin of the query-batch tiers above: an exact graph here is
+    // n² ≈ 6.4e9 pair scores; √n-scaled cells (256) at nprobe p score
+    // ~p·n²/256, so the build should scale linearly with nprobe while
+    // recall@10 (sampled on the same exactReal query set) climbs.
+    // The graph is built for EVERY vector — out = n·k rows — which is
+    // what an actual SemDeDup/cluster pass consumes.
+    for (nprobe <- Seq(2, 8)) {
+      var hitsG = 0
+      time(s"knn_graph_blocked_np$nprobe", nEmb) {
+        val g = V.knnGraphBlocked(embR, "vec_id", "embedding",
+          k = 10, clusters = 256, iters = 2, nprobe = nprobe).persist()
+        val n = g.count()
+        val got = g.filter(col("q_id") < 10).select("q_id", "c_id").collect()
+        hitsG = got.count(r => exactReal.contains((r.getLong(0), r.getLong(1))))
+        g.unpersist(blocking = false)
+        n
+      }
+      println(f"SMOKE knn_graph_recall_np$nprobe recall@10=" +
+        f"${hitsG.toDouble / exactReal.size}%.3f")
+    }
     embR.unpersist(blocking = false)
 
     // 16b5. int8 code-store lifecycle at 40×: codes persisted once

@@ -288,4 +288,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(out.head._3 - expected) < 1e-9,
       s"expected the unseen-context constant $expected, got ${out.head._3}")
   }
+
+  test("repeatedSpans / blocklist / knnGraph degenerate corpora") {
+    import graft.functions.Curation
+    // a corpus with zero repeats: span report empty, removal is the
+    // identity (modulo normalization)
+    val unique = Seq((1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"))
+      .toDF("doc_id", "text")
+    assert(DedupFunctions.repeatedSpanStats(unique, "doc_id", "text",
+      n = 3, minCount = 2L).isEmpty)
+    val cleaned = DedupFunctions.removeRepeatedSpans(unique, "doc_id", "text",
+        n = 3, minCount = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(cleaned == Map(1L -> "aa bb cc dd ee", 2L -> "ff gg hh ii jj"))
+    // empty-text docs: duplicates of the empty whole-doc gram cover
+    // their single empty token; no crash, stats stay honest
+    val empties = Seq((1L, ""), (2L, ""), (3L, "xx yy zz ww vv")).toDF("doc_id", "text")
+    val es = DedupFunctions.repeatedSpanStats(empties, "doc_id", "text",
+        n = 3, minCount = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(es == Seq((1L, 1L, 1L, 1L, 1L), (2L, 1L, 1L, 1L, 1L)), s"got $es")
+
+    // blocklist: phrase absent everywhere -> empty, not an error; a
+    // phrase LONGER than every doc can't match
+    assert(Curation.blocklistHits(unique, "doc_id", "text",
+      Seq("not here at all", "aa bb cc dd ee ff gg")).isEmpty)
+
+    // knnGraph with k exceeding the candidate count: lists shorten,
+    // nobody pairs with themselves
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("id", "vec")
+    val g = VectorFunctions.knnGraph(vecs, "id", "vec", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSeq
+    assert(g.toSet == Set((1L, 2L), (2L, 1L)))
+  }
 }

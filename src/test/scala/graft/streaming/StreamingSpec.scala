@@ -276,11 +276,14 @@ class StreamingSpec extends SparkSpec {
     mem.addData((1000L, vec(0)), (1001L, vec(1)))
     val q = ValidateStream.knnGraphStream(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt", k = 3)
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt", k = 3, maxSegments = 1)
     q.processAllAvailable()
     mem.addData((1002L, vec(2)))
     q.processAllAvailable()
     q.stop()
+    // inline auto-compaction folded the tree back to one segment
+    assert(graft.functions.SegmentedIndex
+      .segmentDirs(spark, s"$dir/idx").map(_._1) == Seq(0))
     val latest = (corpus.as[(Long, Array[Float])].collect().toSeq ++
       Seq((1000L, vec(0)), (1001L, vec(1)), (1002L, vec(2))))
       .toDF("vec_id", "embedding")
