@@ -547,4 +547,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: repeatedSpans invariants on random small-vocab corpora") {
+    // random 1-4 letter words over a 6-word vocab: repeats are dense and
+    // adversarial for the island fold
+    val docGen = Gen.listOfN(12,
+      Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")).map(_.mkString(" "))
+    forSamples(Gen.listOfN(6, docGen), n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val stats = DedupFunctions.repeatedSpanStats(docs, "doc_id", "text",
+          n = 3, minCount = 2L)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      stats.foreach { case (id, nSpans, covered, maxSpan, nTok) =>
+        assert(nSpans >= 1 && maxSpan >= 3 && maxSpan <= covered,
+          s"doc $id: spans=$nSpans max=$maxSpan covered=$covered")
+        assert(covered <= nTok, s"doc $id covers $covered of $nTok tokens")
+      }
+      // removal is consistent with the audit: tokens kept + covered = total
+      val kept = DedupFunctions.removeRepeatedSpans(docs, "doc_id", "text",
+          n = 3, minCount = 2L)
+        .select(col("doc_id"),
+          when(col("clean_text") === "", lit(0))
+            .otherwise(size(split(col("clean_text"), " "))).as("k"))
+        .as[(Long, Long)].collect().toMap
+      val coveredBy = stats.map(s => s._1 -> s._3).toMap
+      docs.select("doc_id").as[Long].collect().foreach { id =>
+        assert(kept(id) + coveredBy.getOrElse(id, 0L) == 12L,
+          s"doc $id: kept ${kept(id)} + covered ${coveredBy.getOrElse(id, 0L)} != 12")
+      }
+    }
+  }
+
+  test("property: knnGraph edges are k-bounded, self-free, rank-consistent") {
+    import graft.functions.VectorFunctions
+    val vecGen = Gen.listOfN(6, Gen.choose(-5, 5).map(_.toFloat))
+    forSamples(Gen.listOfN(12, vecGen), n = 6) { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, (v :+ 1.0f).toArray) } // +1 dim kills zero vectors
+        .toDF("id", "vec")
+      val g = VectorFunctions.knnGraph(df, "id", "vec", k = 3)
+        .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect()
+      val byQ = g.groupBy(_._1)
+      assert(byQ.size == 12)
+      byQ.foreach { case (q, rows) =>
+        assert(rows.length == 3 && rows.map(_._3).sorted.sameElements(Seq(1L, 2L, 3L)))
+        assert(!rows.exists(_._2 == q), s"self edge at $q")
+        assert(rows.map(_._2).distinct.length == 3, s"dup neighbor at $q")
+      }
+    }
+  }
 }

@@ -273,6 +273,11 @@ class FunctionsSpec extends SparkSpec {
     // repair segment holds exactly the two citing lists
     val segs2 = SegmentedIndex.describe(spark, path, "graph")
     assert(segs2.map(_._2) == Seq(4L, 4L, 0L, 2L), s"got $segs2")
+    // time travel: an asOf pin at the pre-retraction segment still
+    // replays the merged graph — the retraction can't reach back
+    val pinned = VectorFunctions.knnGraphEdges(spark, path, asOf = 1)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(pinned == fresh, "asOf read must replay the pre-retraction graph")
   }
 
   test("blocklistHits: token-boundary phrase match, mixed lengths, case-blind") {
