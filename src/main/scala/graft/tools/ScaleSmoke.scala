@@ -238,6 +238,23 @@ object ScaleSmoke {
       finally idx.unpersist(blocking = false)
     }
 
+    // 15b. ExactSubstr repeated-substring pass over the 10× corpus:
+    // the replicas make every original document's grams hit the
+    // minCount=2 floor, so this measures the WORST case — nearly every
+    // position covered, the island fold and the rewrite running over
+    // the whole corpus. All the wide traffic is (hash, pos) longs;
+    // text crosses once in the final rewrite join.
+    time("repeated_span_stats", nDocs) {
+      graft.functions.DedupFunctions.repeatedSpanStats(
+        docs, "doc_id", "text", n = 5, minCount = 2L).count()
+    }
+    time("repeated_span_removal", nDocs) {
+      graft.functions.DedupFunctions.removeRepeatedSpans(
+        docs, "doc_id", "text", n = 5, minCount = 2L)
+        .agg(sum(length(col("clean_text")))).collect()
+      nDocs
+    }
+
     // 16. PQ ANN over the 40× embedding corpus: sample-trained
     // codebooks, packed codes, native ADC lookup-sum, exact re-rank
     val embN = emb.select(col("vec_id"), V.l2normalize(col("embedding")).as("embedding"))
