@@ -918,6 +918,18 @@ object SparkEntry {
         .orderBy("doc_id", "phrase")
     }),
 
+    "text_blocklist_removal" -> ((s, dir) => {
+      // the enforcement half: banned phrases cut out of every doc
+      // (token-boundary, overlapping matches merge) — deterministic
+      // strings, zero floats; same scan-side hash matching as the
+      // detector, same in-row rewrite as the ExactSubstr pass.
+      graft.functions.Curation.blocklistRemove(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("small query line", "query big part", "window merge hash",
+            "slow key"))
+        .orderBy("doc_id")
+    }),
+
     "text_ngram_diversity" -> ((s, dir) => {
       // distinct-n diversity per source (the self-repetition audit
       // behind "is this source template spam?"): trigram type/token
@@ -5667,6 +5679,35 @@ object SparkEntry {
            SELECT DISTINCT doc_id, phrase
            FROM d JOIN p ON d.norm LIKE '% ' || p.phrase || ' %'
            ORDER BY doc_id, phrase""",
+
+      "text_blocklist_removal" ->
+        """WITH p AS (
+             SELECT * FROM (VALUES ('small query line', 3), ('query big part', 3),
+                                   ('window merge hash', 3), ('slow key', 2)) t(phrase, n)),
+           toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           g AS (
+             SELECT doc_id, n,
+                    unnest(list_filter(
+                      list_transform(range(0, greatest(len(ts) - n + 1, 0)),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+n], ' ')}),
+                      x -> x.g = phrase)) AS m
+             FROM toks CROSS JOIN p WHERE len(ts) >= n),
+           cov AS (SELECT DISTINCT doc_id, unnest(range(m.p, m.p + n)) AS cp FROM g),
+           tok AS (SELECT doc_id, unnest(ts) AS tk,
+                          unnest(range(0, len(ts))) AS i
+                   FROM toks),
+           kept AS (SELECT t.doc_id, t.i, t.tk
+                    FROM tok t LEFT JOIN cov c
+                      ON t.doc_id = c.doc_id AND t.i = c.cp
+                    WHERE c.cp IS NULL),
+           agg AS (SELECT doc_id,
+                          array_to_string(list(tk ORDER BY i), ' ') AS clean_text
+                   FROM kept GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+           FROM documents d LEFT JOIN agg a USING (doc_id)
+           ORDER BY doc_id""",
 
       "text_ngram_diversity" ->
         """WITH toks AS (

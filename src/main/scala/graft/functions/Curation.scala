@@ -144,6 +144,61 @@ object Curation {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** The enforcement half of [[blocklistHits]]: every document
+    * rewritten with its banned-phrase occurrences cut out (token-
+    * boundary, all occurrences, overlapping matches merge). Same
+    * scan-side gram-hash matching as the detector; the covered-range
+    * rewrite is the in-row island fold + token filter the ExactSubstr
+    * removal pass uses ([[DedupFunctions.removeRepeatedSpans]]).
+    * Output is `(idCol, clean_text)` for EVERY document — unaffected
+    * docs come back whitespace/case-normalized.
+    */
+  def blocklistRemove(docs: DataFrame, idCol: String, textCol: String,
+                      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistRemove: empty phrase list")
+    val byLen = phrases.map(p => (p.trim.split("\\s+").length, p)).groupBy(_._1)
+    require(!byLen.contains(0), "blocklistRemove: blank phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // (doc, gram start, gram len) of every banned-phrase occurrence
+    val hits = byLen.toSeq.sortBy(_._1).map { case (n, ps) =>
+      val pdf = ps.map(_._2).toDF("phrase").select(
+        element_at(
+          graft.plans.ShingleHashExpr.shingleHashesSeq(col("phrase"), n), 1)
+          .as("h"))
+      docs.select(col(idCol),
+          posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
+            .as(Seq("p", "h")))
+        .join(broadcast(pdf), "h")
+        .select(col(idCol), col("p"), lit(n).as("n"))
+    }.reduce(_ unionByName _)
+    val spans = hits
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("p"), col("n")))).as("ms"))
+      .select(col(idCol),
+        expr("""aggregate(ms,
+                  cast(array() as array<struct<s: int, e: int>>),
+                  (acc, m) -> IF(size(acc) > 0 AND m.p <= element_at(acc, -1).e,
+                    concat(slice(acc, 1, size(acc) - 1),
+                           array(named_struct('s', element_at(acc, -1).s,
+                                              'e', greatest(element_at(acc, -1).e,
+                                                            m.p + m.n)))),
+                    concat(acc, array(named_struct('s', m.p, 'e', m.p + m.n)))))""")
+          .as("spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        expr(s"""array_join(
+                   transform(
+                     filter(
+                       transform(split(trim(lower(`$textCol`)), '\\\\s+'),
+                                 (t, i) -> named_struct('t', t, 'i', i)),
+                       x -> spans IS NULL OR
+                            NOT exists(spans,
+                                       sp -> x.i >= sp.s AND x.i < sp.e)),
+                     x -> x.t),
+                   ' ')""").as("clean_text"))
+  }
+
   def collocations(docs: DataFrame, textCol: String,
                    minCount: Long, k: Int): DataFrame = {
     val pairCounts = docs

@@ -304,6 +304,29 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.blocklistHits(docs, "doc_id", "text", Seq.empty)
     }
+
+    // enforcement half: all occurrences cut, overlapping/nested matches
+    // merge into one cut, flanks survive, clean docs normalize only
+    val removed = Curation.blocklistRemove(docs, "doc_id", "text",
+        Seq("bad phrase", "very bad thing"))
+      .as[(Long, String)].collect().toMap
+    assert(removed(1L) == "intro here outro")
+    assert(removed(2L) == "the badly phrased one")   // substring not touched
+    assert(removed(3L) == "")                         // doc == phrase
+    assert(removed(4L) == "a happened today ok")
+    assert(removed(6L) == "and twice")
+    // overlap: "bad phrase" (0-1) and a phrase covering (1-2) merge
+    val ov = Curation.blocklistRemove(
+        Seq((1L, "bad phrase thing tail")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("bad phrase", "phrase thing"))
+      .as[(Long, String)].collect().toMap
+    assert(ov(1L) == "tail", s"got $ov")
+    // nested: a 2-gram inside an already-covered 3-gram can't split the span
+    val nest = Curation.blocklistRemove(
+        Seq((1L, "x aa bb cc y")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("aa bb cc", "aa bb"))
+      .as[(Long, String)].collect().toMap
+    assert(nest(1L) == "x y", s"got $nest")
   }
 
   test("collocations: bound pairs outrank chance pairs; minCount floors hapax") {
