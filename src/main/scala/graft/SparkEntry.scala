@@ -930,6 +930,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curation_v2" -> ((s, dir) => {
+      // capstone composition of the round-9 curation ops, in the order
+      // a real cleaning pipeline runs them: banned-phrase scrub →
+      // corpus-wide repeated-substring removal over the SCRUBBED text
+      // (the two rewrites chain — ExactSubstr sees post-blocklist
+      // grams) → minimum-length quality gate → per-(lang, source)
+      // integer audit. Text shuffles once per rewrite join and never
+      // into an aggregation.
+      val docs = t(s, dir, "documents")
+      val scrubbed = graft.functions.Curation.blocklistRemove(
+        docs, "doc_id", "text",
+        Seq("small query line", "query big part", "window merge hash",
+          "slow key"))
+      val deduped = graft.functions.DedupFunctions.removeRepeatedSpans(
+        scrubbed, "doc_id", "clean_text", n = 5, minCount = 2L)
+      val nTok = when(col("clean_text") === "", lit(0))
+        .otherwise(size(split(col("clean_text"), " ")))
+      deduped.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(col("lang"), col("source"), nTok.as("n_tok"))
+        .filter(col("n_tok") >= 10)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     "text_ngram_diversity" -> ((s, dir) => {
       // distinct-n diversity per source (the self-repetition audit
       // behind "is this source template spam?"): trigram type/token
@@ -5679,6 +5705,74 @@ object SparkEntry {
            SELECT DISTINCT doc_id, phrase
            FROM d JOIN p ON d.norm LIKE '% ' || p.phrase || ' %'
            ORDER BY doc_id, phrase""",
+
+      "pipeline_curation_v2" ->
+        """WITH p AS (
+             SELECT * FROM (VALUES ('small query line', 3), ('query big part', 3),
+                                   ('window merge hash', 3), ('slow key', 2)) t(phrase, n)),
+           toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           bg AS (
+             SELECT doc_id, n,
+                    unnest(list_filter(
+                      list_transform(range(0, greatest(len(ts) - n + 1, 0)),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+n], ' ')}),
+                      x -> x.g = phrase)) AS m
+             FROM toks CROSS JOIN p WHERE len(ts) >= n),
+           bcov AS (SELECT DISTINCT doc_id, unnest(range(m.p, m.p + n)) AS cp FROM bg),
+           btok AS (SELECT doc_id, unnest(ts) AS tk,
+                           unnest(range(0, len(ts))) AS i FROM toks),
+           bkept AS (SELECT t.doc_id, t.i, t.tk
+                     FROM btok t LEFT JOIN bcov c
+                       ON t.doc_id = c.doc_id AND t.i = c.cp
+                     WHERE c.cp IS NULL),
+           c1 AS (SELECT d.doc_id, coalesce(a.ct, '') AS clean1
+                  FROM documents d LEFT JOIN
+                    (SELECT doc_id, array_to_string(list(tk ORDER BY i), ' ') AS ct
+                     FROM bkept GROUP BY doc_id) a USING (doc_id)),
+           t2 AS (SELECT doc_id, regexp_split_to_array(clean1, '\s+') AS ts FROM c1),
+           g2 AS (SELECT doc_id, len(ts) AS ntk,
+                         CASE WHEN len(ts) >= 5 THEN
+                           list_transform(range(0, len(ts) - 4),
+                             i -> {'p': i, 'g': array_to_string(ts[i+1:i+5], ' ')})
+                         ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
+                  FROM t2),
+           g3 AS (SELECT doc_id, ntk, unnest(gs) AS u FROM g2),
+           g4 AS (SELECT doc_id, ntk, u.p AS p, u.g AS gm FROM g3),
+           cnt AS (SELECT gm, count(*) AS c FROM g4 GROUP BY gm),
+           rep AS (SELECT doc_id, ntk, p FROM g4 JOIN cnt USING (gm) WHERE c >= 2),
+           isl AS (SELECT doc_id, ntk, p,
+                          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                     ORDER BY p) <= 5
+                               THEN 0 ELSE 1 END AS brk
+                   FROM rep),
+           grp AS (SELECT doc_id, ntk, p,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                   FROM isl),
+           spans AS (SELECT doc_id, min(p) AS s,
+                            least(max(p) + 5, any_value(ntk)) AS e
+                     FROM grp GROUP BY doc_id, grp),
+           cov2 AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS cp FROM spans),
+           tok2 AS (SELECT doc_id, unnest(ts) AS tk,
+                           unnest(range(0, len(ts))) AS i FROM t2),
+           kept2 AS (SELECT t.doc_id, t.i, t.tk
+                     FROM tok2 t LEFT JOIN cov2 c
+                       ON t.doc_id = c.doc_id AND t.i = c.cp
+                     WHERE c.cp IS NULL),
+           c2 AS (SELECT d.doc_id, coalesce(a.ct, '') AS clean2
+                  FROM documents d LEFT JOIN
+                    (SELECT doc_id, array_to_string(list(tk ORDER BY i), ' ') AS ct
+                     FROM kept2 GROUP BY doc_id) a USING (doc_id)),
+           fin AS (SELECT doc_id,
+                          CASE WHEN clean2 = '' THEN 0
+                               ELSE len(string_split(clean2, ' ')) END AS n_tok
+                   FROM c2)
+           SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(f.n_tok) AS BIGINT) AS n_tokens
+           FROM fin f JOIN documents d USING (doc_id)
+           WHERE f.n_tok >= 10
+           GROUP BY d.lang, d.source ORDER BY d.lang, d.source""",
 
       "text_blocklist_removal" ->
         """WITH p AS (
