@@ -142,6 +142,43 @@ object SparkEntry {
     * incremental variants — `corpus` is the table expression holding
     * the latest-version corpus each variant must serve.
     */
+  // positional string 5-grams -> corpus-wide occurrence counts ->
+  // covered positions -> gaps-and-islands (pairwise gap > n breaks);
+  // shared by the scan-side, persisted-index, and incremental queries
+  private val repeatedSpansOracle: String =
+    """WITH toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents),
+           grams AS (
+             SELECT doc_id, len(ts) AS n_tokens,
+                    CASE WHEN len(ts) >= 5 THEN
+                      list_transform(range(0, len(ts) - 4),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+5], ' ')})
+                    ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
+             FROM toks),
+           g AS (SELECT doc_id, n_tokens, unnest(gs) AS u FROM grams),
+           g2 AS (SELECT doc_id, n_tokens, u.p AS p, u.g AS gm FROM g),
+           cnt AS (SELECT gm, count(*) AS c FROM g2 GROUP BY gm),
+           rep AS (SELECT doc_id, n_tokens, p
+                   FROM g2 JOIN cnt USING (gm) WHERE c >= 2),
+           isl AS (SELECT doc_id, n_tokens, p,
+                          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                     ORDER BY p) <= 5
+                               THEN 0 ELSE 1 END AS brk
+                   FROM rep),
+           grp AS (SELECT doc_id, n_tokens, p,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                   FROM isl),
+           spans AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                            min(p) AS s,
+                            least(max(p) + 5, any_value(n_tokens)) AS e
+                     FROM grp GROUP BY doc_id, grp)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s) AS BIGINT) AS span_tokens,
+                  CAST(max(e - s) AS BIGINT) AS max_span,
+                  CAST(any_value(n_tokens) AS BIGINT) AS n_tokens
+           FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
   private def int8OracleSql(corpus: String): String =
     s"""WITH n AS (
              SELECT vec_id, embedding,
@@ -881,6 +918,45 @@ object SparkEntry {
       // co-partitioned on the hash; the island merge is an in-row fold.
       graft.functions.DedupFunctions.repeatedSpanStats(
         t(s, dir, "documents"), "doc_id", "text", n = 5, minCount = 2L)
+    }),
+
+    "dedup_repeated_persisted" -> ((s, dir) => {
+      // the operational ExactSubstr shape: gram postings persisted once
+      // (h-range-clustered SegmentedIndex), the audit query then runs
+      // with ZERO text reads. Bit-identical to the scan-side
+      // dedup_repeated_spans — the same oracle gates both.
+      val idxPath = tmpPath(dir, "repspan_idx")
+      phase("build") {
+        graft.functions.DedupFunctions.saveRepeatedSpanIndex(
+          t(s, dir, "documents"), "doc_id", "text", idxPath, n = 5)
+      }
+      graft.functions.DedupFunctions
+        .repeatedSpanStatsFromIndex(s, idxPath, n = 5, minCount = 2L)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "dedup_repeated_incremental" -> ((s, dir) => {
+      // O(delta) ExactSubstr lifecycle: build on 6/7 of the corpus,
+      // merge the rest as arrivals — the delta's grams shift counts
+      // corpus-wide (a singleton gram in the old corpus crosses the
+      // minCount floor the moment the delta repeats it), so the merged
+      // index must reproduce the FULL-corpus audit bit for bit. Same
+      // oracle as the scan-side pass over all documents.
+      val docs = t(s, dir, "documents")
+      val idxPath = tmpPath(dir, "repspan_inc")
+      phase("build") {
+        graft.functions.DedupFunctions.saveRepeatedSpanIndex(
+          docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text",
+          idxPath, n = 5)
+      }
+      phase("merge") {
+        graft.functions.DedupFunctions.mergeRepeatedSpanDelta(
+          docs.filter(col("doc_id") % 7 === 3), "doc_id", "text",
+          idxPath, n = 5)
+      }
+      graft.functions.DedupFunctions
+        .repeatedSpanStatsFromIndex(s, idxPath, n = 5, minCount = 2L)
+        .withColumnRenamed("id", "doc_id")
     }),
 
     "dedup_repeated_removal" -> ((s, dir) => {
@@ -4612,41 +4688,14 @@ object SparkEntry {
         """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
            FROM documents GROUP BY lang""",
 
-      "dedup_repeated_spans" ->
-        // positional string 5-grams -> corpus-wide occurrence counts ->
-        // covered positions -> gaps-and-islands (pairwise gap > n breaks)
-        """WITH toks AS (
-             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-             FROM documents),
-           grams AS (
-             SELECT doc_id, len(ts) AS n_tokens,
-                    CASE WHEN len(ts) >= 5 THEN
-                      list_transform(range(0, len(ts) - 4),
-                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+5], ' ')})
-                    ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
-             FROM toks),
-           g AS (SELECT doc_id, n_tokens, unnest(gs) AS u FROM grams),
-           g2 AS (SELECT doc_id, n_tokens, u.p AS p, u.g AS gm FROM g),
-           cnt AS (SELECT gm, count(*) AS c FROM g2 GROUP BY gm),
-           rep AS (SELECT doc_id, n_tokens, p
-                   FROM g2 JOIN cnt USING (gm) WHERE c >= 2),
-           isl AS (SELECT doc_id, n_tokens, p,
-                          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
-                                                     ORDER BY p) <= 5
-                               THEN 0 ELSE 1 END AS brk
-                   FROM rep),
-           grp AS (SELECT doc_id, n_tokens, p,
-                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
-                   FROM isl),
-           spans AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
-                            min(p) AS s,
-                            least(max(p) + 5, any_value(n_tokens)) AS e
-                     FROM grp GROUP BY doc_id, grp)
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-                  CAST(sum(e - s) AS BIGINT) AS span_tokens,
-                  CAST(max(e - s) AS BIGINT) AS max_span,
-                  CAST(any_value(n_tokens) AS BIGINT) AS n_tokens
-           FROM spans GROUP BY doc_id ORDER BY doc_id""",
+      "dedup_repeated_spans" -> repeatedSpansOracle,
+
+      // index read and O(delta) merge chain must land on the same
+      // full-corpus audit as the scan-side pass
+      "dedup_repeated_persisted" -> repeatedSpansOracle,
+      "dedup_repeated_incremental" -> repeatedSpansOracle,
+
+
 
       "dedup_repeated_removal" ->
         """WITH toks AS (

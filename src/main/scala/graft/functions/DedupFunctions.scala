@@ -478,18 +478,40 @@ object DedupFunctions {
                     n: Int, minCount: Long = 2L): DataFrame = {
     require(n >= 2, "repeatedSpans: need n >= 2")
     require(minCount >= 2L, "repeatedSpans: minCount < 2 covers every position")
-    val grams = docs.select(col(idCol),
-      posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
-        .as(Seq("p", "sh")))
-    val hot = grams.groupBy("sh").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount).select("sh")
-    // co-partitioned equi-join on sh (both sides just shuffled on it)
-    val covered = grams.join(hot, "sh")
-    val nTok = docs.select(col(idCol),
-      size(split(trim(col(textCol)), "\\s+")).as("n_tokens"))
-    covered.groupBy(idCol)
-      .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .join(nTok, idCol)
+    spansFromGrams(
+      gramPostings(docs, idCol, textCol, n).withColumnRenamed("id", idCol),
+      idCol, n, minCount)
+  }
+
+  /** The (id, h, p, ntk) positional gram rows the ExactSubstr pass
+    * runs on — also the persistable subtable of
+    * [[saveRepeatedSpanIndex]] (ntk rides along as a per-doc constant
+    * column: RLE makes it ~free, and the short-document span cap needs
+    * it without re-reading text). Null text yields no rows — the
+    * deletion contract of [[mergeRepeatedSpanDelta]].
+    */
+  def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        size(split(trim(col(textCol)), "\\s+")).as("ntk"),
+        posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
+          .as(Seq("p", "h")))
+      .select("id", "h", "p", "ntk")
+
+  /** Covered-position islands from (id, h, p, ntk) gram rows — shared
+    * verbatim by the scan path ([[repeatedSpans]]) and the persisted
+    * index path ([[repeatedSpanStatsFromIndex]]), so the two are
+    * bit-identical by construction.
+    */
+  private def spansFromGrams(grams: DataFrame, idCol: String, n: Int,
+                             minCount: Long): DataFrame = {
+    val hot = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("h")
+    // co-partitioned equi-join on h (both sides just shuffled on it)
+    grams.join(hot, "h")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        max(col("ntk")).as("n_tokens"))
       .select(col(idCol),
         expr(s"""transform(
                    aggregate(ps,
@@ -504,6 +526,77 @@ object DedupFunctions {
         col("n_tokens"))
   }
 
+  private def shapeGrams(rows: DataFrame): DataFrame =
+    rows.repartitionByRange(col("h")).sortWithinPartitions(col("h"), col("id"))
+
+  /** Persist the ExactSubstr gram postings as a [[SegmentedIndex]]
+    * tree (subtable `grams`, h-range-partitioned and (h, id)-sorted so
+    * the count and count-filter join read clustered files). Build once,
+    * refresh by delta ([[mergeRepeatedSpanDelta]]) — the audit query
+    * then never re-tokenizes the corpus. The postings are larger than
+    * the text (~20 bytes/gram) — the same order as the suffix array the
+    * reference algorithm builds; that is the honest price of an
+    * O(delta)-refreshable duplicated-substring pass.
+    */
+  def saveRepeatedSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                            path: String, n: Int): Unit = {
+    require(n >= 2, "saveRepeatedSpanIndex: need n >= 2")
+    SegmentedIndex.createIndex(docs.sparkSession, path, "grams",
+      shapeGrams(gramPostings(docs, idCol, textCol, n)))
+  }
+
+  /** O(delta) refresh: tombstone replaced ids, append the delta's gram
+    * rows as segment N. One row per id per delta (asserted unless
+    * `trustedDelta`); null text = deletion. Counts are derived from
+    * the LIVE rows at query time, so a replaced document's old grams
+    * stop counting the moment the segment commits — arrivals,
+    * re-ingests, and deletions all shift span stats corpus-wide
+    * exactly as a rebuild would.
+    */
+  def mergeRepeatedSpanDelta(delta: DataFrame, idCol: String, textCol: String,
+                             path: String, n: Int,
+                             trustedDelta: Boolean = false): Unit =
+    SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "grams",
+      delta.select(col(idCol)),
+      shapeGrams(gramPostings(delta, idCol, textCol, n)), trustedDelta)
+
+  /** GDPR purge: tombstone `ids` — their grams stop counting (and so
+    * may un-cover OTHER documents' spans) immediately.
+    */
+  def retractRepeatedSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, ids: DataFrame): Unit =
+    SegmentedIndex.retract(spark, path, ids, Seq("grams"))
+
+  /** Fold accumulated segments to one (answers unchanged, h-range
+    * clustering re-established, live pins deferred to).
+    */
+  def compactRepeatedSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               pinnedBy: Option[String] = None): Unit =
+    SegmentedIndex.compactIndex(spark, path, "grams", pinnedBy, shapeGrams)
+
+  /** The audit table from the LIVE index (tombstone-masked, optional
+    * `asOf` pin) — same output as [[repeatedSpanStats]] over the
+    * equivalent corpus, bit for bit, with zero text reads. `n` is
+    * frozen at build time; pass the same value used to build.
+    */
+  def repeatedSpanStatsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, n: Int,
+                                 minCount: Long = 2L,
+                                 asOf: Int = Int.MaxValue): DataFrame =
+    spanStats(spansFromGrams(
+      SegmentedIndex.liveRows(spark, path, "grams", asOf), "id", n, minCount),
+      "id")
+
+  private def spanStats(spans: DataFrame, idCol: String): DataFrame =
+    spans.select(col(idCol),
+        size(col("spans")).cast("long").as("n_spans"),
+        expr("aggregate(spans, 0L, (a, sp) -> a + (sp.e - sp.s))").as("span_tokens"),
+        expr("aggregate(spans, 0L, (a, sp) -> greatest(a, cast(sp.e - sp.s as bigint)))")
+          .as("max_span"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(idCol)
+
   /** Per-document integer report over [[repeatedSpans]]: span count,
     * covered-token total, longest span, document token count — the
     * audit table behind a repeated-substring removal pass (how much of
@@ -512,14 +605,7 @@ object DedupFunctions {
     */
   def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minCount: Long = 2L): DataFrame =
-    repeatedSpans(docs, idCol, textCol, n, minCount)
-      .select(col(idCol),
-        size(col("spans")).cast("long").as("n_spans"),
-        expr("aggregate(spans, 0L, (a, sp) -> a + (sp.e - sp.s))").as("span_tokens"),
-        expr("aggregate(spans, 0L, (a, sp) -> greatest(a, cast(sp.e - sp.s as bigint)))")
-          .as("max_span"),
-        col("n_tokens").cast("long").as("n_tokens"))
-      .orderBy(idCol)
+    spanStats(repeatedSpans(docs, idCol, textCol, n, minCount), idCol)
 
   /** The removal pass itself: every document rewritten with its
     * repeated spans cut out (Lee et al. 2022 drop the duplicated bytes,

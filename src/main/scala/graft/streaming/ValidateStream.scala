@@ -214,6 +214,39 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming ExactSubstr gram-index upkeep — keeps the
+    * repeated-substring audit O(delta)-refreshable under document
+    * arrivals/replacements/deletions
+    * ([[graft.functions.DedupFunctions.mergeRepeatedSpanDelta]]; null
+    * text deletes). A replaced document's old grams stop counting the
+    * moment its segment commits, so span stats shift corpus-wide
+    * exactly as a rebuild would. First non-empty batch may CREATE the
+    * index (per-row gram explosion — no trained parameters), like the
+    * int8 sink. `n` is frozen per index path.
+    */
+  def repeatedSpanIndexStream(docs: DataFrame, idCol: String, textCol: String,
+                              path: String, checkpoint: String, n: Int,
+                              maxSegments: Int = Int.MaxValue,
+                              pinnedBy: Option[String] = None,
+                              trustedDelta: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val D = graft.functions.DedupFunctions
+          val S = graft.functions.SegmentedIndex
+          if (S.exists(batch.sparkSession, path))
+            D.mergeRepeatedSpanDelta(batch, idCol, textCol, path, n,
+              trustedDelta = trustedDelta)
+          else D.saveRepeatedSpanIndex(batch, idCol, textCol, path, n)
+          if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
+            D.compactRepeatedSpanIndex(batch.sparkSession, path)
+        }
+      }
+      .start()
+
   /** Streaming IVF cell-index maintenance — the write half of the
     * ingest loop whose read half is [[nearDupProbeStream]]: each
     * micro-batch of ACCEPTED rows folds into the persisted IVF index

@@ -230,6 +230,47 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("repeated-span index: replace/delete/retract shift counts corpus-wide; asOf replays") {
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val v1 = Seq(
+      (1L, "a b p q r s t c d"),
+      (2L, "e f g p q r s t h"),   // shares "p q r s t" with doc 1
+      (3L, "k1 k2 k3 k4 k5 k6")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("repspan_idx_spec").toString + "/idx"
+    DedupFunctions.saveRepeatedSpanIndex(v1, "doc_id", "text", path, n = 3)
+    val s1 = stats(DedupFunctions.repeatedSpanStatsFromIndex(
+      spark, path, n = 3))
+    assert(s1 == stats(DedupFunctions.repeatedSpanStats(v1, "doc_id", "text", n = 3)))
+    assert(s1.map(_._1) == Seq(1L, 2L))
+
+    // REPLACE doc 2 with text that no longer shares the phrase, and
+    // DELETE doc 3 (null text): doc 1's span must disappear too — its
+    // grams dropped below the floor when doc 2's old version died
+    val delta = Seq((2L, "totally new words here now"), (3L, null))
+      .toDF("doc_id", "text")
+    DedupFunctions.mergeRepeatedSpanDelta(delta, "doc_id", "text", path, n = 3)
+    assert(stats(DedupFunctions.repeatedSpanStatsFromIndex(
+      spark, path, n = 3)).isEmpty)
+    // time travel: the pre-merge snapshot still shows the shared span
+    assert(stats(DedupFunctions.repeatedSpanStatsFromIndex(
+      spark, path, n = 3, asOf = 0)) == s1)
+
+    // rebuild the sharing state, then GDPR-retract doc 2: doc 1
+    // un-covers again without any segment rewrite
+    DedupFunctions.mergeRepeatedSpanDelta(
+      Seq((2L, "e f g p q r s t h")).toDF("doc_id", "text"),
+      "doc_id", "text", path, n = 3)
+    assert(stats(DedupFunctions.repeatedSpanStatsFromIndex(
+      spark, path, n = 3)).map(_._1) == Seq(1L, 2L))
+    DedupFunctions.retractRepeatedSpanIndex(spark, path,
+      Seq(2L).toDF("doc_id"))
+    assert(stats(DedupFunctions.repeatedSpanStatsFromIndex(
+      spark, path, n = 3)).isEmpty)
+  }
+
   test("persisted kNN graph: changed-lists-only merge, retraction repairs citing lists") {
     val all = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

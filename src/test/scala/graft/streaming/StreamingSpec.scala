@@ -259,6 +259,38 @@ class StreamingSpec extends SparkSpec {
       "streamed merges must equal a frozen-codebook re-encode")
   }
 
+  test("streaming repeated-span index: arrivals/replacements fold in; stats equal rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.DedupFunctions
+    val dir = tmpDir("repspanstream")
+    val mem = MemoryStream[(Long, String)]
+    // batch 1 CREATES the index; batch 2 brings the doc that makes
+    // doc 1's phrase repeated, then REPLACES doc 3 (count unaffected)
+    mem.addData((1L, "a b p q r s t c d"), (3L, "k1 k2 k3 k4"))
+    val q = ValidateStream.repeatedSpanIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/ckpt", n = 3, maxSegments = 1)
+    q.processAllAvailable()
+    assert(DedupFunctions.repeatedSpanStatsFromIndex(spark, s"$dir/idx", n = 3)
+      .isEmpty)
+    mem.addData((2L, "e f g p q r s t h"), (3L, "m1 m2 m3 m4"))
+    q.processAllAvailable()
+    q.stop()
+    val latest = Seq(
+      (1L, "a b p q r s t c d"),
+      (2L, "e f g p q r s t h"),
+      (3L, "m1 m2 m3 m4")
+    ).toDF("doc_id", "text")
+    val live = DedupFunctions.repeatedSpanStatsFromIndex(spark, s"$dir/idx", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val fresh = DedupFunctions.repeatedSpanStats(latest, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(live == fresh && live.map(_._1) == Seq(1L, 2L), s"got $live")
+    // auto-compaction folded to one segment
+    assert(graft.functions.SegmentedIndex
+      .segmentDirs(spark, s"$dir/idx").map(_._1) == Seq(0))
+  }
+
   test("streaming kNN-graph maintenance: arrivals fold in, live graph equals rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.VectorFunctions
