@@ -183,8 +183,14 @@ object VectorFunctions {
       .withColumn("score",
         safeRatio(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
       .select(col("q_id"), col("c_id"), col("score"))
+    // (q, c) dedup before the re-rank: when `baseGraph` already holds
+    // delta neighbors (a replayed merge), the vsDelta pass re-scores
+    // the same pair with the same bits — without the dedup the bounded
+    // top-k would seat the same candidate twice. Identical doubles, so
+    // max == either copy; a no-op pass when there is no overlap.
     val merged = baseGraph.select(col("q_id"), col("c_id"), col("score"))
       .unionByName(vsDelta)
+      .groupBy("q_id", "c_id").agg(max(col("score")).as("score"))
     rankTopK(merged, "q_id", "c_id", k).unionByName(deltaRows)
   }
 
@@ -238,7 +244,15 @@ object VectorFunctions {
   def mergeKnnGraphDelta(spark: org.apache.spark.sql.SparkSession,
                          path: String, corpus: DataFrame, delta: DataFrame,
                          idCol: String, vecCol: String, k: Int): Unit = {
+    // REPLAY-STABLE: a re-delivered batch (streaming crash between the
+    // graph merge and the corpus append) arrives with its ids already
+    // in the stored graph — drop those rows from the base before
+    // merging, so the delta path recomputes them identically and the
+    // old-list path re-ranks lists that may already contain delta
+    // neighbors (a second merge of the same delta is then a no-op on
+    // the live graph instead of a duplicate-edge corruption).
     val base = knnGraphEdges(spark, path)
+      .join(delta.select(col(idCol).as("q_id")), Seq("q_id"), "left_anti")
     val updated = graphLists(
       knnGraphMergeDelta(base, corpus, delta, idCol, vecCol, k))
     val old = SegmentedIndex.liveRows(spark, path, "graph")

@@ -384,22 +384,39 @@ object ValidateStream {
           val delta = batch.select(col(idCol), col(vecCol)).persist()
           try {
             val corpus = spark.read.parquet(corpusPath)
-            if (!trustedDelta) {
-              val dup = delta.groupBy(idCol).agg(count(lit(1)).as("c"))
-                .filter(col("c") > 1).limit(1).collect()
-              require(dup.isEmpty,
-                s"knnGraphStream: batch has multiple rows for id " +
-                  s"${dup.headOption.map(_.get(0)).orNull} — one vector per id")
-              val clash = delta.join(corpus.select(col(idCol)),
-                Seq(idCol), "left_semi").limit(1).collect()
-              require(clash.isEmpty,
-                s"knnGraphStream: id ${clash.headOption.map(_.get(0)).orNull} " +
-                  "already in the corpus — the graph stream is arrivals-only; " +
-                  "route replacements through retractKnnGraph + re-ingest")
+            // replay detection: a re-delivered batch whose ids ALL
+            // already reached the corpus WITH THE SAME VECTORS was
+            // fully committed — skip it (the graph merge is itself
+            // replay-stable, but skipping also avoids a duplicate
+            // corpus append). A crash BETWEEN merge and append replays
+            // with zero overlap and re-merges idempotently; a partial
+            // overlap, or same ids with different vectors, is a
+            // genuine re-ingest and fails loudly below.
+            val nDelta = delta.count()
+            val nAlready = delta.join(corpus.select(col(idCol)),
+              Seq(idCol), "left_semi").count()
+            val isReplay = nAlready == nDelta && {
+              val stored = corpus.select(col(idCol), col(vecCol).as("__stored"))
+              delta.join(stored, Seq(idCol))
+                .filter(!(col(vecCol) <=> col("__stored")))
+                .limit(1).collect().isEmpty
             }
-            V.mergeKnnGraphDelta(spark, graphPath, corpus, delta,
-              idCol, vecCol, k)
-            delta.write.mode("append").parquet(corpusPath)
+            if (!isReplay) {
+              if (!trustedDelta) {
+                val dup = delta.groupBy(idCol).agg(count(lit(1)).as("c"))
+                  .filter(col("c") > 1).limit(1).collect()
+                require(dup.isEmpty,
+                  s"knnGraphStream: batch has multiple rows for id " +
+                    s"${dup.headOption.map(_.get(0)).orNull} — one vector per id")
+                require(nAlready == 0L,
+                  s"knnGraphStream: $nAlready of $nDelta batch ids already " +
+                    "in the corpus — the graph stream is arrivals-only; route " +
+                    "replacements through retractKnnGraph + re-ingest")
+              }
+              V.mergeKnnGraphDelta(spark, graphPath, corpus, delta,
+                idCol, vecCol, k)
+              delta.write.mode("append").parquet(corpusPath)
+            }
             // see bm25IndexStream: single serialized writer, so inline
             // compaction past maxSegments is safe; pins defer it
             if (graft.functions.SegmentedIndex

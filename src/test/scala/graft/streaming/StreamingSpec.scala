@@ -326,9 +326,31 @@ class StreamingSpec extends SparkSpec {
     assert(live == fresh, "streamed graph must equal a fresh rebuild")
     // and the stream kept the corpus artifact in lockstep
     assert(spark.read.parquet(s"$dir/corpus").count() == 63L)
-    // a re-ingested id is refused loudly (arrivals-only contract)
+    // a REPLAYED batch (same id, same vector) is skipped silently —
+    // graph and corpus unchanged
+    val memR = MemoryStream[(Long, Array[Float])]
+    memR.addData((1001L, vec(1)))
+    val qR = ValidateStream.knnGraphStream(
+      memR.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckptR", k = 3)
+    qR.processAllAvailable()
+    qR.stop()
+    assert(spark.read.parquet(s"$dir/corpus").count() == 63L)
+    assert(VectorFunctions.knnGraphEdges(spark, s"$dir/idx")
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet == fresh)
+    // a function-level double merge (crash-between-merge-and-append
+    // replay) is idempotent: live graph still equals the rebuild
+    VectorFunctions.mergeKnnGraphDelta(spark, s"$dir/idx",
+      latest.filter($"vec_id" =!= 1002L),
+      Seq((1002L, vec(2))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3)
+    assert(VectorFunctions.knnGraphEdges(spark, s"$dir/idx")
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet == fresh)
+    // a re-ingested id (same id, DIFFERENT vector) is refused loudly
     val mem2 = MemoryStream[(Long, Array[Float])]
-    mem2.addData((1000L, vec(3))) // 1000 already in the corpus
+    mem2.addData((1000L, vec(3))) // 1000 already in the corpus as vec(0)
     val q2 = ValidateStream.knnGraphStream(
       mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
       s"$dir/idx", s"$dir/corpus", s"$dir/ckpt2", k = 3)
