@@ -183,14 +183,19 @@ object VectorFunctions {
       .withColumn("score",
         safeRatio(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
       .select(col("q_id"), col("c_id"), col("score"))
-    // (q, c) dedup before the re-rank: when `baseGraph` already holds
-    // delta neighbors (a replayed merge), the vsDelta pass re-scores
-    // the same pair with the same bits — without the dedup the bounded
-    // top-k would seat the same candidate twice. Identical doubles, so
-    // max == either copy; a no-op pass when there is no overlap.
-    val merged = baseGraph.select(col("q_id"), col("c_id"), col("score"))
+    // REPLAY-SAFETY without a dedup shuffle: drop base edges that point
+    // INTO the current delta — the vsDelta pass re-scores exactly those
+    // (q, c ∈ delta) pairs with the same bits, so nothing is lost, and
+    // a base that already holds delta neighbors (a replayed merge)
+    // can't seat the same candidate twice in the bounded top-k. The
+    // anti-join broadcasts the delta ids (the small side by design) —
+    // a map-side filter, not an exchange; in a non-replay merge the
+    // delta ids are new and it prunes nothing.
+    val basePruned = baseGraph
+      .join(broadcast(delta.select(col(idCol).as("__did"))),
+        col("c_id") === col("__did"), "left_anti")
+    val merged = basePruned.select(col("q_id"), col("c_id"), col("score"))
       .unionByName(vsDelta)
-      .groupBy("q_id", "c_id").agg(max(col("score")).as("score"))
     rankTopK(merged, "q_id", "c_id", k).unionByName(deltaRows)
   }
 
