@@ -1052,6 +1052,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "corpus_source_overlap" -> ((s, dir) =>
+      // pairwise token-TYPE Jaccard between sources as BIGINT ppm —
+      // the source-redundancy matrix a mixture plan starts from. The
+      // corpus reduces to distinct (source, token) types first, so the
+      // pair join runs on vocabulary-sized data with per-token fan-out
+      // bounded by |sources|², never corpus rows.
+      graft.functions.Curation.sourceOverlap(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy("source_a", "source_b")),
+
+    "text_zipf_slope" -> ((s, dir) =>
+      // Zipf's-law slope per source over the top-100 token frequencies
+      // (natural corpora sit near −1; far-off slopes flag generated or
+      // boilerplate-heavy sources). One (source, token) count agg +
+      // per-group top-100 window + a 100-point regression whose ln
+      // terms are 6-dp-rounded and folded in rank order on both
+      // engines — the ordered-dot-product determinism discipline.
+      T.zipfSlope(t(s, dir, "documents"), "source", "text", topN = 100)),
+
     "text_winnow_fingerprint" -> ((s, dir) => {
       // rolling-hash winnowing (k=5-gram base-31 hash, window w=4):
       // per-doc selected-hash count + md5 of the sorted selection
@@ -1714,6 +1733,26 @@ object SparkEntry {
         "doc_id", "text", n = 2, minSpanTokens = 3)
     }),
 
+    "decontam_bloom" -> ((s, dir) => {
+      // Bloom-tier decontamination — the constant-size composition run
+      // FIRST at 100 TB: the eval suite's distinct 5-grams hash into a
+      // 2^18-bit / 32 KiB bitset (one small-side pass), and the corpus
+      // pass tests each doc's shingles against the LITERAL bitset
+      // entirely scan-side — no join, no shuffle, no exchange at all on
+      // the big side (vs decontam_overlap's broadcast-join of every
+      // eval shingle). One-sided error: zero false negatives by
+      // construction; the ~5% false positives at this fill rate are
+      // themselves deterministic (double-hashed md5 positions, ONE
+      // digest per shingle however many probes) and the oracle
+      // replays them bit-for-bit via the same position set. Output is
+      // all-integer: n_shingles / n_hit / flagged per training doc.
+      val d = t(s, dir, "documents")
+      D.bloomDecontaminate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, seeds = 3, mBits = 1 << 18)
+    }),
+
     // ---------------- deterministic sampling / mixing ----------------
     "sample_split" -> ((s, dir) => {
       // reproducible train/val/test assignment: pure hash of doc_id,
@@ -1829,6 +1868,47 @@ object SparkEntry {
       graft.functions.Sampling.budgetSelect(docs, col("quality"),
           col("doc_id"), col("n_tokens"), budget = 10000L)
         .select("doc_id", "quality", "n_tokens", "cum_cost")
+    }),
+
+    "sample_source_cap" -> ((s, dir) => {
+      // per-DOMAIN token cap (RefinedWeb/C4-style "no more than N
+      // tokens per domain"): within each source, best-quality docs
+      // first until that source's budget is spent. ONE window
+      // partitioned by source — every domain ranks independently, so
+      // the operator is a single group-key shuffle at any scale and
+      // skewed mega-domains are exactly what the cap truncates.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        T.qualityScore(col("text")).as("quality"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Sampling.perGroupBudget(docs, Seq("source"),
+          col("quality"), col("doc_id"), col("n_tokens"), budget = 800L)
+        .select("doc_id", "source", "quality", "n_tokens", "cum_cost")
+    }),
+
+    "sample_split_grouped" -> ((s, dir) => {
+      // leakage-safe split assignment: near-identical documents (same
+      // canonical key after NFC + casefold + punct/ws fold) must land
+      // in the SAME split, or train/test leakage re-enters through the
+      // back door right after deduplication. Each doc emits two
+      // byte-distinct variants (the text_canonical_dedup pair), so
+      // every cluster has ≥2 members at any SF and the invariant is
+      // structurally exercised. Cluster representative = min variant
+      // id per canonical key (one window over the ck shuffle); the
+      // split hash is taken on the REPRESENTATIVE, so every member
+      // inherits the cluster's assignment deterministically.
+      val variants = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(array(
+          concat(col("text"), lit(" Cafe\u0301 #1")),
+          concat(upper(col("text")), lit("  caf\u00e9  1")))))
+        .select((col("doc_id") * 2 + col("pos")).as("vid"), col("col").as("v"))
+      val w = Window.partitionBy(col("ck"))
+      variants
+        .select(col("vid"), md5(T.normalizeText(col("v"))).as("ck"))
+        .withColumn("rep_id", min("vid").over(w))
+        .select(col("vid"), col("rep_id"),
+          graft.functions.Sampling.splitAssign(col("rep_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     }),
 
     // ---------------- similarity search ------------------------------
@@ -5562,6 +5642,43 @@ object SparkEntry {
            HAVING max(run) + 1 >= 3
            ORDER BY doc_id, eval_id""",
 
+      "decontam_bloom" ->
+        // replays the Bloom filter exactly, false positives included:
+        // the bit positions are salted-md5 mod 2^18, so the eval-side
+        // DISTINCT position set IS the bitset; a train shingle "hits"
+        // iff all 3 seed positions are present
+        """WITH sh AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 5 THEN
+                      list_distinct(list_transform(range(0, len(toks) - 4),
+                        i -> array_to_string(toks[i+1:i+5], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                   FROM documents)),
+           ev AS (SELECT DISTINCT s AS sh
+                  FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0)),
+           sd AS (SELECT unnest([0, 1, 2]) AS seed),
+           pos AS (SELECT DISTINCT
+                     (('0x' || substr(md5(sh), 1, 8))::BIGINT
+                      + seed * ('0x' || substr(md5(sh), 9, 8))::BIGINT)
+                       % 262144 AS p
+                   FROM ev CROSS JOIN sd),
+           tr AS (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id % 97 <> 0),
+           trp AS (SELECT doc_id, sh,
+                     (('0x' || substr(md5(sh), 1, 8))::BIGINT
+                      + seed * ('0x' || substr(md5(sh), 9, 8))::BIGINT)
+                       % 262144 AS p
+                   FROM tr CROSS JOIN sd),
+           hit AS (SELECT doc_id, sh,
+                          SUM(CASE WHEN pos.p IS NOT NULL THEN 1 ELSE 0 END) = 3 AS is_hit
+                   FROM trp LEFT JOIN pos ON trp.p = pos.p
+                   GROUP BY doc_id, sh)
+           SELECT doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                  CAST(SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                  SUM(CASE WHEN is_hit THEN 1 ELSE 0 END) > 0 AS flagged
+           FROM hit GROUP BY doc_id""",
+
       "sample_weighted_wor" ->
         """WITH d AS (
              SELECT lang, doc_id,
@@ -5689,6 +5806,54 @@ object SparkEntry {
              FROM t)
            SELECT doc_id, quality, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
            FROM c WHERE cum_cost <= 10000""",
+
+      "sample_source_cap" ->
+        """WITH t AS (
+             SELECT doc_id, source,
+                    ROUND(
+                      LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                      + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 0.4
+                      + CASE WHEN CAST(length(text) AS DOUBLE)
+                                  / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             FROM documents),
+           c AS (
+             SELECT doc_id, source, quality, n_tokens,
+                    SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY quality DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_cost
+             FROM t)
+           SELECT doc_id, source, quality, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+           FROM c WHERE cum_cost <= 800""",
+
+      "sample_split_grouped" ->
+        // same variant pair + canonical key as text_canonical_dedup,
+        // same split hash as sample_split — taken on the cluster
+        // representative (min variant id per canonical key)
+        """WITH v AS (
+             SELECT doc_id * 2 + i AS vid, v
+             FROM (SELECT doc_id,
+                          unnest([text || ' Cafe' || chr(769) || ' #1',
+                                  upper(text) || '  caf' || chr(233) || '  1']) AS v,
+                          unnest([0, 1]) AS i
+                   FROM documents)),
+           c AS (
+             SELECT vid,
+                    md5(trim(regexp_replace(regexp_replace(
+                      lower(nfc_normalize(v)), '[[:punct:]]+', ' ', 'g'),
+                      '[[:space:]]+', ' ', 'g'))) AS ck
+             FROM v),
+           r AS (SELECT vid, MIN(vid) OVER (PARTITION BY ck) AS rep_id FROM c),
+           h AS (SELECT vid, rep_id,
+                        ('0x' || substr(md5('split:' || CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT AS b
+                 FROM r)
+           SELECT vid, rep_id,
+                  CASE WHEN b < floor(0.8 * 4294967296.0) THEN 'train'
+                       WHEN b < floor((0.8 + 0.1) * 4294967296.0) THEN 'val'
+                       ELSE 'test' END AS split
+           FROM h""",
 
       "text_quality_classifier" ->
         // same md5 bucket as the engine, weight regenerated inline from
@@ -5869,6 +6034,59 @@ object SparkEntry {
                   CAST((count(DISTINCT gm) * 1000000 * 2 + count(*)) // (2 * count(*))
                        AS BIGINT) AS distinct_ppm
            FROM g GROUP BY source ORDER BY source""",
+
+      "corpus_source_overlap" ->
+        """WITH tok AS (
+             SELECT DISTINCT source AS g, t
+             FROM (SELECT source,
+                          unnest(list_filter(
+                            regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> strlen(t) > 0)) AS t
+                   FROM documents)),
+           sz AS (SELECT g, COUNT(*) AS n FROM tok GROUP BY g),
+           sh AS (SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS shared
+                  FROM tok a JOIN tok b ON a.t = b.t AND a.g < b.g
+                  GROUP BY 1, 2)
+           SELECT source_a, source_b,
+                  sa.n AS n_a, sb.n AS n_b, shared,
+                  CAST((shared * 1000000 * 2 + (sa.n + sb.n - shared))
+                       // (2 * (sa.n + sb.n - shared)) AS BIGINT) AS jaccard_ppm
+           FROM sh
+           JOIN sz sa ON sh.source_a = sa.g
+           JOIN sz sb ON sh.source_b = sb.g
+           ORDER BY source_a, source_b""",
+
+      "text_zipf_slope" ->
+        // ln terms rounded 6 dp THEN summed in rank order (list_sum
+        // over rank-ordered lists == the engine's sequential fold —
+        // the same ordered-sum parity the dot-product oracles prove)
+        """WITH tok AS (
+             SELECT source,
+                    unnest(list_filter(
+                      regexp_split_to_array(trim(lower(text)), '\s+'),
+                      t -> strlen(t) > 0)) AS tok
+             FROM documents),
+           cnt AS (SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+           rk AS (SELECT source, cnt,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, tok ASC) AS r
+                  FROM cnt),
+           l AS (SELECT source,
+                        list(ROUND(ln(CAST(r AS DOUBLE)), 6) ORDER BY r) AS lx,
+                        list(ROUND(ln(CAST(cnt AS DOUBLE)), 6) ORDER BY r) AS ly
+                 FROM rk WHERE r <= 100 GROUP BY source),
+           s AS (SELECT source,
+                        CAST(len(lx) AS DOUBLE) AS n,
+                        list_sum(lx) AS sx,
+                        list_sum(ly) AS sy,
+                        list_sum(list_transform(range(1, len(lx) + 1),
+                          i -> lx[i] * ly[i])) AS sxy,
+                        list_sum(list_transform(range(1, len(lx) + 1),
+                          i -> lx[i] * lx[i])) AS sxx
+                 FROM l WHERE len(lx) >= 2)
+           SELECT source, CAST(n AS BIGINT) AS n_toks,
+                  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+           FROM s""",
 
       "text_langid" ->
         """WITH sc AS (

@@ -731,4 +731,45 @@ object Curation {
         array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ")
           .as("chunk"))
   }
+
+  /** Pairwise vocabulary overlap between corpus groups (sources /
+    * domains / snapshots): exact token-TYPE Jaccard per group pair, as
+    * BIGINT parts-per-million — the "how redundant are my sources"
+    * matrix a mixture plan starts from (near-duplicate sources waste
+    * budget; fully disjoint ones starve cross-domain transfer).
+    *
+    * Shape at scale: the corpus reduces to DISTINCT (group, token)
+    * TYPES in one map-side-combined pass — everything after runs on
+    * vocabulary-sized data, never documents. The pair join shuffles
+    * the type table by token; per-token fan-out is bounded by
+    * (groups containing the token)² ≤ |groups|², independent of corpus
+    * rows (|groups| is domains/sources — hundreds, not billions). Group
+    * sizes broadcast back. Output is all-integer (exact half-up ppm);
+    * only pairs sharing ≥1 token appear (Jaccard 0 pairs are the
+    * complement — emitting them would force a groups×groups cross
+    * join for rows that carry no information).
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val types = docs.select(col(groupCol).as("__g"),
+        explode(filter(TextFunctions.tokens(lower(col(textCol))),
+          t => length(t) > lit(0))).as("__t"))
+      .distinct()
+    val sizes = types.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val shared = types.as("a")
+      .join(types.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("source_a"), col("b.__g").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val union = col("n_a") + col("n_b") - col("shared")
+    shared
+      .join(broadcast(sizes.select(col("__g").as("source_a"), col("__n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("__g").as("source_b"), col("__n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        Sampling.longDivHalfUp(col("shared") * lit(1000000L), union)
+          .as("jaccard_ppm"))
+  }
 }

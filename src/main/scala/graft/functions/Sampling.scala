@@ -261,4 +261,26 @@ object Sampling {
       .filter(col("cum_cost") <= budget)
       .drop("__bin", "__bin_before", "__cum_in_bin")
   }
+
+  /** Per-group token-budget cap — the RefinedWeb/C4-style "no more
+    * than `budget` tokens per domain" curation rule: within each group,
+    * documents are taken best-score-first (id tie-break) until the
+    * group's budget is spent. Unlike [[budgetSelect]]'s global budget
+    * (which needs the two-level bin trick to avoid a single-partition
+    * window), the per-group running total is ONE window partitioned by
+    * the group key: every domain ranks independently, so at 100 TB the
+    * operator is a single shuffle on the group key and each partition's
+    * work is bounded by its own domain's size (skewed mega-domains are
+    * exactly the ones the cap truncates). Rows keep their inclusive
+    * running cost as `cum_cost`.
+    */
+  def perGroupBudget(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+                     idCol: Column, costCol: Column, budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "perGroupBudget: need at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(scoreCol.desc, idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_cost", sum(costCol.cast("long")).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
 }

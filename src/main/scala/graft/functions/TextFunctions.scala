@@ -600,4 +600,50 @@ object TextFunctions {
         round(sum(col("__lp").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
           .cast("double") / count(lit(1)).cast("double"), 6).as("lm_score"))
   }
+
+  /** Zipf's-law slope per group: fit `ln(freq) = slope·ln(rank) + b`
+    * by least squares over each group's `topN` most frequent tokens
+    * (count-desc, token tie-break). Natural corpora sit near −1; a
+    * slope far from it is the classic screen for machine-generated or
+    * boilerplate-heavy sources.
+    *
+    * Scale shape: one (group, token) count aggregation (map-side
+    * combined), a topN row-number window per group, then a
+    * group-cardinality-sized regression — the corpus is touched once.
+    * Determinism: each ln term is rounded to 6 dp and the four
+    * regression sums fold in rank order over a sorted per-group array,
+    * so an external engine replays every double bit-for-bit (same
+    * discipline as [[hashedLinearScore]]'s ordered dot product); the
+    * slope itself rounds to 6 dp.
+    */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, "zipfSlope: need topN >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val toks = explode(filter(tokens(lower(col(textCol))),
+      t => length(t) > lit(0)))
+    val counts = docs.select(col(groupCol), toks.as("__tok"))
+      .groupBy(groupCol, "__tok").agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__cnt").desc, col("__tok").asc)
+    val ranked = counts.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topN)
+    val terms = ranked.groupBy(groupCol).agg(
+      sort_array(collect_list(struct(
+        col("__rank").as("r"),
+        round(log(col("__rank").cast("double")), 6).as("lx"),
+        round(log(col("__cnt").cast("double")), 6).as("ly")))).as("__ts"))
+    def fsum(f: Column => Column): Column =
+      aggregate(col("__ts"), lit(0.0), (acc, x) => acc + f(x))
+    val n = size(col("__ts")).cast("double")
+    val sx = fsum(_.getField("lx"))
+    val sy = fsum(_.getField("ly"))
+    val sxy = fsum(x => x.getField("lx") * x.getField("ly"))
+    val sxx = fsum(x => x.getField("lx") * x.getField("lx"))
+    terms
+      .filter(size(col("__ts")) >= 2)
+      .select(col(groupCol),
+        size(col("__ts")).cast("long").as("n_toks"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"))
+  }
 }

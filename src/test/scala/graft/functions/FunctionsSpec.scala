@@ -1453,4 +1453,47 @@ class FunctionsSpec extends SparkSpec {
       assert(a.takeRight(1) == b.take(1))
     }
   }
+
+  test("sourceOverlap: exact type Jaccard in ppm, ordered pairs, zero-pairs absent") {
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4"),          // a: {w1..w4}
+      (2L, "b", "w1 w2 x1 x2"),          // b: {w1,w2,x1,x2} — |∩a|=2, |∪|=6
+      (3L, "c", "w1 w2 w3 w4"),          // c == a exactly → jaccard 1
+      (4L, "d", "z1 z2")                 // d disjoint from everyone
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // a<b: shared 2 of union 6 → 333333 ppm (half-up of 1/3)
+    assert(got(("a", "b")) == ((4L, 4L, 2L, 333333L)))
+    assert(got(("a", "c")) == ((4L, 4L, 4L, 1000000L)))
+    assert(got(("b", "c")) == ((4L, 4L, 2L, 333333L)))
+    // d shares nothing — no rows for it; pairs only in a<b order
+    assert(!got.keys.exists(p => p._1 == "d" || p._2 == "d"))
+    assert(got.keys.forall(p => p._1 < p._2) && got.size == 3)
+  }
+
+  test("zipfSlope: ~-1 on a 1/rank corpus, 0 on uniform, deterministic") {
+    // zipf source: token t_r appears round(600/r) times, r = 1..30
+    val zipfDocs = (1 to 30).flatMap { r =>
+      val n = math.round(600.0 / r).toInt
+      Seq.fill(n)(s"t${"%02d".format(r)}")
+    }.grouped(40).zipWithIndex
+      .map { case (ts, i) => (i.toLong, "zipf", ts.mkString(" ")) }.toSeq
+    // uniform source: 20 tokens, 10 occurrences each → slope exactly 0
+    val uniDocs = (1 to 20).flatMap(r => Seq.fill(10)(s"u${"%02d".format(r)}"))
+      .grouped(40).zipWithIndex
+      .map { case (ts, i) => (100L + i, "uniform", ts.mkString(" ")) }.toSeq
+    val docs = (zipfDocs ++ uniDocs).toDF("doc_id", "source", "text")
+    val got = TextFunctions.zipfSlope(docs, "source", "text", topN = 100)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("zipf")._1 == 30L && got("uniform")._1 == 20L)
+    assert(math.abs(got("zipf")._2 + 1.0) < 0.05,
+      s"zipf slope ${got("zipf")._2} not near -1")
+    assert(got("uniform")._2 == 0.0)
+    // deterministic across evaluations (ordered 6-dp folds)
+    val again = TextFunctions.zipfSlope(docs, "source", "text", topN = 100)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again("zipf") == got("zipf")._2)
+  }
 }

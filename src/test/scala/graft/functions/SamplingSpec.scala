@@ -162,4 +162,63 @@ class SamplingSpec extends SparkSpec {
     }
     assert(wins >= 28, s"heavy row won only $wins/40")
   }
+
+  test("perGroupBudget: best-first per group until the budget is spent") {
+    // group a: costs 10 each, scores 5..1 → budget 25 keeps top 2
+    // group b: one row over budget alone → kept iff cost <= budget
+    val df = Seq(
+      ("a", 1L, 5.0, 10L), ("a", 2L, 4.0, 10L), ("a", 3L, 3.0, 10L),
+      ("a", 4L, 2.0, 10L), ("a", 5L, 1.0, 10L),
+      ("b", 6L, 9.0, 30L), ("b", 7L, 8.0, 1L)
+    ).toDF("g", "id", "score", "cost")
+    val sel = Sampling.perGroupBudget(df, Seq("g"), col("score"),
+      col("id"), col("cost"), budget = 25L)
+    val byGroup = sel.select("g", "id", "cum_cost")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    // a keeps ids 1,2 (cum 10, 20); id 3 would hit 30 > 25
+    assert(byGroup("a").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(byGroup("a").map(_._3).sorted.toSeq == Seq(10L, 20L))
+    // b's best row costs 30 > 25 → excluded, but the next (cum 31 from
+    // 30+1? no — cum is order-dependent: 30 first, then 31) excluded too
+    assert(!byGroup.contains("b"))
+    // ties on score break by id ascending: equal scores keep lowest ids
+    val ties = Seq(("t", 9L, 1.0, 10L), ("t", 8L, 1.0, 10L), ("t", 7L, 1.0, 10L))
+      .toDF("g", "id", "score", "cost")
+    val kept = Sampling.perGroupBudget(ties, Seq("g"), col("score"),
+      col("id"), col("cost"), budget = 20L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(7L, 8L))
+    // single window partitioned by the group key — no global sort
+    val windows = sel.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("grouped split: canonical-cluster members always share a split") {
+    // the sample_split_grouped composition on synthetic variant pairs
+    val docs = (1L to 300L).map(i => (i, s"Document Body $i with, punct!"))
+      .toDF("doc_id", "text")
+    val variants = docs.select(col("doc_id"),
+        explode(array(col("text"), upper(col("text")))).as("v"))
+      .select(col("doc_id"), md5(TextFunctions.normalizeText(col("v"))).as("ck"))
+    val w = Window.partitionBy(col("ck"))
+    val assigned = variants
+      .withColumn("rep_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("ck"),
+        Sampling.splitAssign(col("rep_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    // every canonical cluster has 2 members and exactly ONE split value
+    val perCluster = assigned.groupBy("ck")
+      .agg(count(lit(1)).as("n"), countDistinct(col("split")).as("ns"))
+      .as[(String, Long, Long)].collect()
+    assert(perCluster.length == 300)
+    assert(perCluster.forall(c => c._2 == 2L && c._3 == 1L))
+    // and the split is the representative's: matches splitAssign(doc_id)
+    val direct = docs.select(col("doc_id"),
+      Sampling.splitAssign(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    assert(assigned.select("doc_id", "split").distinct()
+      .except(direct).isEmpty)
+  }
 }
