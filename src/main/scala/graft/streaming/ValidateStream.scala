@@ -520,6 +520,30 @@ object ValidateStream {
         coalesce(col("quality") >= minQuality, lit(false)))
   }
 
+  /** Streaming Bloom decontamination: arriving documents annotated
+    * against a FIXED eval-set Bloom bitset (built once from the eval
+    * corpus with [[graft.functions.DedupFunctions.bloomBitsetFromEval]]
+    * and passed in — eval suites change rarely; rebuild + restart the
+    * query when they do). The test is the fused native expression
+    * (`plans/BloomShingleStatsExpr`), a pure per-row Column — so the
+    * stage is STATELESS: no watermark, no state store, no shuffle,
+    * unbounded uptime, and the 32 KiB bitset rides inside the plan to
+    * every executor. The streaming-legal twin of the batch
+    * `decontam_bloom` query — identical outputs on identical rows.
+    */
+  def bloomDecontamStream(docs: DataFrame, idCol: String, textCol: String,
+                          words: Array[Long], n: Int, seeds: Int,
+                          mBits: Int): DataFrame = {
+    val st = graft.plans.BloomShingleStatsExpr
+      .stats(col(textCol), n, seeds, mBits, words)
+    docs
+      .withColumn("__st", st)
+      .withColumn("n_shingles", col("__st.n_shingles"))
+      .withColumn("n_hit", col("__st.n_hit"))
+      .withColumn("flagged", col("n_hit") > 0L)
+      .drop("__st")
+  }
+
   /** Streaming PK-upsert sink: each micro-batch merges into the parquet
     * table via the same Upsert.merge the batch path uses (S12 semantics,
     * exactly-once via checkpoint + idempotent overwrite).

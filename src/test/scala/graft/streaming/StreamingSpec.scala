@@ -113,6 +113,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("a.b@c.io"))
   }
 
+  test("streaming bloom decontamination: stateless, identical to the batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.DedupFunctions
+    val eval = Seq((100L, "alpha bravo charlie delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    val words = DedupFunctions.bloomBitsetFromEval(
+      eval, "text", n = 5, seeds = 3, mBits = 1 << 14)
+    val arriving = Seq(
+      (1L, "alpha bravo charlie delta echo somewhere new"), // shares a 5-gram
+      (2L, "totally unrelated stream content goes right here"),
+      (3L, "bravo charlie delta echo foxtrot trailing words")) // shares one too
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(arriving: _*)
+    val flagged = ValidateStream.bloomDecontamStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      words, n = 5, seeds = 3, mBits = 1 << 14)
+    val q = flagged.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val got = spark.table("bloom_stream")
+      .select("doc_id", "n_shingles", "n_hit", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // identical to the batch pass over the same rows
+    val batch = DedupFunctions.bloomDecontaminate(
+        arriving.toDF("doc_id", "text"), eval, "doc_id", "text",
+        n = 5, seeds = 3, mBits = 1 << 14)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == batch.toSeq)
+    assert(got.map(r => r._1 -> r._4).toMap == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("stream-static dedup: docs already in the corpus index are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
