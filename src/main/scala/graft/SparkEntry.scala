@@ -1062,6 +1062,23 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "text")
         .orderBy("source_a", "source_b")),
 
+    "corpus_source_overlap_minhash" -> ((s, dir) => {
+      // MinHash tier of the source-overlap matrix — the scale path
+      // when the vocabulary is too large to pair-join: each source
+      // reduces to 16 signature components (one scan + a 320-row agg),
+      // pairs compare k longs. The gate query joins the estimate
+      // against the exact ppm so the sketch contract is visible in one
+      // row; at 100 TB you run ONLY the minhash side.
+      val d = t(s, dir, "documents")
+      val est = graft.functions.Curation.sourceOverlapMinhash(
+        d, "source", "text", k = 16)
+      val exact = graft.functions.Curation.sourceOverlap(d, "source", "text")
+        .select("source_a", "source_b", "jaccard_ppm")
+      est.join(exact, Seq("source_a", "source_b"))
+        .select("source_a", "source_b", "agree", "est_ppm", "jaccard_ppm")
+        .orderBy("source_a", "source_b")
+    }),
+
     "text_zipf_slope" -> ((s, dir) =>
       // Zipf's-law slope per source over the top-100 token frequencies
       // (natural corpora sit near −1; far-off slopes flag generated or
@@ -6055,6 +6072,45 @@ object SparkEntry {
            JOIN sz sa ON sh.source_a = sa.g
            JOIN sz sb ON sh.source_b = sb.g
            ORDER BY source_a, source_b""",
+
+      "corpus_source_overlap_minhash" ->
+        // per-source signature = componentwise min over the source's
+        // distinct-token km hashes (same HUGEINT replay as the
+        // doc-level minhash oracles); estimate = agreement/16 as
+        // half-up ppm, joined against the exact Jaccard ppm
+        """WITH tok AS (
+             SELECT DISTINCT source AS g, t
+             FROM (SELECT source,
+                          unnest(list_filter(
+                            regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> strlen(t) > 0)) AS t
+                   FROM documents)),
+           hs AS (SELECT g, md5(t) AS h FROM tok),
+           sd AS (SELECT range AS i FROM range(0, 16)),
+           comp AS (
+             SELECT g, i,
+                    MIN(lower(lpad(to_hex(CAST(
+                      (CAST(CAST(('0x' || substring(h, 1, 16)) AS UBIGINT) AS HUGEINT)
+                       + i * CAST(CAST(('0x' || substring(h, 17, 16)) AS UBIGINT) AS HUGEINT))
+                      % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)), 16, '0'))) AS v
+             FROM hs CROSS JOIN sd GROUP BY g, i),
+           agr AS (SELECT a.g AS source_a, b.g AS source_b,
+                          CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS agree
+                   FROM comp a JOIN comp b ON a.i = b.i AND a.g < b.g
+                   GROUP BY 1, 2),
+           sz AS (SELECT g, COUNT(*) AS n FROM tok GROUP BY g),
+           sh AS (SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS shared
+                  FROM tok a JOIN tok b ON a.t = b.t AND a.g < b.g
+                  GROUP BY 1, 2)
+           SELECT agr.source_a, agr.source_b, agree,
+                  CAST((agree * 1000000 * 2 + 16) // 32 AS BIGINT) AS est_ppm,
+                  CAST((shared * 1000000 * 2 + (sa.n + sb.n - shared))
+                       // (2 * (sa.n + sb.n - shared)) AS BIGINT) AS jaccard_ppm
+           FROM agr
+           JOIN sh ON agr.source_a = sh.source_a AND agr.source_b = sh.source_b
+           JOIN sz sa ON agr.source_a = sa.g
+           JOIN sz sb ON agr.source_b = sb.g
+           ORDER BY agr.source_a, agr.source_b""",
 
       "text_zipf_slope" ->
         // ln terms rounded 6 dp THEN summed in rank order (list_sum

@@ -749,6 +749,39 @@ object Curation {
     * complement — emitting them would force a groups×groups cross
     * join for rows that carry no information).
     */
+  /** MinHash tier of [[sourceOverlap]] — the 100 TB path when the
+    * vocabulary itself is too large to pair-join: each group reduces to
+    * a k-component MinHash signature (componentwise min of the per-doc
+    * native signatures, so the corpus pass is ONE scan + a
+    * (groups·k)-row aggregation), and every pairwise Jaccard estimate
+    * is component agreement / k — groups² work on k longs, zero token
+    * data. Same md5 double-hash family as the doc-level minhash
+    * operators, so any engine replays the signatures bit-for-bit.
+    * Estimate emitted as BIGINT ppm (exact half-up division); std
+    * error ≈ 1/√k. All C(groups,2) pairs appear (a < b), including
+    * zero-agreement ones — the signature table is complete by
+    * construction, there is no sparsity to preserve.
+    */
+  def sourceOverlapMinhash(docs: DataFrame, groupCol: String,
+                           textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "sourceOverlapMinhash: need k >= 1")
+    val sig = graft.plans.MinHashSignature.signature(
+      array_distinct(filter(TextFunctions.tokens(lower(col(textCol))),
+        t => length(t) > lit(0))), k)
+    val comp = docs
+      .select(col(groupCol).as("__g"), posexplode(sig).as(Seq("__i", "__v")))
+      .groupBy("__g", "__i").agg(min("__v").as("__v"))
+    comp.as("a")
+      .join(comp.as("b"),
+        col("a.__i") === col("b.__i") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("source_a"), col("b.__g").as("source_b"))
+      .agg(sum(when(col("a.__v") === col("b.__v"), 1L).otherwise(0L))
+        .as("agree"))
+      .select(col("source_a"), col("source_b"), col("agree"),
+        Sampling.longDivHalfUp(col("agree") * lit(1000000L), lit(k.toLong))
+          .as("est_ppm"))
+  }
+
   def sourceOverlap(docs: DataFrame, groupCol: String,
                     textCol: String): DataFrame = {
     val types = docs.select(col(groupCol).as("__g"),

@@ -1473,6 +1473,29 @@ class FunctionsSpec extends SparkSpec {
     assert(got.keys.forall(p => p._1 < p._2) && got.size == 3)
   }
 
+  test("sourceOverlapMinhash: 1.0 on identical vocab, ~0 on disjoint, tracks exact") {
+    val mk = (g: String, base: Int, n: Int, off: Int) =>
+      (1 to 8).map(i => (s"$g$i", g,
+        ((off until off + n).map(j => s"tok${base + j}")).mkString(" ")))
+    // a and c share ALL tokens; d is fully disjoint; b half-overlaps a
+    val docs = (mk("a", 0, 40, 0) ++ mk("c", 0, 40, 0) ++
+      mk("b", 0, 40, 20) ++ mk("d", 5000, 40, 0))
+      .toDF("doc_id", "source", "text")
+    val est = Curation.sourceOverlapMinhash(docs, "source", "text", k = 64)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(est(("a", "c")) == 1000000L)          // identical token sets
+    assert(est(("a", "d")) < 150000L)            // disjoint: ~0 agreement
+    // half overlap (jaccard 1/3): within sketch error of 333333 at k=64
+    assert(math.abs(est(("a", "b")) - 333333L) < 200000L, s"got ${est(("a", "b"))}")
+    // all C(4,2) pairs present, a<b ordered
+    assert(est.size == 6 && est.keys.forall(p => p._1 < p._2))
+    // deterministic
+    val again = Curation.sourceOverlapMinhash(docs, "source", "text", k = 64)
+      .as[(String, String, Long, Long)].collect().map(r => (r._1, r._2) -> r._4).toMap
+    assert(again == est)
+  }
+
   test("zipfSlope: ~-1 on a 1/rank corpus, 0 on uniform, deterministic") {
     // zipf source: token t_r appears round(600/r) times, r = 1..30
     val zipfDocs = (1 to 30).flatMap { r =>
