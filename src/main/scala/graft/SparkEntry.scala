@@ -1854,6 +1854,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "sample_curriculum" -> ((s, dir) => {
+      // curriculum training order: the epoch-shard deal with quality
+      // BUCKETS (tenths of the 6-dp quality score — integer-stable
+      // across engines) ranked first within each shard; the epoch hash
+      // only shuffles within a bucket. Reading shards in pos order
+      // feeds high-quality docs early in the epoch; per-shard windows
+      // mean no global sort at any scale.
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        floor(T.qualityScore(col("text")) * 10).cast("long").as("qb"))
+      graft.functions.Sampling.curriculumShard(
+          d, "doc_id", col("qb"), nShards = 8, epoch = 1)
+        .select(col("doc_id"), col("q_bucket"), col("shard"), col("pos"))
+    }),
+
+    "text_langid_confusion" -> ((s, dir) =>
+      // lang-ID audit: confusion matrix of the n-gram heuristic vs the
+      // labeled lang column — the precision check run before trusting
+      // the classifier as a mixture filter. One aggregation.
+      t(s, dir, "documents")
+        .select(col("lang"), T.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
     "sample_per_group" -> ((s, dir) => {
       // deterministic k-per-(lang,source) sample by hash order — the
       // "inspect 3 random docs per stratum" debugging query, reproducible
@@ -5730,6 +5753,48 @@ object SparkEntry {
            FROM (SELECT doc_id,
                         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
                  FROM documents)""",
+
+      "sample_curriculum" ->
+        """WITH q AS (
+             SELECT doc_id,
+                    CAST(floor(ROUND(
+                      LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                      + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 0.4
+                      + CASE WHEN CAST(length(text) AS DOUBLE)
+                                  / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) * 10)
+                      AS BIGINT) AS q_bucket,
+                    ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+             FROM documents)
+           SELECT doc_id, q_bucket,
+                  CAST(b % 8 AS INTEGER) AS shard,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY b % 8
+                         ORDER BY q_bucket DESC, b ASC, doc_id ASC) AS BIGINT) AS pos
+           FROM q""",
+
+      "text_langid_confusion" ->
+        """WITH sc AS (
+             SELECT doc_id, lang,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+             FROM documents),
+           hits AS (
+             SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','a','that'))) AS h_en,
+               len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','una'))) AS h_es,
+               len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','un','une'))) AS h_fr,
+               len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','mit','ein'))) AS h_de
+             FROM sc),
+           pred AS (
+             SELECT lang,
+                    CASE WHEN GREATEST(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                         WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de) THEN 'fr'
+                         WHEN h_es = GREATEST(h_en, h_es, h_fr, h_de) THEN 'es'
+                         WHEN h_en = GREATEST(h_en, h_es, h_fr, h_de) THEN 'en'
+                         ELSE 'de' END AS lang_pred
+             FROM hits)
+           SELECT lang, lang_pred, COUNT(*) AS n
+           FROM pred GROUP BY 1, 2 ORDER BY lang, lang_pred""",
 
       "sample_dsir_select" ->
         // same md5 buckets as the engine; add-1 smoothing over 64

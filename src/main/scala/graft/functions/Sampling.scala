@@ -142,6 +142,26 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Curriculum variant of [[epochShard]]: same deterministic shard
+    * deal, but within each shard documents rank by a quality BUCKET
+    * first (descending, integer-stable) and the epoch hash only breaks
+    * ties — reading each shard in `pos` order feeds the highest-quality
+    * bucket early in the epoch while staying shuffled inside a bucket.
+    * The curriculum-learning export shape; a different `epoch` re-deals
+    * the within-bucket order but not the bucket progression. Window is
+    * per-shard, so there is never a global ordering bottleneck.
+    */
+  def curriculumShard(df: DataFrame, idCol: String, scoreBucket: Column,
+                      nShards: Int, epoch: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val h = hashBucket(col(idCol), s"epoch$epoch")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("q_bucket").desc, h.asc, col(idCol).asc)
+    df.withColumn("q_bucket", scoreBucket)
+      .withColumn("shard", pmod(h, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic k-per-group sample: rank group members by
     * (hash, id) and keep the first k. One shuffle on the group key;
     * hash order makes the "random" choice reproducible.

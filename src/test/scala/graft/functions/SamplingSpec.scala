@@ -195,6 +195,30 @@ class SamplingSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("curriculumShard: buckets descend within every shard; epoch re-deals within buckets") {
+    val df = (1L to 400L).map(i => (i, i % 4)).toDF("id", "qb")
+    val c1 = Sampling.curriculumShard(df, "id", col("qb"), nShards = 4, epoch = 1)
+      .select("id", "q_bucket", "shard", "pos")
+      .as[(Long, Long, Int, Long)].collect()
+    // within each shard, q_bucket is non-increasing as pos increases
+    c1.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4).map(_._2)
+      byPos.zip(byPos.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+    // positions are a dense 1..n permutation per shard
+    c1.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // same epoch → identical; different epoch → same shard sizes per
+    // bucket progression but a different within-bucket order somewhere
+    val c1b = Sampling.curriculumShard(df, "id", col("qb"), nShards = 4, epoch = 1)
+      .select("id", "q_bucket", "shard", "pos").as[(Long, Long, Int, Long)].collect()
+    assert(c1.toSet == c1b.toSet)
+    val c2 = Sampling.curriculumShard(df, "id", col("qb"), nShards = 4, epoch = 2)
+      .select("id", "q_bucket", "shard", "pos").as[(Long, Long, Int, Long)].collect()
+    assert(c2.toSet != c1.toSet)
+  }
+
   test("grouped split: canonical-cluster members always share a split") {
     // the sample_split_grouped composition on synthetic variant pairs
     val docs = (1L to 300L).map(i => (i, s"Document Body $i with, punct!"))
