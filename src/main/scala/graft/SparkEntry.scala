@@ -1062,6 +1062,26 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "text")
         .orderBy("source_a", "source_b")),
 
+    "corpus_overlap_incremental" -> ((s, dir) => {
+      // delta-maintained corpus analytics: the ref-counted vocabulary
+      // (group, token, n_docs) absorbs a base build, a late delta, and
+      // a GDPR retraction as three DELTA-SIZED partials — the overlap
+      // matrix then refreshes from the merged type table without ever
+      // re-scanning the corpus. Oracle computes the overlap directly
+      // over the survivor corpus, so the merge chain is proven
+      // bit-identical to a fresh build.
+      val C = graft.functions.Curation
+      val d = t(s, dir, "documents")
+      val base = d.filter(col("doc_id") % 7 =!= 3)
+      val delta = d.filter(col("doc_id") % 7 === 3)
+      val dead = d.filter(col("doc_id") % 11 === 5)
+      val vocab = C.vocabTypeMerge(
+        C.vocabTypePartial(base, "source", "text"),
+        C.vocabTypePartial(delta, "source", "text"),
+        C.vocabTypePartial(dead, "source", "text", sign = -1))
+      C.sourceOverlapFromVocab(vocab).orderBy("source_a", "source_b")
+    }),
+
     "corpus_source_overlap_minhash" -> ((s, dir) => {
       // MinHash tier of the source-overlap matrix — the scale path
       // when the vocabulary is too large to pair-join: each source
@@ -6125,6 +6145,29 @@ object SparkEntry {
                             regexp_split_to_array(trim(lower(text)), '\s+'),
                             t -> strlen(t) > 0)) AS t
                    FROM documents)),
+           sz AS (SELECT g, COUNT(*) AS n FROM tok GROUP BY g),
+           sh AS (SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS shared
+                  FROM tok a JOIN tok b ON a.t = b.t AND a.g < b.g
+                  GROUP BY 1, 2)
+           SELECT source_a, source_b,
+                  sa.n AS n_a, sb.n AS n_b, shared,
+                  CAST((shared * 1000000 * 2 + (sa.n + sb.n - shared))
+                       // (2 * (sa.n + sb.n - shared)) AS BIGINT) AS jaccard_ppm
+           FROM sh
+           JOIN sz sa ON sh.source_a = sa.g
+           JOIN sz sb ON sh.source_b = sb.g
+           ORDER BY source_a, source_b""",
+
+      "corpus_overlap_incremental" ->
+        // ground truth directly over the survivor corpus: the
+        // incremental path must land on this bit for bit
+        """WITH tok AS (
+             SELECT DISTINCT source AS g, t
+             FROM (SELECT source,
+                          unnest(list_filter(
+                            regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> strlen(t) > 0)) AS t
+                   FROM documents WHERE doc_id % 11 <> 5)),
            sz AS (SELECT g, COUNT(*) AS n FROM tok GROUP BY g),
            sh AS (SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS shared
                   FROM tok a JOIN tok b ON a.t = b.t AND a.g < b.g

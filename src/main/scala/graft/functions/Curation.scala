@@ -732,23 +732,6 @@ object Curation {
           .as("chunk"))
   }
 
-  /** Pairwise vocabulary overlap between corpus groups (sources /
-    * domains / snapshots): exact token-TYPE Jaccard per group pair, as
-    * BIGINT parts-per-million — the "how redundant are my sources"
-    * matrix a mixture plan starts from (near-duplicate sources waste
-    * budget; fully disjoint ones starve cross-domain transfer).
-    *
-    * Shape at scale: the corpus reduces to DISTINCT (group, token)
-    * TYPES in one map-side-combined pass — everything after runs on
-    * vocabulary-sized data, never documents. The pair join shuffles
-    * the type table by token; per-token fan-out is bounded by
-    * (groups containing the token)² ≤ |groups|², independent of corpus
-    * rows (|groups| is domains/sources — hundreds, not billions). Group
-    * sizes broadcast back. Output is all-integer (exact half-up ppm);
-    * only pairs sharing ≥1 token appear (Jaccard 0 pairs are the
-    * complement — emitting them would force a groups×groups cross
-    * join for rows that carry no information).
-    */
   /** MinHash tier of [[sourceOverlap]] — the 100 TB path when the
     * vocabulary itself is too large to pair-join: each group reduces to
     * a k-component MinHash signature (componentwise min of the per-doc
@@ -782,12 +765,72 @@ object Curation {
           .as("est_ppm"))
   }
 
+  /** Ref-counted vocabulary partial for DELTA-MAINTAINED corpus
+    * statistics: (group, token, n_docs·sign) over a document slice,
+    * where n_docs counts the documents containing the token (distinct
+    * per doc). Additive by construction — new corpus slices merge with
+    * `sign = 1`, retracted/replaced documents with `sign = -1` (the
+    * GDPR shape: the retraction knows the text it removes) — so vocab
+    * sizes, source overlap, and any type-level statistic refresh from
+    * delta-sized jobs, never a corpus re-scan. The AggMaintain
+    * discipline applied to the vocabulary.
+    */
+  def vocabTypePartial(docs: DataFrame, groupCol: String, textCol: String,
+                       sign: Int = 1): DataFrame = {
+    require(sign == 1 || sign == -1, "vocabTypePartial: sign must be ±1")
+    docs.select(col(groupCol).as("__g"),
+        explode(array_distinct(filter(TextFunctions.tokens(lower(col(textCol))),
+          t => length(t) > lit(0)))).as("__t"))
+      .groupBy("__g", "__t")
+      .agg((count(lit(1)) * sign).as("__nd"))
+  }
+
+  /** Merge vocabulary partials: sum the per-(group, token) doc counts
+    * and keep the types still carried by ≥1 live document. The merged
+    * frame IS the live type table — feed it to
+    * [[sourceOverlapFromVocab]] (or any type-level statistic) to
+    * refresh corpus analytics after a delta without touching the
+    * corpus. One vocabulary-sized aggregation.
+    */
+  def vocabTypeMerge(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "vocabTypeMerge: need at least one partial")
+    parts.reduce(_ unionByName _)
+      .groupBy("__g", "__t").agg(sum("__nd").as("__nd"))
+      .filter(col("__nd") > 0L)
+  }
+
+  /** [[sourceOverlap]] over an already-maintained type table
+    * (`(__g, __t [, __nd])` — the output of [[vocabTypeMerge]]): the
+    * pair join runs on the index, the corpus is never read.
+    */
+  def sourceOverlapFromVocab(vocab: DataFrame): DataFrame =
+    overlapOfTypes(vocab.select("__g", "__t"))
+
+  /** Pairwise vocabulary overlap between corpus groups (sources /
+    * domains / snapshots): exact token-TYPE Jaccard per group pair, as
+    * BIGINT parts-per-million — the "how redundant are my sources"
+    * matrix a mixture plan starts from (near-duplicate sources waste
+    * budget; fully disjoint ones starve cross-domain transfer).
+    *
+    * Shape at scale: the corpus reduces to DISTINCT (group, token)
+    * TYPES in one map-side-combined pass — everything after runs on
+    * vocabulary-sized data, never documents. The pair join shuffles
+    * the type table by token; per-token fan-out is bounded by
+    * (groups containing the token)² ≤ |groups|², independent of corpus
+    * rows (|groups| is domains/sources — hundreds, not billions). Group
+    * sizes broadcast back. Output is all-integer (exact half-up ppm);
+    * only pairs sharing ≥1 token appear (Jaccard 0 pairs are the
+    * complement — emitting them would force a groups×groups cross
+    * join for rows that carry no information).
+    */
   def sourceOverlap(docs: DataFrame, groupCol: String,
-                    textCol: String): DataFrame = {
-    val types = docs.select(col(groupCol).as("__g"),
+                    textCol: String): DataFrame =
+    overlapOfTypes(docs.select(col(groupCol).as("__g"),
         explode(filter(TextFunctions.tokens(lower(col(textCol))),
           t => length(t) > lit(0))).as("__t"))
-      .distinct()
+      .distinct())
+
+  private def overlapOfTypes(types: DataFrame): DataFrame = {
     val sizes = types.groupBy("__g").agg(count(lit(1)).as("__n"))
     val shared = types.as("a")
       .join(types.as("b"),

@@ -1473,6 +1473,29 @@ class FunctionsSpec extends SparkSpec {
     assert(got.keys.forall(p => p._1 < p._2) && got.size == 3)
   }
 
+  test("vocab type maintenance: merge chain == fresh; types die with their last doc") {
+    val docs = Seq(
+      (1L, "a", "w1 w2 shared"), (2L, "a", "w3 shared"),
+      (3L, "b", "w1 only here")
+    ).toDF("doc_id", "source", "text")
+    val delta = Seq((4L, "b", "w2 late arrival")).toDF("doc_id", "source", "text")
+    val dead = docs.filter($"doc_id" === 2L)   // removes a's w3; 'shared' survives via doc 1
+    val merged = Curation.vocabTypeMerge(
+      Curation.vocabTypePartial(docs, "source", "text"),
+      Curation.vocabTypePartial(delta, "source", "text"),
+      Curation.vocabTypePartial(dead, "source", "text", sign = -1))
+    val live = docs.filter($"doc_id" =!= 2L).union(delta)
+    val fresh = Curation.vocabTypePartial(live, "source", "text")
+    // live type table identical to a fresh build (counts included)
+    assert(merged.collect().toSet == fresh.collect().toSet)
+    val types = merged.select("__g", "__t").as[(String, String)].collect().toSet
+    assert(types.contains(("a", "shared")) && !types.contains(("a", "w3")))
+    // and the overlap matrix from the maintained table == direct compute
+    val viaVocab = Curation.sourceOverlapFromVocab(merged).collect().toSet
+    val direct = Curation.sourceOverlap(live, "source", "text").collect().toSet
+    assert(viaVocab == direct)
+  }
+
   test("sourceOverlapMinhash: 1.0 on identical vocab, ~0 on disjoint, tracks exact") {
     val mk = (g: String, base: Int, n: Int, off: Int) =>
       (1 to 8).map(i => (s"$g$i", g,
