@@ -544,6 +544,65 @@ object ValidateStream {
       .drop("__st")
   }
 
+  /** One micro-batch of vocabulary-stats upkeep (the unit
+    * [[vocabStatsStream]] runs and the spec drives directly): merge the
+    * batch's ref-counted (group, token, n_docs) partial into the
+    * maintained table at `tablePath`. COUNT partials are NOT idempotent
+    * under re-delivery (unlike the SCD2/upsert sinks, whose merges
+    * are), so the applied batch id is committed INSIDE the table as a
+    * constant `__batch` column — it swaps atomically with the data
+    * (staging + overwrite), and a re-delivered `batchId ≤` the table's
+    * high-water mark is skipped. Exactly-once without a side meta file
+    * that could diverge from the data on a crash between two writes.
+    * The constant column costs nothing in parquet (RLE/dictionary).
+    */
+  def applyVocabBatch(batch: DataFrame, groupCol: String, textCol: String,
+                      tablePath: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val existing =
+      try Some(spark.read.parquet(tablePath)).filter(_.columns.nonEmpty)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val committed = existing
+      .map(_.agg(max("__batch")).head().getLong(0)).getOrElse(Long.MinValue)
+    if (batchId <= committed) false
+    else {
+      val part = graft.functions.Curation
+        .vocabTypePartial(batch, groupCol, textCol)
+      val merged = existing match {
+        case Some(ex) => graft.functions.Curation
+          .vocabTypeMerge(ex.select("__g", "__t", "__nd"), part)
+        case None => part.filter(col("__nd") > 0L)
+      }
+      val staging = tablePath + "__staging"
+      merged.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").parquet(staging)
+      graft.operators.Upsert.overwrite(
+        spark, spark.read.parquet(staging), tablePath)
+      true
+    }
+  }
+
+  /** Streaming vocabulary-stats upkeep: each micro-batch of documents
+    * folds its (group, token, n_docs) partial into the maintained type
+    * table via [[applyVocabBatch]] — corpus analytics (vocab sizes,
+    * source overlap via
+    * [[graft.functions.Curation.sourceOverlapFromVocab]]) then answer
+    * from the table without ever re-scanning the corpus. Work per
+    * batch is batch-sized + one vocabulary-sized merge; replayed
+    * batches are skipped via the in-table high-water mark.
+    */
+  def vocabStatsStream(docs: DataFrame, groupCol: String, textCol: String,
+                       tablePath: String,
+                       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyVocabBatch(batch, groupCol, textCol, tablePath, batchId)
+        ()
+      }
+
   /** Streaming PK-upsert sink: each micro-batch merges into the parquet
     * table via the same Upsert.merge the batch path uses (S12 semantics,
     * exactly-once via checkpoint + idempotent overwrite).

@@ -130,6 +130,17 @@ object ScaleSmoke {
         "doc_id", "text", Seq("de", "en", "es", "fr"), 0.5)
         .filter(col("keep")).count()
     }
+    // Bloom decontamination at mult× the corpus: the eval slice stays
+    // gate-sized (~1%), the bitset is 32 KiB regardless, and the train
+    // pass is the fused native expression — expect near-linear scan
+    // cost, zero shuffle
+    time("bloom_decontam", nDocs) {
+      graft.functions.DedupFunctions.bloomDecontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5, seeds = 3, mBits = 1 << 18)
+        .filter(col("flagged")).count()
+    }
     time("pack_sequences", nDocs) {
       val d = docs.select(col("doc_id"), (col("doc_id") % 256).as("shard"),
         T.tokenCount(col("text")).cast("long").as("n_tokens"))

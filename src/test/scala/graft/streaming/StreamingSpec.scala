@@ -145,6 +145,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(r => r._1 -> r._4).toMap == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("streaming vocab stats: batches merge, replays skip via in-table high-water mark") {
+    import graft.functions.Curation
+    val dir = tmpDir("vocab_stream") + "/vocab"
+    val b0 = Seq((1L, "a", "w1 w2 shared"), (2L, "b", "w1 extra")).toDF("doc_id", "source", "text")
+    val b1 = Seq((3L, "a", "w3 shared")).toDF("doc_id", "source", "text")
+    assert(ValidateStream.applyVocabBatch(b0, "source", "text", dir, 0L))
+    assert(ValidateStream.applyVocabBatch(b1, "source", "text", dir, 1L))
+    // replayed batch (same id) and a stale id are both skipped — no double counts
+    assert(!ValidateStream.applyVocabBatch(b1, "source", "text", dir, 1L))
+    assert(!ValidateStream.applyVocabBatch(b0, "source", "text", dir, 0L))
+    val table = spark.read.parquet(dir)
+    assert(table.select(max("__batch")).head().getLong(0) == 1L)
+    val fresh = Curation.vocabTypePartial(b0.union(b1), "source", "text")
+    assert(table.select("__g", "__t", "__nd").collect().toSet ==
+      fresh.collect().toSet)
+    // the maintained table answers the overlap matrix directly
+    val viaVocab = Curation.sourceOverlapFromVocab(table).collect().toSet
+    val direct = Curation.sourceOverlap(b0.union(b1), "source", "text").collect().toSet
+    assert(viaVocab == direct)
+    // and the actual stream sink drives the same unit end-to-end
+    implicit val sqlCtx = spark.sqlContext
+    val dir2 = tmpDir("vocab_stream2") + "/vocab"
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((1L, "a", "w1 w2 shared"), (2L, "b", "w1 extra"), (3L, "a", "w3 shared"))
+    val q = ValidateStream.vocabStatsStream(
+      mem.toDF().toDF("doc_id", "source", "text"), "source", "text",
+      dir2, tmpDir("vocab_ckpt")).start()
+    q.awaitTermination(30000)
+    assert(spark.read.parquet(dir2).select("__g", "__t", "__nd")
+      .collect().toSet == fresh.collect().toSet)
+  }
+
   test("stream-static dedup: docs already in the corpus index are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
