@@ -2874,6 +2874,40 @@ object SparkEntry {
           round(col("s").cast("double") / col("n").cast("double"), 6).as("centroid"))
     }),
 
+    "sim_centroid_drift" -> ((s, dir) => {
+      // embedding drift monitor: per label, cosine between the class
+      // centroid of an "old" snapshot (even vec_id) and a "new" one
+      // (odd) — the health check behind re-train/re-cluster decisions
+      // (ANN centroids and quantizers go stale when this drops).
+      // Centroids via decimal cell sums (order-free); the cosine folds
+      // over DIM-SORTED centroid arrays so every double op has one
+      // order on both engines; n_old/n_new carried for substance.
+      val e = t(s, dir, "embeddings")
+      def cent(f: Column, cn: String, nn: String) = e.filter(f)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as(nn),
+          sum(col("x").cast("double").cast("decimal(30,10)")).as("s"))
+        .select(col("label"), col("dim"), col(nn),
+          round(col("s").cast("double") / col(nn).cast("double"), 6).as(cn))
+      val j = cent(col("vec_id") % 2 === 0, "co", "n_old")
+        .join(cent(col("vec_id") % 2 === 1, "cn", "n_new"), Seq("label", "dim"))
+        .groupBy("label")
+        .agg(max("n_old").cast("long").as("n_old"),
+          max("n_new").cast("long").as("n_new"),
+          sort_array(collect_list(struct(col("dim"), col("co"), col("cn"))))
+            .as("__v"))
+      def fsum(f: Column => Column) =
+        aggregate(col("__v"), lit(0.0), (acc, x) => acc + f(x))
+      val (sxy, sxx, syy) = (
+        fsum(x => x.getField("co") * x.getField("cn")),
+        fsum(x => x.getField("co") * x.getField("co")),
+        fsum(x => x.getField("cn") * x.getField("cn")))
+      j.select(col("label").cast("long").as("label"),
+        col("n_old"), col("n_new"),
+        round(sxy / (sqrt(sxx) * sqrt(syy)), 6).as("drift_cos"))
+    }),
+
     "sim_hard_negatives" -> ((s, dir) => {
       // contrastive-training hard-negative mining: per query, the top-3
       // highest-cosine vectors with a DIFFERENT label — the negatives
@@ -6321,6 +6355,41 @@ object SparkEntry {
                         unnest(range(1, len(embedding) + 1)) AS dim
                  FROM embeddings)
            GROUP BY label, dim""",
+
+      "sim_centroid_drift" ->
+        // centroids via decimal cell means (6 dp), cosine folded over
+        // dim-ordered lists — list_sum ≡ the engine's sequential fold
+        """WITH co AS (
+             SELECT label, dim,
+                    COUNT(*) AS n_old,
+                    ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE), 6) AS c
+             FROM (SELECT label, unnest(embedding) AS x,
+                          unnest(range(1, len(embedding) + 1)) AS dim
+                   FROM embeddings WHERE vec_id % 2 = 0)
+             GROUP BY label, dim),
+           cn AS (
+             SELECT label, dim,
+                    COUNT(*) AS n_new,
+                    ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE), 6) AS c
+             FROM (SELECT label, unnest(embedding) AS x,
+                          unnest(range(1, len(embedding) + 1)) AS dim
+                   FROM embeddings WHERE vec_id % 2 = 1)
+             GROUP BY label, dim),
+           j AS (SELECT co.label,
+                        MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+                        list(co.c ORDER BY co.dim) AS a,
+                        list(cn.c ORDER BY co.dim) AS b
+                 FROM co JOIN cn ON co.label = cn.label AND co.dim = cn.dim
+                 GROUP BY co.label)
+           SELECT CAST(label AS BIGINT) AS label,
+                  CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+                  ROUND(list_sum(list_transform(range(1, len(a) + 1), i -> a[i] * b[i]))
+                        / (SQRT(list_sum(list_transform(range(1, len(a) + 1), i -> a[i] * a[i])))
+                           * SQRT(list_sum(list_transform(range(1, len(a) + 1), i -> b[i] * b[i])))), 6)
+                    AS drift_cos
+           FROM j""",
 
       "sim_hard_negatives" ->
         """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
