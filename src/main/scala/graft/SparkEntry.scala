@@ -4087,6 +4087,28 @@ object SparkEntry {
         .select("doc_id", "shard", "n_tokens", "pack_id")
     }),
 
+    "pack_efficiency" -> ((s, dir) => {
+      // packing audit: per shard, how full the training packs actually
+      // are — pack counts, token totals, and per-pack fill extremes
+      // (padding waste and overflow both surface here; training teams
+      // watch this before committing a context length). Two-level
+      // integer aggregation over the pack assignment, zero new scans.
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), (col("doc_id") % 8).as("shard"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Curation
+        .packByBudget(d, "shard", "doc_id", "n_tokens", budget = 2048L)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("__nd"), sum("n_tokens").as("__pt"))
+        .groupBy("shard")
+        .agg(sum("__nd").as("n_docs"),
+          count(lit(1)).as("n_packs"),
+          sum("__pt").as("total_tokens"),
+          min("__pt").as("min_pack_tokens"),
+          max("__pt").as("max_pack_tokens"))
+        .orderBy("shard")
+    }),
+
     // ---------------- release: data_gene_matrix artifact ----------------
     "release_gene_matrix" -> ((s, dir) => {
       val clinical = t(s, dir, "customer").select(
@@ -7991,6 +8013,30 @@ object SparkEntry {
            SELECT doc_id, shard, n_tokens,
                   CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
            FROM c""",
+
+      "pack_efficiency" ->
+        """WITH d AS (
+             SELECT doc_id, doc_id % 8 AS shard,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             FROM documents),
+           c AS (
+             SELECT doc_id, shard, n_tokens,
+                    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+             FROM d),
+           p AS (
+             SELECT shard,
+                    CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+                    COUNT(*) AS nd, SUM(n_tokens) AS pt
+             FROM c GROUP BY shard,
+                    CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT))
+           SELECT shard,
+                  CAST(SUM(nd) AS BIGINT) AS n_docs,
+                  CAST(COUNT(*) AS BIGINT) AS n_packs,
+                  CAST(SUM(pt) AS BIGINT) AS total_tokens,
+                  CAST(MIN(pt) AS BIGINT) AS min_pack_tokens,
+                  CAST(MAX(pt) AS BIGINT) AS max_pack_tokens
+           FROM p GROUP BY shard ORDER BY shard""",
 
       "release_gene_matrix" ->
         """WITH base AS (
