@@ -1099,6 +1099,29 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    "text_fertility" -> ((s, dir) =>
+      // tokenizer fertility per language: chars-per-token and
+      // BPE-ish-tokens-per-word as exact half-up ppm ratios of integer
+      // sums — the per-language cost audit a tokenizer team runs
+      // before committing a vocabulary (high fertility = a language
+      // paying more tokens per character). One aggregation.
+      t(s, dir, "documents")
+        .select(col("lang"),
+          length(col("text")).cast("long").as("__nc"),
+          T.tokenCount(col("text")).cast("long").as("__nw"),
+          T.bpeishTokenCount(col("text")).cast("long").as("__nb"))
+        .groupBy("lang")
+        .agg(sum("__nc").as("n_chars"), sum("__nw").as("n_words"),
+          sum("__nb").as("n_bpe_tokens"))
+        .select(col("lang"), col("n_chars"), col("n_words"), col("n_bpe_tokens"),
+          graft.functions.Sampling.longDivHalfUp(
+            col("n_chars") * lit(1000000L), col("n_bpe_tokens"))
+            .as("chars_per_token_ppm"),
+          graft.functions.Sampling.longDivHalfUp(
+            col("n_bpe_tokens") * lit(1000000L), col("n_words"))
+            .as("tokens_per_word_ppm"))
+        .orderBy("lang")),
+
     "text_zipf_slope" -> ((s, dir) =>
       // Zipf's-law slope per source over the top-100 token frequencies
       // (natural corpora sit near −1; far-off slopes flag generated or
@@ -6275,6 +6298,23 @@ object SparkEntry {
            JOIN sz sa ON agr.source_a = sa.g
            JOIN sz sb ON agr.source_b = sb.g
            ORDER BY agr.source_a, agr.source_b""",
+
+      "text_fertility" ->
+        """WITH d AS (
+             SELECT lang,
+                    CAST(length(text) AS BIGINT) AS nc,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw,
+                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS nb
+             FROM documents),
+           g AS (SELECT lang, SUM(nc) AS n_chars, SUM(nw) AS n_words,
+                        SUM(nb) AS n_bpe_tokens
+                 FROM d GROUP BY lang)
+           SELECT lang, n_chars, n_words, n_bpe_tokens,
+                  CAST((n_chars * 1000000 * 2 + n_bpe_tokens)
+                       // (2 * n_bpe_tokens) AS BIGINT) AS chars_per_token_ppm,
+                  CAST((n_bpe_tokens * 1000000 * 2 + n_words)
+                       // (2 * n_words) AS BIGINT) AS tokens_per_word_ppm
+           FROM g ORDER BY lang""",
 
       "text_zipf_slope" ->
         // ln terms rounded 6 dp THEN summed in rank order (list_sum
