@@ -1897,6 +1897,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "events_json_extract" -> ((s, dir) => {
+      // semi-structured extraction: typed field pulled out of the raw
+      // JSON props column WITH AN EXPLICIT SCHEMA (from_json — no
+      // sampling-based inference job at 100 TB), aggregated per event
+      // type. Missing/empty payloads surface as nulls and fall out of
+      // the aggregates in both engines. Integer-only output.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     "sample_curriculum" -> ((s, dir) => {
       // curriculum training order: the epoch-shard deal with quality
       // BUCKETS (tenths of the 6-dp quality score — integer-stable
@@ -5852,6 +5870,18 @@ object SparkEntry {
            FROM (SELECT doc_id,
                         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
                  FROM documents)""",
+
+      "events_json_extract" ->
+        """SELECT event_type,
+                  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+                  CAST(SUM(k) AS BIGINT) AS sum_k,
+                  CAST(MIN(k) AS BIGINT) AS min_k,
+                  CAST(MAX(k) AS BIGINT) AS max_k
+           FROM (SELECT event_type,
+                        CASE WHEN props IS NULL OR props = '' THEN NULL
+                             ELSE CAST(props ->> 'k' AS BIGINT) END AS k
+                 FROM events)
+           GROUP BY event_type ORDER BY event_type""",
 
       "sample_curriculum" ->
         """WITH q AS (
