@@ -105,6 +105,61 @@ object SparkEntry {
         col("thr"))
   }
 
+  /** Mixture plan (sample_mix_plan and its column-subset diagnostics):
+    * per-lang avail/n_docs plus exact-Long half-up rate_ppm and the
+    * undersupplied flag. ONE aggregation; vocabulary-sized result.
+    */
+  private def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    val budgetTenth = 200000L / 10
+    val tenths = when(col("lang") === "en", lit(4L))
+      .when(col("lang") === "de", lit(2L))
+      .when(col("lang") === "es", lit(2L))
+      .when(col("lang") === "fr", lit(1L))
+      .otherwise(lit(1L))
+    val want = tenths * lit(budgetTenth)
+    val Sam = graft.functions.Sampling
+    t(s, dir, "documents")
+      .select(col("lang"), T.tokenCount(col("text")).cast("long").as("__nt"))
+      .groupBy("lang")
+      .agg(sum("__nt").as("avail"), count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("avail"), col("n_docs"),
+        least(lit(1000000L),
+          Sam.ppmHalfUp(want, col("avail")))
+          .as("rate_ppm"),
+        (want >= col("avail")).as("undersupplied"))
+  }
+
+  /** Per-lang tokenizer-fertility table (text_fertility and its
+    * column-subset diagnostics): integer sums + exact half-up ppm
+    * ratios. One aggregation.
+    */
+  private def fertilityTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        length(col("text")).cast("long").as("__nc"),
+        T.tokenCount(col("text")).cast("long").as("__nw"),
+        T.bpeishTokenCount(col("text")).cast("long").as("__nb"))
+      .groupBy("lang")
+      .agg(sum("__nc").as("n_chars"), sum("__nw").as("n_words"),
+        sum("__nb").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_chars"), col("n_words"), col("n_bpe_tokens"),
+        graft.functions.Sampling.ppmHalfUp(
+          col("n_chars"), col("n_bpe_tokens"))
+          .as("chars_per_token_ppm"),
+        graft.functions.Sampling.ppmHalfUp(
+          col("n_bpe_tokens"), col("n_words"))
+          .as("tokens_per_word_ppm"))
+      .orderBy("lang")
+
+  /** Cross-document paragraph dedup result (text_paragraph_dedup and
+    * its column-subset diagnostics).
+    */
+  private def paragraphDedup(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Curation.dedupSegmentsAcross(
+        t(s, dir, "documents"), "doc_id", "text", " the ", minWords = 3)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("rebuilt")).as("rebuilt_md5"))
+
   /** Shared oracle CTE chain replaying stages 1-2 (canonical dedup →
     * integer thresholds); the stage queries and the full export SELECT
     * from these.
@@ -135,6 +190,86 @@ object SparkEntry {
              FROM kept k JOIN rates r USING (lang)
              WHERE ('0x' || substr(md5('mix:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
                    < r.thr)"""
+
+  /** sample_mix_plan oracle body as a CTE chain ending in `mixplan`;
+    * the composite query and its column-subset diagnostics all select
+    * from the same chain. Every integer aggregate is CAST to BIGINT —
+    * DuckDB types a bare integer SUM as HUGEINT, which pandas renders
+    * float64 and a value-rendering comparator flags against Spark's
+    * int64 even when the numbers agree (the r7-r9 chronic-red class).
+    */
+  private val mixPlanOracleCtes: String =
+    """WITH a AS (
+         SELECT lang,
+                CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                     AS BIGINT) AS avail,
+                COUNT(*) AS n_docs
+         FROM documents GROUP BY 1),
+       t AS (SELECT lang, avail, n_docs,
+                    CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+                                   WHEN 'es' THEN 2 WHEN 'fr' THEN 1
+                                   ELSE 1 END * 20000 AS BIGINT) AS want
+             FROM a),
+       mixplan AS (
+         SELECT lang, avail, n_docs,
+                CAST(LEAST(1000000, (want * 1000000 * 2 + avail) // (2 * avail))
+                     AS BIGINT) AS rate_ppm,
+                want >= avail AS undersupplied
+         FROM t)"""
+
+  /** text_fertility oracle body as a CTE chain ending in `fert`;
+    * BIGINT-cast sums for the same HUGEINT-render reason as
+    * [[mixPlanOracleCtes]].
+    */
+  private val fertilityOracleCtes: String =
+    """WITH d AS (
+         SELECT lang,
+                CAST(length(text) AS BIGINT) AS nc,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS nb
+         FROM documents),
+       g AS (SELECT lang, CAST(SUM(nc) AS BIGINT) AS n_chars,
+                    CAST(SUM(nw) AS BIGINT) AS n_words,
+                    CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens
+             FROM d GROUP BY lang),
+       fert AS (
+         SELECT lang, n_chars, n_words, n_bpe_tokens,
+                CAST((n_chars * 1000000 * 2 + n_bpe_tokens)
+                     // (2 * n_bpe_tokens) AS BIGINT) AS chars_per_token_ppm,
+                CAST((n_bpe_tokens * 1000000 * 2 + n_words)
+                     // (2 * n_words) AS BIGINT) AS tokens_per_word_ppm
+         FROM g)"""
+
+  /** text_paragraph_dedup oracle body as a CTE chain ending in `pdd`:
+    * split (literal, trailing empties kept) → min-words filter →
+    * re-index kept segments per doc → global first-occurrence rank over
+    * (doc_id, idx) → per-doc counts + survivors rejoined in position
+    * order. BIGINT-cast n_kept (see [[mixPlanOracleCtes]]).
+    */
+  private val paragraphDedupOracleCtes: String =
+    """WITH raw AS (
+         SELECT doc_id, s[i] AS seg, i
+         FROM (SELECT doc_id, string_split(text, ' the ') AS s,
+                      unnest(range(1, len(string_split(text, ' the ')) + 1)) AS i
+               FROM documents WHERE text IS NOT NULL)),
+       kept AS (
+         SELECT doc_id, seg,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx
+         FROM raw
+         WHERE len(string_split(seg, ' ')) >= 3),
+       ranked AS (
+         SELECT doc_id, idx, seg,
+                ROW_NUMBER() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, idx) AS rn
+         FROM kept),
+       pdd AS (
+         SELECT doc_id,
+                COUNT(*) AS n_segments,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                md5(COALESCE(array_to_string(
+                  list(seg ORDER BY idx) FILTER (WHERE rn = 1), ' the '),
+                  '')) AS rebuilt_md5
+         FROM ranked GROUP BY 1)"""
 
   /** Shared int8-ANN oracle replay: normalize → int8 quantize →
     * integer-dot top-20 per query (idot desc, c_id asc) → exact cosine
@@ -1046,8 +1181,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("total_grams"),
           countDistinct(col("g")).as("distinct_grams"))
         .select(col("source"), col("total_grams"), col("distinct_grams"),
-          graft.functions.Sampling.longDivHalfUp(
-            col("distinct_grams") * lit(1000000L), col("total_grams"))
+          graft.functions.Sampling.ppmHalfUp(
+            col("distinct_grams"), col("total_grams"))
             .as("distinct_ppm"))
         .orderBy("source")
     }),
@@ -1105,22 +1240,17 @@ object SparkEntry {
       // sums — the per-language cost audit a tokenizer team runs
       // before committing a vocabulary (high fertility = a language
       // paying more tokens per character). One aggregation.
-      t(s, dir, "documents")
-        .select(col("lang"),
-          length(col("text")).cast("long").as("__nc"),
-          T.tokenCount(col("text")).cast("long").as("__nw"),
-          T.bpeishTokenCount(col("text")).cast("long").as("__nb"))
-        .groupBy("lang")
-        .agg(sum("__nc").as("n_chars"), sum("__nw").as("n_words"),
-          sum("__nb").as("n_bpe_tokens"))
-        .select(col("lang"), col("n_chars"), col("n_words"), col("n_bpe_tokens"),
-          graft.functions.Sampling.longDivHalfUp(
-            col("n_chars") * lit(1000000L), col("n_bpe_tokens"))
-            .as("chars_per_token_ppm"),
-          graft.functions.Sampling.longDivHalfUp(
-            col("n_bpe_tokens") * lit(1000000L), col("n_words"))
-            .as("tokens_per_word_ppm"))
-        .orderBy("lang")),
+      fertilityTable(s, dir)),
+
+    "fertility_sums_only" -> ((s, dir) =>
+      // text_fertility diagnostic: the three raw integer sums alone
+      fertilityTable(s, dir)
+        .select("lang", "n_chars", "n_words", "n_bpe_tokens")),
+
+    "fertility_ppm_only" -> ((s, dir) =>
+      // text_fertility diagnostic: the two derived ppm ratios alone
+      fertilityTable(s, dir)
+        .select("lang", "chars_per_token_ppm", "tokens_per_word_ppm")),
 
     "text_zipf_slope" -> ((s, dir) =>
       // Zipf's-law slope per source over the top-100 token frequencies
@@ -1588,11 +1718,16 @@ object SparkEntry {
       // or any other. One shuffle on segment text (rank<=1 compiles to
       // WindowGroupLimit: boilerplate with millions of copies forwards
       // one candidate per map partition), one per-doc reassembly agg.
-      graft.functions.Curation.dedupSegmentsAcross(
-          t(s, dir, "documents"), "doc_id", "text", " the ", minWords = 3)
-        .select(col("doc_id"), col("n_segments"), col("n_kept"),
-          md5(col("rebuilt")).as("rebuilt_md5"))
+      paragraphDedup(s, dir)
     }),
+
+    "paragraph_dedup_counts_only" -> ((s, dir) =>
+      // text_paragraph_dedup diagnostic: integer counts alone
+      paragraphDedup(s, dir).select("doc_id", "n_segments", "n_kept")),
+
+    "paragraph_dedup_md5_only" -> ((s, dir) =>
+      // text_paragraph_dedup diagnostic: the rebuilt-text digest alone
+      paragraphDedup(s, dir).select("doc_id", "rebuilt_md5")),
 
     "text_phrase_search" -> ((s, dir) => {
       // ORDER-aware retrieval: exact phrase occurrence counts from
@@ -1864,24 +1999,17 @@ object SparkEntry {
       // division (longDivHalfUp), so the output schema carries NO
       // double at all: every engine reproduces rate_ppm bit-for-bit,
       // with no ROUND(DOUBLE) representation sensitivity.
-      val budgetTenth = 200000L / 10
-      val tenths = when(col("lang") === "en", lit(4L))
-        .when(col("lang") === "de", lit(2L))
-        .when(col("lang") === "es", lit(2L))
-        .when(col("lang") === "fr", lit(1L))
-        .otherwise(lit(1L))
-      val want = tenths * lit(budgetTenth)
-      val Sam = graft.functions.Sampling
-      t(s, dir, "documents")
-        .select(col("lang"), T.tokenCount(col("text")).cast("long").as("__nt"))
-        .groupBy("lang")
-        .agg(sum("__nt").as("avail"), count(lit(1)).as("n_docs"))
-        .select(col("lang"), col("avail"), col("n_docs"),
-          least(lit(1000000L),
-            Sam.longDivHalfUp(want * lit(1000000L), col("avail")))
-            .as("rate_ppm"),
-          (want >= col("avail")).as("undersupplied"))
+      mixPlan(s, dir)
     }),
+
+    "mix_plan_rates_only" -> ((s, dir) =>
+      // sample_mix_plan diagnostic: rate_ppm column alone — a driver
+      // red here localizes the composite mismatch to the rate column
+      mixPlan(s, dir).select("lang", "rate_ppm")),
+
+    "mix_plan_flags_only" -> ((s, dir) =>
+      // sample_mix_plan diagnostic: the boolean flag alone
+      mixPlan(s, dir).select("lang", "undersupplied")),
 
     "sample_mix_weighted" -> ((s, dir) => {
       // weighted source mixing: per-language keep rates applied as a
@@ -2442,6 +2570,38 @@ object SparkEntry {
       exportAccepted(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n_acc"), sum("__nt").as("nt_acc"))
     }),
+
+    "pipeline_stage_split" -> ((s, dir) => {
+      // stage 4: per-split marginals ACROSS languages — isolates
+      // splitAssign itself from the final (lang, split) manifest
+      // cross-tab; stages 1-3 are separately green, so a red composite
+      // with a green row here indicts only the cross-tab emission
+      exportAccepted(s, dir)
+        .withColumn("split", graft.functions.Sampling.splitAssign(
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+    }),
+
+    "diag_channel_hugeint" -> ((s, dir) =>
+      // driver-channel CONTROL, bare-sum arm: the Spark side is a plain
+      // per-lang count (BIGINT); the oracle computes the same number as
+      // an UN-cast SUM(1), which DuckDB types HUGEINT and pandas
+      // renders float64 ("500.0"). Values are identical; only the
+      // oracle's declared type differs from the cast twin below. If
+      // this row is red while diag_channel_bigint is green, the
+      // driver's comparator distinguishes rendered int vs float — the
+      // r7-r9 chronic-red mechanism, proven from the driver's own
+      // artifact. Expected red under that theory; documented in
+      // COVERAGE.md.
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs")).orderBy("lang")),
+
+    "diag_channel_bigint" -> ((s, dir) =>
+      // driver-channel CONTROL, cast arm: identical values, oracle
+      // SUM cast to BIGINT. Expected green.
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs")).orderBy("lang")),
 
     "text_bpe_merges" -> ((s, dir) => {
       // tokenizer TRAINING in-engine: three BPE merge rules learned
@@ -5530,32 +5690,16 @@ object SparkEntry {
            FROM k""",
 
       "text_paragraph_dedup" ->
-        // replay: split (literal, trailing empties kept) → min-words
-        // filter → re-index kept segments per doc → global
-        // first-occurrence rank over (doc_id, idx) → per-doc counts +
-        // survivors rejoined in position order
-        """WITH raw AS (
-             SELECT doc_id, s[i] AS seg, i
-             FROM (SELECT doc_id, string_split(text, ' the ') AS s,
-                          unnest(range(1, len(string_split(text, ' the ')) + 1)) AS i
-                   FROM documents WHERE text IS NOT NULL)),
-           kept AS (
-             SELECT doc_id, seg,
-                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx
-             FROM raw
-             WHERE len(string_split(seg, ' ')) >= 3),
-           ranked AS (
-             SELECT doc_id, idx, seg,
-                    ROW_NUMBER() OVER (PARTITION BY seg
-                                       ORDER BY doc_id, idx) AS rn
-             FROM kept)
-           SELECT doc_id,
-                  COUNT(*) AS n_segments,
-                  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-                  md5(COALESCE(array_to_string(
-                    list(seg ORDER BY idx) FILTER (WHERE rn = 1), ' the '),
-                    '')) AS rebuilt_md5
-           FROM ranked GROUP BY 1""",
+        (paragraphDedupOracleCtes + """
+           SELECT doc_id, n_segments, n_kept, rebuilt_md5 FROM pdd"""),
+
+      "paragraph_dedup_counts_only" ->
+        (paragraphDedupOracleCtes + """
+           SELECT doc_id, n_segments, n_kept FROM pdd"""),
+
+      "paragraph_dedup_md5_only" ->
+        (paragraphDedupOracleCtes + """
+           SELECT doc_id, rebuilt_md5 FROM pdd"""),
 
       "text_phrase_search" ->
         // independent adjacency check: per-phrase list_filter
@@ -5694,7 +5838,8 @@ object SparkEntry {
              FROM documents),
            pairs AS (
              SELECT ts[i] AS w1, ts[i + 1] AS w2
-             FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)),
+             FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+             WHERE ts[i] <> '' AND ts[i + 1] <> ''),
            cnts AS (
              SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
              FROM pairs GROUP BY 1, 2),
@@ -5964,21 +6109,16 @@ object SparkEntry {
            QUALIFY rank <= 200""",
 
       "sample_mix_plan" ->
-        """WITH a AS (
-             SELECT lang,
-                    SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS avail,
-                    COUNT(*) AS n_docs
-             FROM documents GROUP BY 1),
-           t AS (SELECT lang, avail, n_docs,
-                        CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
-                                       WHEN 'es' THEN 2 WHEN 'fr' THEN 1
-                                       ELSE 1 END * 20000 AS BIGINT) AS want
-                 FROM a)
-           SELECT lang, avail, n_docs,
-                  CAST(LEAST(1000000, (want * 1000000 * 2 + avail) // (2 * avail))
-                       AS BIGINT) AS rate_ppm,
-                  want >= avail AS undersupplied
-           FROM t""",
+        (mixPlanOracleCtes + """
+           SELECT lang, avail, n_docs, rate_ppm, undersupplied FROM mixplan"""),
+
+      "mix_plan_rates_only" ->
+        (mixPlanOracleCtes + """
+           SELECT lang, rate_ppm FROM mixplan"""),
+
+      "mix_plan_flags_only" ->
+        (mixPlanOracleCtes + """
+           SELECT lang, undersupplied FROM mixplan"""),
 
       "sample_mix_weighted" ->
         """SELECT doc_id, lang, source
@@ -6330,21 +6470,20 @@ object SparkEntry {
            ORDER BY agr.source_a, agr.source_b""",
 
       "text_fertility" ->
-        """WITH d AS (
-             SELECT lang,
-                    CAST(length(text) AS BIGINT) AS nc,
-                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw,
-                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS nb
-             FROM documents),
-           g AS (SELECT lang, SUM(nc) AS n_chars, SUM(nw) AS n_words,
-                        SUM(nb) AS n_bpe_tokens
-                 FROM d GROUP BY lang)
+        (fertilityOracleCtes + """
            SELECT lang, n_chars, n_words, n_bpe_tokens,
-                  CAST((n_chars * 1000000 * 2 + n_bpe_tokens)
-                       // (2 * n_bpe_tokens) AS BIGINT) AS chars_per_token_ppm,
-                  CAST((n_bpe_tokens * 1000000 * 2 + n_words)
-                       // (2 * n_words) AS BIGINT) AS tokens_per_word_ppm
-           FROM g ORDER BY lang""",
+                  chars_per_token_ppm, tokens_per_word_ppm
+           FROM fert ORDER BY lang"""),
+
+      "fertility_sums_only" ->
+        (fertilityOracleCtes + """
+           SELECT lang, n_chars, n_words, n_bpe_tokens
+           FROM fert ORDER BY lang"""),
+
+      "fertility_ppm_only" ->
+        (fertilityOracleCtes + """
+           SELECT lang, chars_per_token_ppm, tokens_per_word_ppm
+           FROM fert ORDER BY lang"""),
 
       "text_zipf_slope" ->
         // ln terms rounded 6 dp THEN summed in rank order (list_sum
@@ -6669,7 +6808,7 @@ object SparkEntry {
                   CASE WHEN sb < floor(0.8 * 4294967296.0) THEN 'train'
                        WHEN sb < floor((0.8 + 0.1) * 4294967296.0) THEN 'val'
                        ELSE 'test' END AS split,
-                  COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+                  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
            FROM acc GROUP BY 1, 2"""),
 
       "pipeline_stage_dedup" ->
@@ -6685,6 +6824,26 @@ object SparkEntry {
         (exportOracleCtes + """
            SELECT lang, COUNT(*) AS n_acc, CAST(SUM(nt) AS BIGINT) AS nt_acc
            FROM acc GROUP BY 1"""),
+
+      "pipeline_stage_split" ->
+        (exportOracleCtes + """
+           SELECT CASE WHEN sb < floor(0.8 * 4294967296.0) THEN 'train'
+                       WHEN sb < floor((0.8 + 0.1) * 4294967296.0) THEN 'val'
+                       ELSE 'test' END AS split,
+                  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+           FROM acc GROUP BY 1"""),
+
+      "diag_channel_hugeint" ->
+        // driver-channel CONTROL, bare-sum arm: identical values to the
+        // cast twin; SUM(1) is typed HUGEINT by DuckDB (float64 via
+        // pandas). Red here + green twin = the comparator distinguishes
+        // rendered int vs float.
+        """SELECT lang, SUM(1) AS n_docs
+           FROM documents GROUP BY lang ORDER BY lang""",
+
+      "diag_channel_bigint" ->
+        """SELECT lang, CAST(SUM(1) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang ORDER BY lang""",
 
       "text_bpe_merges" -> {
         // step-for-step replay of the BPE trainer: pair stats over the

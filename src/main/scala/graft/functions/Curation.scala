@@ -206,7 +206,11 @@ object Curation {
       .select(explode(expr(
         "zip_with(ts, slice(ts, 2, size(ts)), " +
           "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
-      .where(col("p.w2").isNotNull && col("p.w1") =!= "")
+      // trim strips only 0x20, so text with leading/trailing non-space
+      // whitespace yields empty boundary tokens — drop pairs touching
+      // one on EITHER side (the oracle mirrors this filter)
+      .where(col("p.w2").isNotNull &&
+        col("p.w1") =!= "" && col("p.w2") =!= "")
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
     val lefts = pairCounts.groupBy("w1").agg(sum("n_pair").as("c1"))
@@ -668,14 +672,18 @@ object Curation {
     * and `rebuilt` (survivors rejoined with `sep` in original order;
     * empty string when everything was someone else's duplicate).
     *
-    * Scale shape: segments explode scan-side; ONE shuffle partitions
-    * them by segment text for the first-occurrence rank (rank ≤ 1
-    * compiles to map-side WindowGroupLimit, so each partition forwards
-    * only its candidate winner per segment — boilerplate segments with
-    * millions of copies do NOT all cross the wire), and ONE per-doc
-    * aggregation reassembles survivors with an in-row array_sort on
-    * (position, segment) structs — no second ordering shuffle. Only
-    * (id, position, segment) rows ever move, never whole documents.
+    * Scale shape: segments explode scan-side; the global
+    * first-occurrence winner per segment is a PARTIAL AGGREGATE —
+    * `groupBy(segment).agg(min(struct(id, idx)))` — so map-side combine
+    * collapses every partition's copies of a hot boilerplate segment
+    * (millions of identical cookie banners) to one candidate row before
+    * the shuffle; a window rank here would instead sort ALL copies in
+    * one skewed partition. Survivors are marked by joining the
+    * winner table back on segment text (AQE skew-join splittable,
+    * unlike a window sort partition), then ONE per-doc aggregation
+    * reassembles them with an in-row array_sort on (position, segment)
+    * structs — no ordering shuffle. Only (id, position, segment) rows
+    * ever move, never whole documents.
     */
   def dedupSegmentsAcross(docs: DataFrame, idCol: String, textCol: String,
                           sep: String, minWords: Int = 1): DataFrame = {
@@ -684,14 +692,15 @@ object Curation {
       .select(col(idCol).as("__id"),
         posexplode(keepSegments(col(textCol), sep, minWords))
           .as(Seq("__idx", "__seg")))
-    val w = Window.partitionBy(col("__seg"))
-      .orderBy(col("__id").asc, col("__idx").asc)
-    segs.withColumn("__rn", row_number().over(w))
+    val winners = segs.groupBy("__seg")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__win"))
+    segs.join(winners, "__seg")
+      .withColumn("__keep", struct(col("__id"), col("__idx")) === col("__win"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(when(col("__rn") === 1,
+          array_sort(collect_list(when(col("__keep"),
             struct(col("__idx"), col("__seg"))))),
           e => e.getField("__seg")), sep).as("rebuilt"))
   }
@@ -743,7 +752,14 @@ object Curation {
     * Estimate emitted as BIGINT ppm (exact half-up division); std
     * error ≈ 1/√k. All C(groups,2) pairs appear (a < b), including
     * zero-agreement ones — the signature table is complete by
-    * construction, there is no sparsity to preserve.
+    * construction, there is no sparsity to preserve. A document with
+    * ZERO non-empty tokens contributes nothing: its signature
+    * components are the empty-string sentinel (MinHashSignature emits
+    * "" when no token was hashed), which would win every string-min
+    * and force its whole group to k×"" — so empty components are
+    * filtered out before the min. A group consisting ONLY of such
+    * documents drops from the signature table entirely (same as the
+    * token-level oracle, whose min over zero token hashes is absent).
     */
   def sourceOverlapMinhash(docs: DataFrame, groupCol: String,
                            textCol: String, k: Int): DataFrame = {
@@ -753,6 +769,7 @@ object Curation {
         t => length(t) > lit(0))), k)
     val comp = docs
       .select(col(groupCol).as("__g"), posexplode(sig).as(Seq("__i", "__v")))
+      .filter(col("__v") =!= "")
       .groupBy("__g", "__i").agg(min("__v").as("__v"))
     comp.as("a")
       .join(comp.as("b"),
@@ -761,7 +778,7 @@ object Curation {
       .agg(sum(when(col("a.__v") === col("b.__v"), 1L).otherwise(0L))
         .as("agree"))
       .select(col("source_a"), col("source_b"), col("agree"),
-        Sampling.longDivHalfUp(col("agree") * lit(1000000L), lit(k.toLong))
+        Sampling.ppmHalfUp(col("agree"), lit(k.toLong))
           .as("est_ppm"))
   }
 
@@ -845,7 +862,7 @@ object Curation {
         Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("shared"),
-        Sampling.longDivHalfUp(col("shared") * lit(1000000L), union)
+        Sampling.ppmHalfUp(col("shared"), union)
           .as("jaccard_ppm"))
   }
 }

@@ -356,10 +356,19 @@ object DedupFunctions {
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
 
-  /** Fuzzy entity-name matching (record linkage): all DISTINCT name
-    * pairs within `maxDist` edit distance, found by token blocking —
-    * the classic prefix-filtering shape, never an all-pairs cross
-    * join.
+  /** Fuzzy entity-name matching (record linkage): DISTINCT name pairs
+    * within `maxDist` edit distance, found by token blocking — the
+    * classic prefix-filtering shape, never an all-pairs cross join.
+    *
+    * RECALL CONTRACT: a pair is a candidate only if the two names
+    * share at least one exact whitespace token with document frequency
+    * ≤ `maxDf` in the name catalog. Pairs whose edit distance comes
+    * entirely from single-token typos with no other shared token
+    * ("acme"/"acne") and pairs whose only shared tokens exceed the
+    * `maxDf` cap are NOT returned — that is the standard
+    * blocking-recall trade, not a bug (a character-q-gram blocking
+    * tier would recover single-token names at extra candidate cost).
+    * The gate oracle replays the identical blocking heuristic.
     *
     * Scale shape: dedup to the NAME CATALOG first (entity catalogs are
     * orders of magnitude smaller than the rows that mention them),

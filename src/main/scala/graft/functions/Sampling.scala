@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling / data-mixing operators for training-data
   * pipelines: reproducible splits, per-stratum rate sampling, per-group
@@ -25,27 +26,47 @@ object Sampling {
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
-  /** Exact `floor(num / den)` over non-negative Long columns with
-    * `num < 2⁵³`. `num - pmod(num, den)` is an exact multiple of `den`,
-    * and IEEE division of two exactly-representable doubles whose
-    * quotient is an integer is itself exact — so the result carries no
-    * floating-point sensitivity, unlike `floor(numDouble / denDouble)`
-    * whose 1-ulp drift can flip an acceptance-threshold boundary.
+  /** Exact `floor(num / den)` over non-negative Long columns, for ANY
+    * Long magnitude: operands are cast to DECIMAL(38,0), the remainder
+    * is subtracted (decimal pmod is exact), and the division of an
+    * exact multiple by its divisor is an integer the result type
+    * represents exactly — so the result carries no floating-point
+    * sensitivity at any scale, unlike `floor(numDouble / denDouble)`
+    * whose 1-ulp drift can flip an acceptance-threshold boundary (or
+    * the earlier double-trick form, exact only below 2⁵³).
     * Cross-engine contracts (mixture rates, hash-Bernoulli thresholds)
     * should derive every cut-off through this, keeping DOUBLE out of
     * the comparison path entirely.
     */
-  def longFloorDiv(num: Column, den: Column): Column =
-    ((num - pmod(num, den)) / den).cast("long")
+  def longFloorDiv(num: Column, den: Column): Column = {
+    val dec = DecimalType(38, 0)
+    val (n, d) = (num.cast(dec), den.cast(dec))
+    ((n - pmod(n, d)) / d).cast("long")
+  }
 
   /** Exact half-up `round(num / den)` for non-negative Longs:
-    * `floor((2·num + den) / (2·den))` — the parts-per-million form of a
-    * rate (`longDivHalfUp(want·10⁶, avail)`) replaces a
-    * `round(double, 6)` output column with a BIGINT that every engine
-    * reproduces bit-for-bit.
+    * `floor((2·num + den) / (2·den))`, computed in DECIMAL so
+    * `2·num + den` cannot overflow for any Long inputs — the
+    * parts-per-million form of a rate replaces a `round(double, 6)`
+    * output column with a BIGINT that every engine reproduces
+    * bit-for-bit. For ppm rates over corpus-sized sums, prefer
+    * [[ppmHalfUp]], which also keeps the ·10⁶ scaling out of Long.
     */
-  def longDivHalfUp(num: Column, den: Column): Column =
-    longFloorDiv(num * lit(2L) + den, den * lit(2L))
+  def longDivHalfUp(num: Column, den: Column): Column = {
+    val dec = DecimalType(38, 0)
+    val (n, d) = (num.cast(dec), den.cast(dec))
+    val (n2, d2) = (n * lit(2) + d, d * lit(2))
+    ((n2 - pmod(n2, d2)) / d2).cast("long")
+  }
+
+  /** Exact half-up parts-per-million `round(num·10⁶ / den)` with the
+    * ·10⁶ scaling done in DECIMAL: at 100 TB, per-group char/gram sums
+    * reach ~10¹³, so `sum * 1_000_000L` in Long arithmetic silently
+    * wraps past 2⁶³ — every ppm call site should pass the RAW sum here
+    * instead of pre-multiplying.
+    */
+  def ppmHalfUp(num: Column, den: Column): Column =
+    longDivHalfUp(num.cast(DecimalType(38, 0)) * lit(1000000), den)
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank every corpus

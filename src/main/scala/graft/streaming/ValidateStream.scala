@@ -367,6 +367,11 @@ object ValidateStream {
     * with unique rows and fails loudly otherwise; replacements and
     * deletes route through
     * [[graft.functions.VectorFunctions.retractKnnGraph]] + re-ingest.
+    * Like the other index sinks, the first micro-batch BOOTSTRAPS when
+    * the graph index does not exist yet: it writes the batch as the
+    * initial corpus and builds the initial graph from it (corpus first,
+    * so a crash between the two replays back into the bootstrap branch
+    * and overwrites idempotently) — a stream may start on empty paths.
     */
   def knnGraphStream(docs: DataFrame, idCol: String, vecCol: String,
                      graphPath: String, corpusPath: String,
@@ -383,6 +388,21 @@ object ValidateStream {
           val V = graft.functions.VectorFunctions
           val delta = batch.select(col(idCol), col(vecCol)).persist()
           try {
+            if (!graft.functions.SegmentedIndex.exists(spark, graphPath)) {
+              // bootstrap: no graph yet — this batch IS the corpus.
+              // Corpus lands first so a crash before the graph build
+              // replays back into this branch (graph still absent) and
+              // overwrites both artifacts idempotently.
+              if (!trustedDelta) {
+                val dup = delta.groupBy(idCol).agg(count(lit(1)).as("c"))
+                  .filter(col("c") > 1).limit(1).collect()
+                require(dup.isEmpty,
+                  s"knnGraphStream: bootstrap batch has multiple rows for " +
+                    s"id ${dup.headOption.map(_.get(0)).orNull} — one vector per id")
+              }
+              delta.write.mode("overwrite").parquet(corpusPath)
+              V.saveKnnGraph(delta, idCol, vecCol, graphPath, k)
+            } else {
             val corpus = spark.read.parquet(corpusPath)
             // replay detection: a re-delivered batch whose ids ALL
             // already reached the corpus WITH THE SAME VECTORS was
@@ -424,6 +444,7 @@ object ValidateStream {
                 !pinned(spark, graphPath, pinnedBy))
               graft.functions.SegmentedIndex
                 .compactIndex(spark, graphPath, "graph")
+            }
           } finally delta.unpersist(blocking = false)
         }
       }

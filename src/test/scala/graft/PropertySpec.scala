@@ -525,11 +525,18 @@ class PropertySpec extends SparkSpec {
     // one-off-from-multiple, den=1, and the want·2³² magnitude ceiling
     val pairGen = for {
       n0 <- Gen.oneOf(
-        Gen.choose(0L, 1L << 51), // halfUp doubles num: keep 2n+d < 2^53
+        Gen.choose(0L, 1L << 51),
         Gen.choose(0L, 1000L),
-        Gen.const(60000L * 4294967296L)) // the export threshold ceiling
+        Gen.const(60000L * 4294967296L), // the export threshold ceiling
+        // decimal internals: exact for ANY Long num, incl. past 2^53
+        // (the old double-trick ceiling) and near Long.MaxValue where
+        // the old 2n+d form wrapped silently
+        // -1 headroom: the multiple+1 boundary mutation below must not
+        // wrap past Long.MaxValue
+        Gen.choose(1L << 53, Long.MaxValue - 1L),
+        Gen.const(Long.MaxValue - 1L))
       d <- Gen.oneOf(Gen.choose(1L, 1L << 30), Gen.const(1L),
-        Gen.choose(1L, 7L))
+        Gen.choose(1L, 7L), Gen.choose(1L, Long.MaxValue))
       // bias onto boundaries: exact multiple and multiple±1
       n <- Gen.oneOf(n0, (n0 / d) * d,
         math.max(0L, (n0 / d) * d - 1L), (n0 / d) * d + 1L)
@@ -546,6 +553,25 @@ class PropertySpec extends SparkSpec {
           s"halfUpDiv($n, $d)")
       }
     }
+    // ppmHalfUp keeps the ·10⁶ scaling out of Long: a 100 TB-scale char
+    // sum (~10¹³) would wrap in `sum * 1000000L` but is exact here
+    val big = Seq((20_000_000_000_000L, 7_000_000_000_000L),
+      (Long.MaxValue / 2, Long.MaxValue / 3), (1L, 3L), (0L, 5L))
+    val got = big.toDF("n", "d")
+      .select(Sampling.ppmHalfUp(col("n"), col("d")).as("ppm"))
+      .collect().map(_.getLong(0)).toSeq
+    val exp = big.map { case (n, d) =>
+      ((BigInt(n) * 1000000 * 2 + d) / (BigInt(d) * 2)).toLong }
+    assert(got == exp, s"ppmHalfUp: got $got expected $exp")
+    // and a ppm that does NOT fit in Long fails LOUDLY (ANSI decimal→
+    // long cast overflow), never wraps silently — the overflow contract
+    val loud = intercept[Exception] {
+      Seq((Long.MaxValue / 2, 3L)).toDF("n", "d")
+        .select(Sampling.ppmHalfUp(col("n"), col("d")).as("ppm")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(loud).exists(_.contains("CAST_OVERFLOW")), loud.getMessage)
   }
 
   test("property: repeatedSpans invariants on random small-vocab corpora") {

@@ -1519,6 +1519,26 @@ class FunctionsSpec extends SparkSpec {
     assert(again == est)
   }
 
+  test("sourceOverlapMinhash: empty/whitespace docs don't poison their group's signature") {
+    // each group carries one token-less doc; its k×"" signature would
+    // win every string-min and force 16/16 agreement between any two
+    // such groups regardless of true overlap
+    val docs = Seq(
+      ("a1", "a", "alpha beta gamma delta"), ("a2", "a", "   "),
+      ("b1", "b", "epsilon zeta eta theta"), ("b2", "b", "")
+    ).toDF("doc_id", "source", "text")
+    val est = Curation.sourceOverlapMinhash(docs, "source", "text", k = 16)
+      .as[(String, String, Long, Long)].collect()
+    assert(est.length == 1)
+    val (_, _, agree, ppm) = est.head
+    assert(agree < 16L, s"empty docs forced full agreement: $agree/16")
+    assert(ppm < 1000000L)
+    // a group made ONLY of token-less docs drops from the table
+    val only = Seq(("x1", "x", "  "), ("y1", "y", "tok1 tok2"))
+      .toDF("doc_id", "source", "text")
+    assert(Curation.sourceOverlapMinhash(only, "source", "text", k = 16).isEmpty)
+  }
+
   test("zipfSlope: ~-1 on a 1/rank corpus, 0 on uniform, deterministic") {
     // zipf source: token t_r appears round(600/r) times, r = 1..30
     val zipfDocs = (1 to 30).flatMap { r =>

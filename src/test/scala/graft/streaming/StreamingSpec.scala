@@ -426,6 +426,34 @@ class StreamingSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("arrivals-only")))
   }
 
+  test("streaming kNN-graph bootstrap: a stream started on empty paths creates both artifacts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions
+    def vec(i: Int) = Array.tabulate(8) { d =>
+      val base = if (d == (i % 4) * 2) 10.0f else 0.0f
+      base + ((i * 31 + d * 7) % 5) * 0.1f
+    }
+    val dir = tmpDir("knnboot")
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((0 until 20).map(i => (i.toLong, vec(i))): _*)
+    val q = ValidateStream.knnGraphStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$dir/idx", s"$dir/corpus", s"$dir/ckpt", k = 3)
+    q.processAllAvailable()
+    // second batch exercises the normal merge path on the bootstrapped state
+    mem.addData((100L, vec(1)), (101L, vec(2)))
+    q.processAllAvailable()
+    q.stop()
+    val latest = ((0 until 20).map(i => (i.toLong, vec(i))) ++
+      Seq((100L, vec(1)), (101L, vec(2)))).toDF("vec_id", "embedding")
+    val live = VectorFunctions.knnGraphEdges(spark, s"$dir/idx")
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val fresh = VectorFunctions.knnGraph(latest, "vec_id", "embedding", k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(live == fresh, "bootstrapped+merged graph must equal a fresh rebuild")
+    assert(spark.read.parquet(s"$dir/corpus").count() == 22L)
+  }
+
   test("streaming IVF-PQ maintenance: batches encode residuals against frozen parameters") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.VectorFunctions
