@@ -286,16 +286,20 @@ object Sampling {
     // aggregate's required distribution (__bin) is already satisfied,
     // so it adds no exchange (deriving totals from `binned` directly
     // would always plan a second full scan of the scored corpus).
-    val binCum = cumd.groupBy("__bin")
+    // The prefix sum over the bin totals runs on the DRIVER: the table
+    // is #bins rows (bounded by the score range, not the corpus), and
+    // a driver scan-left + broadcast literal replaces the
+    // single-partition WindowExec this used to plan — same exact
+    // values, no "No Partition Defined" warning spam in every run.
+    val binTotals = cumd.groupBy("__bin")
       .agg(max("__cum_in_bin").as("__bin_cost"))
-      .withColumn("__bin_before",
-        // global window is safe HERE only: it runs over #bins rows
-        // (bounded by the score range, not the corpus), so the
-        // single-partition WindowExec touches a driver-small table
-        coalesce(sum("__bin_cost").over(
-          Window.orderBy(col("__bin").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__bin", "__bin_before")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val binBefore = binTotals.map(_._1)
+      .zip(binTotals.scanLeft(0L)(_ + _._2).init)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binCum = binBefore.toSeq.toDF("__bin", "__bin_before")
     cumd
       .join(broadcast(binCum), Seq("__bin"))
       .withColumn("cum_cost", col("__bin_before") + col("__cum_in_bin"))

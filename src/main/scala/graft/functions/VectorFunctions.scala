@@ -228,8 +228,17 @@ object VectorFunctions {
     */
   def saveKnnGraph(vecs: DataFrame, idCol: String, vecCol: String,
                    path: String, k: Int): Unit =
-    SegmentedIndex.createIndex(vecs.sparkSession, path, "graph",
-      graphLists(knnGraph(vecs, idCol, vecCol, k)))
+    saveKnnGraphFrom(knnGraph(vecs, idCol, vecCol, k), path)
+
+  /** [[saveKnnGraph]] from an ALREADY-computed exact graph — the
+    * shared-intermediate path: one exact pass feeds several consumers
+    * instead of each persisting build paying its own quadratic scan.
+    * `graph` must carry (q_id, c_id, score, rank) as produced by
+    * [[knnGraph]] at the index's k.
+    */
+  def saveKnnGraphFrom(graph: DataFrame, path: String): Unit =
+    SegmentedIndex.createIndex(graph.sparkSession, path, "graph",
+      graphLists(graph))
 
   /** Live graph read (tombstone-masked, optional `asOf` pin) in edge
     * form: (q_id, c_id, score, rank).

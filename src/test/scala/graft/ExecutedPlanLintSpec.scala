@@ -25,8 +25,9 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *  - empty-partitionSpec WindowExec nodes are pinned to EXACT
   *    per-query counts, split by provenance:
   *     - DISTRIBUTED global windows (the subtree reads real source
-  *       data) — only sample_budget_select's bounded bin-table prefix
-  *       sum is allowed (see Sampling.budgetSelect);
+  *       data) — NONE allowed: budgetSelect's bin prefix sum moved to
+  *       a driver scan-left + broadcast in round 10, closing the last
+  *       documented exemption;
   *     - LOCAL-RELATION global windows (every leaf of the window's
   *       subtree is driver-local: LocalTableScan / ExistingRDD) —
   *       driver-small by construction, but still pinned per query so a
@@ -61,9 +62,7 @@ class ExecutedPlanLintSpec extends SparkSpec {
   /** query -> expected DISTRIBUTED empty-partitionSpec WindowExec count
     * across every plan executed while that query built + ran.
     */
-  private val distributedExpected: Map[String, Int] = Map(
-    "sample_budget_select" -> 1 // bin-table prefix sum, bounded by score range
-  )
+  private val distributedExpected: Map[String, Int] = Map.empty
 
   /** query -> expected LOCAL-RELATION empty-partitionSpec WindowExec
     * count: windows whose whole subtree reads driver-local rows

@@ -11,9 +11,9 @@ import org.apache.spark.sql.execution.window.WindowExec
   *
   *  - WindowExec with an empty partition spec funnels the whole input
   *    through ONE task (the "No Partition Defined" warning). The only
-  *    allowed instance is sample_budget_select's bin-level prefix sum,
-  *    which runs over the bounded bin table, not row data (documented
-  *    at Sampling.budgetSelect).
+  *    allowed instance count is ZERO since round 10: budgetSelect's
+  *    bin-level prefix sum (the one documented exemption) now runs as
+  *    a driver scan-left + broadcast literal table.
   *  - CartesianProductExec is the non-broadcast cross join — O(n·m)
   *    with a shuffle of both sides. (BroadcastNestedLoopJoin with a
   *    small side is fine and intended for e.g. hard-negative mining.)
@@ -39,9 +39,7 @@ class PlanLintSpec extends SparkSpec {
     * "No Partition Defined" warning volume to a known source — a new
     * offender can't hide in the noise.
     */
-  private val globalWindowExpected = Map(
-    "sample_budget_select" -> 1 // bin-table prefix sum, bounded by score range
-  )
+  private val globalWindowExpected = Map.empty[String, Int]
 
   test("no query plans a single-partition window or a cartesian product") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
