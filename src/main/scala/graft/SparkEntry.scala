@@ -764,6 +764,15 @@ object SparkEntry {
         t(s, dir, "part"), "p_name", maxDist = 3, maxDf = 12L)
     }),
 
+    "j11_fuzzy_qgram" -> ((s, dir) => {
+      // the q-gram blocking tier: recovers pairs token blocking misses
+      // by contract (single-token names, capped-token-only pairs) —
+      // shared rare character 4-gram → length prune → levenshtein
+      // verify. Same catalog-sized prefix-filter shape.
+      graft.functions.DedupFunctions.fuzzyNamePairsQgram(
+        t(s, dir, "part"), "p_name", maxDist = 3, q = 4, maxDf = 20L)
+    }),
+
     // ---------------- A: aggregations --------------------------------
     "a2_rollup_total" -> ((s, dir) => {
       // per-CENTER counts + Total row (dashboard_table_updater.py:127-175)
@@ -5018,6 +5027,29 @@ object SparkEntry {
            WHERE levenshtein(name_a, name_b) <= 3
            ORDER BY name_a, name_b""",
 
+      "j11_fuzzy_qgram" ->
+        // q-gram tier replay: rare shared 4-gram blocks, length prune,
+        // exact levenshtein — names shorter than q gram to themselves
+        """WITH p AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+           g AS (SELECT DISTINCT name,
+                        unnest(CASE WHEN len(name) <= 4 THEN [name]
+                               ELSE list_distinct(list_transform(
+                                 range(1, len(name) - 4 + 2),
+                                 i -> substring(name, i, 4))) END) AS g
+                 FROM p),
+           keep AS (SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
+                    WHERE df <= 20),
+           gk AS (SELECT g.name, g.g FROM g JOIN keep USING (g)),
+           cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                    FROM gk a JOIN gk b
+                    ON a.g = b.g AND a.name < b.name)
+           SELECT name_a, name_b,
+                  CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+           FROM cand
+           WHERE abs(len(name_a) - len(name_b)) <= 3
+             AND levenshtein(name_a, name_b) <= 3
+           ORDER BY name_a, name_b""",
+
       "a2_rollup_total" ->
         """SELECT COALESCE(o_orderstatus, 'Total') AS o_orderstatus, COUNT(*) AS n
            FROM orders GROUP BY ROLLUP(o_orderstatus)""",
@@ -5273,8 +5305,8 @@ object SparkEntry {
                  FROM h)
            SELECT doc_id,
                   CAST(len(list_distinct(sel)) AS BIGINT) AS n_selected,
-                  md5(array_to_string(list_transform(list_sort(list_distinct(sel)),
-                        x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+                  md5(COALESCE(array_to_string(list_transform(list_sort(list_distinct(sel)),
+                        x -> CAST(x AS VARCHAR)), ','), '')) AS fp_md5
            FROM w""",
 
       "corpus_report" ->
@@ -5713,7 +5745,7 @@ object SparkEntry {
                   CAST(len(segs) AS BIGINT) AS n_segments,
                   CAST(len(kept) AS BIGINT) AS n_kept,
                   CAST(len(list_distinct(kept)) AS BIGINT) AS n_unique,
-                  md5(array_to_string(kept, ' | ')) AS kept_md5
+                  md5(COALESCE(array_to_string(kept, ' | '), '')) AS kept_md5
            FROM k""",
 
       "text_paragraph_dedup" ->

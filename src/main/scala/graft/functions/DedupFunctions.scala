@@ -402,6 +402,51 @@ object DedupFunctions {
       .orderBy("name_a", "name_b")
   }
 
+  /** Character-q-gram blocking tier of [[fuzzyNamePairs]] — recovers
+    * the pairs the token tier's recall contract documentedly misses:
+    * single-token names within edit distance ("acme"/"acne" share no
+    * token but share 2-grams) and pairs whose only shared tokens
+    * exceed the df cap. Two names are candidates iff they share at
+    * least one q-gram with catalog document frequency ≤ `maxDf`; a
+    * free length filter (`|len(a) − len(b)| > maxDist ⇒ lev > maxDist`)
+    * prunes before the exact `levenshtein` verify. Names shorter than
+    * `q` contribute themselves as their single gram, so no name is
+    * unblockable.
+    *
+    * Scale shape: identical prefix-filter discipline to the token
+    * tier — dedup to the name catalog first, grams explode
+    * catalog-side (codegen'd `transform`/`substring`, no UDF), the df
+    * cap kills stop-grams (q-grams are denser than tokens, so the cap
+    * binds sooner — it is the knob that keeps every block
+    * sub-quadratic), and the shuffles carry (gram, name) pairs plus
+    * the reduced candidate set, both catalog-sized.
+    */
+  def fuzzyNamePairsQgram(df: DataFrame, textCol: String, maxDist: Int,
+                          q: Int, maxDf: Long): DataFrame = {
+    require(maxDist >= 1, "fuzzyNamePairsQgram: need maxDist >= 1")
+    require(q >= 1, "fuzzyNamePairsQgram: need q >= 1")
+    require(maxDf >= 1, "fuzzyNamePairsQgram: need maxDf >= 1")
+    val names = df.select(lower(col(textCol)).as("name")).distinct()
+    val grams = names.select(col("name"),
+      explode(when(length(col("name")) <= q, array(col("name")))
+        .otherwise(array_distinct(expr(
+          s"transform(sequence(1, length(name) - $q + 1)," +
+            s" i -> substring(name, i, $q))")))).as("g"))
+    val keep = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val blocked = grams.join(keep, Seq("g"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.g") === col("b.g") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("lev") <= maxDist)
+      .orderBy("name_a", "name_b")
+  }
+
   /** Longest contaminated SPAN per (train doc, eval doc) — the
     * decontamination report real pipelines publish (GPT-3 appendix C /
     * PaLM style): not just "shares an n-gram" but HOW LONG the shared

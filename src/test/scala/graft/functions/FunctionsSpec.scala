@@ -138,6 +138,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyNamePairsQgram: recovers single-token pairs the token tier misses") {
+    val rows = Seq(
+      (1L, "acme"), (2L, "acne"),      // no shared token, lev 1
+      (3L, "ab"), (4L, "ac"),          // shorter than q: whole-name grams
+      (5L, "unrelatedword")
+    ).toDF("id", "name")
+    // the token tier misses (acme, acne) by its documented contract
+    assert(DedupFunctions.fuzzyNamePairs(rows, "name",
+      maxDist = 2, maxDf = 5L).isEmpty)
+    // the q-gram tier blocks them on shared 2-grams and verifies lev;
+    // "ac" (len = q, grams to itself) also blocks against the longer
+    // names CONTAINING that gram — (ac, acme) and (ac, acne) at lev 2.
+    // ("ab","ac") share no gram → miss: the documented residual of
+    // whole-name gramming for strings shorter than q
+    val out = DedupFunctions.fuzzyNamePairsQgram(rows, "name",
+        maxDist = 2, q = 2, maxDf = 5L)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("ac", "acme", 2L), ("ac", "acne", 2L),
+      ("acme", "acne", 1L)), s"got $out")
+    // length prune: a candidate pair with |len diff| > maxDist never
+    // reaches levenshtein — "acme"/"acmewide" share 'ac','cm','me'
+    val rows2 = Seq((1L, "acme"), (2L, "acmewidening")).toDF("id", "name")
+    assert(DedupFunctions.fuzzyNamePairsQgram(rows2, "name",
+      maxDist = 2, q = 2, maxDf = 5L).isEmpty)
+  }
+
   test("contaminationSpans: longest shared token run per (train, eval) pair") {
     val train = Seq(
       (1L, "x x p q r s t y"),   // 5-token run shared with eval 10
