@@ -151,6 +151,27 @@ object SparkEntry {
           .as("tokens_per_word_ppm"))
       .orderBy("lang")
 
+  /** Deterministic crawl-style raw URL per document row — five shapes
+    * keyed on doc_id % 5 so the url_* queries exercise every
+    * canonicalization branch (see [[graft.functions.UrlFunctions]]):
+    * upper-cased scheme/host + default port + tracking param +
+    * fragment; trailing-slash path + gclid; explicit non-default port
+    * + duplicate query keys; bare host (empty path); dropped `ref`
+    * next to a kept case-mismatched `UTM_X`.
+    */
+  private def rawUrlOf: Column = {
+    val m = pmod(col("doc_id"), lit(5L))
+    when(m === 0, concat(lit("HTTP://Www."), col("source"),
+        lit(".COM:80/a/b?utm_source=feed&z=2&a=1#sec")))
+      .when(m === 1, concat(lit("https://"), col("source"),
+        lit(".org/path/?gclid=1&b="), col("lang")))
+      .when(m === 2, concat(lit("https://cdn."), col("source"),
+        lit(".net:8443/X%20y?a=1&a=0")))
+      .when(m === 3, concat(lit("http://"), col("source"), lit(".com")))
+      .otherwise(concat(lit("https://"), col("source"),
+        lit(".com/a?ref=tw&UTM_X=1&z=9")))
+  }
+
   /** Cross-document paragraph dedup result (text_paragraph_dedup and
     * its column-subset diagnostics).
     */
@@ -270,6 +291,53 @@ object SparkEntry {
                   list(seg ORDER BY idx) FILTER (WHERE rn = 1), ' the '),
                   '')) AS rebuilt_md5
          FROM ranked GROUP BY 1)"""
+
+  /** Shared oracle CTE chain replaying the URL canonicalization policy
+    * (same regexes, same sort, same COALESCE-for-empty-param-list) —
+    * ends in `canon(doc_id, url, host, canonical)`.
+    */
+  private val urlOracleCtes: String =
+    """WITH raw AS (
+         SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'HTTP://Www.' || source || '.COM:80/a/b?utm_source=feed&z=2&a=1#sec'
+                  WHEN 1 THEN 'https://' || source || '.org/path/?gclid=1&b=' || lang
+                  WHEN 2 THEN 'https://cdn.' || source || '.net:8443/X%20y?a=1&a=0'
+                  WHEN 3 THEN 'http://' || source || '.com'
+                  ELSE 'https://' || source || '.com/a?ref=tw&UTM_X=1&z=9'
+                END AS url
+         FROM documents),
+       parts AS (
+         SELECT doc_id, url,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         FROM raw),
+       hp AS (
+         SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS hostport FROM parts),
+       comp AS (
+         SELECT doc_id, url, scheme,
+                lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                substring(rest, len(hostport) + 1) AS pathqf
+         FROM hp),
+       withq AS (
+         SELECT *,
+                COALESCE(array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(pathqf, '\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)='))), '&'),
+                  '') AS q
+         FROM comp),
+       canon AS (
+         SELECT doc_id, url, host,
+                scheme || '://' || host ||
+                CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                          OR (scheme = 'https' AND port = '443'))
+                     THEN ':' || port ELSE '' END ||
+                CASE WHEN regexp_extract(pathqf, '^([^?#]*)', 1) = '' THEN '/'
+                     ELSE regexp_extract(pathqf, '^([^?#]*)', 1) END ||
+                CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
+         FROM withq)"""
 
   /** Shared int8-ANN oracle replay: normalize → int8 quantize →
     * integer-dot top-20 per query (idot desc, c_id asc) → exact cosine
@@ -4346,6 +4414,41 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    "url_canonicalize" -> ((s, dir) => {
+      // web-curation URL canonicalization (the CCNet/RefinedWeb step
+      // ahead of URL-level dedup): crawl-style raw URLs derived
+      // deterministically from the corpus rows — five shapes covering
+      // every policy branch (case-folded scheme/host, default-port
+      // drop vs explicit-port keep, fragment drop, tracking-param
+      // drop, duplicate-key sort, empty path → '/') — canonical +
+      // host emitted per row. Pure per-row expressions: canonicalizing
+      // a 100 TB crawl is a scan, zero shuffle.
+      val U = graft.functions.UrlFunctions
+      t(s, dir, "documents")
+        .select(col("doc_id"), rawUrlOf.as("url"))
+        .select(col("doc_id"), col("url"),
+          U.canonicalizeUrl(col("url")).as("canonical"),
+          U.urlHost(col("url")).as("host"))
+    }),
+
+    "url_domain_stats" -> ((s, dir) => {
+      // per-domain crawl statistics over the CANONICAL form: raw
+      // mentions, distinct canonical URLs, and the duplicate surplus
+      // URL-level dedup would remove — the first table a crawl-triage
+      // dashboard shows. One aggregation on (host, canonical) counts,
+      // then a host rollup; only short strings shuffle.
+      val U = graft.functions.UrlFunctions
+      t(s, dir, "documents")
+        .select(U.urlHost(rawUrlOf).as("host"),
+          U.canonicalizeUrl(rawUrlOf).as("canonical"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("canonical")).as("n_canonical"))
+        .select(col("host"), col("n_raw"), col("n_canonical"),
+          (col("n_raw") - col("n_canonical")).as("n_dupes"))
+        .orderBy("host")
+    }),
+
     // ---------------- release: data_gene_matrix artifact ----------------
     "release_gene_matrix" -> ((s, dir) => {
       val clinical = t(s, dir, "customer").select(
@@ -6883,6 +6986,17 @@ object SparkEntry {
         (exportOracleCtes + """
            SELECT lang, COUNT(*) AS n_acc, CAST(SUM(nt) AS BIGINT) AS nt_acc
            FROM acc GROUP BY 1"""),
+
+      "url_canonicalize" ->
+        (urlOracleCtes + """
+           SELECT doc_id, url, canonical, host FROM canon"""),
+
+      "url_domain_stats" ->
+        (urlOracleCtes + """
+           SELECT host, COUNT(*) AS n_raw,
+                  COUNT(DISTINCT canonical) AS n_canonical,
+                  CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS n_dupes
+           FROM canon GROUP BY host ORDER BY host"""),
 
       "pipeline_stage_split" ->
         (exportOracleCtes + """
