@@ -1743,6 +1743,43 @@ object SparkEntry {
         vocabK = 64, alpha = 0.5, trainFilter = col("lang") === "en")
     }),
 
+    "text_ccnet_buckets" -> ((s, dir) => {
+      // the CCNet head/middle/tail split: every doc scores against the
+      // reference-domain LM (trained on lang='en'), scores round to a
+      // 3-dp bucketing resolution, and each language's score HISTOGRAM
+      // (bounded by the rounding resolution, NOT the corpus) splits
+      // into deciles by integer arithmetic: a histogram row is 'head'
+      // iff its entire cumulative mass sits in the top 10%
+      // (10·cum ≤ n), 'tail' iff entirely in the bottom 10%, else
+      // 'middle' — straddling rows go middle, ties share a bucket, no
+      // per-document rank and no corpus-sized window anywhere. The
+      // per-lang cumulative runs over histogram rows only (the window
+      // partition is resolution-bounded at any corpus size).
+      val lm = phase("build") {
+        T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+          vocabK = 64, alpha = 0.5, trainFilter = col("lang") === "en")
+      }
+      val scored = lm.select(col("doc_id"), col("lm_score"))
+        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .withColumn("__bs", round(col("lm_score"), 3))
+      val hist = scored.groupBy("lang", "__bs").agg(count(lit(1)).as("__c"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("__bs").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wall = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      hist.withColumn("__cum", sum("__c").over(wcum))
+        .withColumn("__n", sum("__c").over(wall))
+        .withColumn("bucket",
+          when(col("__cum") * 10 <= col("__n"), lit("head"))
+            .when((col("__n") - col("__cum") + col("__c")) * 10 <= col("__n"),
+              lit("tail"))
+            .otherwise(lit("middle")))
+        .groupBy("lang", "bucket")
+        .agg(sum("__c").as("n_docs"))
+        .orderBy("lang", "bucket")
+    }),
+
     "sessionize_batch" -> ((s, dir) => {
       // gap-based sessionization (30-min gap): per-user session index →
       // per-session event count + bounds. Batch twin of SessionizeStream.
@@ -4855,6 +4892,61 @@ object SparkEntry {
                   ROUND(CAST(SUM(CAST(lp AS DECIMAL(30,6))) AS DOUBLE)
                         / COUNT(*), 6) AS lm_score
            FROM eff GROUP BY 1""",
+
+      "text_ccnet_buckets" ->
+        // target-LM score replay (as text_bigram_lm_target) → 3-dp
+        // bucket scores → per-lang HISTOGRAM cumulative (score desc) →
+        // integer decile rule: head iff 10·cum <= n, tail iff the
+        // row's whole mass sits in the bottom decile, else middle
+        """WITH toks AS (
+             SELECT doc_id, lang,
+                    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                t -> strlen(t) > 0) AS t
+             FROM documents WHERE text IS NOT NULL),
+           uni AS (SELECT unnest(t) AS w FROM toks WHERE lang = 'en'),
+           vocab AS (
+             SELECT w FROM (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1)
+             ORDER BY c DESC, w ASC LIMIT 64),
+           vl AS (SELECT list(w) AS vl FROM vocab),
+           m AS (
+             SELECT doc_id, lang,
+                    list_transform(t, w -> CASE WHEN list_contains(vl.vl, w)
+                                                THEN w ELSE '<unk>' END) AS mt
+             FROM toks CROSS JOIN vl
+             WHERE len(t) >= 2),
+           pairs AS (
+             SELECT doc_id, lang, i, mt[i] AS a, mt[i + 1] AS b FROM (
+               SELECT doc_id, lang, mt, unnest(range(1, len(mt))) AS i FROM m)),
+           bg AS (SELECT a, b, COUNT(*) AS c FROM pairs
+                  WHERE lang = 'en' GROUP BY 1, 2),
+           ctx AS (SELECT a, SUM(c) AS cc FROM bg GROUP BY 1),
+           eff AS (
+             SELECT p.doc_id, p.i,
+                    COALESCE(ROUND(LN((g.c + 0.5) / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / (x.cc + 32.5)), 6),
+                             ROUND(LN(0.5 / 32.5), 6)) AS lp
+             FROM pairs p
+             LEFT JOIN bg g ON g.a = p.a AND g.b = p.b
+             LEFT JOIN ctx x ON x.a = p.a),
+           score AS (
+             SELECT doc_id,
+                    ROUND(list_sum(list(lp ORDER BY i)) / COUNT(*), 6) AS lm_score
+             FROM eff GROUP BY 1),
+           b AS (SELECT s.doc_id, d.lang, ROUND(s.lm_score, 3) AS bs
+                 FROM score s JOIN documents d USING (doc_id)),
+           hist AS (SELECT lang, bs, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM b GROUP BY 1, 2),
+           cum AS (SELECT lang, bs, c,
+                          SUM(c) OVER (PARTITION BY lang ORDER BY bs DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                          SUM(c) OVER (PARTITION BY lang) AS n
+                   FROM hist)
+           SELECT lang,
+                  CASE WHEN cum * 10 <= n THEN 'head'
+                       WHEN (n - cum + c) * 10 <= n THEN 'tail'
+                       ELSE 'middle' END AS bucket,
+                  CAST(SUM(c) AS BIGINT) AS n_docs
+           FROM cum GROUP BY 1, 2 ORDER BY 1, 2""",
 
       "text_rarity" ->
         """WITH tok AS (

@@ -729,6 +729,19 @@ object ScaleSmoke {
       graft.functions.DedupFunctions.lshCandidatePairs(
         zipfDocs, "doc_id", zToks, k = 4, bands = 2, maxBucket = 2000).count()
     }
+    // r10: cross-doc paragraph dedup under the same mega-cluster — the
+    // boilerplate segments appear in all 10⁴ cluster docs. The
+    // winner-per-segment pass is a PARTIAL AGGREGATE
+    // (groupBy(seg).min(struct(id, idx))): map-side combine collapses
+    // each partition's copies of a hot segment to one candidate row
+    // before the shuffle, so max_task_rows stays bounded by the
+    // distinct-segment count — the pre-r10 window-rank plan sorted all
+    // 10⁴ copies of each hot segment in ONE task.
+    timeSkew("zipf_paragraph_dedup", nZipf) {
+      graft.functions.Curation.dedupSegmentsAcross(
+        zipfDocs, "doc_id", "text", " the ", minWords = 1).count()
+    }
+
     // embedding band join under the same shape: 10⁴ identical vectors
     // in one bucket, capped; background near-dups still verified
     val zipfEmb = spark.range(megaN)
