@@ -1864,6 +1864,15 @@ object SparkEntry {
       paragraphDedup(s, dir)
     }),
 
+    "text_boilerplate_lines" -> ((s, dir) =>
+      // corpus-frequency boilerplate removal (CCNet line rule): drop a
+      // segment from EVERY doc once >= 3 distinct docs carry it — the
+      // keep-no-copy complement of text_paragraph_dedup's keep-first
+      graft.functions.Curation.removeFrequentSegments(
+          t(s, dir, "documents"), "doc_id", "text", " the ", minDocs = 3L)
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          md5(col("rebuilt")).as("rebuilt_md5"))),
+
     "paragraph_dedup_counts_only" -> ((s, dir) =>
       // text_paragraph_dedup diagnostic: integer counts alone
       paragraphDedup(s, dir).select("doc_id", "n_segments", "n_kept")),
@@ -5946,6 +5955,34 @@ object SparkEntry {
       "text_paragraph_dedup" ->
         (paragraphDedupOracleCtes + """
            SELECT doc_id, n_segments, n_kept, rebuilt_md5 FROM pdd"""),
+
+      "text_boilerplate_lines" ->
+        // replay: raw positional segments (trailing empties kept) →
+        // per-segment distinct-doc frequency → df >= 3 anti filter →
+        // per-doc totals + survivors rejoined in position order
+        """WITH raw AS (
+             SELECT doc_id, s[i] AS seg, i
+             FROM (SELECT doc_id, string_split(text, ' the ') AS s,
+                          unnest(range(1, len(string_split(text, ' the ')) + 1)) AS i
+                   FROM documents WHERE text IS NOT NULL)),
+           hot AS (
+             SELECT seg FROM (
+               SELECT seg, COUNT(DISTINCT doc_id) AS df FROM raw GROUP BY 1)
+             WHERE df >= 3),
+           kept AS (
+             SELECT r.doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_kept,
+                    md5(COALESCE(array_to_string(
+                      list(r.seg ORDER BY r.i), ' the '), '')) AS rebuilt_md5
+             FROM raw r ANTI JOIN hot h ON r.seg = h.seg
+             GROUP BY 1),
+           tot AS (
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments
+             FROM raw GROUP BY 1)
+           SELECT t.doc_id, t.n_segments,
+                  COALESCE(k.n_kept, 0) AS n_kept,
+                  COALESCE(k.rebuilt_md5, md5('')) AS rebuilt_md5
+           FROM tot t LEFT JOIN kept k USING (doc_id)""",
 
       "paragraph_dedup_counts_only" ->
         (paragraphDedupOracleCtes + """

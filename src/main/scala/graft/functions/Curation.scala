@@ -705,6 +705,47 @@ object Curation {
           e => e.getField("__seg")), sep).as("rebuilt"))
   }
 
+  /** Corpus-frequency BOILERPLATE removal (the CCNet "drop lines that
+    * appear in more than K documents" cleaning rule): a segment drops
+    * from EVERY document once the number of DISTINCT documents
+    * containing it reaches `minDocs` — unlike [[dedupSegmentsAcross]]
+    * (which keeps the global first copy), boilerplate keeps no copy: a
+    * cookie banner is noise at its first occurrence too. Returns one
+    * row per document with ≥1 segment: `n_segments` (pre-filter),
+    * `n_kept`, and `rebuilt` (survivors rejoined in position order;
+    * empty string when everything was boilerplate).
+    *
+    * Scale shape: the document-frequency table is `(seg, id)` distinct
+    * → per-seg count — both steps partial-aggregate, so hot
+    * boilerplate keys combine map-side (the [[dedupSegmentsAcross]]
+    * discipline); the hot-segment table (df ≥ minDocs — bounded by
+    * n_segments / minDocs) anti-joins the segment stream (AQE
+    * skew-splittable), and per-doc reassembly is one aggregation with
+    * an in-row array_sort. Only (id, position, segment) rows move.
+    */
+  def removeFrequentSegments(docs: DataFrame, idCol: String, textCol: String,
+                             sep: String, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val segs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(segments(col(textCol), sep)).as(Seq("__idx", "__seg")))
+    val hot = segs.select("__seg", "__id").distinct()
+      .groupBy("__seg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select("__seg")
+    val totals = segs.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_segments"))
+    val kept = segs.join(hot, Seq("__seg"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__seg")))),
+          e => e.getField("__seg")), sep).as("rebuilt"))
+    totals.join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+  }
+
   /** Intra-document duplicate-segment REMOVAL (the C4 "discard
     * duplicate three-sentence spans" cleaning step, separator-
     * parameterized): keep each segment's FIRST occurrence in order,

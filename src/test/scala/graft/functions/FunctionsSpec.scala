@@ -1545,6 +1545,33 @@ class FunctionsSpec extends SparkSpec {
     assert(again == est)
   }
 
+  test("removeFrequentSegments: df-threshold boilerplate drops from EVERY doc, keep-none") {
+    val df = Seq(
+      (1L, "unique one. COOKIES. alpha"),
+      (2L, "COOKIES. unique two"),
+      (3L, "COOKIES"),                    // all-boilerplate doc
+      (4L, "solo content. kept pair"),
+      (5L, "kept pair. other")            // 'kept pair' df=2 < 3 stays
+    ).toDF("doc_id", "text")
+    val out = Curation.removeFrequentSegments(df, "doc_id", "text", ". ", minDocs = 3L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "unique one. alpha"),   // COOKIES (df=3) drops everywhere
+      (2L, 2L, 1L, "unique two"),
+      (3L, 1L, 0L, ""),                    // keeps its row, empty rebuild
+      (4L, 2L, 2L, "solo content. kept pair"),
+      (5L, 2L, 2L, "kept pair. other")), s"got $out")
+    // df counts DISTINCT docs: a doc repeating the line 5x alone can't
+    // push it over the threshold
+    val rep = Seq((1L, "x. x. x. x. x"), (2L, "y")).toDF("doc_id", "text")
+    val out2 = Curation.removeFrequentSegments(rep, "doc_id", "text", ". ", minDocs = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out2.head == ((1L, 5L, 5L, "x. x. x. x. x")), s"got $out2")
+    intercept[IllegalArgumentException] {
+      Curation.removeFrequentSegments(df, "doc_id", "text", ". ", minDocs = 1L)
+    }
+  }
+
   test("sourceOverlapMinhash: empty/whitespace docs don't poison their group's signature") {
     // each group carries one token-less doc; its k×"" signature would
     // win every string-min and force 16/16 agreement between any two
