@@ -2439,6 +2439,46 @@ object SparkEntry {
     }),
 
     // ---------------- C: scalar function library ---------------------
+    "sim_bitext_mine" -> ((s, dir) => {
+      // margin-based bitext mining (the Artetxe & Schwenk ratio-margin
+      // criterion behind CCMatrix/ParaCrawl alignment): slice A (even
+      // label) aligns against slice B (odd label); a pair is mined iff
+      // it is the MUTUAL nearest neighbor in both directions and its
+      // ratio margin — candidate cosine over the mean of each side's
+      // top-k cosines — clears 1.0 (margin > 1 ⇔ the match stands out
+      // from its neighborhood; hubs score high cosine against
+      // everything and get margins ≈ 1, which is the point). Engine
+      // parity discipline: the margin is built ONLY from 6-dp-rounded
+      // cosines summed as DECIMAL (order-free exact), so both engines
+      // divide the same two exact numbers. Brute-force top-k is the
+      // calibration tier (same contract as sim_topk_bruteforce); at
+      // 100 TB the shortlist comes from the IVF/blocked tiers instead.
+      val emb = t(s, dir, "embeddings")
+      val aS = emb.filter(pmod(col("label"), lit(2)) === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("__av"))
+      val bS = emb.filter(pmod(col("label"), lit(2)) === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("__bv"))
+      val topA = V.bruteForceTopK(aS, bS, "a_id", "b_id", "__av", "__bv", 4)
+      val topB = V.bruteForceTopK(bS, aS, "b_id", "a_id", "__bv", "__av", 4)
+      val dec = DecimalType(18, 6)
+      val denA = topA.groupBy("a_id")
+        .agg(sum(round(col("score"), 6).cast(dec)).as("__dena"))
+      val denB = topB.groupBy("b_id")
+        .agg(sum(round(col("score"), 6).cast(dec)).as("__denb"))
+      val bestA = topA.filter(col("rank") === 1)
+        .select(col("a_id"), col("b_id"),
+          round(col("score"), 6).cast(dec).as("__num"))
+      val bestB = topB.filter(col("rank") === 1).select("a_id", "b_id")
+      bestA.join(bestB, Seq("a_id", "b_id")) // mutual NN
+        .join(denA, "a_id").join(denB, "b_id")
+        .select(col("a_id"), col("b_id"),
+          col("__num").cast("double").as("cos6"),
+          round(col("__num").cast("double") * lit(8.0) /
+            (col("__dena") + col("__denb")).cast("double"), 6).as("margin"))
+        .filter(col("margin") >= 1.0)
+        .orderBy("a_id")
+    }),
+
     "c1_string_ops" -> ((s, dir) => {
       // upper/trim/replace/title-case cleanup battery (C1, C2)
       t(s, dir, "customer").select(
@@ -6942,6 +6982,48 @@ object SparkEntry {
                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rank
            FROM scored
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 5""",
+
+      "sim_bitext_mine" ->
+        // replay: cross cosines (same ordered-fold parity as
+        // sim_topk_bruteforce) → top-4 each direction → decimal sums of
+        // 6-dp scores → mutual rank-1 pairs → 8·num/(denA+denB) margin
+        """WITH a AS (SELECT vec_id AS a_id, embedding AS av
+                      FROM embeddings WHERE label % 2 = 0),
+           b AS (SELECT vec_id AS b_id, embedding AS bv
+                 FROM embeddings WHERE label % 2 = 1),
+           sab AS (
+             SELECT a_id, b_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))))) AS score
+             FROM a CROSS JOIN b),
+           ta AS (SELECT a_id, b_id, score,
+                         ROW_NUMBER() OVER (PARTITION BY a_id
+                           ORDER BY score DESC, b_id ASC) AS r
+                  FROM sab QUALIFY r <= 4),
+           tb AS (SELECT a_id, b_id, score,
+                         ROW_NUMBER() OVER (PARTITION BY b_id
+                           ORDER BY score DESC, a_id ASC) AS r
+                  FROM sab QUALIFY r <= 4),
+           dena AS (SELECT a_id, SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6))) AS dena
+                    FROM ta GROUP BY 1),
+           denb AS (SELECT b_id, SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6))) AS denb
+                    FROM tb GROUP BY 1),
+           besta AS (SELECT a_id, b_id,
+                            CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS num
+                     FROM ta WHERE r = 1),
+           bestb AS (SELECT a_id, b_id FROM tb WHERE r = 1),
+           m AS (
+             SELECT besta.a_id, besta.b_id,
+                    CAST(num AS DOUBLE) AS cos6,
+                    ROUND(CAST(num AS DOUBLE) * 8.0
+                          / CAST(dena + denb AS DOUBLE), 6) AS margin
+             FROM besta
+             JOIN bestb ON besta.a_id = bestb.a_id AND besta.b_id = bestb.b_id
+             JOIN dena ON besta.a_id = dena.a_id
+             JOIN denb ON besta.b_id = denb.b_id)
+           SELECT a_id, b_id, cos6, margin FROM m
+           WHERE margin >= 1.0 ORDER BY a_id""",
 
       "c1_string_ops" ->
         """SELECT c_custkey,
