@@ -986,6 +986,52 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_unique"))
     }),
 
+    "dedup_keep_best_flags" -> ((s, dir) => {
+      // exact dedup, BEST-copy survivor, SCALE shape: within each
+      // md5(text) group the highest-quality row wins (min doc_id on
+      // ties) and EVERY row gets a keep flag — vs dedup_keep_best's
+      // window-ranked winners-only report. The winner per digest is a
+      // partial aggregate (min(struct(-score, id)) — a mega-dup
+      // cluster's copies combine map-side instead of sorting in one
+      // window partition); output integer/boolean-only.
+      D.dedupKeepBest(t(s, dir, "documents"), "doc_id", "text",
+          round(T.qualityScore(col("text")), 6))
+        .select(col("doc_id"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "corpus_psi_drift" -> ((s, dir) => {
+      // distribution-drift monitor between corpus snapshots (PSI —
+      // population stability index, the standard data-drift gauge): doc
+      // lengths bucket by bit-width of the token count (length(bin(n))
+      // — integer-exact log2 on BOTH engines, no float boundary), the
+      // old snapshot (doc_id % 10 != 7, the dedup_incremental shape)
+      // compares against the full corpus, counts Laplace-smooth over
+      // the shared bucket set, and each bucket reports its
+      // (p−q)·ln(p/q) term at 6 dp. Two aggregations + one broadcast
+      // totals row; the bucket table is bit-width-bounded (≤ ~40 rows
+      // at any corpus size).
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        length(bin(T.tokenCount(col("text")).cast("long"))).cast("long")
+          .as("bucket"))
+      val co = d.filter(col("doc_id") % 10 =!= 7)
+        .groupBy("bucket").agg(count(lit(1)).as("n_old"))
+      val cn = d.groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      val joined = co.join(cn, Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val tot = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"),
+        count(lit(1)).as("__b"))
+      val p = (col("n_old") + lit(1L)).cast("double") /
+        (col("__to") + col("__b")).cast("double")
+      val q = (col("n_new") + lit(1L)).cast("double") /
+        (col("__tn") + col("__b")).cast("double")
+      joined.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          round((p - q) * log(p / q), 6).as("psi_term"))
+        .orderBy("bucket")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingest dedup: the corpus (doc_id % 10 != 7) reduces to a
       // persisted digest index; the new batch (doc_id % 10 == 7) flags
@@ -1435,6 +1481,41 @@ object SparkEntry {
         .select(col("doc_id"),
           round(col("__m"), 6).as("margin"),
           (col("__m") >= 0.0).as("keep"))
+    }),
+
+    "text_classifier_auc" -> ((s, dir) => {
+      // ranking-quality audit of the filtering classifier: EXACT
+      // Mann-Whitney AUC (midrank tie handling) of the hashed linear
+      // margin against the is-English weak label — the number every
+      // quality-filter team reports before trusting a threshold. The
+      // corpus reduces to a (6-dp margin → count, positives) histogram
+      // (one aggregation, resolution-bounded); the rank prefix-fold
+      // runs on the DRIVER over that bounded table (the budgetSelect
+      // bin discipline — no global window), in BigInt so 100 TB row
+      // counts cannot overflow the ×2-scaled rank sums. Integer-only
+      // output: ppm AUC, exact half-up.
+      val hist = t(s, dir, "documents").select(
+          round(T.hashedLinearScore(col("text"), T.pseudoWeights(64)), 6)
+            .as("s"),
+          when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+        .groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("p"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var lo = 0L
+      var sum2 = BigInt(0) // Σ over positives of 2·midrank
+      var npos = 0L
+      var n = 0L
+      hist.foreach { case (_, c, p) =>
+        sum2 += BigInt(p) * (2 * lo + c + 1) // 2·midrank of the tied block
+        lo += c; npos += p; n += c
+      }
+      val nneg = n - npos
+      val num = (sum2 - BigInt(npos) * (npos + 1)) * 1000000
+      val den = BigInt(2) * npos * nneg
+      val aucPpm = ((num * 2 + den) / (den * 2)).toLong
+      import s.implicits._
+      Seq((npos, nneg, aucPpm)).toDF("n_pos", "n_neg", "auc_ppm")
     }),
 
     "text_classifier_train" -> ((s, dir) => {
@@ -4746,6 +4827,50 @@ object SparkEntry {
                  FROM q)
            SELECT doc_id, n_dups, quality FROM g WHERE rn = 1 AND n_dups > 1""",
 
+      "corpus_psi_drift" ->
+        // replay: bit-width buckets (length(bin(n)) — integer-exact on
+        // both engines) → full-outer bucket counts → Laplace-smoothed
+        // (p − q)·ln(p/q) terms at 6 dp
+        """WITH d AS (
+             SELECT doc_id,
+                    length(bin(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) AS bucket
+             FROM documents),
+           co AS (SELECT bucket, COUNT(*) AS n_old FROM d
+                  WHERE doc_id % 10 <> 7 GROUP BY 1),
+           cn AS (SELECT bucket, COUNT(*) AS n_new FROM d GROUP BY 1),
+           j AS (SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+                        COALESCE(n_old, 0) AS n_old,
+                        COALESCE(n_new, 0) AS n_new
+                 FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket),
+           tot AS (SELECT SUM(n_old) AS t_o, SUM(n_new) AS t_n,
+                          COUNT(*) AS b FROM j)
+           SELECT CAST(bucket AS BIGINT) AS bucket, n_old, n_new,
+                  ROUND((CAST(n_old + 1 AS DOUBLE) / CAST(t_o + b AS DOUBLE)
+                         - CAST(n_new + 1 AS DOUBLE) / CAST(t_n + b AS DOUBLE))
+                        * LN((CAST(n_old + 1 AS DOUBLE) / CAST(t_o + b AS DOUBLE))
+                             / (CAST(n_new + 1 AS DOUBLE) / CAST(t_n + b AS DOUBLE))), 6)
+                    AS psi_term
+           FROM j CROSS JOIN tot ORDER BY bucket""",
+
+      "dedup_keep_best_flags" ->
+        // replay of the partial-aggregate winner: per md5(text) group,
+        // keep iff (quality desc, doc_id asc) rank 1 — same 6-dp
+        // quality replay as dedup_keep_best, exact-text digest key
+        """WITH q AS (
+             SELECT doc_id, md5(text) AS ck,
+                    ROUND(
+                      LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                      + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 0.4
+                      + CASE WHEN CAST(length(text) AS DOUBLE)
+                                  / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality
+             FROM documents)
+           SELECT doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY ck
+                    ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+           FROM q ORDER BY doc_id""",
+
       "dedup_retract" ->
         // each index's candidate semantics replayed over the KEPT corpus
         // (doc_id % 50 <> 0) only: exact digest matches, MinHash band
@@ -6551,6 +6676,38 @@ object SparkEntry {
                                  * 2654435761) % 4294967296 AS DOUBLE)
                            / 4294967296.0 * 2.0 - 1.0)), 0.0) AS m
              FROM documents)""",
+
+      "text_classifier_auc" ->
+        // replay: same margin + 6-dp round → score histogram →
+        // windowed rank prefix (oracle side may window freely) →
+        // Mann-Whitney with midranks, all-integer half-up ppm
+        """WITH sc AS (
+             SELECT ROUND(m, 6) AS s,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM (
+               SELECT lang,
+                      COALESCE(list_sum(list_transform(
+                        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                    t -> strlen(t) > 0),
+                        t -> CAST(((('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT % 64)
+                                   * 2654435761) % 4294967296 AS DOUBLE)
+                             / 4294967296.0 * 2.0 - 1.0)), 0.0) AS m
+               FROM documents)),
+           h AS (SELECT s, COUNT(*) AS c, SUM(y) AS p FROM sc GROUP BY 1),
+           r AS (SELECT s, c, p,
+                        COALESCE(SUM(c) OVER (ORDER BY s ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS lo
+                 FROM h),
+           agg AS (SELECT SUM(p * (2 * lo + c + 1)) AS sum2,
+                          SUM(p) AS npos, SUM(c) AS n
+                   FROM r)
+           SELECT CAST(npos AS BIGINT) AS n_pos,
+                  CAST(n - npos AS BIGINT) AS n_neg,
+                  CAST(((sum2 - npos * (npos + 1)) * 1000000 * 2
+                        + 2 * npos * (n - npos))
+                       // (2 * 2 * npos * (n - npos)) AS BIGINT) AS auc_ppm
+           FROM agg""",
 
       "text_classifier_train" -> {
         // the same generic GD step twice: pred via DECIMAL(30,10) sums

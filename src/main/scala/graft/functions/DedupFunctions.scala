@@ -402,6 +402,31 @@ object DedupFunctions {
       .orderBy("name_a", "name_b")
   }
 
+  /** Exact dedup where the survivor is the BEST copy, not the first:
+    * within each md5(text) group the row with the highest `scoreCol`
+    * wins (ties break to the smallest id) — real pipelines keep the
+    * highest-quality / longest-metadata mention of a duplicated page,
+    * not whichever crawl happened to assign the smaller id. Returns
+    * the input rows plus a `keep` flag.
+    *
+    * Scale shape: the winner per digest is a PARTIAL AGGREGATE
+    * (`min(struct(-score, id))` — map-side combine absorbs mega-dup
+    * clusters, the [[graft.functions.Curation.dedupSegmentsAcross]]
+    * discipline), joined back on the 16-byte digest; text never
+    * shuffles twice.
+    */
+  def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                    scoreCol: Column): DataFrame = {
+    val keyed = docs.withColumn("__ck", md5(col(textCol)))
+      .withColumn("__s", scoreCol.cast("double"))
+    val winners = keyed.groupBy("__ck")
+      .agg(min(struct((col("__s") * lit(-1.0)).as("__ns"),
+        col(idCol).as("__wid"))).as("__w"))
+    keyed.join(winners, Seq("__ck"))
+      .withColumn("keep", col(idCol) === col("__w").getField("__wid"))
+      .drop("__ck", "__s", "__w")
+  }
+
   /** Character-q-gram blocking tier of [[fuzzyNamePairs]] — recovers
     * the pairs the token tier's recall contract documentedly misses:
     * single-token names within edit distance ("acme"/"acne" share no

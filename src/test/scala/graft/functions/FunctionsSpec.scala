@@ -1545,6 +1545,17 @@ class FunctionsSpec extends SparkSpec {
     assert(again == est)
   }
 
+  test("dedupKeepBest: highest score survives per exact-text group, min-id tiebreak") {
+    val df = Seq(
+      (1L, "same text", 0.2), (2L, "same text", 0.9), (3L, "same text", 0.9),
+      (4L, "unique", 0.1)
+    ).toDF("doc_id", "text", "q")
+    val out = DedupFunctions.dedupKeepBest(df, "doc_id", "text", col("q"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    // score 0.9 beats 0.2; tie between ids 2 and 3 -> min id 2 wins
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true), s"got $out")
+  }
+
   test("removeFrequentSegments: df-threshold boilerplate drops from EVERY doc, keep-none") {
     val df = Seq(
       (1L, "unique one. COOKIES. alpha"),
