@@ -465,18 +465,25 @@ object SparkEntry {
     * derivable from the full-corpus graph and stay exact-by-contract.
     */
   private val exactGraphBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.mutable.HashMap.empty[String, String]
   private def exactKnnGraph(s: SparkSession, dir: String, k: Int): DataFrame = {
     require(k <= 10, s"shared exact graph holds k <= 10, got $k")
-    val path = exactGraphBuilt.getOrElseUpdate(dir, {
-      val p = tmpPath(dir, "exact_knn10")
-      phase("exact_graph_build") {
-        V.knnGraph(t(s, dir, "embeddings").select("vec_id", "embedding"),
-            "vec_id", "embedding", k = 10)
-          .write.mode("overwrite").parquet(p)
-      }
-      p
-    })
+    // build under a lock: parallel test suites walk the query registry
+    // concurrently in one JVM, and concurrent.Map.getOrElseUpdate may
+    // evaluate the builder in TWO threads — two overlapping
+    // mode("overwrite") writes to the same path delete each other's
+    // in-flight files. The build is once-per-JVM; contention is nil.
+    val path = exactGraphBuilt.synchronized {
+      exactGraphBuilt.getOrElseUpdate(dir, {
+        val p = tmpPath(dir, "exact_knn10")
+        phase("exact_graph_build") {
+          V.knnGraph(t(s, dir, "embeddings").select("vec_id", "embedding"),
+              "vec_id", "embedding", k = 10)
+            .write.mode("overwrite").parquet(p)
+        }
+        p
+      })
+    }
     s.read.parquet(path).filter(col("rank") <= k)
   }
 
@@ -1485,18 +1492,22 @@ object SparkEntry {
 
     "text_classifier_auc" -> ((s, dir) => {
       // ranking-quality audit of the filtering classifier: EXACT
-      // Mann-Whitney AUC (midrank tie handling) of the hashed linear
-      // margin against the is-English weak label — the number every
-      // quality-filter team reports before trusting a threshold. The
-      // corpus reduces to a (6-dp margin → count, positives) histogram
-      // (one aggregation, resolution-bounded); the rank prefix-fold
-      // runs on the DRIVER over that bounded table (the budgetSelect
-      // bin discipline — no global window), in BigInt so 100 TB row
-      // counts cannot overflow the ×2-scaled rank sums. Integer-only
-      // output: ppm AUC, exact half-up.
+      // Mann-Whitney AUC (midrank tie handling) of the PER-TOKEN MEAN
+      // hashed linear margin against the is-English weak label — the
+      // number every quality-filter team reports before trusting a
+      // threshold. The mean margin is bounded in [−1, 1] by
+      // construction (each token contributes a weight in [−1, 1)), so
+      // rounding it to 4 dp makes the score histogram ≤ 20,001 rows at
+      // ANY corpus size — the raw margin is an unnormalized token SUM
+      // whose distinct values grow with the corpus and could not be
+      // collected. The rank prefix-fold runs on the DRIVER over that
+      // bounded table (the budgetSelect bin discipline — no global
+      // window), in BigInt so 100 TB row counts cannot overflow the
+      // ×2-scaled rank sums. Integer-only output: ppm AUC, half-up.
+      val toks = filter(T.tokens(lower(col("text"))), t => length(t) > lit(0))
       val hist = t(s, dir, "documents").select(
-          round(T.hashedLinearScore(col("text"), T.pseudoWeights(64)), 6)
-            .as("s"),
+          round(T.hashedLinearScore(col("text"), T.pseudoWeights(64)) /
+            greatest(size(toks), lit(1)).cast("double"), 4).as("s"),
           when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
         .groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("p"))
         .collect()
@@ -4867,6 +4878,7 @@ object SparkEntry {
                                   BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality
              FROM documents)
            SELECT doc_id,
+                  ck IS NOT NULL AND
                   ROW_NUMBER() OVER (PARTITION BY ck
                     ORDER BY quality DESC, doc_id ASC) = 1 AS keep
            FROM q ORDER BY doc_id""",
@@ -6678,14 +6690,16 @@ object SparkEntry {
              FROM documents)""",
 
       "text_classifier_auc" ->
-        // replay: same margin + 6-dp round → score histogram →
-        // windowed rank prefix (oracle side may window freely) →
-        // Mann-Whitney with midranks, all-integer half-up ppm
+        // replay: same PER-TOKEN-MEAN margin + 4-dp round (bounded
+        // [−1,1] histogram) → windowed rank prefix (oracle side may
+        // window freely) → Mann-Whitney with midranks, half-up ppm
         """WITH sc AS (
-             SELECT ROUND(m, 6) AS s,
+             SELECT ROUND(m / GREATEST(nt, 1), 4) AS s,
                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
              FROM (
                SELECT lang,
+                      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                           t -> strlen(t) > 0)) AS DOUBLE) AS nt,
                       COALESCE(list_sum(list_transform(
                         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                     t -> strlen(t) > 0),

@@ -407,7 +407,10 @@ object DedupFunctions {
     * wins (ties break to the smallest id) — real pipelines keep the
     * highest-quality / longest-metadata mention of a duplicated page,
     * not whichever crawl happened to assign the smaller id. Returns
-    * the input rows plus a `keep` flag.
+    * ALL input rows plus a `keep` flag; rows with NULL text are never
+    * survivors (`keep = false`) but are returned, not dropped — a NULL
+    * digest would otherwise silently vanish through the winner
+    * equi-join.
     *
     * Scale shape: the winner per digest is a PARTIAL AGGREGATE
     * (`min(struct(-score, id))` — map-side combine absorbs mega-dup
@@ -417,13 +420,15 @@ object DedupFunctions {
     */
   def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
                     scoreCol: Column): DataFrame = {
-    val keyed = docs.withColumn("__ck", md5(col(textCol)))
+    val keyed = docs
+      .withColumn("__ck", coalesce(md5(col(textCol)), lit("")))
       .withColumn("__s", scoreCol.cast("double"))
-    val winners = keyed.groupBy("__ck")
+    val winners = keyed.filter(col(textCol).isNotNull).groupBy("__ck")
       .agg(min(struct((col("__s") * lit(-1.0)).as("__ns"),
         col(idCol).as("__wid"))).as("__w"))
-    keyed.join(winners, Seq("__ck"))
-      .withColumn("keep", col(idCol) === col("__w").getField("__wid"))
+    keyed.join(winners, Seq("__ck"), "left")
+      .withColumn("keep",
+        coalesce(col(idCol) === col("__w").getField("__wid"), lit(false)))
       .drop("__ck", "__s", "__w")
   }
 

@@ -271,21 +271,21 @@ object Sampling {
     val binned = df.withColumn("__bin", floor(binOf(scoreCol)).cast("long"))
       .filter(col("__bin").isNotNull)
     // within-bin inclusive running total, partitioned by bin → parallel.
-    // The bin-total branch re-derives the slim (id, score, cost, bin)
-    // projection — a second column-pruned scan. When the scoring
-    // expressions are the dominant cost, persist the slim projection
-    // before calling (a DISK_ONLY cache of 3 narrow columns), which
-    // collapses both branches onto one scan; the operator itself never
-    // needs the full payload twice.
     val wInBin = Window.partitionBy(col("__bin"))
       .orderBy(scoreCol.desc, idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // PERSIST the slim windowed projection: the bin-totals collect
+    // below is its own eager job, and without the cache the returned
+    // plan would re-execute the scan + shuffle + window a second time
+    // at query time (cross-job exchange reuse does not exist). The
+    // cached rows are the narrow (id, score, cost, bin, cum) columns;
+    // harness consumers free it via the documented clearCache contract.
     val cumd = binned.withColumn("__cum_in_bin",
       sum(costCol.cast("long")).over(wInBin))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-bin totals from the WINDOWED stream, not the raw one: the
     // aggregate's required distribution (__bin) is already satisfied,
-    // so it adds no exchange (deriving totals from `binned` directly
-    // would always plan a second full scan of the scored corpus).
+    // so it reads the cache, no second corpus scan.
     // The prefix sum over the bin totals runs on the DRIVER: the table
     // is #bins rows (bounded by the score range, not the corpus), and
     // a driver scan-left + broadcast literal replaces the

@@ -1554,6 +1554,13 @@ class FunctionsSpec extends SparkSpec {
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     // score 0.9 beats 0.2; tie between ids 2 and 3 -> min id 2 wins
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true), s"got $out")
+    // NULL text: returned (not silently dropped through the digest
+    // join) and never a survivor
+    val withNull = Seq((1L, Option("x"), 0.5), (2L, Option.empty[String], 0.9))
+      .toDF("doc_id", "text", "q")
+    val out2 = DedupFunctions.dedupKeepBest(withNull, "doc_id", "text", col("q"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out2 == Map(1L -> true, 2L -> false), s"got $out2")
   }
 
   test("removeFrequentSegments: df-threshold boilerplate drops from EVERY doc, keep-none") {

@@ -101,22 +101,41 @@ class SamplingSpec extends SparkSpec {
 
   test("budgetSelect: plan has no single-partition global window") {
     val df = (1L to 100L).map(i => (i, i / 10.0, 5L)).toDF("id", "score", "cost")
-    val plan = Sampling.budgetSelect(df, col("score"), col("id"), col("cost"), 100L)
-      .queryExecution.optimizedPlan
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }
-    assert(windows.nonEmpty)
-    // an unpartitioned window (single task) may only run over the tiny
-    // per-bin aggregate — the row-data window must be partitioned by __bin
-    windows.foreach { w =>
-      if (w.partitionSpec.isEmpty)
-        assert(w.child.collectFirst {
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-        }.nonEmpty, s"unpartitioned window over raw rows:\n$w")
-      else
-        assert(w.partitionSpec.exists(_.toString.contains("__bin")))
-    }
+    val out = Sampling.budgetSelect(df, col("score"), col("id"), col("cost"), 100L)
+    try {
+      val plan = out.queryExecution.optimizedPlan
+      // r10 shape: the per-bin window lives inside the CACHED slim
+      // projection (one corpus scan feeds both the driver bin-prefix
+      // collect and the returned join); the bin prefix sum itself is a
+      // driver scan-left — so the ONLY window anywhere must be the
+      // __bin-partitioned one inside the InMemoryRelation
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val self = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a) ++ allNodes(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(s) ++ allNodes(s.plan)
+          case other => Seq(other)
+        }
+        self ++ p.children.flatMap(allNodes)
+      }
+      val cachedWindows = plan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.flatMap(r => allNodes(r.cachedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      })
+      assert(cachedWindows.nonEmpty, s"expected the cached bin window:\n$plan")
+      cachedWindows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty &&
+          w.partitionSpec.exists(_.toString.contains("__bin")),
+          s"window must partition by __bin:\n$w")
+      }
+      // and the plan OUTSIDE the cache carries no window at all
+      assert(plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, s"no window may survive outside the cached projection:\n$plan")
+    } finally spark.catalog.clearCache()
   }
 
   test("epochShard: dense per-shard positions, deterministic, epoch re-deals") {

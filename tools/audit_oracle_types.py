@@ -80,5 +80,4 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, "tools")
     sys.exit(main(sys.argv[1], sys.argv[2]))
