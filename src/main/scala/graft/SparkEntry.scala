@@ -1300,6 +1300,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decontam_scrub" -> ((s, dir) => {
+      // the ENFORCEMENT half of decontam_overlap/decontam_span: every
+      // training 5-gram colliding with the eval set marks its token
+      // range, islands merge, covered tokens CUT (GPT-3 appendix C
+      // semantics — scrub the span, keep the doc). Eval grams broadcast
+      // as 64-bit hashes; uncontaminated docs pass through verbatim.
+      val d = t(s, dir, "documents")
+      graft.functions.Curation.scrubContaminated(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     "pipeline_curation_v2" -> ((s, dir) => {
       // capstone composition of the round-9 curation ops, in the order
       // a real cleaning pipeline runs them: banned-phrase scrub →
@@ -6868,6 +6882,43 @@ object SparkEntry {
                    FROM kept GROUP BY doc_id)
            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
            FROM documents d LEFT JOIN agg a USING (doc_id)
+           ORDER BY doc_id""",
+
+      "decontam_scrub" ->
+        // replay: eval positional 5-gram strings → distinct set →
+        // train hits by gram equality → covered-position set → token
+        // cut + in-order rebuild (the text_blocklist_removal shape)
+        """WITH ev AS (
+             SELECT DISTINCT g FROM (
+               SELECT unnest(list_transform(range(0, greatest(len(ts) - 4, 0)),
+                        i -> array_to_string(ts[i+1:i+5], ' '))) AS g
+               FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+                     FROM documents WHERE doc_id % 97 = 0)
+               WHERE len(ts) >= 5)),
+           toks AS (
+             SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             FROM documents WHERE doc_id % 97 <> 0),
+           hit AS (
+             SELECT h.doc_id, h.m.p AS p FROM (
+               SELECT doc_id,
+                      unnest(list_transform(range(0, greatest(len(ts) - 4, 0)),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+5], ' ')})) AS m
+               FROM toks WHERE len(ts) >= 5) h
+             JOIN ev ON h.m.g = ev.g),
+           cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS cp FROM hit),
+           tok AS (SELECT doc_id, unnest(ts) AS tk,
+                          unnest(range(0, len(ts))) AS i
+                   FROM toks),
+           kept AS (SELECT t.doc_id, t.i, t.tk
+                    FROM tok t LEFT JOIN cov c
+                      ON t.doc_id = c.doc_id AND t.i = c.cp
+                    WHERE c.cp IS NULL),
+           agg AS (SELECT doc_id,
+                          array_to_string(list(tk ORDER BY i), ' ') AS clean_text
+                   FROM kept GROUP BY doc_id)
+           SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+           LEFT JOIN agg a USING (doc_id)
            ORDER BY doc_id""",
 
       "text_ngram_diversity" ->

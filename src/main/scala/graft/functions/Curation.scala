@@ -172,6 +172,18 @@ object Curation {
         .join(broadcast(pdf), "h")
         .select(col(idCol), col("p"), lit(n).as("n"))
     }.reduce(_ unionByName _)
+    cutCoveredSpans(docs, idCol, textCol, hits)
+  }
+
+  /** Island-merge + token cut shared by [[blocklistRemove]] and
+    * [[scrubContaminated]]: `hits` carries (id, gram start `p`, gram
+    * length `n`) match ranges; overlapping/adjacent ranges merge with
+    * an in-row fold and every covered token drops from the rebuilt
+    * text. One per-doc aggregation + one rewrite join — text moves
+    * once, never into an aggregation.
+    */
+  private def cutCoveredSpans(docs: DataFrame, idCol: String,
+                              textCol: String, hits: DataFrame): DataFrame = {
     val spans = hits
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("p"), col("n")))).as("ms"))
@@ -197,6 +209,36 @@ object Curation {
                                        sp -> x.i >= sp.s AND x.i < sp.e)),
                      x -> x.t),
                    ' ')""").as("clean_text"))
+  }
+
+  /** Span-level benchmark DECONTAMINATION SCRUB — the surgical
+    * alternative to dropping whole contaminated training documents:
+    * every training n-gram whose hash appears among the eval set's
+    * n-grams marks its token range, overlapping marks merge, and the
+    * covered tokens are CUT from the rebuilt text (GPT-3 appendix C
+    * removes exact 13-gram collisions the same way). Documents with no
+    * collision pass through verbatim (lowercased token rejoin, the
+    * [[blocklistRemove]] convention).
+    *
+    * Scale shape: the eval gram set is tiny by nature (benchmarks are
+    * thousands of docs, not billions) → distinct 64-bit hashes
+    * broadcast; the training side explodes positional gram hashes
+    * scan-side (codegen'd), only (id, position) hit pairs shuffle into
+    * the per-doc span fold, and text moves once through the rewrite
+    * join.
+    */
+  def scrubContaminated(train: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"scrubContaminated: need n >= 1, got $n")
+    val evalGrams = evalDocs.select(explode(
+        graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n)).as("h"))
+      .distinct()
+    val hits = train.select(col(idCol),
+        posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
+          .as(Seq("p", "h")))
+      .join(broadcast(evalGrams), "h")
+      .select(col(idCol), col("p"), lit(n).as("n"))
+    cutCoveredSpans(train, idCol, textCol, hits)
   }
 
   def collocations(docs: DataFrame, textCol: String,

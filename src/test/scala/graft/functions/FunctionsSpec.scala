@@ -1545,6 +1545,28 @@ class FunctionsSpec extends SparkSpec {
     assert(again == est)
   }
 
+  test("scrubContaminated: eval-colliding spans cut, islands merge, clean docs verbatim") {
+    val train = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),         // 'bb cc dd ee ff' collides
+      (2L, "xx yy zz ww vv"),                  // clean — verbatim (lowered)
+      (3L, "bb cc dd ee ff cc dd ee ff gg hh") // overlapping hits merge
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "bb cc dd ee ff"), (101L, "cc dd ee ff gg"))
+      .toDF("doc_id", "text")
+    val out = Curation.scrubContaminated(train, eval_, "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // doc 1: 'bb cc dd ee ff' covers [1,6) and 'cc dd ee ff gg' covers
+    // [2,7) — the islands merge to [1,7), leaving 'aa hh'
+    assert(out(0) == ((1L, "aa hh")), s"got ${out(0)}")
+    assert(out(1) == ((2L, "xx yy zz ww vv")), s"got ${out(1)}")
+    assert(out(2)._1 == 3L && !out(2)._2.contains("bb cc dd ee ff"),
+      s"got ${out(2)}")
+    // a doc wholly made of eval text scrubs to ''
+    val all = Seq((9L, "bb cc dd ee ff")).toDF("doc_id", "text")
+    assert(Curation.scrubContaminated(all, eval_, "doc_id", "text", 5)
+      .as[(Long, String)].collect().head == ((9L, "")))
+  }
+
   test("dedupKeepBest: highest score survives per exact-text group, min-id tiebreak") {
     val df = Seq(
       (1L, "same text", 0.2), (2L, "same text", 0.9), (3L, "same text", 0.9),
