@@ -2269,6 +2269,25 @@ object SparkEntry {
       // sample_mix_plan diagnostic: the boolean flag alone
       mixPlan(s, dir).select("lang", "undersupplied")),
 
+    "sample_epoch_mix" -> ((s, dir) => {
+      // the LLaMA-recipe mix: per-source repeat factors in exact tenths
+      // (2.5 / 1.0 / 0.5 / 1.5 epochs by source index mod 4) — whole
+      // copies guaranteed, the fractional copy decided by the doc's
+      // salted hash (integer cross-multiplied, no double), downsampled
+      // sources emit 0 or 1 copies the same way. Scan-side explode:
+      // the emitted stream IS the training mix.
+      val srcIdx = substring(col("source"), 4, 10).cast("int")
+      val tenths = when(pmod(srcIdx, lit(4)) === 0, lit(25L))
+        .when(pmod(srcIdx, lit(4)) === 1, lit(10L))
+        .when(pmod(srcIdx, lit(4)) === 2, lit(5L))
+        .otherwise(lit(15L))
+      graft.functions.Sampling.epochRepeat(
+          t(s, dir, "documents").select("doc_id", "source"),
+          col("doc_id"), tenths)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     "sample_mix_weighted" -> ((s, dir) => {
       // weighted source mixing: per-language keep rates applied as a
       // deterministic Bernoulli filter — downsampling 100 TB to a
@@ -6601,6 +6620,26 @@ object SparkEntry {
       "mix_plan_flags_only" ->
         (mixPlanOracleCtes + """
            SELECT lang, undersupplied FROM mixplan"""),
+
+      "sample_epoch_mix" ->
+        // replay: tenths by source index mod 4 → n = whole copies +
+        // hash-fraction extra (bucket·10 < frac·2³², pure integers) →
+        // one row per copy via range(0, n)
+        """WITH r AS (
+             SELECT doc_id, source,
+                    CASE CAST(substring(source, 4) AS INT) % 4
+                      WHEN 0 THEN 25 WHEN 1 THEN 10 WHEN 2 THEN 5
+                      ELSE 15 END AS t,
+                    ('0x' || substr(md5('epoch_mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+             FROM documents),
+           n AS (
+             SELECT doc_id, source,
+                    t // 10 + CASE WHEN b * 10 < (t % 10) * 4294967296
+                                   THEN 1 ELSE 0 END AS n
+             FROM r)
+           SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS copy_idx
+           FROM n WHERE n > 0
+           ORDER BY doc_id, copy_idx""",
 
       "sample_mix_weighted" ->
         """SELECT doc_id, lang, source

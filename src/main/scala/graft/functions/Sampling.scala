@@ -122,6 +122,34 @@ object Sampling {
       .select(col("id").as(idCol), col("score").as("log_w"), col("rank"))
   }
 
+  /** Epoch-repeat mixing — the "dataset X for 2.5 epochs" recipe shape
+    * (LLaMA-style data mixes repeat high-quality sources and
+    * downsample bulk ones in the SAME pass): each row emits
+    * `floor(r)` guaranteed copies plus one more iff its salted hash
+    * clears the fractional part, so repeat 2.5 contributes every doc
+    * twice and a deterministic hash-half of docs a third time, and
+    * repeat 0.5 downsamples to the hash-half — no `rand()`, the same
+    * doc gets the same copies on every run and cluster layout.
+    * `repeatTenths` is the per-row repeat factor in EXACT TENTHS (a
+    * Column — per-source factors come from a CASE or a broadcast
+    * recipe join); copies come out as `copy_idx` 0..n−1 for shuffling
+    * into shards downstream ([[epochShard]]). The fractional test is
+    * pure integer cross-multiplication (`bucket·10 < frac·2³²`). Pure
+    * scan-side explode: output volume IS the requested mix, and
+    * nothing shuffles.
+    */
+  def epochRepeat(df: DataFrame, idCol: Column, repeatTenths: Column,
+                  salt: String = "epoch_mix"): DataFrame = {
+    val frac = pmod(repeatTenths, lit(10L))
+    val extra = hashBucket(idCol, salt) * lit(10L) < frac * lit(4294967296L)
+    df.withColumn("__n",
+        longFloorDiv(repeatTenths, lit(10L)) +
+          when(extra, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__n") > 0L)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Train/val/test-style split assignment: `weights` are
     * (label, fraction) in declaration order, fractions summing to ~1.
     * Every id gets exactly one label; the assignment is a pure

@@ -138,6 +138,29 @@ class SamplingSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("epochRepeat: whole copies guaranteed, hash fraction, zero drops, deterministic") {
+    val df = (1L to 400L).toDF("id")
+    // 2.0 epochs: exactly two copies of every row, copy_idx 0 and 1
+    val two = Sampling.epochRepeat(df, col("id"), lit(20L))
+      .groupBy("id").count().as[(Long, Long)].collect()
+    assert(two.length == 400 && two.forall(_._2 == 2L))
+    // 2.5 epochs: every row 2 or 3 copies, roughly half get the third
+    val half = Sampling.epochRepeat(df, col("id"), lit(25L))
+      .groupBy("id").count().as[(Long, Long)].collect()
+    assert(half.forall(r => r._2 == 2L || r._2 == 3L))
+    val thirds = half.count(_._2 == 3L)
+    assert(thirds > 120 && thirds < 280, s"fraction off: $thirds/400")
+    // 0.5 epochs: the SAME hash-half (salt-aligned with the 2.5 case)
+    val down = Sampling.epochRepeat(df, col("id"), lit(5L))
+      .select("id").as[Long].collect().toSet
+    assert(down == half.filter(_._2 == 3L).map(_._1).toSet)
+    // 0 epochs: nothing; deterministic across runs
+    assert(Sampling.epochRepeat(df, col("id"), lit(0L)).isEmpty)
+    val again = Sampling.epochRepeat(df, col("id"), lit(5L))
+      .select("id").as[Long].collect().toSet
+    assert(again == down)
+  }
+
   test("epochShard: dense per-shard positions, deterministic, epoch re-deals") {
     val df = ids.withColumnRenamed("id", "doc_id")
     val e1 = Sampling.epochShard(df, "doc_id", nShards = 8, epoch = 1)
