@@ -656,6 +656,28 @@ object ScaleSmoke {
         window = 40, stride = 32).count()
     }
 
+    // r10: scan-shaped curation additions at 10× — URL canonicalization
+    // (pure per-row regexp/array ops), epoch-repeat mixing (scan-side
+    // explode, output volume = the requested mix), and span-level
+    // decontamination scrub (broadcast eval gram hashes + positional
+    // hit join + island cut)
+    time("url_canonicalize", nDocs) {
+      val url = concat(lit("HTTP://Www."), col("source"),
+        lit(".COM:80/a/b?utm_source=feed&z=2&a=1#sec"))
+      docs.select(graft.functions.UrlFunctions.canonicalizeUrl(url)
+        .as("c")).count()
+    }
+    time("epoch_repeat_mix", nDocs) {
+      graft.functions.Sampling.epochRepeat(
+        docs.select("doc_id"), col("doc_id"), lit(25L)).count()
+    }
+    time("decontam_scrub", nDocs) {
+      graft.functions.Curation.scrubContaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5).count()
+    }
+
     // ---- round-5: zipf mega-cluster skew sweep -----------------------
     // the web-corpus shape: ONE 10⁴-member near-dup cluster over a
     // distinct background. Each op also reports the max task
@@ -740,6 +762,25 @@ object ScaleSmoke {
     timeSkew("zipf_paragraph_dedup", nZipf) {
       graft.functions.Curation.dedupSegmentsAcross(
         zipfDocs, "doc_id", "text", " the ", minWords = 1).count()
+    }
+
+    // r10: keep-best exact dedup under the mega-cluster — the winner
+    // per md5(text) digest is a partial aggregate (min(struct(-score,
+    // id))), so the 10⁴-copy group combines map-side; the hot digest
+    // still funnels its copies through the winner JOIN, which AQE can
+    // skew-split (a window-rank plan could not be split at all)
+    timeSkew("zipf_keep_best", nZipf) {
+      graft.functions.DedupFunctions.dedupKeepBest(
+        zipfDocs, "doc_id", "text",
+        graft.functions.TextFunctions.qualityScore(col("text"))).count()
+    }
+    // r10: corpus-frequency boilerplate removal under the same shape —
+    // df counting is distinct(seg, id) → per-seg count (both partial
+    // aggregates), and the hot-set ANTI join prunes the 10⁴-doc
+    // boilerplate segments from the stream
+    timeSkew("zipf_boilerplate", nZipf) {
+      graft.functions.Curation.removeFrequentSegments(
+        zipfDocs, "doc_id", "text", " the ", minDocs = 5000L).count()
     }
 
     // embedding band join under the same shape: 10⁴ identical vectors
