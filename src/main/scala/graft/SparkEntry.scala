@@ -1869,11 +1869,9 @@ object SparkEntry {
         .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
         .withColumn("__bs", round(col("lm_score"), 3))
       val hist = scored.groupBy("lang", "__bs").agg(count(lit(1)).as("__c"))
-      val wcum = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("__bs").desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val wall = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val wcum = Window.partitionBy("lang").orderBy(col("__bs").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy("lang")
       hist.withColumn("__cum", sum("__c").over(wcum))
         .withColumn("__n", sum("__c").over(wall))
         .withColumn("bucket",

@@ -727,6 +727,15 @@ object Curation {
     * structs — no ordering shuffle. Only (id, position, segment) rows
     * ever move, never whole documents.
     */
+  /** Survivor text rebuilt in position order: collect (idx, seg)
+    * struct entries (nulls from a `when` guard drop out of
+    * collect_list), in-row array_sort on the struct, rejoin. Shared by
+    * the segment-dedup/boilerplate family.
+    */
+  private def rebuiltInOrder(entry: Column, sep: String): Column =
+    array_join(transform(array_sort(collect_list(entry)),
+      e => e.getField("__seg")), sep)
+
   def dedupSegmentsAcross(docs: DataFrame, idCol: String, textCol: String,
                           sep: String, minWords: Int = 1): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
@@ -741,10 +750,8 @@ object Curation {
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(when(col("__keep"),
-            struct(col("__idx"), col("__seg"))))),
-          e => e.getField("__seg")), sep).as("rebuilt"))
+        rebuiltInOrder(when(col("__keep"),
+          struct(col("__idx"), col("__seg"))), sep).as("rebuilt"))
   }
 
   /** Corpus-frequency BOILERPLATE removal (the CCNet "drop lines that
@@ -779,9 +786,8 @@ object Curation {
     val kept = segs.join(hot, Seq("__seg"), "left_anti")
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("__idx"), col("__seg")))),
-          e => e.getField("__seg")), sep).as("rebuilt"))
+        rebuiltInOrder(struct(col("__idx"), col("__seg")), sep)
+          .as("rebuilt"))
     totals.join(kept, Seq("__id"), "left")
       .select(col("__id").as(idCol), col("n_segments"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
