@@ -339,6 +339,49 @@ object SparkEntry {
                 CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
          FROM withq)"""
 
+  /** Shared brute-tier bitext-mining oracle replay (cross cosines →
+    * top-4 each direction → decimal sums of 6-dp scores → mutual rank-1
+    * pairs → 8·num/(denA+denB) margin) — ends in
+    * `m(a_id, b_id, cos6, margin)`; the calibration query selects the
+    * mined pairs, the blocked tier's gate selects their count.
+    */
+  private val bitextOracleCtes: String =
+    """WITH a AS (SELECT vec_id AS a_id, embedding AS av
+                  FROM embeddings WHERE label % 2 = 0),
+       b AS (SELECT vec_id AS b_id, embedding AS bv
+             FROM embeddings WHERE label % 2 = 1),
+       sab AS (
+         SELECT a_id, b_id,
+                list_sum(list_transform(range(1, 65), i -> CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+                / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE))))
+                   * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))))) AS score
+         FROM a CROSS JOIN b),
+       ta AS (SELECT a_id, b_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY a_id
+                       ORDER BY score DESC, b_id ASC) AS r
+              FROM sab QUALIFY r <= 4),
+       tb AS (SELECT a_id, b_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY b_id
+                       ORDER BY score DESC, a_id ASC) AS r
+              FROM sab QUALIFY r <= 4),
+       dena AS (SELECT a_id, SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6))) AS dena
+                FROM ta GROUP BY 1),
+       denb AS (SELECT b_id, SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6))) AS denb
+                FROM tb GROUP BY 1),
+       besta AS (SELECT a_id, b_id,
+                        CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS num
+                 FROM ta WHERE r = 1),
+       bestb AS (SELECT a_id, b_id FROM tb WHERE r = 1),
+       m AS (
+         SELECT besta.a_id, besta.b_id,
+                CAST(num AS DOUBLE) AS cos6,
+                ROUND(CAST(num AS DOUBLE) * 8.0
+                      / CAST(dena + denb AS DOUBLE), 6) AS margin
+         FROM besta
+         JOIN bestb ON besta.a_id = bestb.a_id AND besta.b_id = bestb.b_id
+         JOIN dena ON besta.a_id = dena.a_id
+         JOIN denb ON besta.b_id = denb.b_id)"""
+
   /** Shared int8-ANN oracle replay: normalize → int8 quantize →
     * integer-dot top-20 per query (idot desc, c_id asc) → exact cosine
     * top-5. One replay gates the train-per-call, persisted, and
@@ -426,9 +469,15 @@ object SparkEntry {
            FROM ex
            QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC) <= 5"""
 
-  /** per-(query,sf) scratch dir for sink round-trips */
+  /** per-(query,sf) scratch dir for sink round-trips. Salted with a
+    * per-JVM nonce: two concurrent JVMs on the same sf dir (e.g. a
+    * Bench run alongside `sbt test`) must never mode("overwrite") the
+    * same in-flight artifact, and a fresh JVM must never read a stale
+    * artifact left by a previous run over regenerated inputs.
+    */
+  private val jvmNonce: String = java.util.UUID.randomUUID.toString.take(8)
   private def tmpPath(dir: String, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${dir.replaceAll("[^a-z0-9.]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_${jvmNonce}_${tag}_${dir.replaceAll("[^a-z0-9.]", "_")}"
 
   /** Eager index build/merge steps report their cost to the bench's
     * per-phase channel (graft.tools.PhaseTimer) so BENCH json splits
@@ -485,6 +534,55 @@ object SparkEntry {
       })
     }
     s.read.parquet(path).filter(col("rank") <= k)
+  }
+
+  /** Artetxe ratio-margin mining tail shared by the brute (calibration)
+    * and blocked bitext tiers: given each direction's top-k candidate
+    * lists, keep the MUTUAL rank-1 pairs whose margin — candidate
+    * cosine over the mean of each side's top-k cosines — clears 1.0.
+    * Engine parity: the margin is built ONLY from 6-dp-rounded cosines
+    * summed as DECIMAL (order-free exact), so both engines divide the
+    * same two exact numbers. `k` is each list's depth (the ×2k margin
+    * scale factor).
+    */
+  private def bitextMargin(topA: DataFrame, topB: DataFrame,
+                           k: Int): DataFrame = {
+    val dec = DecimalType(18, 6)
+    val denA = topA.groupBy("a_id")
+      .agg(sum(round(col("score"), 6).cast(dec)).as("__dena"))
+    val denB = topB.groupBy("b_id")
+      .agg(sum(round(col("score"), 6).cast(dec)).as("__denb"))
+    val bestA = topA.filter(col("rank") === 1)
+      .select(col("a_id"), col("b_id"),
+        round(col("score"), 6).cast(dec).as("__num"))
+    val bestB = topB.filter(col("rank") === 1).select("a_id", "b_id")
+    bestA.join(bestB, Seq("a_id", "b_id")) // mutual NN
+      .join(denA, "a_id").join(denB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        col("__num").cast("double").as("cos6"),
+        round(col("__num").cast("double") * lit(2.0 * k) /
+          (col("__dena") + col("__denb")).cast("double"), 6).as("margin"))
+      .filter(col("margin") >= 1.0)
+  }
+
+  /** The two mining slices: A = even label, B = odd label. */
+  private def bitextSlices(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    (emb.filter(pmod(col("label"), lit(2)) === 0)
+       .select(col("vec_id").as("a_id"), col("embedding").as("__av")),
+     emb.filter(pmod(col("label"), lit(2)) === 1)
+       .select(col("vec_id").as("b_id"), col("embedding").as("__bv")))
+  }
+
+  /** Brute-force (calibration-tier) mined pairs — the exact reference
+    * the blocked tier's recall gate pins against.
+    */
+  private def bitextMineBrute(s: SparkSession, dir: String): DataFrame = {
+    val (aS, bS) = bitextSlices(s, dir)
+    bitextMargin(
+      V.bruteForceTopK(aS, bS, "a_id", "b_id", "__av", "__bv", 4),
+      V.bruteForceTopK(bS, aS, "b_id", "a_id", "__bv", "__av", 4), k = 4)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1536,9 +1634,16 @@ object SparkEntry {
         lo += c; npos += p; n += c
       }
       val nneg = n - npos
-      val num = (sum2 - BigInt(npos) * (npos + 1)) * 1000000
-      val den = BigInt(2) * npos * nneg
-      val aucPpm = ((num * 2 + den) / (den * 2)).toLong
+      // AUC is undefined with a single class (den = 0) — an all-English
+      // or no-English corpus yields a NULL auc_ppm, mirrored in the
+      // oracle, rather than an ArithmeticException at build time.
+      val aucPpm: Option[Long] =
+        if (npos == 0L || nneg == 0L) None
+        else {
+          val num = (sum2 - BigInt(npos) * (npos + 1)) * 1000000
+          val den = BigInt(2) * npos * nneg
+          Some(((num * 2 + den) / (den * 2)).toLong)
+        }
       import s.implicits._
       Seq((npos, nneg, aucPpm)).toDF("n_pos", "n_neg", "auc_ppm")
     }),
@@ -1962,9 +2067,11 @@ object SparkEntry {
       // CROSS-document paragraph dedup (Dolma/RefinedWeb step): a
       // segment survives only at its global first occurrence in
       // (doc_id, position) order — later copies drop, in the same doc
-      // or any other. One shuffle on segment text (rank<=1 compiles to
-      // WindowGroupLimit: boilerplate with millions of copies forwards
-      // one candidate per map partition), one per-doc reassembly agg.
+      // or any other. The winner per segment is a partial aggregate
+      // (groupBy(seg).min(struct(doc_id, pos))) — map-side combine
+      // absorbs mega-dup clusters, so no per-segment window sort ever
+      // materializes a hot key's copies in one task; survivors join
+      // back and one per-doc agg reassembles (Curation.scala scaladoc).
       paragraphDedup(s, dir)
     }),
 
@@ -2576,30 +2683,40 @@ object SparkEntry {
       // divide the same two exact numbers. Brute-force top-k is the
       // calibration tier (same contract as sim_topk_bruteforce); at
       // 100 TB the shortlist comes from the IVF/blocked tiers instead.
-      val emb = t(s, dir, "embeddings")
-      val aS = emb.filter(pmod(col("label"), lit(2)) === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("__av"))
-      val bS = emb.filter(pmod(col("label"), lit(2)) === 1)
-        .select(col("vec_id").as("b_id"), col("embedding").as("__bv"))
-      val topA = V.bruteForceTopK(aS, bS, "a_id", "b_id", "__av", "__bv", 4)
-      val topB = V.bruteForceTopK(bS, aS, "b_id", "a_id", "__bv", "__av", 4)
-      val dec = DecimalType(18, 6)
-      val denA = topA.groupBy("a_id")
-        .agg(sum(round(col("score"), 6).cast(dec)).as("__dena"))
-      val denB = topB.groupBy("b_id")
-        .agg(sum(round(col("score"), 6).cast(dec)).as("__denb"))
-      val bestA = topA.filter(col("rank") === 1)
-        .select(col("a_id"), col("b_id"),
-          round(col("score"), 6).cast(dec).as("__num"))
-      val bestB = topB.filter(col("rank") === 1).select("a_id", "b_id")
-      bestA.join(bestB, Seq("a_id", "b_id")) // mutual NN
-        .join(denA, "a_id").join(denB, "b_id")
-        .select(col("a_id"), col("b_id"),
-          col("__num").cast("double").as("cos6"),
-          round(col("__num").cast("double") * lit(8.0) /
-            (col("__dena") + col("__denb")).cast("double"), 6).as("margin"))
-        .filter(col("margin") >= 1.0)
-        .orderBy("a_id")
+      bitextMineBrute(s, dir).orderBy("a_id")
+    }),
+
+    "sim_bitext_blocked" -> ((s, dir) => {
+      // blocked shortlist tier of sim_bitext_mine — the shape that runs
+      // at CCMatrix scale (billions × billions): ONE k-means trained
+      // over the union of both slices (shared cell geometry), each
+      // direction's top-4 shortlist from the cells+nprobe cross join
+      // (crossTopKBlocked — an equi-join on cid, NO broadcast of either
+      // slice), then the identical mutual-NN + decimal ratio-margin
+      // tail as the calibration tier (margins computed from the
+      // RETRIEVED neighborhoods, as real mining pipelines do). Contract
+      // is recall of the brute tier's mined pairs, the
+      // sim_knn_graph_blocked precedent. Operating point chosen by
+      // measurement (clusters × nprobe sweep): 16 cells / nprobe 8 =
+      // HALF the quadratic pair work at measured recall 0.706 (sf0.01)
+      // / 0.706 (sf0.1) — the only swept config whose recall was flat
+      // across a 10× corpus growth; pinned with margin at >= 0.55.
+      val (aS, bS) = bitextSlices(s, dir)
+      val cents = V.kmeansCentroids(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 16, iters = 2)
+      val topA = V.crossTopKBlocked(aS, bS, "a_id", "b_id", "__av", "__bv",
+        k = 4, cents, nprobe = 8)
+      val topB = V.crossTopKBlocked(bS, aS, "b_id", "a_id", "__bv", "__av",
+        k = 4, cents, nprobe = 8)
+      val minedBlocked = bitextMargin(topA, topB, k = 4)
+        .select(col("a_id"), col("b_id"), lit(1L).as("__hit"))
+      bitextMineBrute(s, dir).select("a_id", "b_id")
+        .join(minedBlocked, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          sum(coalesce(col("__hit"), lit(0L))).as("__h"))
+        .select(col("n_brute"),
+          (col("__h") * 100L >= col("n_brute") * 55L).as("recall_ok"))
     }),
 
     "c1_string_ops" -> ((s, dir) => {
@@ -2897,16 +3014,16 @@ object SparkEntry {
     }),
 
     "diag_channel_hugeint" -> ((s, dir) =>
-      // driver-channel CONTROL, bare-sum arm: the Spark side is a plain
-      // per-lang count (BIGINT); the oracle computes the same number as
-      // an UN-cast SUM(1), which DuckDB types HUGEINT and pandas
-      // renders float64 ("500.0"). Values are identical; only the
-      // oracle's declared type differs from the cast twin below. If
-      // this row is red while diag_channel_bigint is green, the
-      // driver's comparator distinguishes rendered int vs float — the
-      // r7-r9 chronic-red mechanism, proven from the driver's own
-      // artifact. Expected red under that theory; documented in
-      // COVERAGE.md.
+      // RETIRED driver-channel control (r10): this arm once carried a
+      // deliberately UN-cast oracle SUM(1) (DuckDB HUGEINT → pandas
+      // float64 "500.0") and went red while the cast twin below stayed
+      // green, proving from the driver's own artifact that the
+      // comparator hashes rendered values. Hypothesis CONFIRMED in
+      // CORRECTNESS_r10 (red control + green twin + all four chronic
+      // reds flipping green after BIGINT casts); the oracle is now cast
+      // like every other integer SUM (tools/audit_oracle_types.py
+      // enforces the rule), and the pair stays registered only to
+      // document the mechanism in history. Expected green.
       t(s, dir, "documents").groupBy("lang")
         .agg(count(lit(1)).as("n_docs")).orderBy("lang")),
 
@@ -3119,7 +3236,7 @@ object SparkEntry {
         (col("doc_id") % 22 + 1).cast("string").as("CHROMOSOME"),
         element_at(alleles, (col("doc_id") % 5 + 1).cast("int")).as("REF"),
         when(col("doc_id") % 3 === 0, lit("NA")).otherwise(lit("p.X1Y")).as("HGVSP"))
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s3_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val tmp = tmpPath(dir, "s3")
       graft.sources.Tsv.write(mafLike, tmp)
       graft.sources.Maf.read(s, tmp)
         .groupBy(col("REFERENCE_ALLELE").as("reference_allele"))
@@ -3144,7 +3261,7 @@ object SparkEntry {
       // .0-free TSV writer: integral doubles come back dot-free
       val sample = t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
         .select(col("l_orderkey").as("ID"), col("l_quantity").as("VAL"))
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_s11_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      val tmp = tmpPath(dir, "s11")
       graft.sources.Tsv.write(sample, tmp)
       graft.sources.Tsv.readAllString(s, tmp)
         .agg(count(lit(1)).as("n_rows"),
@@ -4656,6 +4773,33 @@ object SparkEntry {
         .select(col("host"), col("n_raw"), col("n_canonical"),
           (col("n_raw") - col("n_canonical")).as("n_dupes"))
         .orderBy("host")
+    }),
+
+    "url_dedup_keep_best" -> ((s, dir) => {
+      // the COMPOSED crawl workflow the two operators above exist for:
+      // canonicalize raw URLs → group copies by canonical form → keep
+      // the best-quality copy (doc_id tie-break). The winner per
+      // canonical URL is a partial aggregate min(struct(−quality, id))
+      // — map-side combine absorbs mega-duplicated URLs (a hot URL
+      // with millions of crawls contributes one candidate per map
+      // partition), no per-URL window sort; only (canonical, quality,
+      // id) triples ever shuffle. Quality rounds to 6 dp BEFORE the
+      // argmin so the winner is engine-portable.
+      val U = graft.functions.UrlFunctions
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          U.canonicalizeUrl(rawUrlOf).as("canonical"),
+          round(T.qualityScore(col("text")), 6).as("__q"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_copies"),
+          min(struct((col("__q") * lit(-1.0)).as("__nq"),
+            col("doc_id").as("__wid"),
+            col("__q").as("__wq"))).as("__w"))
+        .filter(col("n_copies") > 1)
+        .select(col("canonical"), col("n_copies"),
+          col("__w").getField("__wid").as("doc_id"),
+          col("__w").getField("__wq").as("quality"))
+        .orderBy("canonical")
     }),
 
     // ---------------- release: data_gene_matrix artifact ----------------
@@ -6769,9 +6913,10 @@ object SparkEntry {
                    FROM r)
            SELECT CAST(npos AS BIGINT) AS n_pos,
                   CAST(n - npos AS BIGINT) AS n_neg,
-                  CAST(((sum2 - npos * (npos + 1)) * 1000000 * 2
-                        + 2 * npos * (n - npos))
-                       // (2 * 2 * npos * (n - npos)) AS BIGINT) AS auc_ppm
+                  CAST(CASE WHEN npos = 0 OR npos = n THEN NULL
+                       ELSE ((sum2 - npos * (npos + 1)) * 1000000 * 2
+                             + 2 * npos * (n - npos))
+                            // (2 * 2 * npos * (n - npos)) END AS BIGINT) AS auc_ppm
            FROM agg""",
 
       "text_classifier_train" -> {
@@ -7246,43 +7391,18 @@ object SparkEntry {
         // replay: cross cosines (same ordered-fold parity as
         // sim_topk_bruteforce) → top-4 each direction → decimal sums of
         // 6-dp scores → mutual rank-1 pairs → 8·num/(denA+denB) margin
-        """WITH a AS (SELECT vec_id AS a_id, embedding AS av
-                      FROM embeddings WHERE label % 2 = 0),
-           b AS (SELECT vec_id AS b_id, embedding AS bv
-                 FROM embeddings WHERE label % 2 = 1),
-           sab AS (
-             SELECT a_id, b_id,
-                    list_sum(list_transform(range(1, 65), i -> CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
-                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE))))
-                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))))) AS score
-             FROM a CROSS JOIN b),
-           ta AS (SELECT a_id, b_id, score,
-                         ROW_NUMBER() OVER (PARTITION BY a_id
-                           ORDER BY score DESC, b_id ASC) AS r
-                  FROM sab QUALIFY r <= 4),
-           tb AS (SELECT a_id, b_id, score,
-                         ROW_NUMBER() OVER (PARTITION BY b_id
-                           ORDER BY score DESC, a_id ASC) AS r
-                  FROM sab QUALIFY r <= 4),
-           dena AS (SELECT a_id, SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6))) AS dena
-                    FROM ta GROUP BY 1),
-           denb AS (SELECT b_id, SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6))) AS denb
-                    FROM tb GROUP BY 1),
-           besta AS (SELECT a_id, b_id,
-                            CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS num
-                     FROM ta WHERE r = 1),
-           bestb AS (SELECT a_id, b_id FROM tb WHERE r = 1),
-           m AS (
-             SELECT besta.a_id, besta.b_id,
-                    CAST(num AS DOUBLE) AS cos6,
-                    ROUND(CAST(num AS DOUBLE) * 8.0
-                          / CAST(dena + denb AS DOUBLE), 6) AS margin
-             FROM besta
-             JOIN bestb ON besta.a_id = bestb.a_id AND besta.b_id = bestb.b_id
-             JOIN dena ON besta.a_id = dena.a_id
-             JOIN denb ON besta.b_id = denb.b_id)
+        (bitextOracleCtes + """
            SELECT a_id, b_id, cos6, margin FROM m
-           WHERE margin >= 1.0 ORDER BY a_id""",
+           WHERE margin >= 1.0 ORDER BY a_id"""),
+
+      "sim_bitext_blocked" ->
+        // the blocked tier's n_brute is the brute replay's mined-pair
+        // count; recall vs that set is asserted engine-side (k-means
+        // cells are not replayable in SQL — sim_knn_graph_blocked
+        // precedent)
+        (bitextOracleCtes + """
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_brute, TRUE AS recall_ok
+           FROM m WHERE margin >= 1.0"""),
 
       "c1_string_ops" ->
         """SELECT c_custkey,
@@ -7468,6 +7588,29 @@ object SparkEntry {
                   CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS n_dupes
            FROM canon GROUP BY host ORDER BY host"""),
 
+      "url_dedup_keep_best" ->
+        // replay: canonical CTE chain, then the keep-best rule over
+        // canonical groups — same 6-dp quality, quality DESC + doc_id
+        // ASC winner, groups of one excluded
+        (urlOracleCtes + """,
+           q AS (
+             SELECT c.canonical, d.doc_id,
+                    ROUND(
+                      LEAST(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                      + CAST(length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(CAST(length(d.text) AS DOUBLE), 1.0) * 0.4
+                      + CASE WHEN CAST(length(d.text) AS DOUBLE)
+                                  / GREATEST(CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE), 1.0)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 0.2, 6) AS quality
+             FROM canon c JOIN documents d USING (doc_id)),
+           g AS (SELECT canonical, doc_id, quality,
+                        ROW_NUMBER() OVER (PARTITION BY canonical
+                          ORDER BY quality DESC, doc_id ASC) AS rn,
+                        COUNT(*) OVER (PARTITION BY canonical) AS n_copies
+                 FROM q)
+           SELECT canonical, CAST(n_copies AS BIGINT) AS n_copies, doc_id, quality
+           FROM g WHERE rn = 1 AND n_copies > 1 ORDER BY canonical"""),
+
       "pipeline_stage_split" ->
         (exportOracleCtes + """
            SELECT CASE WHEN sb < floor(0.8 * 4294967296.0) THEN 'train'
@@ -7477,11 +7620,12 @@ object SparkEntry {
            FROM acc GROUP BY 1"""),
 
       "diag_channel_hugeint" ->
-        // driver-channel CONTROL, bare-sum arm: identical values to the
-        // cast twin; SUM(1) is typed HUGEINT by DuckDB (float64 via
-        // pandas). Red here + green twin = the comparator distinguishes
-        // rendered int vs float.
-        """SELECT lang, SUM(1) AS n_docs
+        // RETIRED control (r10): formerly a bare SUM(1) (HUGEINT →
+        // float64-rendered) whose predicted red vs the green cast twin
+        // confirmed the driver hashes rendered values. Now cast like
+        // every other integer SUM; kept registered to document the
+        // mechanism.
+        """SELECT lang, CAST(SUM(1) AS BIGINT) AS n_docs
            FROM documents GROUP BY lang ORDER BY lang""",
 
       "diag_channel_bigint" ->

@@ -469,8 +469,13 @@ object DedupFunctions {
       .join(blocked.as("b"),
         col("a.g") === col("b.g") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
+      // the free length filter runs BEFORE the distinct: q-gram blocks
+      // are denser than token blocks, so the raw candidate stream is
+      // the cost center — pruning length-incompatible pairs here
+      // shrinks the distinct's shuffle by every pair the levenshtein
+      // could never accept (|len(a) − len(b)| > maxDist ⇒ lev > maxDist)
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .distinct()
       .withColumn("lev",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .where(col("lev") <= maxDist)

@@ -302,25 +302,24 @@ object Sampling {
     val wInBin = Window.partitionBy(col("__bin"))
       .orderBy(scoreCol.desc, idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // PERSIST the slim windowed projection: the bin-totals collect
-    // below is its own eager job, and without the cache the returned
-    // plan would re-execute the scan + shuffle + window a second time
-    // at query time (cross-job exchange reuse does not exist). The
-    // cached rows are the narrow (id, score, cost, bin, cum) columns;
-    // harness consumers free it via the documented clearCache contract.
     val cumd = binned.withColumn("__cum_in_bin",
       sum(costCol.cast("long")).over(wInBin))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-bin totals from the WINDOWED stream, not the raw one: the
-    // aggregate's required distribution (__bin) is already satisfied,
-    // so it reads the cache, no second corpus scan.
+    // Per-bin totals as a plain map-side-combined SUM over the BINNED
+    // stream (sum(cost) per bin ≡ max of the inclusive running total):
+    // the totals job never touches the window, so nothing needs to be
+    // persisted — the window shuffle runs exactly once, lazily, when
+    // the caller consumes the returned plan. The price is a second
+    // column-pruned scan of the input for this #bins-row collect; at
+    // 100 TB that beats caching a corpus-sized projection MEMORY_AND_
+    // DISK (the pre-r11 shape, which also leaked the cache on every
+    // call unless the caller honored the clearCache contract).
     // The prefix sum over the bin totals runs on the DRIVER: the table
     // is #bins rows (bounded by the score range, not the corpus), and
     // a driver scan-left + broadcast literal replaces the
     // single-partition WindowExec this used to plan — same exact
     // values, no "No Partition Defined" warning spam in every run.
-    val binTotals = cumd.groupBy("__bin")
-      .agg(max("__cum_in_bin").as("__bin_cost"))
+    val binTotals = binned.groupBy("__bin")
+      .agg(sum(costCol.cast("long")).as("__bin_cost"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(-_._1)
     val binBefore = binTotals.map(_._1)

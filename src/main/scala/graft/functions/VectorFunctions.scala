@@ -357,6 +357,41 @@ object VectorFunctions {
     rankTopK(cand, "q_id", "c_id", k)
   }
 
+  /** Blocked CROSS top-k between two disjoint vector sets — the
+    * bitext-mining shortlist shape at CCMatrix scale: `corpus` rows sit
+    * in their k-means home cell once (the candidate side), each
+    * `queries` row is replicated into its `nprobe` nearest cells, and
+    * candidates meet probes in an equi-join on `cid` — a shuffle join
+    * co-partitioned by cell with NO broadcast of either vector set
+    * (both sides are corpus-sized in mining, unlike the query-batch ANN
+    * paths). Centroids are passed IN so one training over the union of
+    * both slices is shared by the two mining directions — the cell
+    * geometry both directions shortlist against is then identical,
+    * which is what makes the mutual-NN intersection downstream
+    * meaningful. Same distance/tie-break discipline as [[kmeansAssign]]
+    * (nprobe=1 probes exactly the home cell); recall vs
+    * [[bruteForceTopK]] rises with `nprobe` exactly like the IVF knob.
+    */
+  def crossTopKBlocked(queries: DataFrame, corpus: DataFrame,
+                       qId: String, cId: String, qVec: String, cVec: String,
+                       k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "crossTopKBlocked: need nprobe >= 1")
+    val cells = kmeansAssign(corpus, cId, cVec, cents)
+      .select(col(cId), col(cVec), col("cid"))
+    val scoredCells = queries.withColumn("__vv", dot(col(qVec), col(qVec)))
+      .crossJoin(broadcast(
+        cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
+      .withColumn("__dist",
+        col("__vv") - lit(2.0) * dot(col(qVec), col("centroid")) + col("__cc"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("__dist").asc, col("cid").asc)
+    val probes = scoredCells.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qId), col(qVec), col("cid"))
+    val cand = cells.join(probes, Seq("cid"))
+      .withColumn("score", cosine(col(qVec), col(cVec)))
+    rankTopK(cand, qId, cId, k)
+  }
+
   /** Int8 ANN with exact re-rank — the memory-bound scale path: the
     * corpus scans as symmetric-int8 codes of the L2-NORMALIZED vectors
     * (4× smaller than float32, quantized scan-side by [[quantizeInt8]]),

@@ -25,9 +25,10 @@ import sys
 import check_oracle
 
 
-# deliberate driver-channel control: its oracle is INTENTIONALLY typed
-# HUGEINT to probe the comparator (see SparkEntry diag_channel_hugeint)
-CONTROLS = {"diag_channel_hugeint"}
+# r10's diag_channel_hugeint control was retired in r11 (its oracle is
+# now BIGINT-cast like every other integer SUM), so NOTHING is
+# whitelisted: any render-mismatch typing is an ERROR.
+CONTROLS: set = set()
 
 
 INT_T = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",

@@ -80,6 +80,16 @@ def main(sf_dir, manifest, out_json):
             n_fail += 1
     oracle_secs = round(time.time() - t1, 1)
 
+    # oracle TYPE-parity pre-flight (the HUGEINT render-mismatch class,
+    # tools/audit_oracle_types.py): value-compare alone cannot see a
+    # float64-rendered oracle column, so a bare integer SUM anywhere in
+    # the swept oracles fails the sweep here — no whitelist.
+    import audit_oracle_types
+    print("\n-- oracle type audit --")
+    type_errors = audit_oracle_types.main(out_dir, sf_dir)
+    if type_errors:
+        n_fail += 1
+
     summary = {
         "sf_dir": sf_dir,
         "n_queries": len(names),
@@ -88,6 +98,7 @@ def main(sf_dir, manifest, out_json):
         "n_fail": n_fail,
         "spark_secs": spark_secs,
         "oracle_secs": oracle_secs,
+        "type_audit": "FAIL" if type_errors else "PASS",
         "results": results,
     }
     with open(out_json, "w") as f:
