@@ -1116,6 +1116,14 @@ object SparkEntry {
       // (p−q)·ln(p/q) term at 6 dp. Two aggregations + one broadcast
       // totals row; the bucket table is bit-width-bounded (≤ ~40 rows
       // at any corpus size).
+      // KNOWN RESIDUAL double-rounded surface (one of two, with
+      // text_ccnet_buckets): ln() is intrinsic to PSI and has no
+      // DECIMAL derivation, so a 1-ulp cross-engine ln drift landing
+      // exactly on a 0.5e-6 rounding boundary could flip the 6th digit.
+      // Everything up to the ln is integer-exact (bit-width buckets,
+      // integer counts, one canonical expression order mirrored in the
+      // oracle), so the exposure is the ln alone — ~40 rounded values
+      // per run, each with ~1e-10 boundary mass.
       val d = t(s, dir, "documents").select(col("doc_id"),
         length(bin(T.tokenCount(col("text")).cast("long"))).cast("long")
           .as("bucket"))
@@ -1966,6 +1974,12 @@ object SparkEntry {
       // per-document rank and no corpus-sized window anywhere. The
       // per-lang cumulative runs over histogram rows only (the window
       // partition is resolution-bounded at any corpus size).
+      // KNOWN RESIDUAL double-rounded surface (one of two, with
+      // corpus_psi_drift): the LM score is a mean of ln()s — no DECIMAL
+      // derivation exists — so a 1-ulp cross-engine drift at a 0.5e-3
+      // bucketing boundary could move one doc across a histogram bin.
+      // The decile split itself is integer arithmetic over histogram
+      // counts; the exposure is per-doc score rounding alone.
       val lm = phase("build") {
         T.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
           vocabK = 64, alpha = 0.5, trainFilter = col("lang") === "en")
@@ -2598,6 +2612,8 @@ object SparkEntry {
       phase("merge") {
         V.mergeKnnGraphDelta(s, idxPath, corpus, delta,
           "vec_id", "embedding", k = 3)
+      }
+      phase("repair") {
         V.retractKnnGraph(s, idxPath, deadIds, emb,
           "vec_id", "embedding", k = 3)
       }

@@ -289,7 +289,8 @@ object SegmentedIndex {
     */
   def mergeDeltaRows(spark: SparkSession, path: String, sub: String,
                      deltaIds: DataFrame, rows: DataFrame,
-                     trustedDelta: Boolean = false): Unit = {
+                     trustedDelta: Boolean = false,
+                     idsKnownLive: Boolean = false): Unit = {
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no segmented index at $path — createIndex first")
     val n = segs.map(_._1).max + 1
@@ -304,8 +305,17 @@ object SegmentedIndex {
           s"delta has multiple rows for id ${dup.head.get(0)} — a segment " +
             "holds one version per id; reduce to last-per-key first")
       }
-      val replaced = liveRows(spark, path, sub).select("id").distinct()
-        .join(ids, Seq("id"), "left_semi")
+      // `idsKnownLive` is the repair-merge fast path: when the caller
+      // ASSERTS every delta id is currently live (a retraction repair
+      // rewrites only lists it just read from the live view), the
+      // live-intersection read of the whole segment tree is pure
+      // overhead — the ids ARE the replaced set. The caller owns the
+      // invariant: a non-live id here would inflate the tombstone
+      // table and break describe()'s live-count arithmetic.
+      val replaced =
+        if (idsKnownLive) ids
+        else liveRows(spark, path, sub).select("id").distinct()
+          .join(ids, Seq("id"), "left_semi")
       commitSegment(spark, s"$path/segments", n) { tmp =>
         rows.write.mode("overwrite").parquet(s"$tmp/$sub")
         replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")
@@ -374,13 +384,19 @@ object SegmentedIndex {
     * this index (everything except `tombstones`).
     */
   def retract(spark: SparkSession, path: String, ids: DataFrame,
-              subs: Seq[String]): Unit = {
+              subs: Seq[String], idsKnownLive: Boolean = false): Unit = {
     val segs = segmentDirs(spark, path)
     require(segs.nonEmpty, s"no segmented index at $path")
     val n = segs.map(_._1).max + 1
-    val live = liveRows(spark, path, subs.head).select("id").distinct()
-    val dead = live.join(ids.select(col(ids.columns.head).as("id")),
-      Seq("id"), "left_semi")
+    // `idsKnownLive` skips the live-intersection read when the caller
+    // has ALREADY filtered its ids against the live view (e.g. a graph
+    // retraction that read the live lists anyway to find affected
+    // neighbors) — same invariant as mergeDeltaRows' flag: every id
+    // must be live, or describe()'s live-count arithmetic breaks.
+    val dead =
+      if (idsKnownLive) ids.select(col(ids.columns.head).as("id"))
+      else liveRows(spark, path, subs.head).select("id").distinct()
+        .join(ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_semi")
     commitSegment(spark, s"$path/segments", n) { tmp =>
       subs.foreach { sub =>
         spark.read.parquet(s"${segs.last._2}/$sub").limit(0)

@@ -258,6 +258,11 @@ object VectorFunctions {
   def mergeKnnGraphDelta(spark: org.apache.spark.sql.SparkSession,
                          path: String, corpus: DataFrame, delta: DataFrame,
                          idCol: String, vecCol: String, k: Int): Unit = {
+    // ONE live-segment read feeds both consumers (the merge base in
+    // edge form and the changed-list comparison) — graphEdges is a pure
+    // transform of the list rows, so there is no reason to re-scan the
+    // index tree for each.
+    val oldLists = SegmentedIndex.liveRows(spark, path, "graph")
     // REPLAY-STABLE: a re-delivered batch (streaming crash between the
     // graph merge and the corpus append) arrives with its ids already
     // in the stored graph — drop those rows from the base before
@@ -265,12 +270,11 @@ object VectorFunctions {
     // old-list path re-ranks lists that may already contain delta
     // neighbors (a second merge of the same delta is then a no-op on
     // the live graph instead of a duplicate-edge corruption).
-    val base = knnGraphEdges(spark, path)
+    val base = graphEdges(oldLists)
       .join(delta.select(col(idCol).as("q_id")), Seq("q_id"), "left_anti")
     val updated = graphLists(
       knnGraphMergeDelta(base, corpus, delta, idCol, vecCol, k))
-    val old = SegmentedIndex.liveRows(spark, path, "graph")
-      .select(col("id"), col("nbrs").as("__old"))
+    val old = oldLists.select(col("id"), col("nbrs").as("__old"))
     // array-of-struct equality is exact (bitwise doubles) — unchanged
     // lists stay in their old segment
     val changed = updated.join(old, Seq("id"), "left")
@@ -297,25 +301,40 @@ object VectorFunctions {
                       idCol: String, vecCol: String, k: Int): Unit = {
     val dead = ids.select(col(ids.columns.head).as("__dead")).persist()
     try {
+      // ONE read of the live view serves every id derivation the purge
+      // needs: the affected-list scan, the live∩dead tombstone set, and
+      // (via the knownLive contract below) the repair merge's replaced
+      // set — the pre-r11 shape re-read the whole segment tree three
+      // times for what is one bounded (id, cited-ids) projection.
       val pre = SegmentedIndex.liveRows(spark, path, "graph")
-      val affected = pre
-        .select(col("id"), explode(col("nbrs.c_id")).as("__c"))
-        .join(broadcast(dead), col("__c") === col("__dead"), "left_semi")
-        .select("id").distinct()
-        .join(broadcast(dead), col("id") === col("__dead"), "left_anti")
-      SegmentedIndex.retract(spark, path, dead, Seq("graph"))
-      val live = corpus.join(broadcast(dead),
-        col(idCol) === col("__dead"), "left_anti")
-      val q = live.join(affected.withColumnRenamed("id", idCol),
-          Seq(idCol), "left_semi")
-        .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
-      val c = live.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
-      val repaired = graphLists(
-        bruteForceTopK(q, c, "q_id", "c_id", "__qv", "__cv", k)).persist()
-      try
-        SegmentedIndex.mergeDeltaRows(spark, path, "graph",
-          repaired.select("id"), repaired, trustedDelta = true)
-      finally repaired.unpersist(blocking = false)
+        .select(col("id"), col("nbrs.c_id").as("__cs"))
+        .persist()
+      try {
+        val affected = pre
+          .select(col("id"), explode(col("__cs")).as("__c"))
+          .join(broadcast(dead), col("__c") === col("__dead"), "left_semi")
+          .select("id").distinct()
+          .join(broadcast(dead), col("id") === col("__dead"), "left_anti")
+        val deadLive = pre.select("id")
+          .join(broadcast(dead), col("id") === col("__dead"), "left_semi")
+        SegmentedIndex.retract(spark, path, deadLive, Seq("graph"),
+          idsKnownLive = true)
+        val live = corpus.join(broadcast(dead),
+          col(idCol) === col("__dead"), "left_anti")
+        val q = live.join(affected.withColumnRenamed("id", idCol),
+            Seq(idCol), "left_semi")
+          .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+        val c = live.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
+        val repaired = graphLists(
+          bruteForceTopK(q, c, "q_id", "c_id", "__qv", "__cv", k)).persist()
+        // every repaired id is an affected live list by construction —
+        // the knownLive fast path skips a third segment-tree read
+        try
+          SegmentedIndex.mergeDeltaRows(spark, path, "graph",
+            repaired.select("id"), repaired, trustedDelta = true,
+            idsKnownLive = true)
+        finally repaired.unpersist(blocking = false)
+      } finally pre.unpersist(blocking = false)
     } finally dead.unpersist(blocking = false)
   }
 
