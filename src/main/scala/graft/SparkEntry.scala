@@ -382,6 +382,27 @@ object SparkEntry {
          JOIN dena ON besta.a_id = dena.a_id
          JOIN denb ON besta.b_id = denb.b_id)"""
 
+  /** Shared classifier-margin oracle replay (per-token-mean hashed
+    * linear margin, 4-dp rounded, is-English weak label) — ends in
+    * `sc(s, y)`; the AUC audit folds its rank prefix over it, the
+    * calibration table bins it.
+    */
+  private val classifierMarginCte: String =
+    """WITH sc AS (
+         SELECT ROUND(m / GREATEST(nt, 1), 4) AS s,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM (
+           SELECT lang,
+                  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                       t -> strlen(t) > 0)) AS DOUBLE) AS nt,
+                  COALESCE(list_sum(list_transform(
+                    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                t -> strlen(t) > 0),
+                    t -> CAST(((('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT % 64)
+                               * 2654435761) % 4294967296 AS DOUBLE)
+                         / 4294967296.0 * 2.0 - 1.0)), 0.0) AS m
+           FROM documents))"""
+
   /** Shared int8-ANN oracle replay: normalize → int8 quantize →
     * integer-dot top-20 per query (idot desc, c_id asc) → exact cosine
     * top-5. One replay gates the train-per-call, persisted, and
@@ -1898,6 +1919,51 @@ object SparkEntry {
         anchors = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L), k = 5)
     }),
 
+    "text_hybrid_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion (Cormack & Clarke's RRF, k=60) of two
+      // INDEPENDENT retrievers — the standard hybrid-search combiner
+      // when score scales don't mix: the BM25 lexical top-20 from the
+      // persisted inverted index and the embedding-cosine top-20
+      // against each query's anchor vector. Fusion touches only the
+      // two bounded rank lists (≤ 40 rows per query) — corpus text and
+      // floats never meet the fusion join; rrf = Σ 1/(60+rank) over
+      // the lists a doc appears in, built from INTEGER ranks in one
+      // fixed expression order (identical double bits on both
+      // engines), ordered on the exact double before the 6-dp display
+      // round.
+      val idxPath = tmpPath(dir, "bm25_rrf")
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          t(s, dir, "documents"), "doc_id", "text", idxPath)
+      }
+      val lex = graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
+        queries = Seq(
+          0L -> Seq("spark", "window"),
+          1L -> Seq("hash", "merge", "vector"),
+          2L -> Seq("customer", "query")),
+        k = 20).select(col("query_id"), col("doc_id"),
+          col("rank").as("__rl"))
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val vec = V.bruteForceTopK(qv,
+          e.select(col("vec_id").as("c_id"), col("embedding").as("__cv")),
+          "query_id", "c_id", "__qv", "__cv", 20)
+        .select(col("query_id"), col("c_id").as("doc_id"),
+          col("rank").as("__rv"))
+      val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("__rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("__rl").cast("double")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("__rv").cast("double")), lit(0.0)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__rrf").desc, col("doc_id").asc)
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("__rrf"), 6).as("rrf"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "text_heavy_hitters" -> ((s, dir) => {
       // Misra-Gries heavy hitters, exact-verified: sketch pass bounds
       // per-partition state at k=64 counters (no full-vocab groupBy),
@@ -2323,6 +2389,111 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5, seeds = 3, mBits = 1 << 18)
+    }),
+
+    "decontam_report" -> ((s, dir) => {
+      // the per-BENCHMARK contamination table real pipelines publish
+      // (the GPT-3 appendix-C shape): eval docs group into benchmarks,
+      // and each benchmark reports its eval size, how many training
+      // docs share any 5-gram with it, the longest shared token span,
+      // and the flagged fraction of the training corpus as exact
+      // half-up ppm — all integers. Composes the broadcast hashed-
+      // shingle overlap and the diagonal-run span operators; the train
+      // side shuffles only (id, gram-hash) pairs and the report is
+      // #benchmarks rows.
+      val d = t(s, dir, "documents")
+      val benchOf = concat(lit("b"),
+        pmod(expr("doc_id div 97"), lit(3L)).cast("string"))
+      val evalD = d.filter(col("doc_id") % 97 === 0)
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+      val sh = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 5)
+      val bsh = evalD.select(benchOf.as("benchmark"), explode(sh).as("sh"))
+        .distinct()
+      val flagged = train.select(col("doc_id"), explode(sh).as("sh"))
+        .join(broadcast(bsh), Seq("sh"))
+        .groupBy("benchmark")
+        .agg(countDistinct(col("doc_id")).as("n_train_flagged"))
+      val spans = graft.functions.DedupFunctions.contaminationSpans(
+          train, evalD, "doc_id", "text", n = 2, minSpanTokens = 3)
+        .select(col("eval_id"), col("span_tokens"))
+        .join(evalD.select(col("doc_id").as("eval_id"),
+          benchOf.as("benchmark")), Seq("eval_id"))
+        .groupBy("benchmark").agg(max("span_tokens").as("max_span_tokens"))
+      val nTrain = train.agg(count(lit(1)).as("__nt"))
+      evalD.groupBy(benchOf.as("benchmark"))
+        .agg(count(lit(1)).as("n_eval_docs"))
+        .join(flagged, Seq("benchmark"), "left")
+        .join(spans, Seq("benchmark"), "left")
+        .crossJoin(broadcast(nTrain))
+        .select(col("benchmark"), col("n_eval_docs"),
+          coalesce(col("n_train_flagged"), lit(0L)).as("n_train_flagged"),
+          coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+          graft.functions.Sampling.ppmHalfUp(
+            coalesce(col("n_train_flagged"), lit(0L)), col("__nt"))
+            .as("flagged_ppm"))
+        .orderBy("benchmark")
+    }),
+
+    "sample_neyman_alloc" -> ((s, dir) => {
+      // Neyman-optimal stratified sample allocation (the eval-set /
+      // annotation-budget construction rule: allocate n_h ∝ N_h·S_h so
+      // variance of the stratified estimate is minimized). Strata =
+      // language, metric = per-doc token count. INTEGER-EXACT end to
+      // end: N·S_h = sqrt(N_h·Σx² − (Σx)²) — the radicand is an exact
+      // DECIMAL from two map-side integer sums, the sqrt rounds to
+      // 6 dp and scales to an integer weight, and the 1000-doc budget
+      // splits by largest-remainder (Hamilton) apportionment: base =
+      // floor(n·w_h/W), leftovers to the largest integer remainders
+      // (stratum-name tie-break). Σalloc = n by construction; the
+      // whole computation is one map-side-combined aggregation plus
+      // #strata-row arithmetic.
+      val dec = DecimalType(38, 0)
+      val st = t(s, dir, "documents")
+        .select(col("lang"), T.tokenCount(col("text")).cast("long").as("x"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x").cast(dec)).as("__sx"),
+          sum((col("x") * col("x")).cast(dec)).as("__sxx"))
+        .withColumn("__w6",
+          (round(sqrt((col("n_docs").cast(dec) * col("__sxx")
+            - col("__sx") * col("__sx")).cast("double")), 6)
+            .cast(DecimalType(28, 6)) * lit(1000000)).cast("long"))
+      // the apportionment runs on the DRIVER over the #strata-row
+      // table (the budgetSelect bin discipline — no global window),
+      // in BigInt so 100 TB-sized weights cannot overflow n·w
+      val rows = st.select("lang", "n_docs", "__w6").collect()
+        .map(r => (r.getString(0), r.getLong(1), BigInt(r.getLong(2))))
+      val alloc = graft.functions.Sampling.hamiltonApportion(
+        rows.map { case (lang, _, w6) => lang -> w6 }.toSeq, budget = 1000L)
+      import s.implicits._
+      rows.toSeq.map { case (lang, nd, w6) =>
+        (lang, nd, w6.toLong.toDouble / 1000000.0, alloc(lang))
+      }.toDF("lang", "n_docs", "neyman_weight", "alloc")
+        .orderBy("lang")
+    }),
+
+    "text_classifier_calibration" -> ((s, dir) => {
+      // reliability table for the filtering classifier (the companion
+      // to text_classifier_auc every quality-filter team publishes):
+      // per-token-mean margins bucket into fixed 0.1-wide bins and
+      // each bin reports its doc count and OBSERVED positive rate as
+      // exact half-up ppm — a calibrated classifier's rate should rise
+      // monotonically across bins. The bin index derives from the
+      // DECIMAL form of the 4-dp-rounded margin (floor of decimal·10 —
+      // no double multiply at a bin boundary), so the histogram is
+      // ≤ 21 bins at any corpus size and the output is all-integer.
+      val toks = filter(T.tokens(lower(col("text"))), t => length(t) > lit(0))
+      val m4 = round(T.hashedLinearScore(col("text"), T.pseudoWeights(64)) /
+        greatest(size(toks), lit(1)).cast("double"), 4)
+      t(s, dir, "documents").select(
+          floor(m4.cast(DecimalType(10, 4)) * lit(10)).cast("long").as("bin"),
+          when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          graft.functions.Sampling.ppmHalfUp(col("n_pos"), col("n_docs"))
+            .as("pos_rate_ppm"))
+        .orderBy("bin")
     }),
 
     // ---------------- deterministic sampling / mixing ----------------
@@ -6228,6 +6399,66 @@ object SparkEntry {
            FROM cand
            QUALIFY rank <= 5""",
 
+      "text_hybrid_rrf" ->
+        // replay: BM25 top-20 (same scoring chain as text_hybrid_rerank)
+        // FULL OUTER the cosine top-20 per anchor, fuse by
+        // Σ 1/(60+rank) from integer ranks, top-10 on the exact double
+        """WITH q(query_id, token) AS (VALUES
+             (0, 'spark'), (0, 'window'),
+             (1, 'hash'), (1, 'merge'), (1, 'vector'),
+             (2, 'customer'), (2, 'query')),
+           tok AS (
+             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+           dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+           stats AS (SELECT COUNT(*) AS n_docs,
+                            SUM(dl) / COUNT(*) AS avgdl FROM dl),
+           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+           df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           term AS (
+             SELECT q.query_id, tf.doc_id,
+                    CAST(ROUND(
+                      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                      * (CAST(tf AS DOUBLE) * 2.2)
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+                      AS DECIMAL(18,6)) AS s
+             FROM tf JOIN q USING (token) JOIN dl USING (doc_id)
+                  JOIN df USING (token) CROSS JOIN stats),
+           scored AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+                      FROM term GROUP BY 1, 2),
+           lexr AS (
+             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS rl
+             FROM scored QUALIFY rl <= 20),
+           qv AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           vcand AS (
+             SELECT qv.query_id, e.vec_id AS doc_id,
+                    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))) AS cos
+             FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
+           vecr AS (
+             SELECT query_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, doc_id) AS rv
+             FROM vcand QUALIFY rv <= 20),
+           fused AS (
+             SELECT query_id, doc_id,
+                    COALESCE(1.0 / (60.0 + rl), 0.0)
+                      + COALESCE(1.0 / (60.0 + rv), 0.0) AS rrf
+             FROM lexr FULL OUTER JOIN vecr USING (query_id, doc_id))
+           SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+           FROM fused
+           QUALIFY rank <= 10
+           ORDER BY query_id, rank""",
+
       "text_heavy_hitters" ->
         """WITH tok AS (
              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -6603,6 +6834,62 @@ object SparkEntry {
            HAVING max(run) + 1 >= 3
            ORDER BY doc_id, eval_id""",
 
+      "decontam_report" ->
+        // replay: the overlap and span chains composed per benchmark
+        // ('b' || (doc_id // 97) % 3), plus half-up ppm of flagged
+        // training docs
+        """WITH sh AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 5 THEN
+                      list_distinct(list_transform(range(0, len(toks) - 4),
+                        i -> array_to_string(toks[i+1:i+5], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                   FROM documents)),
+           bsh AS (SELECT DISTINCT benchmark, g
+                   FROM (SELECT 'b' || CAST((doc_id // 97) % 3 AS VARCHAR) AS benchmark,
+                                unnest(shingles) AS g
+                         FROM sh WHERE doc_id % 97 = 0)),
+           tsh AS (SELECT doc_id, unnest(shingles) AS g
+                   FROM sh WHERE doc_id % 97 <> 0),
+           flag AS (SELECT benchmark, COUNT(DISTINCT doc_id) AS n_train_flagged
+                    FROM tsh JOIN bsh USING (g) GROUP BY 1),
+           grams AS (
+             SELECT doc_id,
+                    CASE WHEN len(ts) >= 2 THEN
+                      list_transform(range(0, len(ts) - 1),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+2], ' ')})
+                    ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+                   FROM documents)),
+           tr AS (SELECT doc_id, unnest(gs) AS u FROM grams WHERE doc_id % 97 <> 0),
+           ev AS (SELECT doc_id AS eval_id, unnest(gs) AS u FROM grams WHERE doc_id % 97 = 0),
+           m AS (SELECT t.doc_id, e.eval_id, t.u.p - e.u.p AS diag, t.u.p AS tpos
+                 FROM tr t JOIN ev e ON t.u.g = e.u.g),
+           isl AS (SELECT doc_id, eval_id, diag, tpos,
+                          tpos - row_number() OVER (PARTITION BY doc_id, eval_id, diag
+                                                    ORDER BY tpos) AS grp
+                   FROM m),
+           runs AS (SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS run
+                    FROM isl GROUP BY doc_id, eval_id, diag, grp),
+           sp AS (SELECT eval_id, max(run) + 1 AS span_tokens
+                  FROM runs GROUP BY eval_id HAVING max(run) + 1 >= 3),
+           spb AS (SELECT 'b' || CAST((eval_id // 97) % 3 AS VARCHAR) AS benchmark,
+                          MAX(span_tokens) AS max_span_tokens
+                   FROM sp GROUP BY 1),
+           nt AS (SELECT COUNT(*) AS n_train FROM documents WHERE doc_id % 97 <> 0),
+           evc AS (SELECT 'b' || CAST((doc_id // 97) % 3 AS VARCHAR) AS benchmark,
+                          COUNT(*) AS n_eval_docs
+                   FROM documents WHERE doc_id % 97 = 0 GROUP BY 1)
+           SELECT evc.benchmark, evc.n_eval_docs,
+                  CAST(COALESCE(flag.n_train_flagged, 0) AS BIGINT) AS n_train_flagged,
+                  CAST(COALESCE(spb.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+                  CAST((2 * 1000000 * COALESCE(flag.n_train_flagged, 0) + nt.n_train)
+                       // (2 * nt.n_train) AS BIGINT) AS flagged_ppm
+           FROM evc LEFT JOIN flag USING (benchmark)
+                LEFT JOIN spb USING (benchmark) CROSS JOIN nt
+           ORDER BY benchmark""",
+
       "decontam_bloom" ->
         // replays the Bloom filter exactly, false positives included:
         // the bit positions are salted-md5 mod 2^18, so the eval-side
@@ -6799,6 +7086,40 @@ object SparkEntry {
            FROM n WHERE n > 0
            ORDER BY doc_id, copy_idx""",
 
+      "sample_neyman_alloc" ->
+        // replay: per-stratum integer sums → exact radicand
+        // N·Σx² − (Σx)² → 6-dp sqrt scaled to an integer weight →
+        // Hamilton apportionment (floor quotas, leftovers by remainder
+        // desc / lang asc)
+        """WITH st AS (
+             SELECT lang, COUNT(*) AS n_docs,
+                    SUM(CAST(nt AS HUGEINT)) AS sx,
+                    SUM(CAST(nt AS HUGEINT) * CAST(nt AS HUGEINT)) AS sxx
+             FROM (SELECT lang,
+                          len(regexp_split_to_array(trim(text), '\s+')) AS nt
+                   FROM documents)
+             GROUP BY 1),
+           w AS (SELECT lang, n_docs,
+                        CAST(CAST(ROUND(SQRT(CAST(n_docs * sxx - sx * sx AS DOUBLE)), 6)
+                             AS DECIMAL(28,6)) * 1000000 AS HUGEINT) AS w6
+                 FROM st),
+           tot AS (SELECT SUM(w6) AS bigw FROM w),
+           quota AS (
+             SELECT lang, n_docs, w6,
+                    (1000 * w6) // bigw AS base,
+                    (1000 * w6) % bigw AS rem
+             FROM w CROSS JOIN tot),
+           lo AS (SELECT SUM(base) AS sb FROM quota),
+           ranked AS (
+             SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS lr
+             FROM quota)
+           SELECT lang, n_docs,
+                  CAST(w6 AS DOUBLE) / 1000000.0 AS neyman_weight,
+                  CAST(base + CASE WHEN lr <= 1000 - sb THEN 1 ELSE 0 END
+                       AS BIGINT) AS alloc
+           FROM ranked CROSS JOIN lo
+           ORDER BY lang""",
+
       "sample_mix_weighted" ->
         """SELECT doc_id, lang, source
            FROM (SELECT doc_id, lang, source,
@@ -6904,20 +7225,7 @@ object SparkEntry {
         // replay: same PER-TOKEN-MEAN margin + 4-dp round (bounded
         // [−1,1] histogram) → windowed rank prefix (oracle side may
         // window freely) → Mann-Whitney with midranks, half-up ppm
-        """WITH sc AS (
-             SELECT ROUND(m / GREATEST(nt, 1), 4) AS s,
-                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-             FROM (
-               SELECT lang,
-                      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                                           t -> strlen(t) > 0)) AS DOUBLE) AS nt,
-                      COALESCE(list_sum(list_transform(
-                        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                                    t -> strlen(t) > 0),
-                        t -> CAST(((('0x' || substr(md5('feat:' || t), 1, 8))::BIGINT % 64)
-                                   * 2654435761) % 4294967296 AS DOUBLE)
-                             / 4294967296.0 * 2.0 - 1.0)), 0.0) AS m
-               FROM documents)),
+        (classifierMarginCte + """,
            h AS (SELECT s, COUNT(*) AS c, SUM(y) AS p FROM sc GROUP BY 1),
            r AS (SELECT s, c, p,
                         COALESCE(SUM(c) OVER (ORDER BY s ASC
@@ -6933,7 +7241,18 @@ object SparkEntry {
                        ELSE ((sum2 - npos * (npos + 1)) * 1000000 * 2
                              + 2 * npos * (n - npos))
                             // (2 * 2 * npos * (n - npos)) END AS BIGINT) AS auc_ppm
-           FROM agg""",
+           FROM agg"""),
+
+      "text_classifier_calibration" ->
+        // replay: same margin CTE as the AUC audit → DECIMAL-derived
+        // 0.1-wide bin (no double multiply at a boundary) → integer
+        // counts + half-up ppm positive rate
+        (classifierMarginCte + """
+           SELECT CAST(FLOOR(CAST(s AS DECIMAL(10,4)) * 10) AS BIGINT) AS bin,
+                  COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+                  CAST((2 * 1000000 * SUM(y) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                    AS pos_rate_ppm
+           FROM sc GROUP BY 1 ORDER BY 1"""),
 
       "text_classifier_train" -> {
         // the same generic GD step twice: pred via DECIMAL(30,10) sums

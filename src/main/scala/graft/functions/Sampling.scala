@@ -289,6 +289,33 @@ object Sampling {
             col("n").cast("double")), 6).as("rate"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across strata, proportional to non-negative integer weights:
+    * every stratum gets its floor quota, and the leftover seats go to
+    * the largest remainders (stratum-key ascending tie-break). Exact
+    * integer arithmetic end to end (BigInt — corpus-sized weights
+    * can't overflow budget·w), allocations sum to the budget by
+    * construction, and the result is deterministic for any input
+    * order. Driver-side by design: the strata table is
+    * aggregate-sized (#groups rows), never corpus-sized.
+    */
+  def hamiltonApportion(weights: Seq[(String, BigInt)],
+                        budget: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "hamiltonApportion: need at least one stratum")
+    require(weights.forall(_._2 >= 0), "hamiltonApportion: negative weight")
+    val w = weights.map(_._2).sum
+    require(w > 0, "hamiltonApportion: all weights are zero")
+    val quotas = weights.map { case (k, wi) =>
+      (k, (BigInt(budget) * wi) / w, (BigInt(budget) * wi) % w)
+    }
+    val leftover = (budget - quotas.map(_._2.toLong).sum).toInt
+    val bonus = quotas.sortBy { case (k, _, r) => (-r, k) }
+      .take(leftover).map(_._1).toSet
+    quotas.map { case (k, b, _) =>
+      k -> (b.toLong + (if (bonus(k)) 1L else 0L))
+    }.toMap
+  }
+
   def budgetSelect(df: DataFrame, scoreCol: Column, idCol: Column,
                    costCol: Column, budget: Long,
                    binOf: Column => Column = _ * 1000): DataFrame = {

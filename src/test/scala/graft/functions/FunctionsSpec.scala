@@ -543,6 +543,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("crossTopKBlocked: cell-confined cross retrieval, full-probe ≡ brute") {
+    // queries on the x-cluster, corpus spanning both clusters
+    val qs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))
+    ).toDF("q_id", "qv")
+    val cs = Seq(
+      (10L, Array(0.95f, 0.05f, 0f, 0f)),
+      (11L, Array(0.9f, 0.1f, 0f, 0f)),
+      (12L, Array(0.05f, 0.95f, 0f, 0f)),
+      (13L, Array(0.1f, 0.9f, 0f, 0f))
+    ).toDF("c_id", "cv")
+    val union = qs.select(col("q_id").as("id"), col("qv").as("v"))
+      .unionByName(cs.select(col("c_id").as("id"), col("cv").as("v")))
+    val cents = VectorFunctions.kmeansCentroids(union, "id", "v",
+      k = 2, iters = 3)
+    val brute = VectorFunctions.bruteForceTopK(qs, cs,
+        "q_id", "c_id", "qv", "cv", 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    // nprobe=1: the clusters separate cleanly, so each query's home
+    // cell already holds its true top-2 -> identical to brute
+    val b1 = VectorFunctions.crossTopKBlocked(qs, cs,
+        "q_id", "c_id", "qv", "cv", k = 2, cents, nprobe = 1)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(b1 == brute, s"$b1 != $brute")
+    // nprobe = clusters degenerates to brute by construction
+    val b2 = VectorFunctions.crossTopKBlocked(qs, cs,
+        "q_id", "c_id", "qv", "cv", k = 2, cents, nprobe = 2)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(b2 == brute)
+    // queries never appear as candidates (cross, not self-join)
+    assert(b2.forall(_._2 >= 10L))
+    intercept[IllegalArgumentException] {
+      VectorFunctions.crossTopKBlocked(qs, cs, "q_id", "c_id", "qv", "cv",
+        k = 2, cents, nprobe = 0)
+    }
+  }
+
   test("knnGraphMergeDelta: merge chain equals fresh rebuild, displacement included") {
     val all = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -25,6 +25,31 @@ class SamplingSpec extends SparkSpec {
     assert(salted.except(assigned).count() > 0)
   }
 
+  test("hamiltonApportion: sums to budget, proportional, deterministic ties") {
+    // exact proportionality when weights divide the budget
+    val even = Sampling.hamiltonApportion(
+      Seq("a" -> BigInt(1), "b" -> BigInt(3)), 400L)
+    assert(even == Map("a" -> 100L, "b" -> 300L))
+    // leftovers go to the LARGEST remainders: quotas 3.33/3.33/3.33
+    // → floors 3/3/3, one leftover, equal remainders break on key asc
+    val tie = Sampling.hamiltonApportion(
+      Seq("c" -> BigInt(1), "a" -> BigInt(1), "b" -> BigInt(1)), 10L)
+    assert(tie.values.sum == 10L && tie("a") == 4L)
+    // input order never matters
+    val w = Seq("x" -> BigInt(7), "y" -> BigInt(2), "z" -> BigInt(5))
+    assert(Sampling.hamiltonApportion(w, 997L) ==
+      Sampling.hamiltonApportion(w.reverse, 997L))
+    assert(Sampling.hamiltonApportion(w, 997L).values.sum == 997L)
+    // a zero-weight stratum exists but gets nothing unless a leftover
+    // lands on it (remainder 0 sorts last)
+    val withZero = Sampling.hamiltonApportion(
+      Seq("a" -> BigInt(0), "b" -> BigInt(5)), 7L)
+    assert(withZero == Map("a" -> 0L, "b" -> 7L))
+    intercept[IllegalArgumentException] {
+      Sampling.hamiltonApportion(Seq("a" -> BigInt(0)), 5L)
+    }
+  }
+
   test("rateKeep: keep fraction tracks the rate per stratum") {
     val df = ids.withColumn("stratum", (col("id") % 2 === 0).cast("string"))
     val rate = when(col("stratum") === "true", lit(0.2)).otherwise(lit(0.9))
@@ -102,40 +127,25 @@ class SamplingSpec extends SparkSpec {
   test("budgetSelect: plan has no single-partition global window") {
     val df = (1L to 100L).map(i => (i, i / 10.0, 5L)).toDF("id", "score", "cost")
     val out = Sampling.budgetSelect(df, col("score"), col("id"), col("cost"), 100L)
-    try {
-      val plan = out.queryExecution.optimizedPlan
-      // r10 shape: the per-bin window lives inside the CACHED slim
-      // projection (one corpus scan feeds both the driver bin-prefix
-      // collect and the returned join); the bin prefix sum itself is a
-      // driver scan-left — so the ONLY window anywhere must be the
-      // __bin-partitioned one inside the InMemoryRelation
-      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val self = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a) ++ allNodes(a.executedPlan)
-          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            Seq(s) ++ allNodes(s.plan)
-          case other => Seq(other)
-        }
-        self ++ p.children.flatMap(allNodes)
-      }
-      val cachedWindows = plan.collect {
-        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
-      }.flatMap(r => allNodes(r.cachedPlan).collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      })
-      assert(cachedWindows.nonEmpty, s"expected the cached bin window:\n$plan")
-      cachedWindows.foreach { w =>
-        assert(w.partitionSpec.nonEmpty &&
-          w.partitionSpec.exists(_.toString.contains("__bin")),
-          s"window must partition by __bin:\n$w")
-      }
-      // and the plan OUTSIDE the cache carries no window at all
-      assert(plan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      }.isEmpty, s"no window may survive outside the cached projection:\n$plan")
-    } finally spark.catalog.clearCache()
+    // r11 shape: NOTHING is cached (the bin totals come from their own
+    // map-side-combined aggregation job, so the window shuffle runs
+    // exactly once, lazily, in the returned plan) — the plan carries
+    // the __bin-partitioned window and no unpartitioned window, and no
+    // InMemoryRelation anywhere (the r10 persist leaked unless callers
+    // honored the clearCache contract)
+    val plan = out.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, s"expected the bin window in the plan:\n$plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.exists(_.toString.contains("__bin")),
+        s"window must partition by __bin:\n$w")
+    }
+    assert(plan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.isEmpty, s"budgetSelect must not cache anything:\n$plan")
   }
 
   test("epochRepeat: whole copies guaranteed, hash fraction, zero drops, deterministic") {
