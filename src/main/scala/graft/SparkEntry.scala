@@ -557,34 +557,12 @@ object SparkEntry {
     s.read.parquet(path).filter(col("rank") <= k)
   }
 
-  /** Artetxe ratio-margin mining tail shared by the brute (calibration)
-    * and blocked bitext tiers: given each direction's top-k candidate
-    * lists, keep the MUTUAL rank-1 pairs whose margin — candidate
-    * cosine over the mean of each side's top-k cosines — clears 1.0.
-    * Engine parity: the margin is built ONLY from 6-dp-rounded cosines
-    * summed as DECIMAL (order-free exact), so both engines divide the
-    * same two exact numbers. `k` is each list's depth (the ×2k margin
-    * scale factor).
+  /** Ratio-margin mining tail — see
+    * [[graft.functions.VectorFunctions.ratioMarginMine]].
     */
   private def bitextMargin(topA: DataFrame, topB: DataFrame,
-                           k: Int): DataFrame = {
-    val dec = DecimalType(18, 6)
-    val denA = topA.groupBy("a_id")
-      .agg(sum(round(col("score"), 6).cast(dec)).as("__dena"))
-    val denB = topB.groupBy("b_id")
-      .agg(sum(round(col("score"), 6).cast(dec)).as("__denb"))
-    val bestA = topA.filter(col("rank") === 1)
-      .select(col("a_id"), col("b_id"),
-        round(col("score"), 6).cast(dec).as("__num"))
-    val bestB = topB.filter(col("rank") === 1).select("a_id", "b_id")
-    bestA.join(bestB, Seq("a_id", "b_id")) // mutual NN
-      .join(denA, "a_id").join(denB, "b_id")
-      .select(col("a_id"), col("b_id"),
-        col("__num").cast("double").as("cos6"),
-        round(col("__num").cast("double") * lit(2.0 * k) /
-          (col("__dena") + col("__denb")).cast("double"), 6).as("margin"))
-      .filter(col("margin") >= 1.0)
-  }
+                           k: Int): DataFrame =
+    V.ratioMarginMine(topA, topB, k)
 
   /** The two mining slices: A = even label, B = odd label. */
   private def bitextSlices(s: SparkSession, dir: String)
@@ -1312,6 +1290,59 @@ object SparkEntry {
             (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
             lit(0), _ + _).cast("double") / 16.0, 6).as("est_jaccard"),
           round(D.jaccard(col("t_a"), col("t_b")), 6).as("exact_jaccard"))
+    }),
+
+    "dedup_minhash_audit" -> ((s, dir) => {
+      // the quality audit of the MinHash-LSH tier ITSELF — the numbers
+      // a near-dup pipeline publishes before trusting its banding
+      // config: precision of the band-collision candidate set against
+      // exact token Jaccard at three thresholds, plus banding recall
+      // over the deterministic adjacent-pair probe set (the
+      // dedup_minhash_estimate truth). Thresholds compare by INTEGER
+      // cross-multiplication (inter·10⁶ ≥ union·τ_ppm — no float
+      // boundary), rates are half-up ppm, NULL when undefined. At
+      // 100 TB only the candidate pairs (bounded by the bucket
+      // occupancy cap) and the n adjacent probes ever pay an exact
+      // set comparison — the audit costs what candidate verification
+      // already costs.
+      val d = t(s, dir, "documents")
+      val toks = array_distinct(T.tokens(lower(col("text"))))
+      val th = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 1)
+      val hs = d.select(col("doc_id"), th.as("th"))
+      val cand = D.lshCandidatePairs(d, "doc_id", toks, k = 16, bands = 4)
+      val pairCounts = (p: DataFrame) => p
+        .join(hs.select(col("doc_id").as("id_a"), col("th").as("__ta")), Seq("id_a"))
+        .join(hs.select(col("doc_id").as("id_b"), col("th").as("__tb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("__i"),
+          size(array_union(col("__ta"), col("__tb"))).cast("long").as("__u"))
+      val taus = explode(array(lit(300000L), lit(500000L), lit(700000L)))
+        .as("tau_ppm")
+      val isTrue = col("__i") * 1000000L >= col("__u") * col("tau_ppm")
+      val cagg = pairCounts(cand).select(col("__i"), col("__u"), taus)
+        .groupBy("tau_ppm")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(isTrue, 1L).otherwise(0L)).as("n_cand_true"))
+      val adj = pairCounts(
+        d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+          .join(d.select((col("doc_id")).as("id_b")), Seq("id_b"), "left_semi"))
+        .join(cand.withColumn("__c", lit(1L)), Seq("id_a", "id_b"), "left")
+      val aagg = adj.select(col("__i"), col("__u"), col("__c"), taus)
+        .groupBy("tau_ppm")
+        .agg(sum(when(isTrue, 1L).otherwise(0L)).as("n_adj_true"),
+          sum(when(isTrue && col("__c").isNotNull, 1L).otherwise(0L))
+            .as("n_adj_caught"))
+      val P = graft.functions.Sampling
+      cagg.join(aagg, Seq("tau_ppm"))
+        .select(col("tau_ppm"), col("n_cand"), col("n_cand_true"),
+          when(col("n_cand") === 0L, lit(null))
+            .otherwise(P.ppmHalfUp(col("n_cand_true"), col("n_cand")))
+            .cast("long").as("precision_ppm"),
+          col("n_adj_true"), col("n_adj_caught"),
+          when(col("n_adj_true") === 0L, lit(null))
+            .otherwise(P.ppmHalfUp(col("n_adj_caught"), col("n_adj_true")))
+            .cast("long").as("recall_ppm"))
+        .orderBy("tau_ppm")
     }),
 
     "dedup_cluster_assign" -> ((s, dir) => {
@@ -5982,6 +6013,59 @@ object SparkEntry {
                              / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) END, 6)
                     AS exact_jaccard
            FROM sig2 a JOIN sig2 b ON b.doc_id = a.doc_id + 1"""
+      },
+
+      "dedup_minhash_audit" -> {
+        val mhs = (0 until 16).map(oracleMinhash).mkString(", ")
+        val bandCtes = (0 until 4).map { b =>
+          val parts = (0 until 4).map(i => s"mh${b * 4 + i}").mkString(" || '|' || ")
+          s"SELECT doc_id, md5('band$b:' || $parts) AS k FROM sig"
+        }.mkString("\n             UNION ALL\n             ")
+        s"""WITH tok AS (
+             SELECT doc_id,
+                    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+             FROM documents),
+           hs0 AS (SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM tok),
+           sig AS (SELECT doc_id, $mhs FROM hs0),
+           bk AS (
+             $bandCtes),
+           bkk AS (SELECT doc_id, k FROM bk
+                   QUALIFY COUNT(*) OVER (PARTITION BY k) <= 10000),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bkk a JOIN bkk b ON a.k = b.k AND a.doc_id < b.doc_id),
+           cj AS (SELECT id_a, id_b,
+                         len(list_intersect(ta.toks, tb.toks)) AS i,
+                         len(list_distinct(ta.toks || tb.toks)) AS u
+                  FROM cand JOIN tok ta ON ta.doc_id = id_a
+                       JOIN tok tb ON tb.doc_id = id_b),
+           adj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          len(list_intersect(a.toks, b.toks)) AS i,
+                          len(list_distinct(a.toks || b.toks)) AS u
+                   FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1),
+           adjc AS (SELECT adj.id_a, adj.id_b, adj.i, adj.u,
+                           CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+                    FROM adj LEFT JOIN cand
+                      ON cand.id_a = adj.id_a AND cand.id_b = adj.id_b),
+           taus AS (SELECT unnest([300000, 500000, 700000]) AS tau_ppm),
+           cagg AS (SELECT tau_ppm, COUNT(*) AS n_cand,
+                           SUM(CASE WHEN i * 1000000 >= u * tau_ppm THEN 1 ELSE 0 END) AS n_cand_true
+                    FROM cj CROSS JOIN taus GROUP BY 1),
+           aagg AS (SELECT tau_ppm,
+                           SUM(CASE WHEN i * 1000000 >= u * tau_ppm THEN 1 ELSE 0 END) AS n_adj_true,
+                           SUM(CASE WHEN i * 1000000 >= u * tau_ppm AND caught = 1 THEN 1 ELSE 0 END) AS n_adj_caught
+                    FROM adjc CROSS JOIN taus GROUP BY 1)
+           SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm,
+                  CAST(n_cand AS BIGINT) AS n_cand,
+                  CAST(n_cand_true AS BIGINT) AS n_cand_true,
+                  CAST(CASE WHEN n_cand = 0 THEN NULL
+                       ELSE (2 * 1000000 * n_cand_true + n_cand) // (2 * n_cand) END
+                       AS BIGINT) AS precision_ppm,
+                  CAST(n_adj_true AS BIGINT) AS n_adj_true,
+                  CAST(n_adj_caught AS BIGINT) AS n_adj_caught,
+                  CAST(CASE WHEN n_adj_true = 0 THEN NULL
+                       ELSE (2 * 1000000 * n_adj_caught + n_adj_true) // (2 * n_adj_true) END
+                       AS BIGINT) AS recall_ppm
+           FROM cagg JOIN aagg USING (tau_ppm) ORDER BY tau_ppm"""
       },
 
       "dedup_cluster_assign" ->

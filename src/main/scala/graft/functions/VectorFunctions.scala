@@ -411,6 +411,35 @@ object VectorFunctions {
     rankTopK(cand, qId, cId, k)
   }
 
+  /** Artetxe & Schwenk ratio-margin mining tail shared by the brute
+    * (calibration) and blocked bitext tiers: given each direction's
+    * top-k candidate lists (as produced by [[bruteForceTopK]] /
+    * [[crossTopKBlocked]] with columns (a_id|b_id, score, rank)), keep
+    * the MUTUAL rank-1 pairs whose margin — candidate cosine over the
+    * mean of each side's top-k cosines — clears 1.0. Engine parity:
+    * the margin is built ONLY from 6-dp-rounded cosines summed as
+    * DECIMAL (order-free exact), so any engine divides the same two
+    * exact numbers. `k` is each list's depth (the ×2k margin scale).
+    */
+  def ratioMarginMine(topA: DataFrame, topB: DataFrame, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val denA = topA.groupBy("a_id")
+      .agg(sum(round(col("score"), 6).cast(dec)).as("__dena"))
+    val denB = topB.groupBy("b_id")
+      .agg(sum(round(col("score"), 6).cast(dec)).as("__denb"))
+    val bestA = topA.filter(col("rank") === 1)
+      .select(col("a_id"), col("b_id"),
+        round(col("score"), 6).cast(dec).as("__num"))
+    val bestB = topB.filter(col("rank") === 1).select("a_id", "b_id")
+    bestA.join(bestB, Seq("a_id", "b_id")) // mutual NN
+      .join(denA, "a_id").join(denB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        col("__num").cast("double").as("cos6"),
+        round(col("__num").cast("double") * lit(2.0 * k) /
+          (col("__dena") + col("__denb")).cast("double"), 6).as("margin"))
+      .filter(col("margin") >= 1.0)
+  }
+
   /** Int8 ANN with exact re-rank — the memory-bound scale path: the
     * corpus scans as symmetric-int8 codes of the L2-NORMALIZED vectors
     * (4× smaller than float32, quantized scan-side by [[quantizeInt8]]),

@@ -678,6 +678,48 @@ object ScaleSmoke {
         "doc_id", "text", n = 5).count()
     }
 
+    // r11: blocked bitext mining at 10× — the tier that exists BECAUSE
+    // brute force is infeasible here (a 40k×40k cross-cosine pass each
+    // direction); √n cells (256) at nprobe 16 score ~1/16 of the cross
+    // pairs per direction, then the mutual-NN + decimal ratio-margin
+    // tail runs over the two bounded top-4 lists
+    time("bitext_mine_blocked", nEmb) {
+      val aS = emb.filter(pmod(col("label"), lit(2)) === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("__av"))
+      val bS = emb.filter(pmod(col("label"), lit(2)) === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("__bv"))
+      val cents = V.kmeansCentroids(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 256, iters = 2)
+      val topA = V.crossTopKBlocked(aS, bS, "a_id", "b_id", "__av", "__bv",
+        k = 4, cents, nprobe = 16)
+      val topB = V.crossTopKBlocked(bS, aS, "b_id", "a_id", "__bv", "__av",
+        k = 4, cents, nprobe = 16)
+      V.ratioMarginMine(topA, topB, k = 4).count()
+    }
+
+    // r11: per-benchmark contamination report at 10× — the composed
+    // overlap + span rollup; eval grams broadcast as hashes, the
+    // 50k-doc train side shuffles only matched (id, hash) rows
+    time("decontam_report", nDocs) {
+      val benchOf = concat(lit("b"),
+        pmod(expr("doc_id div 97"), lit(3L)).cast("string"))
+      val evalD = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val shc = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 5)
+      val bsh = evalD.select(benchOf.as("benchmark"), explode(shc).as("sh"))
+        .distinct()
+      val flagged = train.select(col("doc_id"), explode(shc).as("sh"))
+        .join(broadcast(bsh), Seq("sh"))
+        .groupBy("benchmark")
+        .agg(countDistinct(col("doc_id")).as("n_train_flagged"))
+      val spans = graft.functions.DedupFunctions.contaminationSpans(
+          train, evalD, "doc_id", "text", n = 2, minSpanTokens = 3)
+        .join(evalD.select(col("doc_id").as("eval_id"),
+          benchOf.as("benchmark")), Seq("eval_id"))
+        .groupBy("benchmark").agg(max("span_tokens").as("max_span"))
+      flagged.join(spans, Seq("benchmark"), "full_outer").count()
+    }
+
     // ---- round-5: zipf mega-cluster skew sweep -----------------------
     // the web-corpus shape: ONE 10⁴-member near-dup cluster over a
     // distinct background. Each op also reports the max task
