@@ -945,6 +945,40 @@ object SparkEntry {
         t(s, dir, "part"), "p_name", maxDist = 3, q = 4, maxDf = 20L)
     }),
 
+    "j12_fuzzy_cluster" -> ((s, dir) => {
+      // entity RESOLUTION, not just pair detection: the verified fuzzy
+      // pairs from BOTH blocking tiers (token + q-gram — each recovers
+      // pairs the other provably misses by contract) become one edge
+      // set, and connected components assign every catalog name its
+      // canonical entity. Names map to stable long ids (min part key
+      // per name) so the CC machinery (large-star/small-star, salted
+      // hot keys) runs on 8-byte keys; every shuffle is catalog-sized
+      // and the output is one row per distinct name.
+      val part = t(s, dir, "part")
+      val nameIds = part
+        .select(lower(col("p_name")).as("name"), col("p_partkey"))
+        .groupBy("name").agg(min("p_partkey").as("nid"))
+      val pairs = D.fuzzyNamePairs(part, "p_name", maxDist = 3, maxDf = 12L)
+        .select("name_a", "name_b")
+        .unionByName(
+          D.fuzzyNamePairsQgram(part, "p_name", maxDist = 3, q = 4,
+            maxDf = 20L).select("name_a", "name_b"))
+        .distinct()
+      val edges = pairs
+        .join(nameIds.select(col("name").as("name_a"), col("nid").as("id_a")),
+          Seq("name_a"))
+        .join(nameIds.select(col("name").as("name_b"), col("nid").as("id_b")),
+          Seq("name_b"))
+        .select("id_a", "id_b")
+      ConnectedComponents.clusters(nameIds.select("nid"), "nid",
+          edges, "id_a", "id_b")
+        .join(nameIds, Seq("nid"))
+        .join(nameIds.select(col("nid").as("cluster_id"),
+          col("name").as("canonical_name")), Seq("cluster_id"))
+        .select(col("name"), col("canonical_name"), col("is_canonical"))
+        .orderBy("name")
+    }),
+
     // ---------------- A: aggregations --------------------------------
     "a2_rollup_total" -> ((s, dir) => {
       // per-CENTER counts + Total row (dashboard_table_updater.py:127-175)
@@ -3165,6 +3199,48 @@ object SparkEntry {
             greatest(lit(2L), col("n_exact") / 20)).as("within_5pct"))
     }),
 
+    "agg_maintain_psi" -> ((s, dir) => {
+      // drift monitoring as a MAINTAINED statistic — the AggMaintain
+      // discipline applied to corpus_psi_drift: the per-bucket count
+      // table refreshes from delta-sized jobs (arrivals merge with
+      // sign +1, GDPR retractions with sign −1 — counts are a signed
+      // monoid, merge ≡ direct rebuild over the survivors), and PSI
+      // against the pinned reference snapshot is then #buckets-row
+      // arithmetic. The corpus is never re-scanned to re-bucket; at
+      // 100 TB a continuous drift monitor costs each day's delta, not
+      // the archive. Same bit-width buckets and 6-dp (p−q)·ln(p/q)
+      // surface as corpus_psi_drift (the documented ln residual).
+      val A = graft.operators.AggMaintain
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        length(bin(T.tokenCount(col("text")).cast("long"))).cast("long")
+          .as("bucket"))
+      val base = d.filter(col("doc_id") % 10 =!= 7)
+      val delta = d.filter(col("doc_id") % 10 === 7)
+      val dead = base.filter(col("doc_id") % 9 === 4)
+      val pBase = A.partial(base, Seq("bucket"), Map.empty, "n")
+      val pDelta = A.partial(delta, Seq("bucket"), Map.empty, "n")
+      val pDead = A.partial(dead, Seq("bucket"), Map.empty, "n")
+        .select(col("bucket"), (col("n") * lit(-1L)).as("n"))
+      val maintained = A.merge(Seq(pBase, pDelta, pDead),
+          Seq("bucket"), Seq("n"))
+        .filter(col("n") > 0) // a fully-retracted bucket leaves the table
+      val joined = pBase.withColumnRenamed("n", "n_old")
+        .join(maintained.withColumnRenamed("n", "n_new"),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val tot = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"),
+        count(lit(1)).as("__b"))
+      val p = (col("n_old") + lit(1L)).cast("double") /
+        (col("__to") + col("__b")).cast("double")
+      val q = (col("n_new") + lit(1L)).cast("double") /
+        (col("__tn") + col("__b")).cast("double")
+      joined.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          round((p - q) * log(p / q), 6).as("psi_term"))
+        .orderBy("bucket")
+    }),
+
     "text_chunk_windows" -> ((s, dir) => {
       // sliding token-window chunking (40-token windows, stride 32 →
       // 8-token overlap): the context-window prep between curation and
@@ -5256,6 +5332,35 @@ object SparkEntry {
                     AS psi_term
            FROM j CROSS JOIN tot ORDER BY bucket""",
 
+      "agg_maintain_psi" ->
+        // replay: the maintained (±1-signed) bucket table must equal a
+        // DIRECT count over the survivor population (base − retracted
+        // ∪ delta), so the oracle just computes that directly; same
+        // bucket + smoothing math as corpus_psi_drift
+        """WITH d AS (
+             SELECT doc_id,
+                    length(bin(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))) AS bucket
+             FROM documents),
+           co AS (SELECT bucket, COUNT(*) AS n_old FROM d
+                  WHERE doc_id % 10 <> 7 GROUP BY 1),
+           cn AS (SELECT bucket, COUNT(*) AS n_new FROM d
+                  WHERE doc_id % 10 = 7
+                     OR (doc_id % 10 <> 7 AND doc_id % 9 <> 4)
+                  GROUP BY 1),
+           j AS (SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+                        COALESCE(n_old, 0) AS n_old,
+                        COALESCE(n_new, 0) AS n_new
+                 FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket),
+           tot AS (SELECT SUM(n_old) AS t_o, SUM(n_new) AS t_n,
+                          COUNT(*) AS b FROM j)
+           SELECT CAST(bucket AS BIGINT) AS bucket, n_old, n_new,
+                  ROUND((CAST(n_old + 1 AS DOUBLE) / CAST(t_o + b AS DOUBLE)
+                         - CAST(n_new + 1 AS DOUBLE) / CAST(t_n + b AS DOUBLE))
+                        * LN((CAST(n_old + 1 AS DOUBLE) / CAST(t_o + b AS DOUBLE))
+                             / (CAST(n_new + 1 AS DOUBLE) / CAST(t_n + b AS DOUBLE))), 6)
+                    AS psi_term
+           FROM j CROSS JOIN tot ORDER BY bucket""",
+
       "dedup_keep_best_flags" ->
         // replay of the partial-aggregate winner: per md5(text) group,
         // keep iff (quality desc, doc_id asc) rank 1 — same 6-dp
@@ -5823,6 +5928,55 @@ object SparkEntry {
            WHERE abs(len(name_a) - len(name_b)) <= 3
              AND levenshtein(name_a, name_b) <= 3
            ORDER BY name_a, name_b""",
+
+      "j12_fuzzy_cluster" ->
+        // replay: both tiers' verified pairs (token + q-gram chains) →
+        // undirected edges over min-partkey name ids → recursive-CTE
+        // connected components → canonical = min id's name
+        """WITH RECURSIVE p AS (SELECT DISTINCT lower(p_name) AS name FROM part),
+           nid AS (SELECT lower(p_name) AS name, MIN(p_partkey) AS nid
+                   FROM part GROUP BY 1),
+           tok AS (SELECT DISTINCT name,
+                          unnest(regexp_split_to_array(name, '\s+')) AS t
+                   FROM p),
+           keept AS (SELECT t FROM (SELECT t, count(*) AS df FROM tok GROUP BY 1)
+                     WHERE df <= 12),
+           tk AS (SELECT tok.name, tok.t FROM tok JOIN keept USING (t)),
+           candt AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                     FROM tk a JOIN tk b ON a.t = b.t AND a.name < b.name),
+           gq AS (SELECT DISTINCT name,
+                         unnest(CASE WHEN len(name) <= 4 THEN [name]
+                                ELSE list_distinct(list_transform(
+                                  range(1, len(name) - 4 + 2),
+                                  i -> substring(name, i, 4))) END) AS g
+                  FROM p),
+           keepq AS (SELECT g FROM (SELECT g, count(*) AS df FROM gq GROUP BY 1)
+                     WHERE df <= 20),
+           gk AS (SELECT gq.name, gq.g FROM gq JOIN keepq USING (g)),
+           candq AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                     FROM gk a JOIN gk b ON a.g = b.g AND a.name < b.name),
+           pairs AS (
+             SELECT name_a, name_b FROM candt
+             WHERE levenshtein(name_a, name_b) <= 3
+             UNION
+             SELECT name_a, name_b FROM candq
+             WHERE abs(len(name_a) - len(name_b)) <= 3
+               AND levenshtein(name_a, name_b) <= 3),
+           e0 AS (SELECT a.nid AS u, b.nid AS v
+                  FROM pairs JOIN nid a ON a.name = pairs.name_a
+                       JOIN nid b ON b.name = pairs.name_b),
+           edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+           reach(id, lab) AS (
+             SELECT nid, nid FROM nid
+             UNION
+             SELECT e.v, reach.lab FROM reach JOIN edges e ON e.u = reach.id),
+           comp AS (SELECT id AS nid, MIN(lab) AS cluster_id
+                    FROM reach GROUP BY id)
+           SELECT n.name, cn.name AS canonical_name,
+                  comp.cluster_id = n.nid AS is_canonical
+           FROM comp JOIN nid n USING (nid)
+                JOIN nid cn ON cn.nid = comp.cluster_id
+           ORDER BY n.name""",
 
       "a2_rollup_total" ->
         """SELECT COALESCE(o_orderstatus, 'Total') AS o_orderstatus, COUNT(*) AS n
