@@ -1343,7 +1343,12 @@ object SparkEntry {
       val toks = array_distinct(T.tokens(lower(col("text"))))
       val th = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 1)
       val hs = d.select(col("doc_id"), th.as("th"))
+      // the candidate set has TWO consumers (the precision table and
+      // the adjacent-probe recall join) — persist the bounded id-pair
+      // table so the band self-join runs once (text_span_dedup's
+      // shared-intermediate contract; harness consumers clearCache)
       val cand = D.lshCandidatePairs(d, "doc_id", toks, k = 16, bands = 4)
+        .persist()
       val pairCounts = (p: DataFrame) => p
         .join(hs.select(col("doc_id").as("id_a"), col("th").as("__ta")), Seq("id_a"))
         .join(hs.select(col("doc_id").as("id_b"), col("th").as("__tb")), Seq("id_b"))
