@@ -3456,6 +3456,17 @@ object SparkEntry {
         D.simhash(T.tokens(lower(col("text"))), 16).as("simhash16"))
     }),
 
+    "dedup_simhash_hamming" -> ((s, dir) =>
+      // the SCALE path for simhash near-dup (Manku et al. pigeonhole):
+      // 32-bit fingerprints split into 4 byte blocks — any pair within
+      // Hamming 3 matches exactly on >= 1 block (zero false negatives
+      // by construction), candidates reduce to (block, value)
+      // equi-joins + one exact bit_count(xor) verify each; never an
+      // all-pairs XOR scan. Integer-only output.
+      D.simhashHammingPairs(t(s, dir, "documents"), "doc_id",
+          T.tokens(lower(col("text"))), bits = 32, maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // ---------------- similarity: LSH bucket top-k -------------------
     "sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -8394,6 +8405,35 @@ object SparkEntry {
                                    t -> md5(t)) AS hs
              FROM documents)
            SELECT doc_id, $bitExprs AS simhash16 FROM tok"""
+      },
+
+      "dedup_simhash_hamming" -> {
+        // replay: 32-bit simhash (same hex-digit vote rule) → 4 byte
+        // blocks → pigeonhole equi-join under the occupancy cap →
+        // exact bit_count(xor) <= 3
+        val bitExprs32 = (0 until 32).map { i =>
+          s"""CAST(CASE WHEN list_sum(list_transform(hs,
+              h -> CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+                   THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)"""
+        }.mkString(" + ")
+        s"""WITH tok AS (
+             SELECT doc_id,
+                    list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                                   t -> md5(t)) AS hs
+             FROM documents),
+           sh AS (SELECT doc_id, $bitExprs32 AS sh FROM tok),
+           k AS (SELECT doc_id, sh, blk, (sh >> (blk * 8)) & 255 AS bv
+                 FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+           kk AS (SELECT doc_id, sh, blk, bv FROM k
+                  QUALIFY COUNT(*) OVER (PARTITION BY blk, bv) <= 10000),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, y.doc_id AS id_b,
+                           a.sh AS sa, y.sh AS sb
+                    FROM kk a JOIN kk y
+                      ON a.blk = y.blk AND a.bv = y.bv AND a.doc_id < y.doc_id)
+           SELECT id_a, id_b,
+                  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+           FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+           ORDER BY id_a, id_b"""
       },
 
       "sim_lsh_topk" -> {

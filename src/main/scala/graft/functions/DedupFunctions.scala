@@ -57,6 +57,48 @@ object DedupFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs within a Hamming BALL via pigeonhole
+    * blocking — the classic scale path for simhash dedup (Manku et
+    * al.'s multi-table scheme, WWW'07 shape): split the `bits`-wide
+    * fingerprint into (maxHamming + 1) equal blocks; any pair within
+    * Hamming distance ≤ maxHamming differs in at most maxHamming
+    * blocks, so it matches EXACTLY on at least one — zero false
+    * negatives by construction, and candidates reduce to equi-joins
+    * on (block index, block value) instead of an all-pairs XOR scan.
+    * Each candidate pays one exact `bit_count(xor)` verify. The
+    * bucket-occupancy cap bounds any hot block value the same way
+    * [[lshCandidatePairs]]'s cap does (over-cap content belongs on
+    * the clustering path). Shuffles carry (id, fingerprint, block)
+    * longs only.
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, elemsCol: Column,
+                          bits: Int, maxHamming: Int,
+                          maxBucket: Int = 10000): DataFrame = {
+    val blocks = maxHamming + 1
+    require(maxHamming >= 1, "simhashHammingPairs: need maxHamming >= 1")
+    require(bits % blocks == 0,
+      s"simhashHammingPairs: bits ($bits) must split into $blocks equal blocks")
+    val bpb = bits / blocks
+    val mask = (1L << bpb) - 1
+    val sh = df.select(col(idCol).as("id"),
+      simhash(elemsCol, bits).cast("long").as("sh"))
+    val keys = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftright(col("sh"), b * bpb).bitwiseAND(lit(mask))): _*))
+        .as(Seq("blk", "bv")))
+    val small = keys.groupBy("blk", "bv").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxBucket).select("blk", "bv")
+    val kept = keys.join(small, Seq("blk", "bv"), "left_semi")
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hammingDistance(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Jaccard similarity of two string arrays (exact, set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

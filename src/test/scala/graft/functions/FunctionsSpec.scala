@@ -497,6 +497,45 @@ class FunctionsSpec extends SparkSpec {
     assert(!lsh.contains(3L))  // opposite sign bucket pruned
   }
 
+  test("simhashHammingPairs: pigeonhole ≡ brute-force Hamming ball") {
+    // near-dup texts (1-2 token edits) + unrelated background — the
+    // pigeonhole blocking must recover EXACTLY the brute-force pair
+    // set (zero false negatives is a theorem; false positives are
+    // verified out by the exact bit_count)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta nu iota"),
+      (4L, "one two three four five six seven eight"),
+      (5L, "one two three four five six seven nine"),
+      (6L, "totally unrelated content about something else entirely xx")
+    ).toDF("doc_id", "text")
+    val elems = TextFunctions.tokens(lower(col("text")))
+    val got = DedupFunctions.simhashHammingPairs(docs, "doc_id", elems,
+        bits = 32, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val sh = docs.select(col("doc_id"),
+        DedupFunctions.simhash(elems, 32).cast("long").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute, s"pigeonhole $got != brute $brute")
+    // distance column is the true Hamming distance
+    got.foreach { case (a, b, h) =>
+      assert(h == java.lang.Long.bitCount(sh(a) ^ sh(b)))
+    }
+    // guards: indivisible block split and degenerate radius
+    intercept[IllegalArgumentException] {
+      DedupFunctions.simhashHammingPairs(docs, "doc_id", elems, 32, 4)
+    }
+    intercept[IllegalArgumentException] {
+      DedupFunctions.simhashHammingPairs(docs, "doc_id", elems, 32, 0)
+    }
+  }
+
   test("knnGraph + knnGraphBlocked: exact graph, cell-confined recall") {
     // two tight clusters around the x and y axes
     val vecs = Seq(
