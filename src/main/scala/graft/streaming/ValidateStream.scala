@@ -603,6 +603,68 @@ object ValidateStream {
     }
   }
 
+  /** One micro-batch of maintained drift-bucket upkeep (the unit
+    * [[psiBucketStream]] runs and the spec drives directly): fold the
+    * batch's SIGNED per-bucket count partial into the maintained
+    * (bucket, n) table — `signCol` is +1 for arrivals and −1 for
+    * retractions (the agg_maintain_psi monoid), and buckets whose net
+    * count reaches 0 leave the table, exactly as a direct rebuild over
+    * the survivors would have it. Signed COUNT partials are not
+    * idempotent under re-delivery, so the same in-table `__batch`
+    * high-water-mark discipline as [[applyVocabBatch]] applies: the
+    * batch id commits atomically WITH the data, replays are skipped.
+    * PSI against a pinned reference snapshot is then #buckets-row
+    * arithmetic over this table — a continuous drift monitor costs
+    * each batch, never an archive re-scan.
+    */
+  def applyPsiBucketBatch(batch: DataFrame, bucketCol: org.apache.spark.sql.Column,
+                          signCol: org.apache.spark.sql.Column, tablePath: String,
+                          batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val existing =
+      try Some(spark.read.parquet(tablePath)).filter(_.columns.nonEmpty)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val committed = existing
+      .map(_.agg(max("__batch")).head().getLong(0)).getOrElse(Long.MinValue)
+    if (batchId <= committed) false
+    else {
+      val part = batch
+        .select(bucketCol.cast("long").as("bucket"),
+          signCol.cast("long").as("__s"))
+        .groupBy("bucket").agg(sum("__s").as("n"))
+      val merged = (existing match {
+        case Some(ex) => ex.select("bucket", "n").unionByName(part)
+          .groupBy("bucket").agg(sum("n").as("n"))
+        case None => part
+      }).filter(col("n") > 0)
+      val staging = tablePath + "__staging"
+      merged.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").parquet(staging)
+      graft.operators.Upsert.overwrite(
+        spark, spark.read.parquet(staging), tablePath)
+      true
+    }
+  }
+
+  /** Streaming drift-bucket upkeep: each micro-batch folds its signed
+    * per-bucket partial into the maintained table via
+    * [[applyPsiBucketBatch]] — the streaming continuation of the
+    * `agg_maintain_psi` batch operator. Work per batch is batch-sized
+    * plus one #buckets-row merge; replays skip via the in-table
+    * high-water mark.
+    */
+  def psiBucketStream(docs: DataFrame, bucketCol: org.apache.spark.sql.Column, signCol: org.apache.spark.sql.Column,
+                      tablePath: String,
+                      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPsiBucketBatch(batch, bucketCol, signCol, tablePath, batchId)
+        ()
+      }
+
   /** Streaming vocabulary-stats upkeep: each micro-batch of documents
     * folds its (group, token, n_docs) partial into the maintained type
     * table via [[applyVocabBatch]] — corpus analytics (vocab sizes,

@@ -145,6 +145,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(r => r._1 -> r._4).toMap == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("streaming PSI buckets: signed merges == survivor rebuild, replays skip") {
+    import graft.functions.TextFunctions
+    val dir = tmpDir("psi_stream") + "/buckets"
+    val bucketOf = length(bin(TextFunctions.tokenCount(col("text"))
+      .cast("long"))).cast("long")
+    val b0 = Seq((1L, "a b c"), (2L, "a b c d e f g h"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((4L, "p q r s"), (5L, "t"))
+      .toDF("doc_id", "text")
+    // batch 2 RETRACTS docs 3 and 5 (sign −1)
+    val b2 = Seq((3L, "x"), (5L, "t")).toDF("doc_id", "text")
+    assert(ValidateStream.applyPsiBucketBatch(b0, bucketOf, lit(1L), dir, 0L))
+    assert(ValidateStream.applyPsiBucketBatch(b1, bucketOf, lit(1L), dir, 1L))
+    assert(ValidateStream.applyPsiBucketBatch(b2, bucketOf, lit(-1L), dir, 2L))
+    // replays (same and stale ids) are no-ops
+    assert(!ValidateStream.applyPsiBucketBatch(b2, bucketOf, lit(-1L), dir, 2L))
+    assert(!ValidateStream.applyPsiBucketBatch(b0, bucketOf, lit(1L), dir, 0L))
+    val table = spark.read.parquet(dir)
+    assert(table.select(max("__batch")).head().getLong(0) == 2L)
+    // maintained counts == a direct rebuild over the SURVIVORS (1,2,4);
+    // the bucket both retracted docs occupied (1-token docs) is GONE
+    val survivors = Seq((1L, "a b c"), (2L, "a b c d e f g h"),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    val direct = survivors.select(bucketOf.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(table.select("bucket", "n").as[(Long, Long)].collect().toSet
+      == direct)
+    // the stream sink drives the same unit end-to-end
+    implicit val sqlCtx = spark.sqlContext
+    val dir2 = tmpDir("psi_stream2") + "/buckets"
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a b c"), (2L, "a b c d e f g h"), (4L, "p q r s"))
+    val q = ValidateStream.psiBucketStream(
+      mem.toDF().toDF("doc_id", "text"), bucketOf, lit(1L),
+      dir2, tmpDir("psi_ckpt")).start()
+    q.awaitTermination(30000)
+    assert(spark.read.parquet(dir2).select("bucket", "n")
+      .as[(Long, Long)].collect().toSet == direct)
+  }
+
   test("streaming vocab stats: batches merge, replays skip via in-table high-water mark") {
     import graft.functions.Curation
     val dir = tmpDir("vocab_stream") + "/vocab"
