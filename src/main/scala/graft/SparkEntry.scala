@@ -494,9 +494,25 @@ object SparkEntry {
     * per-JVM nonce: two concurrent JVMs on the same sf dir (e.g. a
     * Bench run alongside `sbt test`) must never mode("overwrite") the
     * same in-flight artifact, and a fresh JVM must never read a stale
-    * artifact left by a previous run over regenerated inputs.
+    * artifact left by a previous run over regenerated inputs. The
+    * nonce makes every scratch dir this JVM writes an orphan once it
+    * exits, so a shutdown hook deletes the whole nonce-prefixed family
+    * — without it, repeated bench/sweep runs would accumulate dead
+    * parquet in java.io.tmpdir until the disk fills.
     */
-  private val jvmNonce: String = java.util.UUID.randomUUID.toString.take(8)
+  private val jvmNonce: String = {
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(tmp.listFiles).foreach(_.filter(
+        _.getName.startsWith(s"graft_${nonce}_")).foreach(rm))
+    }, s"graft-scratch-cleanup-$nonce"))
+    nonce
+  }
   private def tmpPath(dir: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${jvmNonce}_${tag}_${dir.replaceAll("[^a-z0-9.]", "_")}"
 
@@ -2971,7 +2987,10 @@ object SparkEntry {
       bitextMineBrute(s, dir).select("a_id", "b_id")
         .join(minedBlocked, Seq("a_id", "b_id"), "left")
         .agg(count(lit(1)).as("n_brute"),
-          sum(coalesce(col("__hit"), lit(0L))).as("__h"))
+          // sum() over ZERO rows is NULL — coalesce at the aggregate
+          // level too, or an empty brute tier renders (0, NULL) where
+          // the oracle has (0, TRUE) for the vacuous contract
+          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("__h"))
         .select(col("n_brute"),
           (col("__h") * 100L >= col("n_brute") * 55L).as("recall_ok"))
     }),

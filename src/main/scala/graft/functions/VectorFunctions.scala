@@ -259,32 +259,34 @@ object VectorFunctions {
                          path: String, corpus: DataFrame, delta: DataFrame,
                          idCol: String, vecCol: String, k: Int): Unit = {
     // ONE live-segment read feeds both consumers (the merge base in
-    // edge form and the changed-list comparison) — graphEdges is a pure
-    // transform of the list rows, so there is no reason to re-scan the
-    // index tree for each.
-    val oldLists = SegmentedIndex.liveRows(spark, path, "graph")
-    // REPLAY-STABLE: a re-delivered batch (streaming crash between the
-    // graph merge and the corpus append) arrives with its ids already
-    // in the stored graph — drop those rows from the base before
-    // merging, so the delta path recomputes them identically and the
-    // old-list path re-ranks lists that may already contain delta
-    // neighbors (a second merge of the same delta is then a no-op on
-    // the live graph instead of a duplicate-edge corruption).
-    val base = graphEdges(oldLists)
-      .join(delta.select(col(idCol).as("q_id")), Seq("q_id"), "left_anti")
-    val updated = graphLists(
-      knnGraphMergeDelta(base, corpus, delta, idCol, vecCol, k))
-    val old = oldLists.select(col("id"), col("nbrs").as("__old"))
-    // array-of-struct equality is exact (bitwise doubles) — unchanged
-    // lists stay in their old segment
-    val changed = updated.join(old, Seq("id"), "left")
-      .filter(col("__old").isNull || !(col("nbrs") === col("__old")))
-      .select("id", "nbrs")
-      .persist()
-    try
-      SegmentedIndex.mergeDeltaRows(spark, path, "graph",
-        changed.select("id"), changed, trustedDelta = true)
-    finally changed.unpersist(blocking = false)
+    // edge form and the changed-list comparison): the list rows are
+    // PERSISTED — plan-level sharing alone would still re-execute the
+    // union + tombstone-mask scan once per consumer at run time.
+    val oldLists = SegmentedIndex.liveRows(spark, path, "graph").persist()
+    try {
+      // REPLAY-STABLE: a re-delivered batch (streaming crash between the
+      // graph merge and the corpus append) arrives with its ids already
+      // in the stored graph — drop those rows from the base before
+      // merging, so the delta path recomputes them identically and the
+      // old-list path re-ranks lists that may already contain delta
+      // neighbors (a second merge of the same delta is then a no-op on
+      // the live graph instead of a duplicate-edge corruption).
+      val base = graphEdges(oldLists)
+        .join(delta.select(col(idCol).as("q_id")), Seq("q_id"), "left_anti")
+      val updated = graphLists(
+        knnGraphMergeDelta(base, corpus, delta, idCol, vecCol, k))
+      val old = oldLists.select(col("id"), col("nbrs").as("__old"))
+      // array-of-struct equality is exact (bitwise doubles) — unchanged
+      // lists stay in their old segment
+      val changed = updated.join(old, Seq("id"), "left")
+        .filter(col("__old").isNull || !(col("nbrs") === col("__old")))
+        .select("id", "nbrs")
+        .persist()
+      try
+        SegmentedIndex.mergeDeltaRows(spark, path, "graph",
+          changed.select("id"), changed, trustedDelta = true)
+      finally changed.unpersist(blocking = false)
+    } finally oldLists.unpersist(blocking = false)
   }
 
   /** GDPR purge from the persisted graph: drop the retracted vectors'

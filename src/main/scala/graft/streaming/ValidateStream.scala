@@ -607,13 +607,18 @@ object ValidateStream {
     * [[psiBucketStream]] runs and the spec drives directly): fold the
     * batch's SIGNED per-bucket count partial into the maintained
     * (bucket, n) table — `signCol` is +1 for arrivals and −1 for
-    * retractions (the agg_maintain_psi monoid), and buckets whose net
-    * count reaches 0 leave the table, exactly as a direct rebuild over
-    * the survivors would have it. Signed COUNT partials are not
-    * idempotent under re-delivery, so the same in-table `__batch`
+    * retractions (the agg_maintain_psi monoid). Net-zero buckets STAY
+    * in the table as n = 0 rows rather than being dropped: the bucket
+    * space is resolution-bounded (≤ ~40 rows), so retention costs
+    * nothing, and dropping them would erase the table entirely when a
+    * retraction empties the corpus — taking the `__batch` high-water
+    * mark with it and re-opening the replay hole it exists to close.
+    * Readers take the live view as `n > 0`. Signed COUNT partials are
+    * not idempotent under re-delivery, so the same in-table `__batch`
     * high-water-mark discipline as [[applyVocabBatch]] applies: the
-    * batch id commits atomically WITH the data, replays are skipped.
-    * PSI against a pinned reference snapshot is then #buckets-row
+    * batch id commits atomically WITH the data, replays are skipped
+    * (the mark read is null-safe for the empty-table edge). PSI
+    * against a pinned reference snapshot is then #buckets-row
     * arithmetic over this table — a continuous drift monitor costs
     * each batch, never an archive re-scan.
     */
@@ -624,19 +629,19 @@ object ValidateStream {
     val existing =
       try Some(spark.read.parquet(tablePath)).filter(_.columns.nonEmpty)
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val committed = existing
-      .map(_.agg(max("__batch")).head().getLong(0)).getOrElse(Long.MinValue)
+    val committed = existing.map(_.agg(max("__batch")).head())
+      .filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(Long.MinValue)
     if (batchId <= committed) false
     else {
       val part = batch
         .select(bucketCol.cast("long").as("bucket"),
           signCol.cast("long").as("__s"))
         .groupBy("bucket").agg(sum("__s").as("n"))
-      val merged = (existing match {
+      val merged = existing match {
         case Some(ex) => ex.select("bucket", "n").unionByName(part)
           .groupBy("bucket").agg(sum("n").as("n"))
         case None => part
-      }).filter(col("n") > 0)
+      }
       val staging = tablePath + "__staging"
       merged.withColumn("__batch", lit(batchId))
         .write.mode("overwrite").parquet(staging)

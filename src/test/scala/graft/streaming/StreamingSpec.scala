@@ -164,15 +164,29 @@ class StreamingSpec extends SparkSpec {
     assert(!ValidateStream.applyPsiBucketBatch(b0, bucketOf, lit(1L), dir, 0L))
     val table = spark.read.parquet(dir)
     assert(table.select(max("__batch")).head().getLong(0) == 2L)
-    // maintained counts == a direct rebuild over the SURVIVORS (1,2,4);
-    // the bucket both retracted docs occupied (1-token docs) is GONE
+    // LIVE view (n > 0) == a direct rebuild over the SURVIVORS (1,2,4);
+    // the bucket both retracted docs occupied (1-token docs) is net-0
+    // and excluded from the live view (but retained as a row, below)
     val survivors = Seq((1L, "a b c"), (2L, "a b c d e f g h"),
       (4L, "p q r s")).toDF("doc_id", "text")
     val direct = survivors.select(bucketOf.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toSet
-    assert(table.select("bucket", "n").as[(Long, Long)].collect().toSet
-      == direct)
+    assert(table.filter(col("n") > 0).select("bucket", "n")
+      .as[(Long, Long)].collect().toSet == direct)
+    // the net-zero bucket row is RETAINED (it carries the watermark)
+    assert(table.filter(col("n") === 0).count() == 1L)
+    // retracting EVERYTHING must not lose the high-water mark: the
+    // live view empties but a replayed batch is still skipped
+    val b3 = survivors
+    assert(ValidateStream.applyPsiBucketBatch(b3, bucketOf, lit(-1L), dir, 3L))
+    val emptied = spark.read.parquet(dir)
+    assert(emptied.filter(col("n") > 0).count() == 0L)
+    assert(!ValidateStream.applyPsiBucketBatch(b3, bucketOf, lit(-1L), dir, 3L))
+    // rebuild the survivor state for the stream-sink comparison below
+    assert(ValidateStream.applyPsiBucketBatch(survivors, bucketOf, lit(1L), dir, 4L))
+    assert(spark.read.parquet(dir).filter(col("n") > 0)
+      .select("bucket", "n").as[(Long, Long)].collect().toSet == direct)
     // the stream sink drives the same unit end-to-end
     implicit val sqlCtx = spark.sqlContext
     val dir2 = tmpDir("psi_stream2") + "/buckets"
@@ -182,8 +196,8 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().toDF("doc_id", "text"), bucketOf, lit(1L),
       dir2, tmpDir("psi_ckpt")).start()
     q.awaitTermination(30000)
-    assert(spark.read.parquet(dir2).select("bucket", "n")
-      .as[(Long, Long)].collect().toSet == direct)
+    assert(spark.read.parquet(dir2).filter(col("n") > 0)
+      .select("bucket", "n").as[(Long, Long)].collect().toSet == direct)
   }
 
   test("streaming vocab stats: batches merge, replays skip via in-table high-water mark") {
