@@ -412,6 +412,42 @@ object SparkEntry {
   // positional string 5-grams -> corpus-wide occurrence counts ->
   // covered positions -> gaps-and-islands (pairwise gap > n breaks);
   // shared by the scan-side, persisted-index, and incremental queries
+  /** Shared by the scan-side / persisted / incremental simhash Hamming
+    * tiers: 32-bit simhash (hex-digit vote rule) → 4 byte blocks →
+    * pigeonhole equi-join under the occupancy cap → exact
+    * bit_count(xor) <= 3.
+    */
+  /** DuckDB replay of the 32-bit simhash over a `hs` (md5-of-token
+    * list) column — the hex-digit vote rule, one CASE per bit.
+    */
+  private val simhashBitExprs32: String = (0 until 32).map { i =>
+    s"""CAST(CASE WHEN list_sum(list_transform(hs,
+        h -> CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+             THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)"""
+  }.mkString(" + ")
+
+  private val simhashHammingOracle: String = {
+    val bitExprs32 = simhashBitExprs32
+    s"""WITH tok AS (
+         SELECT doc_id,
+                list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                               t -> md5(t)) AS hs
+         FROM documents),
+       sh AS (SELECT doc_id, $bitExprs32 AS sh FROM tok),
+       k AS (SELECT doc_id, sh, blk, (sh >> (blk * 8)) & 255 AS bv
+             FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+       kk AS (SELECT doc_id, sh, blk, bv FROM k
+              QUALIFY COUNT(*) OVER (PARTITION BY blk, bv) <= 10000),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, y.doc_id AS id_b,
+                       a.sh AS sa, y.sh AS sb
+                FROM kk a JOIN kk y
+                  ON a.blk = y.blk AND a.bv = y.bv AND a.doc_id < y.doc_id)
+       SELECT id_a, id_b,
+              CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       ORDER BY id_a, id_b"""
+  }
+
   private val repeatedSpansOracle: String =
     """WITH toks AS (
              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
@@ -502,12 +538,23 @@ object SparkEntry {
     */
   private val jvmNonce: String = {
     val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    // startup sweep: the shutdown hook only covers THIS JVM's nonce
+    // family — a SIGKILLed/timed-out run leaks its dirs forever (and
+    // pre-nonce graft_<tag>_ dirs had no reaper at all). Any graft_*
+    // dir untouched for >6h belongs to no live run (suite + bench
+    // complete well inside that) and is reclaimed here; a concurrent
+    // live JVM's dirs have fresh mtimes and are left alone.
+    val staleMs = 6L * 3600 * 1000
+    val now = System.currentTimeMillis
+    Option(tmp.listFiles).foreach(_.filter(f =>
+      f.isDirectory && f.getName.startsWith("graft_") &&
+        now - f.lastModified > staleMs).foreach(rm))
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
       Option(tmp.listFiles).foreach(_.filter(
         _.getName.startsWith(s"graft_${nonce}_")).foreach(rm))
     }, s"graft-scratch-cleanup-$nonce"))
@@ -1229,19 +1276,21 @@ object SparkEntry {
 
     "dedup_retract" -> ((s, dir) => {
       // GDPR-style purge across ALL persisted dedup index types: the
-      // digest (exact), band (MinHash-LSH), and winnow (span) indexes
-      // are built over the full corpus, every %50 doc is retracted via
-      // one tombstone-only segment each (no index data rewritten), and
-      // a probe batch (%25 docs — half of them the retracted docs
-      // themselves) counts its surviving hits per index. The oracle
-      // replays each index's candidate semantics over the KEPT corpus
-      // only — so a retracted doc leaking into any candidate set, or a
-      // tombstone over-masking a live doc, breaks the hash.
+      // digest (exact), band (MinHash-LSH), winnow (span), and simhash
+      // (Hamming) indexes are built over the full corpus, every %50
+      // doc is retracted via one tombstone-only segment each (no index
+      // data rewritten), and a probe batch (%25 docs — half of them
+      // the retracted docs themselves) counts its surviving hits per
+      // index. The oracle replays each index's candidate semantics
+      // over the KEPT corpus only — so a retracted doc leaking into
+      // any candidate set, or a tombstone over-masking a live doc,
+      // breaks the hash.
       val docs = t(s, dir, "documents")
       val toks = array_distinct(T.tokens(lower(col("text"))))
       val dgP = tmpPath(dir, "rt_digest")
       val bdP = tmpPath(dir, "rt_band")
       val wnP = tmpPath(dir, "rt_winnow")
+      val shP = tmpPath(dir, "rt_simhash")
       phase("build") {
         D.saveDigestIndex(docs, "doc_id", "text", dgP)
       }
@@ -1250,6 +1299,10 @@ object SparkEntry {
       }
       phase("build") {
         D.saveWinnowIndexPersisted(docs, "doc_id", "text", wnP, k = 6, w = 16)
+      }
+      phase("build") {
+        D.saveSimhashIndex(docs, "doc_id", T.tokens(lower(col("text"))),
+          shP, bits = 32, maxHamming = 3)
       }
       val retractIds = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("id"))
@@ -1261,6 +1314,9 @@ object SparkEntry {
       }
       phase("merge") {
         graft.functions.SegmentedIndex.retract(s, wnP, retractIds, Seq("hashes"))
+      }
+      phase("merge") {
+        graft.functions.SegmentedIndex.retract(s, shP, retractIds, Seq("blocks"))
       }
       val probes = docs.filter(col("doc_id") % 25 === 0)
       val dHits = D.digestHitsFromIndex(dgP, probes, "doc_id", "text")
@@ -1277,15 +1333,23 @@ object SparkEntry {
           maxDf = 20, minShared = 2L)
         .filter(col("corpus_id") =!= col("probe_id"))
         .groupBy("probe_id").agg(count(lit(1)).as("n_span"))
+      val sHits = D.probeSimhashHits(D.simhashIndexLive(s, shP),
+          D.simhashBlockRows(probes, "doc_id", T.tokens(lower(col("text"))),
+            bits = 32, maxHamming = 3),
+          maxHamming = 3)
+        .filter(col("corpus_id") =!= col("probe_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_simhash"))
       probes.select(col("doc_id").as("probe_id"),
           (col("doc_id") % 50 === 0).as("retracted"))
         .join(dHits, Seq("probe_id"), "left")
         .join(bHits, Seq("probe_id"), "left")
         .join(wHits, Seq("probe_id"), "left")
+        .join(sHits, Seq("probe_id"), "left")
         .select(col("probe_id"), col("retracted"),
           coalesce(col("n_digest"), lit(0L)).as("n_digest"),
           coalesce(col("n_band"), lit(0L)).as("n_band"),
-          coalesce(col("n_span"), lit(0L)).as("n_span"))
+          coalesce(col("n_span"), lit(0L)).as("n_span"),
+          coalesce(col("n_simhash"), lit(0L)).as("n_simhash"))
     }),
 
     "dedup_minhash_sig" -> ((s, dir) => {
@@ -1358,7 +1422,12 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val toks = array_distinct(T.tokens(lower(col("text"))))
       val th = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 1)
-      val hs = d.select(col("doc_id"), th.as("th"))
+      // hs feeds FOUR joins (two per pairCounts invocation × two
+      // consumers) — persist the hashed projection so the corpus
+      // tokenization/md5 pass runs once, not 4×. Token-hash arrays are
+      // a fraction of the text they digest; same shared-intermediate
+      // contract as `cand` below (harness consumers clearCache).
+      val hs = d.select(col("doc_id"), th.as("th")).persist()
       // the candidate set has TWO consumers (the precision table and
       // the adjacent-probe recall join) — persist the bounded id-pair
       // table so the band self-join runs once (text_span_dedup's
@@ -3486,6 +3555,43 @@ object SparkEntry {
           T.tokens(lower(col("text"))), bits = 32, maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    "dedup_simhash_persisted" -> ((s, dir) => {
+      // the operational Manku tier: pigeonhole postings persisted ONCE
+      // as a SegmentedIndex (fingerprints are (maxHamming+1) longs per
+      // doc — the 100 TB corpus is re-read never, the index always),
+      // the pair audit then runs with zero text reads. Bit-identical to
+      // the scan-side dedup_simhash_hamming — one oracle gates both.
+      val idxPath = tmpPath(dir, "simhash_idx")
+      phase("build") {
+        D.saveSimhashIndex(t(s, dir, "documents"), "doc_id",
+          T.tokens(lower(col("text"))), idxPath, bits = 32, maxHamming = 3)
+      }
+      D.simhashPairsFromIndex(s, idxPath, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      // O(delta) lifecycle for the fourth dedup index family: build on
+      // 6/7 of the corpus, merge the rest as arrivals — the delta's
+      // postings land as one |delta|-sized segment, re-ingested ids
+      // tombstone their old fingerprints, and the merged live view
+      // must replay the FULL-corpus audit bit for bit (the occupancy
+      // cap binds over live postings, exactly the batch tier's view).
+      val docs = t(s, dir, "documents")
+      val idxPath = tmpPath(dir, "simhash_inc")
+      val toks = T.tokens(lower(col("text")))
+      phase("build") {
+        D.saveSimhashIndex(docs.filter(col("doc_id") % 7 =!= 3), "doc_id",
+          toks, idxPath, bits = 32, maxHamming = 3)
+      }
+      phase("merge") {
+        D.mergeSimhashDelta(docs.filter(col("doc_id") % 7 === 3), "doc_id",
+          toks, idxPath, bits = 32, maxHamming = 3)
+      }
+      D.simhashPairsFromIndex(s, idxPath, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---------------- similarity: LSH bucket top-k -------------------
     "sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -5421,7 +5527,9 @@ object SparkEntry {
         // (doc_id % 50 <> 0) only: exact digest matches, MinHash band
         // collisions (k=4, 2 bands — the dedup_cluster_assign
         // machinery), winnow span sharing (k=6, w=16, stop-span df <= 20
-        // on the kept side, >= 2 shared — the text_span_dedup machinery)
+        // on the kept side, >= 2 shared — the text_span_dedup machinery),
+        // simhash Hamming partners (32 bits, 4 blocks, ball <= 3 — the
+        // dedup_simhash_hamming machinery)
         s"""WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
            probes AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
            dh AS (SELECT p.doc_id AS probe_id, COUNT(*) AS n_digest
@@ -5483,15 +5591,29 @@ object SparkEntry {
                       FROM psel p JOIN wpr r
                         ON p.h = r.h AND r.doc_id <> p.doc_id
                       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-           wh AS (SELECT probe_id, COUNT(*) AS n_span FROM wpairs GROUP BY 1)
+           wh AS (SELECT probe_id, COUNT(*) AS n_span FROM wpairs GROUP BY 1),
+           lsim AS (SELECT doc_id, $simhashBitExprs32 AS sh FROM lhs),
+           psim AS (SELECT doc_id, $simhashBitExprs32 AS sh FROM phs),
+           lsk AS (SELECT doc_id, sh, blk, (sh >> (blk * 8)) & 255 AS bv
+                   FROM lsim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)
+                   QUALIFY COUNT(*) OVER (PARTITION BY blk, (sh >> (blk * 8)) & 255) <= 10000),
+           psk AS (SELECT doc_id, sh, blk, (sh >> (blk * 8)) & 255 AS bv
+                   FROM psim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
+           spairs AS (SELECT DISTINCT p.doc_id AS probe_id, l.doc_id AS corpus_id
+                      FROM psk p JOIN lsk l
+                        ON p.blk = l.blk AND p.bv = l.bv AND l.doc_id <> p.doc_id
+                      WHERE bit_count(xor(p.sh, l.sh)) <= 3),
+           sh2 AS (SELECT probe_id, COUNT(*) AS n_simhash FROM spairs GROUP BY 1)
            SELECT p.doc_id AS probe_id, p.doc_id % 50 = 0 AS retracted,
                   COALESCE(n_digest, 0) AS n_digest,
                   COALESCE(n_band, 0) AS n_band,
-                  COALESCE(n_span, 0) AS n_span
+                  COALESCE(n_span, 0) AS n_span,
+                  COALESCE(n_simhash, 0) AS n_simhash
            FROM probes p
            LEFT JOIN dh ON dh.probe_id = p.doc_id
            LEFT JOIN bh ON bh.probe_id = p.doc_id
-           LEFT JOIN wh ON wh.probe_id = p.doc_id""",
+           LEFT JOIN wh ON wh.probe_id = p.doc_id
+           LEFT JOIN sh2 ON sh2.probe_id = p.doc_id""",
 
       "text_bigram_lm" ->
         // replay: vocab (count desc, token asc top-64) → vocab-mapped
@@ -8426,34 +8548,12 @@ object SparkEntry {
            SELECT doc_id, $bitExprs AS simhash16 FROM tok"""
       },
 
-      "dedup_simhash_hamming" -> {
-        // replay: 32-bit simhash (same hex-digit vote rule) → 4 byte
-        // blocks → pigeonhole equi-join under the occupancy cap →
-        // exact bit_count(xor) <= 3
-        val bitExprs32 = (0 until 32).map { i =>
-          s"""CAST(CASE WHEN list_sum(list_transform(hs,
-              h -> CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f')
-                   THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)"""
-        }.mkString(" + ")
-        s"""WITH tok AS (
-             SELECT doc_id,
-                    list_transform(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
-                                   t -> md5(t)) AS hs
-             FROM documents),
-           sh AS (SELECT doc_id, $bitExprs32 AS sh FROM tok),
-           k AS (SELECT doc_id, sh, blk, (sh >> (blk * 8)) & 255 AS bv
-                 FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS blk)),
-           kk AS (SELECT doc_id, sh, blk, bv FROM k
-                  QUALIFY COUNT(*) OVER (PARTITION BY blk, bv) <= 10000),
-           cand AS (SELECT DISTINCT a.doc_id AS id_a, y.doc_id AS id_b,
-                           a.sh AS sa, y.sh AS sb
-                    FROM kk a JOIN kk y
-                      ON a.blk = y.blk AND a.bv = y.bv AND a.doc_id < y.doc_id)
-           SELECT id_a, id_b,
-                  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-           FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-           ORDER BY id_a, id_b"""
-      },
+      // one oracle gates the scan-side, persisted, and incremental
+      // simhash Hamming tiers — the index paths must be bit-identical
+      // to the batch pass over the same (full) corpus
+      "dedup_simhash_hamming" -> simhashHammingOracle,
+      "dedup_simhash_persisted" -> simhashHammingOracle,
+      "dedup_simhash_incremental" -> simhashHammingOracle,
 
       "sim_lsh_topk" -> {
         val bucket = (0 until 8).map(i => s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")

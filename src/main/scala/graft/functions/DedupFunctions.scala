@@ -73,19 +73,41 @@ object DedupFunctions {
     */
   def simhashHammingPairs(df: DataFrame, idCol: String, elemsCol: Column,
                           bits: Int, maxHamming: Int,
-                          maxBucket: Int = 10000): DataFrame = {
+                          maxBucket: Int = 10000): DataFrame =
+    simhashPairsFromPostings(
+      simhashBlockRows(df, idCol, elemsCol, bits, maxHamming),
+      maxHamming, maxBucket)
+
+  /** The pigeonhole postings of the simhash Hamming tier: one
+    * (id, sh, blk, bv) row per block per doc — the persistable side of
+    * [[simhashHammingPairs]] and the subtable of the segmented simhash
+    * index. Null token arrays (deleted content) yield NO rows — the
+    * digest/band/winnow deletion contract.
+    */
+  def simhashBlockRows(df: DataFrame, idCol: String, elemsCol: Column,
+                       bits: Int, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
-    require(maxHamming >= 1, "simhashHammingPairs: need maxHamming >= 1")
+    require(maxHamming >= 1, "simhashBlockRows: need maxHamming >= 1")
     require(bits % blocks == 0,
-      s"simhashHammingPairs: bits ($bits) must split into $blocks equal blocks")
+      s"simhashBlockRows: bits ($bits) must split into $blocks equal blocks")
     val bpb = bits / blocks
     val mask = (1L << bpb) - 1
-    val sh = df.select(col(idCol).as("id"),
-      simhash(elemsCol, bits).cast("long").as("sh"))
-    val keys = sh.select(col("id"), col("sh"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftright(col("sh"), b * bpb).bitwiseAND(lit(mask))): _*))
-        .as(Seq("blk", "bv")))
+    df.select(col(idCol).as("id"),
+        simhash(elemsCol, bits).cast("long").as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until blocks).map(b =>
+          shiftright(col("sh"), b * bpb).bitwiseAND(lit(mask))): _*))
+          .as(Seq("blk", "bv")))
+  }
+
+  /** Hamming-ball pairs over a (id, sh, blk, bv) postings table — the
+    * shared verify of the batch ([[simhashHammingPairs]]) and persisted
+    * ([[simhashPairsFromIndex]]) tiers: occupancy cap per (blk, bv)
+    * bucket, equi-join candidates, one exact bit_count(xor) each.
+    */
+  def simhashPairsFromPostings(keys: DataFrame, maxHamming: Int,
+                               maxBucket: Int = 10000): DataFrame = {
     val small = keys.groupBy("blk", "bv").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxBucket).select("blk", "bv")
     val kept = keys.join(small, Seq("blk", "bv"), "left_semi")
@@ -319,6 +341,69 @@ object DedupFunctions {
   def winnowIndexLive(spark: org.apache.spark.sql.SparkSession,
                       path: String, asOf: Int = Int.MaxValue): DataFrame =
     SegmentedIndex.liveRows(spark, path, "hashes", asOf)
+
+  /** Persist the simhash pigeonhole index ([[simhashBlockRows]] rows) —
+    * the fourth dedup index family, same SegmentedIndex lifecycle as
+    * digest/band/winnow: O(delta) merge, GDPR retraction via
+    * [[SegmentedIndex.retract]], asOf snapshot reads, compaction.
+    */
+  def saveSimhashIndex(df: DataFrame, idCol: String, elemsCol: Column,
+                       path: String, bits: Int = 32,
+                       maxHamming: Int = 3): Unit =
+    SegmentedIndex.createIndex(df.sparkSession, path, "blocks",
+      simhashBlockRows(df, idCol, elemsCol, bits, maxHamming))
+
+  /** O(delta) refresh: new fingerprints are (maxHamming+1) posting rows
+    * each; a re-ingested id tombstones its old fingerprint, null
+    * content deletes (no rows derived). The merged live view replays
+    * the batch tier bit for bit — same postings, same cap, same verify.
+    */
+  def mergeSimhashDelta(delta: DataFrame, idCol: String, elemsCol: Column,
+                        path: String, bits: Int = 32, maxHamming: Int = 3,
+                        trustedDelta: Boolean = false): Unit =
+    SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "blocks",
+      delta.select(col(idCol)),
+      simhashBlockRows(delta, idCol, elemsCol, bits, maxHamming),
+      trustedDelta)
+
+  /** Live (id, sh, blk, bv) postings; `asOf` pins segments <= asOf. */
+  def simhashIndexLive(spark: org.apache.spark.sql.SparkSession,
+                       path: String, asOf: Int = Int.MaxValue): DataFrame =
+    SegmentedIndex.liveRows(spark, path, "blocks", asOf)
+
+  /** Hamming-ball pairs of the LIVE index — bit-identical to
+    * [[simhashHammingPairs]] over the same corpus state (same postings,
+    * same occupancy cap, same exact verify), with zero text reads: the
+    * operational shape once fingerprints are persisted.
+    */
+  def simhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, maxHamming: Int,
+                            maxBucket: Int = 10000,
+                            asOf: Int = Int.MaxValue): DataFrame =
+    simhashPairsFromPostings(
+      simhashIndexLive(spark, path, asOf).select("id", "sh", "blk", "bv"),
+      maxHamming, maxBucket)
+
+  /** Hamming-ball partners of each probe doc among the index side:
+    * occupancy cap on the INDEX buckets (the [[probeSpanHits]] shape),
+    * block equi-join, exact verify. Returns distinct
+    * (probe_id, corpus_id, hamming); self-pairs are not filtered (see
+    * [[digestHitsFromIndex]]).
+    */
+  def probeSimhashHits(index: DataFrame, probes: DataFrame,
+                       maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+    val keep = index.groupBy("blk", "bv").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxBucket).select("blk", "bv")
+    val pruned = index.join(keep, Seq("blk", "bv"), "left_semi")
+    probes.select(col("id").as("probe_id"), col("sh").as("__psh"),
+        col("blk"), col("bv"))
+      .join(pruned.select(col("id").as("corpus_id"), col("sh").as("__csh"),
+        col("blk"), col("bv")), Seq("blk", "bv"))
+      .select(col("probe_id"), col("corpus_id"),
+        hammingDistance(col("__psh"), col("__csh")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Span-sharing partners of each probe doc among an index's docs:
     * stop-span prune (df computed on the INDEX side) then an equi-join

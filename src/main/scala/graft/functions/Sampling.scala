@@ -303,6 +303,11 @@ object Sampling {
                         budget: Long): Map[String, Long] = {
     require(weights.nonEmpty, "hamiltonApportion: need at least one stratum")
     require(weights.forall(_._2 >= 0), "hamiltonApportion: negative weight")
+    // duplicate keys would award the remainder bonus to EVERY row
+    // sharing the key and then collapse in the final toMap — silently
+    // breaking the sums-to-budget invariant; refuse loudly instead
+    require(weights.map(_._1).distinct.size == weights.size,
+      "hamiltonApportion: duplicate stratum key")
     val w = weights.map(_._2).sum
     require(w > 0, "hamiltonApportion: all weights are zero")
     val quotas = weights.map { case (k, wi) =>
@@ -316,6 +321,14 @@ object Sampling {
     }.toMap
   }
 
+  /** Global score-ordered budget cut. `df` MUST be deterministic (a
+    * parquet scan / pure transforms): the bin totals are collected in
+    * one job here and the windowed stream is consumed lazily in a
+    * SECOND job by the caller — a non-deterministic input (unseeded
+    * sample, unstable dedup) could disagree between the two passes and
+    * silently over/under-shoot the budget. Callers with such inputs
+    * must checkpoint/persist them first.
+    */
   def budgetSelect(df: DataFrame, scoreCol: Column, idCol: Column,
                    costCol: Column, budget: Long,
                    binOf: Column => Column = _ * 1000): DataFrame = {

@@ -312,8 +312,12 @@ object SegmentedIndex {
       // overhead — the ids ARE the replaced set. The caller owns the
       // invariant: a non-live id here would inflate the tombstone
       // table and break describe()'s live-count arithmetic.
+      // (.distinct() on the fast path: the slow path's semi-join yields
+      // one tombstone per id; duplicate ids from a caller must not
+      // inflate describe()'s live-count arithmetic — cheap, the set is
+      // delta-sized and already persisted)
       val replaced =
-        if (idsKnownLive) ids
+        if (idsKnownLive) ids.distinct()
         else liveRows(spark, path, sub).select("id").distinct()
           .join(ids, Seq("id"), "left_semi")
       commitSegment(spark, s"$path/segments", n) { tmp =>
@@ -393,8 +397,11 @@ object SegmentedIndex {
     // retraction that read the live lists anyway to find affected
     // neighbors) — same invariant as mergeDeltaRows' flag: every id
     // must be live, or describe()'s live-count arithmetic breaks.
+    // .distinct() on the fast path: the slow path's semi-join shape
+    // yields one tombstone per id; a duplicate-carrying caller must
+    // not inflate describe()'s live-count arithmetic
     val dead =
-      if (idsKnownLive) ids.select(col(ids.columns.head).as("id"))
+      if (idsKnownLive) ids.select(col(ids.columns.head).as("id")).distinct()
       else liveRows(spark, path, subs.head).select("id").distinct()
         .join(ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_semi")
     commitSegment(spark, s"$path/segments", n) { tmp =>

@@ -247,6 +247,48 @@ object ValidateStream {
       }
       .start()
 
+  /** Streaming simhash pigeonhole-index upkeep — the Hamming-tier twin
+    * of [[repeatedSpanIndexStream]]: the first non-empty micro-batch
+    * creates the index ([[graft.functions.DedupFunctions.saveSimhashIndex]]),
+    * every later one lands as an O(batch) postings segment
+    * ([[graft.functions.DedupFunctions.mergeSimhashDelta]] — null
+    * token arrays delete, re-ingested ids tombstone their old
+    * fingerprints), and past `maxSegments` the serialized sink
+    * compacts inline unless a live snapshot pin defers it.
+    * Replay-stable: a re-delivered batch's segment tombstones its
+    * first copy and re-derives identical postings, so the live view —
+    * and every [[graft.functions.DedupFunctions.simhashPairsFromIndex]]
+    * answer — is unchanged; only the segment count grows until the
+    * next compaction. The post-stream table is bit-identical to a
+    * batch [[graft.functions.DedupFunctions.saveSimhashIndex]] over
+    * the same corpus (spec-gated).
+    */
+  def simhashIndexStream(docs: DataFrame, idCol: String,
+                         elemsCol: org.apache.spark.sql.Column,
+                         path: String, checkpoint: String,
+                         bits: Int = 32, maxHamming: Int = 3,
+                         maxSegments: Int = Int.MaxValue,
+                         pinnedBy: Option[String] = None,
+                         trustedDelta: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val D = graft.functions.DedupFunctions
+          val S = graft.functions.SegmentedIndex
+          if (S.exists(batch.sparkSession, path))
+            D.mergeSimhashDelta(batch, idCol, elemsCol, path, bits,
+              maxHamming, trustedDelta = trustedDelta)
+          else D.saveSimhashIndex(batch, idCol, elemsCol, path, bits,
+            maxHamming)
+          if (S.segmentDirs(batch.sparkSession, path).size > maxSegments &&
+              !pinned(batch.sparkSession, path, pinnedBy))
+            S.compactIndex(batch.sparkSession, path, "blocks")
+        }
+      }
+      .start()
+
   /** Streaming IVF cell-index maintenance — the write half of the
     * ingest loop whose read half is [[nearDupProbeStream]]: each
     * micro-batch of ACCEPTED rows folds into the persisted IVF index

@@ -410,6 +410,43 @@ class StreamingSpec extends SparkSpec {
       .segmentDirs(spark, s"$dir/idx").map(_._1) == Seq(0))
   }
 
+  test("streaming simhash index: arrivals/replacements/deletions fold in; pairs equal batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.DedupFunctions
+    val dir = tmpDir("simhashstream")
+    val toks = split(lower(col("text")), "\\s+")
+    val mem = MemoryStream[(Long, String)]
+    // batch 1 CREATES the index: docs 1 and 2 are identical → Hamming 0
+    mem.addData((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (5L, "totally unrelated content here"))
+    val q = ValidateStream.simhashIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", toks,
+      s"$dir/idx", s"$dir/ckpt", bits = 32, maxHamming = 3, maxSegments = 1)
+    q.processAllAvailable()
+    assert(DedupFunctions.simhashPairsFromIndex(spark, s"$dir/idx", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 0L)))
+    // batch 2: doc 3 arrives as another exact twin, doc 2's content is
+    // DELETED (null text → null token array → no postings, tombstone
+    // retires the old fingerprint)
+    mem.addData((3L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))
+    q.processAllAvailable()
+    q.stop()
+    // live pairs ≡ the batch tier over the latest corpus (doc 2 gone)
+    val latest = Seq((1L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (5L, "totally unrelated content here")).toDF("doc_id", "text")
+    val live = DedupFunctions.simhashPairsFromIndex(spark, s"$dir/idx", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val fresh = DedupFunctions.simhashHammingPairs(latest, "doc_id", toks,
+        bits = 32, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live == fresh && live == Set((1L, 3L, 0L)),
+      s"streamed postings must equal a batch build; got $live")
+    // inline auto-compaction folded the tree back to one segment
+    assert(graft.functions.SegmentedIndex
+      .segmentDirs(spark, s"$dir/idx").map(_._1) == Seq(0))
+  }
+
   test("streaming kNN-graph maintenance: arrivals fold in, live graph equals rebuild") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.VectorFunctions
