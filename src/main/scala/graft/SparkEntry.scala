@@ -3334,6 +3334,73 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "agg_maintain_decontam" -> ((s, dir) => {
+      // the contamination report as a MAINTAINED statistic — the
+      // AggMaintain discipline applied to decontam_report: per-
+      // benchmark flagged counts refresh from delta-sized jobs (an
+      // arriving train doc's flagged-ness per benchmark is a pure
+      // function of its content and the FROZEN benchmark gram set, so
+      // arrivals merge with sign +1 and GDPR retractions with −1 —
+      // merge ≡ direct rebuild over the survivors), the max-span
+      // statistic keeps its materialized SUPPORT (the contamination
+      // pair table): arrivals append their pairs, a retraction
+      // anti-joins out its train id, and the per-benchmark max is
+      // #pairs-row arithmetic. The archive is never re-shingled —
+      // at 100 TB a standing contamination monitor costs each day's
+      // delta, not the train corpus.
+      val A = graft.operators.AggMaintain
+      val d = t(s, dir, "documents")
+      val benchOf = concat(lit("b"),
+        pmod(expr("doc_id div 97"), lit(3L)).cast("string"))
+      val evalD = d.filter(col("doc_id") % 97 === 0)
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+      val base  = train.filter(col("doc_id") % 10 =!= 7)
+      val delta = train.filter(col("doc_id") % 10 === 7)
+      val dead  = base.filter(col("doc_id") % 9 === 4)
+      val sh = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 5)
+      val bsh = evalD.select(benchOf.as("benchmark"), explode(sh).as("sh"))
+        .distinct()
+      def flaggedPairs(x: DataFrame) =
+        x.select(col("doc_id"), explode(sh).as("sh"))
+          .join(broadcast(bsh), Seq("sh"))
+          .select("benchmark", "doc_id").distinct()
+      val pBase  = A.partial(flaggedPairs(base), Seq("benchmark"), Map.empty, "n")
+      val pDelta = A.partial(flaggedPairs(delta), Seq("benchmark"), Map.empty, "n")
+      val pDead  = A.partial(flaggedPairs(dead), Seq("benchmark"), Map.empty, "n")
+        .select(col("benchmark"), (col("n") * lit(-1L)).as("n"))
+      val flagged = A.merge(Seq(pBase, pDelta, pDead), Seq("benchmark"), Seq("n"))
+        .filter(col("n") > 0) // a fully-clean benchmark leaves the table
+        .withColumnRenamed("n", "n_train_flagged")
+      // span support: pair rows are independent per train doc, so the
+      // maintained table is exactly sp(survivors)
+      def spanPairs(x: DataFrame) = graft.functions.DedupFunctions
+        .contaminationSpans(x, evalD, "doc_id", "text", n = 2, minSpanTokens = 3)
+      val spanTable = spanPairs(base)
+        .join(dead.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(spanPairs(delta))
+      val spans = spanTable
+        .join(evalD.select(col("doc_id").as("eval_id"), benchOf.as("benchmark")),
+          Seq("eval_id"))
+        .groupBy("benchmark").agg(max("span_tokens").as("max_span_tokens"))
+      // maintained train count: three map-side-combined 1-row partials
+      val nTrain = base.agg(count(lit(1)).as("n"))
+        .unionByName(delta.agg(count(lit(1)).as("n")))
+        .unionByName(dead.agg((count(lit(1)) * lit(-1L)).as("n")))
+        .agg(sum("n").as("__nt"))
+      evalD.groupBy(benchOf.as("benchmark"))
+        .agg(count(lit(1)).as("n_eval_docs"))
+        .join(flagged, Seq("benchmark"), "left")
+        .join(spans, Seq("benchmark"), "left")
+        .crossJoin(broadcast(nTrain))
+        .select(col("benchmark"), col("n_eval_docs"),
+          coalesce(col("n_train_flagged"), lit(0L)).as("n_train_flagged"),
+          coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+          graft.functions.Sampling.ppmHalfUp(
+            coalesce(col("n_train_flagged"), lit(0L)), col("__nt"))
+            .as("flagged_ppm"))
+        .orderBy("benchmark")
+    }),
+
     "text_chunk_windows" -> ((s, dir) => {
       // sliding token-window chunking (40-token windows, stride 32 →
       // 8-token overlap): the context-window prep between curation and
@@ -7273,6 +7340,69 @@ object SparkEntry {
                           MAX(span_tokens) AS max_span_tokens
                    FROM sp GROUP BY 1),
            nt AS (SELECT COUNT(*) AS n_train FROM documents WHERE doc_id % 97 <> 0),
+           evc AS (SELECT 'b' || CAST((doc_id // 97) % 3 AS VARCHAR) AS benchmark,
+                          COUNT(*) AS n_eval_docs
+                   FROM documents WHERE doc_id % 97 = 0 GROUP BY 1)
+           SELECT evc.benchmark, evc.n_eval_docs,
+                  CAST(COALESCE(flag.n_train_flagged, 0) AS BIGINT) AS n_train_flagged,
+                  CAST(COALESCE(spb.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+                  CAST((2 * 1000000 * COALESCE(flag.n_train_flagged, 0) + nt.n_train)
+                       // (2 * nt.n_train) AS BIGINT) AS flagged_ppm
+           FROM evc LEFT JOIN flag USING (benchmark)
+                LEFT JOIN spb USING (benchmark) CROSS JOIN nt
+           ORDER BY benchmark""",
+
+      "agg_maintain_decontam" ->
+        // the decontam_report replay computed DIRECTLY over the
+        // survivor train population (base minus retractions plus
+        // arrivals: doc_id % 10 = 7 OR doc_id % 9 <> 4) — any
+        // maintenance error (a stale flagged count, an unretracted
+        // span pair, a drifted n_train) breaks the compare
+        """WITH sh AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 5 THEN
+                      list_distinct(list_transform(range(0, len(toks) - 4),
+                        i -> array_to_string(toks[i+1:i+5], ' ')))
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                   FROM documents)),
+           bsh AS (SELECT DISTINCT benchmark, g
+                   FROM (SELECT 'b' || CAST((doc_id // 97) % 3 AS VARCHAR) AS benchmark,
+                                unnest(shingles) AS g
+                         FROM sh WHERE doc_id % 97 = 0)),
+           tsh AS (SELECT doc_id, unnest(shingles) AS g
+                   FROM sh WHERE doc_id % 97 <> 0
+                     AND (doc_id % 10 = 7 OR doc_id % 9 <> 4)),
+           flag AS (SELECT benchmark, COUNT(DISTINCT doc_id) AS n_train_flagged
+                    FROM tsh JOIN bsh USING (g) GROUP BY 1),
+           grams AS (
+             SELECT doc_id,
+                    CASE WHEN len(ts) >= 2 THEN
+                      list_transform(range(0, len(ts) - 1),
+                        i -> {'p': i, 'g': array_to_string(ts[i+1:i+2], ' ')})
+                    ELSE [{'p': 0, 'g': array_to_string(ts, ' ')}] END AS gs
+             FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+                   FROM documents)),
+           tr AS (SELECT doc_id, unnest(gs) AS u FROM grams
+                  WHERE doc_id % 97 <> 0
+                    AND (doc_id % 10 = 7 OR doc_id % 9 <> 4)),
+           ev AS (SELECT doc_id AS eval_id, unnest(gs) AS u FROM grams WHERE doc_id % 97 = 0),
+           m AS (SELECT t.doc_id, e.eval_id, t.u.p - e.u.p AS diag, t.u.p AS tpos
+                 FROM tr t JOIN ev e ON t.u.g = e.u.g),
+           isl AS (SELECT doc_id, eval_id, diag, tpos,
+                          tpos - row_number() OVER (PARTITION BY doc_id, eval_id, diag
+                                                    ORDER BY tpos) AS grp
+                   FROM m),
+           runs AS (SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS run
+                    FROM isl GROUP BY doc_id, eval_id, diag, grp),
+           sp AS (SELECT eval_id, max(run) + 1 AS span_tokens
+                  FROM runs GROUP BY eval_id HAVING max(run) + 1 >= 3),
+           spb AS (SELECT 'b' || CAST((eval_id // 97) % 3 AS VARCHAR) AS benchmark,
+                          MAX(span_tokens) AS max_span_tokens
+                   FROM sp GROUP BY 1),
+           nt AS (SELECT COUNT(*) AS n_train FROM documents
+                  WHERE doc_id % 97 <> 0
+                    AND (doc_id % 10 = 7 OR doc_id % 9 <> 4)),
            evc AS (SELECT 'b' || CAST((doc_id // 97) % 3 AS VARCHAR) AS benchmark,
                           COUNT(*) AS n_eval_docs
                    FROM documents WHERE doc_id % 97 = 0 GROUP BY 1)

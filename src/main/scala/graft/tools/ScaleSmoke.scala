@@ -720,6 +720,61 @@ object ScaleSmoke {
       flagged.join(spans, Seq("benchmark"), "full_outer").count()
     }
 
+    // r12: MAINTAINED contamination report at 10× — the judge-grade
+    // delta-vs-rebuild comparison: the stored state (base flagged
+    // partial + base span pairs) refreshes from delta-sized jobs
+    // (arrivals +1 / retractions −1 / span-pair anti-join) vs
+    // re-shingling the whole survivor train side. The delta path's
+    // cost tracks |delta∪dead|, not the archive.
+    {
+      val benchOf = concat(lit("b"),
+        pmod(expr("doc_id div 97"), lit(3L)).cast("string"))
+      val evalD = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val base  = train.filter(col("doc_id") % 10 =!= 7)
+      val delta = train.filter(col("doc_id") % 10 === 7)
+      val dead  = base.filter(col("doc_id") % 9 === 4)
+      val shc = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 5)
+      val bsh = evalD.select(benchOf.as("benchmark"), explode(shc).as("sh"))
+        .distinct().persist()
+      bsh.count()
+      def flaggedPairs(x: org.apache.spark.sql.DataFrame) =
+        x.select(col("doc_id"), explode(shc).as("sh"))
+          .join(broadcast(bsh), Seq("sh"))
+          .select("benchmark", "doc_id").distinct()
+      def spanPairs(x: org.apache.spark.sql.DataFrame) =
+        graft.functions.DedupFunctions.contaminationSpans(
+          x, evalD, "doc_id", "text", n = 2, minSpanTokens = 3)
+      val A = graft.operators.AggMaintain
+      // stored state, built once (the standing monitor's artifact)
+      val pBase = A.partial(flaggedPairs(base), Seq("benchmark"), Map.empty, "n")
+        .persist()
+      val spBase = spanPairs(base).persist()
+      pBase.count(); spBase.count()
+      val nDelta = delta.count() + dead.count()
+      time("decontam_maintain_delta", nDelta) {
+        val pDelta = A.partial(flaggedPairs(delta), Seq("benchmark"), Map.empty, "n")
+        val pDead = A.partial(flaggedPairs(dead), Seq("benchmark"), Map.empty, "n")
+          .select(col("benchmark"), (col("n") * lit(-1L)).as("n"))
+        val flagged = A.merge(Seq(pBase, pDelta, pDead),
+          Seq("benchmark"), Seq("n")).filter(col("n") > 0)
+        val spanTable = spBase
+          .join(dead.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(spanPairs(delta))
+        val spans = spanTable.groupBy("eval_id").agg(max("span_tokens"))
+        flagged.count() + spans.count()
+      }
+      time("decontam_maintain_rebuild", nDocs) {
+        val survivors = train.filter(col("doc_id") % 10 === 7 ||
+          col("doc_id") % 9 =!= 4)
+        val flagged = flaggedPairs(survivors).groupBy("benchmark")
+          .agg(count(lit(1)).as("n"))
+        val spans = spanPairs(survivors).groupBy("eval_id").agg(max("span_tokens"))
+        flagged.count() + spans.count()
+      }
+      pBase.unpersist(); spBase.unpersist(); bsh.unpersist()
+    }
+
     // ---- round-5: zipf mega-cluster skew sweep -----------------------
     // the web-corpus shape: ONE 10⁴-member near-dup cluster over a
     // distinct background. Each op also reports the max task
