@@ -412,6 +412,62 @@ object SparkEntry {
   // positional string 5-grams -> corpus-wide occurrence counts ->
   // covered positions -> gaps-and-islands (pairwise gap > n breaks);
   // shared by the scan-side, persisted-index, and incremental queries
+  /** Shared CTE chain of the hybrid-RRF oracle family: BM25 top-20 per
+    * anchor + brute cosine top-20, FULL OUTER fused by Σ 1/(60+rank).
+    * text_hybrid_rrf appends the fused-list select; the blocked
+    * sibling appends the per-anchor n_brute rollup.
+    */
+  private val hybridRrfOracleCtes: String =
+    """WITH q(query_id, token) AS (VALUES
+         (0, 'spark'), (0, 'window'),
+         (1, 'hash'), (1, 'merge'), (1, 'vector'),
+         (2, 'customer'), (2, 'query')),
+       tok AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+         FROM documents),
+       dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs,
+                        SUM(dl) / COUNT(*) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+              WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+       df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       term AS (
+         SELECT q.query_id, tf.doc_id,
+                CAST(ROUND(
+                  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                  * (CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+                  AS DECIMAL(18,6)) AS s
+         FROM tf JOIN q USING (token) JOIN dl USING (doc_id)
+              JOIN df USING (token) CROSS JOIN stats),
+       scored AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+                  FROM term GROUP BY 1, 2),
+       lexr AS (
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rl
+         FROM scored QUALIFY rl <= 20),
+       qv AS (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       vcand AS (
+         SELECT qv.query_id, e.vec_id AS doc_id,
+                list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+                / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                   * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))) AS cos
+         FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
+       vecr AS (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, doc_id) AS rv
+         FROM vcand QUALIFY rv <= 20),
+       fused AS (
+         SELECT query_id, doc_id,
+                COALESCE(1.0 / (60.0 + rl), 0.0)
+                  + COALESCE(1.0 / (60.0 + rv), 0.0) AS rrf
+         FROM lexr FULL OUTER JOIN vecr USING (query_id, doc_id))"""
+
   /** Shared by the scan-side / persisted / incremental simhash Hamming
     * tiers: 32-bit simhash (hex-digit vote rule) → 4 byte blocks →
     * pigeonhole equi-join under the occupancy cap → exact
@@ -583,6 +639,30 @@ object SparkEntry {
       df.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), df.schema)
     }
+
+  /** Shared RRF fusion tail (Cormack & Clarke, k=60; top-10 per query)
+    * over a lexical and a vector rank list — text_hybrid_rrf and its
+    * index-backed blocked sibling. Inputs carry (query_id, doc_id,
+    * __rl) / (query_id, doc_id, __rv); rrf = Σ 1/(60+rank) from
+    * INTEGER ranks in one fixed expression order, ordered on the
+    * exact double before any display rounding.
+    */
+  private def rrfFusedTop10(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("__rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("__rl").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("__rv").cast("double")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+  }
+
+  /** The three anchor lexical queries of the hybrid-fusion family. */
+  private val rrfAnchorQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "window"),
+    1L -> Seq("hash", "merge", "vector"),
+    2L -> Seq("customer", "query"))
 
   /** Shared EXACT kNN-graph intermediate for the graph family: the
     * k=10 exact graph over the full embeddings table is computed ONCE
@@ -2092,10 +2172,7 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", idxPath)
       }
       val lex = graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
-        queries = Seq(
-          0L -> Seq("spark", "window"),
-          1L -> Seq("hash", "merge", "vector"),
-          2L -> Seq("customer", "query")),
+        queries = rrfAnchorQueries,
         k = 20).select(col("query_id"), col("doc_id"),
           col("rank").as("__rl"))
       val e = t(s, dir, "embeddings")
@@ -2106,17 +2183,65 @@ object SparkEntry {
           "query_id", "c_id", "__qv", "__cv", 20)
         .select(col("query_id"), col("c_id").as("doc_id"),
           col("rank").as("__rv"))
-      val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("__rrf",
-          coalesce(lit(1.0) / (lit(60.0) + col("__rl").cast("double")), lit(0.0))
-            + coalesce(lit(1.0) / (lit(60.0) + col("__rv").cast("double")), lit(0.0)))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("__rrf").desc, col("doc_id").asc)
-      fused.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      rrfFusedTop10(lex, vec)
         .select(col("query_id"), col("doc_id"),
           round(col("__rrf"), 6).as("rrf"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    "text_hybrid_rrf_blocked" -> ((s, dir) => {
+      // RRF fusion consuming an INDEX-BACKED vector shortlist — the
+      // operational hybrid-search shape at 100 TB: the lexical side
+      // was already the persisted BM25 inverted index; this closes
+      // the vector side with the persisted IVF index probe (cells +
+      // nprobe equi-join, exact cosine re-rank within probed cells)
+      // instead of the O(n·|q|) brute scan, so BOTH retrievers answer
+      // from stored indexes and the corpus is never rescanned per
+      // query batch. Contract is fused-top-10 rank overlap against
+      // the brute-fused tier (the sim_bitext_blocked precedent —
+      // k-means cells are not SQL-replayable): measured per-anchor
+      // overlap with 16 cells / nprobe 8 is 10/10/10 at sf0.001 and
+      // 10/10/9 at sf0.01 (one anchor's rank-20 cosine tail sits in
+      // an unprobed cell — RRF demotes it to the fused tail, so the
+      // fused list loses exactly one doc); pinned with margin at
+      // >= 80%.
+      val idxPath = tmpPath(dir, "bm25_rrfb")
+      phase("build") {
+        graft.functions.Curation.saveBm25Index(
+          t(s, dir, "documents"), "doc_id", "text", idxPath)
+      }
+      val e = t(s, dir, "embeddings")
+      val ivfPath = tmpPath(dir, "rrf_ivf")
+      phase("build") {
+        V.saveIvfIndex(e, "vec_id", "embedding", ivfPath,
+          clusters = 16, iters = 2)
+      }
+      val lex = graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
+        queries = rrfAnchorQueries,
+        k = 20).select(col("query_id"), col("doc_id"),
+          col("rank").as("__rl"))
+      val vecBlocked = V.ivfTopKFromIndex(ivfPath, e, "vec_id", "embedding",
+          col("vec_id").isin(0L, 1L, 2L), k = 20, nprobe = 8)
+        .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+          col("rank").as("__rv"))
+      val blocked = rrfFusedTop10(lex, vecBlocked)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("__hit"))
+      // brute-fused reference — the contract harness side
+      val qv = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val vecBrute = V.bruteForceTopK(qv,
+          e.select(col("vec_id").as("c_id"), col("embedding").as("__cv")),
+          "query_id", "c_id", "__qv", "__cv", 20)
+        .select(col("query_id"), col("c_id").as("doc_id"),
+          col("rank").as("__rv"))
+      rrfFusedTop10(lex, vecBrute).select("query_id", "doc_id")
+        .join(blocked, Seq("query_id", "doc_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_brute"),
+          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("__h"))
+        .select(col("query_id"), col("n_brute"),
+          (col("__h") * 100L >= col("n_brute") * 80L).as("overlap_ok"))
+        .orderBy("query_id")
     }),
 
     "text_heavy_hitters" -> ((s, dir) => {
@@ -6865,61 +6990,27 @@ object SparkEntry {
         // replay: BM25 top-20 (same scoring chain as text_hybrid_rerank)
         // FULL OUTER the cosine top-20 per anchor, fuse by
         // Σ 1/(60+rank) from integer ranks, top-10 on the exact double
-        """WITH q(query_id, token) AS (VALUES
-             (0, 'spark'), (0, 'window'),
-             (1, 'hash'), (1, 'merge'), (1, 'vector'),
-             (2, 'customer'), (2, 'query')),
-           tok AS (
-             SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-             FROM documents),
-           dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
-           stats AS (SELECT COUNT(*) AS n_docs,
-                            SUM(dl) / COUNT(*) AS avgdl FROM dl),
-           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-                  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
-           df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-           term AS (
-             SELECT q.query_id, tf.doc_id,
-                    CAST(ROUND(
-                      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-                      * (CAST(tf AS DOUBLE) * 2.2)
-                      / (CAST(tf AS DOUBLE)
-                         + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-                      AS DECIMAL(18,6)) AS s
-             FROM tf JOIN q USING (token) JOIN dl USING (doc_id)
-                  JOIN df USING (token) CROSS JOIN stats),
-           scored AS (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
-                      FROM term GROUP BY 1, 2),
-           lexr AS (
-             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-                    ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY score DESC, doc_id) AS rl
-             FROM scored QUALIFY rl <= 20),
-           qv AS (SELECT vec_id AS query_id, embedding AS qvec
-                  FROM embeddings WHERE vec_id IN (0, 1, 2)),
-           vcand AS (
-             SELECT qv.query_id, e.vec_id AS doc_id,
-                    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
-                    / (SQRT(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-                       * SQRT(list_sum(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))) AS cos
-             FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
-           vecr AS (
-             SELECT query_id, doc_id,
-                    ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cos DESC, doc_id) AS rv
-             FROM vcand QUALIFY rv <= 20),
-           fused AS (
-             SELECT query_id, doc_id,
-                    COALESCE(1.0 / (60.0 + rl), 0.0)
-                      + COALESCE(1.0 / (60.0 + rv), 0.0) AS rrf
-             FROM lexr FULL OUTER JOIN vecr USING (query_id, doc_id))
+        (hybridRrfOracleCtes + """
            SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
            FROM fused
            QUALIFY rank <= 10
-           ORDER BY query_id, rank""",
+           ORDER BY query_id, rank"""),
+
+      "text_hybrid_rrf_blocked" ->
+        // n_brute per anchor replays the brute-fused top-10 count; the
+        // overlap floor is asserted engine-side (IVF cells are not
+        // SQL-replayable — the sim_bitext_blocked precedent)
+        (hybridRrfOracleCtes + """
+           SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_brute,
+                  TRUE AS overlap_ok
+           FROM (SELECT query_id, doc_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, doc_id) AS rank
+                 FROM fused QUALIFY rank <= 10)
+           GROUP BY query_id
+           ORDER BY query_id"""),
 
       "text_heavy_hitters" ->
         """WITH tok AS (
