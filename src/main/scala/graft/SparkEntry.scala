@@ -3163,19 +3163,21 @@ object SparkEntry {
       // tail as the calibration tier (margins computed from the
       // RETRIEVED neighborhoods, as real mining pipelines do). Contract
       // is recall of the brute tier's mined pairs, the
-      // sim_knn_graph_blocked precedent. Operating point chosen by
-      // measurement (clusters × nprobe sweep): 16 cells / nprobe 8 =
-      // HALF the quadratic pair work at measured recall 0.706 (sf0.01)
-      // / 0.706 (sf0.1) — the only swept config whose recall was flat
-      // across a 10× corpus growth; pinned with margin at >= 0.55.
+      // sim_knn_graph_blocked precedent. Operating point from the r12
+      // (cells × nprobe) frontier sweep (SCALING.md #58): at the SAME
+      // work fraction, finer cells dominate — 64 cells / nprobe 32 is
+      // still HALF the quadratic pair work but measures recall 0.908
+      // (sf0.01) / 0.835 (sf0.1) where the r11 16/8 point measured
+      // 0.706 flat; the next frontier step (16/12 ≈ 0.9 recall) costs
+      // 1.5× this work for +0.07. Pinned with margin at >= 0.75.
       val (aS, bS) = bitextSlices(s, dir)
       val cents = V.kmeansCentroids(
         t(s, dir, "embeddings").select("vec_id", "embedding"),
-        "vec_id", "embedding", k = 16, iters = 2)
+        "vec_id", "embedding", k = 64, iters = 2)
       val topA = V.crossTopKBlocked(aS, bS, "a_id", "b_id", "__av", "__bv",
-        k = 4, cents, nprobe = 8)
+        k = 4, cents, nprobe = 32)
       val topB = V.crossTopKBlocked(bS, aS, "b_id", "a_id", "__bv", "__av",
-        k = 4, cents, nprobe = 8)
+        k = 4, cents, nprobe = 32)
       val minedBlocked = bitextMargin(topA, topB, k = 4)
         .select(col("a_id"), col("b_id"), lit(1L).as("__hit"))
       bitextMineBrute(s, dir).select("a_id", "b_id")
@@ -3186,7 +3188,7 @@ object SparkEntry {
           // the oracle has (0, TRUE) for the vacuous contract
           coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("__h"))
         .select(col("n_brute"),
-          (col("__h") * 100L >= col("n_brute") * 55L).as("recall_ok"))
+          (col("__h") * 100L >= col("n_brute") * 75L).as("recall_ok"))
     }),
 
     "c1_string_ops" -> ((s, dir) => {
