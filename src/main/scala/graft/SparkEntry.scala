@@ -1514,12 +1514,21 @@ object SparkEntry {
       // shared-intermediate contract; harness consumers clearCache)
       val cand = D.lshCandidatePairs(d, "doc_id", toks, k = 16, bands = 4)
         .persist()
+      // per-pair set sizes via ONE merge scan: shingleHashes emits
+      // ascending-sorted distinct hashes, so |A∩B| is a linear merge
+      // (native SortedIntersectCount, zero allocation) and |A∪B| =
+      // |A|+|B|−|A∩B| — bit-identical to the
+      // array_intersect/array_union pair this replaces at ~10× less
+      // CPU per candidate (the audit's dominant cost at any scale)
       val pairCounts = (p: DataFrame) => p
         .join(hs.select(col("doc_id").as("id_a"), col("th").as("__ta")), Seq("id_a"))
         .join(hs.select(col("doc_id").as("id_b"), col("th").as("__tb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("__i"),
-          size(array_union(col("__ta"), col("__tb"))).cast("long").as("__u"))
+          graft.plans.SortedIntersectCount
+            .sortedIntersectCount(col("__ta"), col("__tb")).as("__i"),
+          (size(col("__ta")) + size(col("__tb"))).cast("long").as("__ab"))
+        .select(col("id_a"), col("id_b"), col("__i"),
+          (col("__ab") - col("__i")).as("__u"))
       val taus = explode(array(lit(300000L), lit(500000L), lit(700000L)))
         .as("tau_ppm")
       val isTrue = col("__i") * 1000000L >= col("__u") * col("tau_ppm")
@@ -3745,8 +3754,12 @@ object SparkEntry {
       // by construction), candidates reduce to (block, value)
       // equi-joins + one exact bit_count(xor) verify each; never an
       // all-pairs XOR scan. Integer-only output.
+      // persist before the global sort: range partitioning SAMPLES its
+      // child, so an unpersisted 3.5M-pair pipeline runs twice (sample
+      // pass + sort pass); the cache is query-local (harness clearCache)
       D.simhashHammingPairs(t(s, dir, "documents"), "doc_id",
           T.tokens(lower(col("text"))), bits = 32, maxHamming = 3)
+        .persist()
         .orderBy("id_a", "id_b")),
 
     "dedup_simhash_persisted" -> ((s, dir) => {
@@ -3761,6 +3774,7 @@ object SparkEntry {
           T.tokens(lower(col("text"))), idxPath, bits = 32, maxHamming = 3)
       }
       D.simhashPairsFromIndex(s, idxPath, maxHamming = 3)
+        .persist() // sample+sort read one materialization (see hamming)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3783,6 +3797,7 @@ object SparkEntry {
           toks, idxPath, bits = 32, maxHamming = 3)
       }
       D.simhashPairsFromIndex(s, idxPath, maxHamming = 3)
+        .persist() // sample+sort read one materialization (see hamming)
         .orderBy("id_a", "id_b")
     }),
 

@@ -1,0 +1,68 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive parallelism for CPU-bound stages over byte-small
+  * inputs.
+  *
+  * Spark sizes scan and post-shuffle partitions by BYTES
+  * (`spark.sql.files.maxPartitionBytes`, AQE's advisory partition
+  * size). That is the right policy when cost ~ bytes, but the engine's
+  * quadratic/heavy-per-row passes (all-pairs vector scoring, per-pair
+  * set intersection, per-token digesting, Lloyd iterations) cost far
+  * more CPU per byte than a columnar scan: a corpus slice that packs
+  * into one 128 MB scan split — or that AQE coalesces into two
+  * post-shuffle partitions — can carry minutes of single-task compute
+  * while the rest of the cluster idles (the guide's §2.5 "one huge
+  * unsplittable input" straggler, in byte-cheap clothing).
+  *
+  * [[widen]] round-robin-repartitions such an input to the cluster's
+  * `defaultParallelism`, but ONLY when the optimizer's size estimate
+  * says the scan cannot reach that parallelism on its own
+  * (estimated bytes < maxPartitionBytes x defaultParallelism). At real
+  * scale the inputs feeding these passes are orders of magnitude past
+  * the threshold and widen is the identity — no extra exchange is ever
+  * added on a 100 TB path; on the small side the exchange moves the
+  * (projected, slim) rows once and buys full-cluster execution of the
+  * expensive pass. `defaultParallelism` tracks the cluster (total
+  * executor cores), not a tuned constant.
+  *
+  * Determinism: keyless repartition sorts locally before the
+  * round-robin (SPARK-23207), so the row-to-partition assignment is
+  * retry-stable; every downstream consumer in the engine is order-free
+  * by discipline (bounded top-k with total tie-breaks, DECIMAL sums,
+  * sort_array'd collects), so results are bit-identical with and
+  * without the exchange.
+  */
+object Fan {
+
+  /** Repartition `df` to defaultParallelism iff its estimated size is
+    * too small for the scan/AQE to reach that parallelism by bytes.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val threshold =
+      BigInt(spark.sessionState.conf.filesMaxPartitionBytes) * p
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < threshold) df.repartition(p) else df
+  }
+
+  /** Keyed sibling of [[widen]] for row-multiplying equi-joins (LSH
+    * band / pigeonhole-block self-joins): hash-partition on the join
+    * key at defaultParallelism with a USER-pinned partition count, so
+    * AQE cannot fold the byte-small posting shuffle onto one task and
+    * serialize the (pairs-proportional) join output. The downstream
+    * join on the same key reuses this exchange — no second shuffle.
+    * Identity once the input is byte-big, where AQE's own sizing (and
+    * its skew handling) take over.
+    */
+  def widenBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val threshold =
+      BigInt(spark.sessionState.conf.filesMaxPartitionBytes) * p
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < threshold) df.repartition(p, keys: _*) else df
+  }
+}

@@ -76,7 +76,7 @@ object DedupFunctions {
                           maxBucket: Int = 10000): DataFrame =
     simhashPairsFromPostings(
       simhashBlockRows(df, idCol, elemsCol, bits, maxHamming),
-      maxHamming, maxBucket)
+      maxHamming, maxBucket, bits)
 
   /** The pigeonhole postings of the simhash Hamming tier: one
     * (id, sh, blk, bv) row per block per doc — the persistable side of
@@ -107,18 +107,51 @@ object DedupFunctions {
     * bucket, equi-join candidates, one exact bit_count(xor) each.
     */
   def simhashPairsFromPostings(keys: DataFrame, maxHamming: Int,
-                               maxBucket: Int = 10000): DataFrame = {
+                               maxBucket: Int = 10000,
+                               bits: Int = 32): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0,
+      s"simhashPairsFromPostings: bits ($bits) must split into $blocks blocks")
+    val bpb = bits / blocks
+    val bvMask = (1L << bpb) - 1
     val small = keys.groupBy("blk", "bv").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxBucket).select("blk", "bv")
-    val kept = keys.join(small, Seq("blk", "bv"), "left_semi")
+    // FIRST-MATCH dedup instead of a pair-stream distinct: a near-dup
+    // pair matches on up to `blocks` block values (identical
+    // fingerprints match on all of them), so the naive pipeline pushes
+    // a blocks×-duplicated candidate stream through a distinct — at
+    // sf0.1 a 14M-row shuffle + two hash aggregates for 3.5M unique
+    // pairs. Instead each id carries a bitmask of its UNCAPPED blocks
+    // (capped buckets derive no candidates, so a capped block must not
+    // suppress; the bitmask is one partitioned window over the ≤blocks
+    // posting rows per id — linear at any scale), and a pair is EMITTED
+    // ONLY at its smallest shared uncapped block. Equal block values put
+    // both ids in the SAME bucket, so one side's uncapped bit decides
+    // for the pair, and the shared prior block values come straight off
+    // the two fingerprints: the whole check is `blocks−1` unrolled
+    // integer terms inside whole-stage codegen. Exactly one row per
+    // qualifying pair: no distinct, no pair-stream exchange. Output set
+    // is bit-identical to the distinct it replaces.
+    val sided = keys.join(small, Seq("blk", "bv"), "left_semi")
+      .withColumn("__km", sum(expr("shiftleft(1L, blk)"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    // see lshCandidatePairs: the block self-join multiplies byte-small
+    // postings into millions of verify pairs — pin cluster-width
+    // partitioning so the pair generation + exact verify parallelize
+    val kept = graft.core.Fan.widenBy(sided, col("blk"), col("bv"))
     kept.as("x")
       .join(kept.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
+      .filter(!(0 until blocks - 1).map { b =>
+        (lit(b) < col("x.blk")) &&
+          (shiftright(col("x.sh"), b * bpb).bitwiseAND(lit(bvMask)) ===
+            shiftright(col("y.sh"), b * bpb).bitwiseAND(lit(bvMask))) &&
+          (shiftright(col("x.__km"), b).bitwiseAND(lit(1L)) === lit(1L))
+      }.reduce(_ || _))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hammingDistance(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Jaccard similarity of two string arrays (exact, set semantics). */
@@ -161,7 +194,15 @@ object DedupFunctions {
     // at sane bitsPerBand sizing the cap never binds on uniform data.
     val small = keys.groupBy(col("band_key")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxBucket).select("band_key")
-    val kept = keys.join(small, Seq("band_key"), "left_semi")
+    // pin the self-join's partitioning at cluster width when the posting
+    // side is byte-small: the join multiplies its input into millions of
+    // candidate rows (CPU and partial-dedup cost ~ pairs), which AQE's
+    // bytes-based coalescing cannot see — it would fold the tiny posting
+    // shuffle onto one task and generate every pair serially. widenBy is
+    // the identity once the postings are big enough to split on bytes,
+    // where AQE's own sizing takes over.
+    val kept = graft.core.Fan.widenBy(
+      keys.join(small, Seq("band_key"), "left_semi"), col("band_key"))
     kept.as("a")
       .join(kept.as("b"), Seq("band_key"))
       .filter(col("a.id") < col("b.id"))
@@ -379,10 +420,11 @@ object DedupFunctions {
   def simhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, maxHamming: Int,
                             maxBucket: Int = 10000,
-                            asOf: Int = Int.MaxValue): DataFrame =
+                            asOf: Int = Int.MaxValue,
+                            bits: Int = 32): DataFrame =
     simhashPairsFromPostings(
       simhashIndexLive(spark, path, asOf).select("id", "sh", "blk", "bv"),
-      maxHamming, maxBucket)
+      maxHamming, maxBucket, bits)
 
   /** Hamming-ball partners of each probe doc among the index side:
     * occupancy cap on the INDEX buckets (the [[probeSpanHits]] shape),
@@ -454,6 +496,13 @@ object DedupFunctions {
     */
   def winnowIndex(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4): DataFrame =
+    // NOT widened (unlike gramPostings): this producer also runs on
+    // byte-tiny PROBE batches and inside index-build writes, where the
+    // widen exchange (and its keyless-repartition local sort of full
+    // text rows, SPARK-23207) costs more than the winnow pass it would
+    // parallelize — measured +0.9 s on dedup_retract's build+probe
+    // phases. The quadratic consumer is already cluster-pinned at its
+    // own site (spanContainmentFromIndex's widenBy on the h-join).
     df.select(col(idCol).as("id"),
         explode(graft.plans.WinnowExpr.winnow(col(textCol), k, w)).as("h"))
 
@@ -468,7 +517,9 @@ object DedupFunctions {
     val sizes = sel.groupBy("id").agg(count(lit(1)).as("n"))
     val keep = sel.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
-    val pruned = sel.join(keep, Seq("h"))
+    // pin cluster-width partitioning on the pair-multiplying self-join
+    // (see lshCandidatePairs)
+    val pruned = graft.core.Fan.widenBy(sel.join(keep, Seq("h")), col("h"))
     val shared = pruned.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -516,12 +567,14 @@ object DedupFunctions {
       explode(array_distinct(split(col("name"), "\\s+"))).as("t"))
     val keep = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("t")
-    val blocked = tok.join(keep, Seq("t"))
-    val cand = blocked.as("a")
+    val blocked = graft.core.Fan.widenBy(tok.join(keep, Seq("t")), col("t"))
+    // widen the verify stage too: the distinct's output is byte-tiny,
+    // so AQE would fold the per-pair levenshtein onto one task
+    val cand = graft.core.Fan.widen(blocked.as("a")
       .join(blocked.as("b"),
         col("a.t") === col("b.t") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
+      .distinct())
     cand
       .withColumn("lev",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
@@ -591,8 +644,8 @@ object DedupFunctions {
             s" i -> substring(name, i, $q))")))).as("g"))
     val keep = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
-    val blocked = grams.join(keep, Seq("g"))
-    blocked.as("a")
+    val blocked = graft.core.Fan.widenBy(grams.join(keep, Seq("g")), col("g"))
+    graft.core.Fan.widen(blocked.as("a")
       .join(blocked.as("b"),
         col("a.g") === col("b.g") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
@@ -602,7 +655,7 @@ object DedupFunctions {
       // shrinks the distinct's shuffle by every pair the levenshtein
       // could never accept (|len(a) − len(b)| > maxDist ⇒ lev > maxDist)
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .distinct()
+      .distinct())
       .withColumn("lev",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .where(col("lev") <= maxDist)
@@ -640,7 +693,10 @@ object DedupFunctions {
       df.select(col(idCol).as(id),
         posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
           .as(Seq(pos, "sh")))
-    val matches = positional(train, "doc_id", "tpos")
+    // widen the train side: the positional gram digest + broadcast probe
+    // is CPU-dense per text byte (see Fan.widen); the eval side stays a
+    // benchmark-sized broadcast
+    val matches = positional(graft.core.Fan.widen(train), "doc_id", "tpos")
       .join(broadcast(positional(eval, "eval_id", "epos")), "sh")
       .select(col("doc_id"), col("eval_id"),
         (col("tpos") - col("epos")).as("diag"), col("tpos"))
@@ -708,7 +764,9 @@ object DedupFunctions {
     */
   def gramPostings(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    // widen first: the per-doc gram digesting + explode is CPU-dense
+    // relative to the text bytes — one scan split must not serialize it
+    graft.core.Fan.widen(docs).select(col(idCol).as("id"),
         size(split(trim(col(textCol)), "\\s+")).as("ntk"),
         posexplode(graft.plans.ShingleHashExpr.shingleHashesSeq(col(textCol), n))
           .as(Seq("p", "h")))

@@ -453,11 +453,17 @@ object TextFunctions {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = filter(tokens(lower(col(textCol))), t => length(t) > lit(0))
+    // widen once: tokenization, the vocab map and the per-pair literal
+    // lookups are interpreted HOFs — CPU-dense per text byte, so a
+    // byte-small corpus must not run them on one scan task (Fan.widen
+    // is the identity at scale). The scoring fold itself stays an
+    // in-row document-order aggregate — partitioning cannot change it.
+    val based = graft.core.Fan.widen(docs.filter(col(textCol).isNotNull))
     // the true CCNet shape: `trainFilter` picks the reference-domain
     // slice the LM trains on (e.g. a known-clean subcorpus); the WHOLE
     // corpus is then scored against that model. Default trains on
     // everything (self-perplexity).
-    val trainDocs = docs.filter(col(textCol).isNotNull).filter(trainFilter)
+    val trainDocs = based.filter(trainFilter)
     // vocabulary: top-K tokens by (count desc, token asc) — the
     // deterministic tie-break both engines replay
     val vocab = trainDocs
@@ -501,7 +507,7 @@ object TextFunctions {
     val unseenCtxLp = lp6(alpha, denomK) // context never seen: ln(1/(V+1))
     val bMap = typedLit(bigramLp)
     val cMap = typedLit(ctxLp)
-    docs.filter(col(textCol).isNotNull)
+    based
       .select(col(idCol), mapped.as("__m"))
       .filter(size(col("__m")) >= 2)
       .select(col(idCol),
@@ -551,7 +557,10 @@ object TextFunctions {
     require(alpha > 0.0 && java.lang.Double.isFinite(alpha),
       s"alpha must be finite and > 0 (smoothing divides by it), got $alpha")
     val toks = filter(tokens(lower(col(textCol))), t => length(t) > lit(0))
-    val trainDocs = docs.filter(col(textCol).isNotNull).filter(trainFilter)
+    // widen once (see bigramLmScore): tokenize + pair explode are
+    // CPU-dense per text byte; the DECIMAL per-doc sum is order-free
+    val based = graft.core.Fan.widen(docs.filter(col(textCol).isNotNull))
+    val trainDocs = based.filter(trainFilter)
     val vocab = trainDocs
       .select(explode(toks).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c"))
@@ -590,7 +599,7 @@ object TextFunctions {
       round(log(lit(alpha) / (col("__cc") + lit(denomK))), 6).as("__clp"))
     val unseenCtxLp = BigDecimal(math.log(alpha / denomK))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    mapped(pairsOf(docs))
+    mapped(pairsOf(based))
       .join(bgLp, Seq("__a", "__b"), "left")
       .join(ctxLp, Seq("__a"), "left")
       .select(col("__id"),

@@ -125,9 +125,15 @@ object VectorFunctions {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
                      qVec: String, cVec: String, k: Int): DataFrame = {
-    // norms once per side, not once per pair (identical doubles)
+    // norms once per side, not once per pair (identical doubles).
+    // The streamed corpus side is widened first: the O(|q|·|corpus|)
+    // scoring pass costs CPU ~ pairs, not bytes, so a corpus slice that
+    // packs into one scan split would otherwise run the whole quadratic
+    // pass on one task (measured 3.54 s -> 0.81 s for the sf0.1 kNN
+    // graph; Fan.widen is the identity once the corpus is big enough to
+    // split on bytes alone).
     val q = queries.withColumn("__qn", norm(col(qVec)))
-    val c = corpus.withColumn("__cn", norm(col(cVec)))
+    val c = graft.core.Fan.widen(corpus).withColumn("__cn", norm(col(cVec)))
     val joined = c
       .join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("score", safeRatio(dot(col(qVec), col(cVec)), col("__qn") * col("__cn")))
@@ -175,7 +181,10 @@ object VectorFunctions {
     val d = delta.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
     val c = full.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
     val deltaRows = bruteForceTopK(d, c, "q_id", "c_id", "__qv", "__cv", k)
-    val qn = corpus.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+    // widen the streamed corpus side of the vs-delta scoring pass
+    // (|delta| cosines per corpus row — see bruteForceTopK)
+    val qn = graft.core.Fan.widen(
+        corpus.select(col(idCol).as("q_id"), col(vecCol).as("__qv")))
       .withColumn("__qn", norm(col("__qv")))
     val dn = delta.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
@@ -361,7 +370,8 @@ object VectorFunctions {
     val cells = kmeansAssign(vecs, idCol, vecCol, cents)
     // probe replication: top-nprobe cells per vector by the exact
     // distance expression kmeansAssign ranks with (cid tie-break)
-    val scoredCells = vecs.withColumn("__vv", dot(col(vecCol), col(vecCol)))
+    val scoredCells = graft.core.Fan.widen(vecs)
+      .withColumn("__vv", dot(col(vecCol), col(vecCol)))
       .crossJoin(broadcast(
         cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
       .withColumn("__dist",
@@ -399,7 +409,8 @@ object VectorFunctions {
     require(nprobe >= 1, "crossTopKBlocked: need nprobe >= 1")
     val cells = kmeansAssign(corpus, cId, cVec, cents)
       .select(col(cId), col(cVec), col("cid"))
-    val scoredCells = queries.withColumn("__vv", dot(col(qVec), col(qVec)))
+    val scoredCells = graft.core.Fan.widen(queries)
+      .withColumn("__vv", dot(col(qVec), col(qVec)))
       .crossJoin(broadcast(
         cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
       .withColumn("__dist",
@@ -461,7 +472,10 @@ object VectorFunctions {
     // composition costs five interpreted lambda passes per vector
     def codes(v: Column): Column = graft.plans.Int8CodesExpr.int8Codes(v)
     val q0 = queries.select(col(qId), codes(col(qVec)).as("__qq"))
-    val c0 = corpus.select(col(cId), codes(col(cVec)).as("__cq"))
+    // widen the streamed code side: integer-dot × |q| per corpus row is
+    // CPU-bound, not byte-bound (see bruteForceTopK)
+    val c0 = graft.core.Fan.widen(
+      corpus.select(col(cId), codes(col(cVec)).as("__cq")))
     val cand = c0.join(broadcast(q0), col(qId) =!= col(cId))
       .withColumn("score", dot(col("__qq"), col("__cq")))
     val short = rankTopK(cand, qId, cId, shortlist).select(col(qId), col(cId))
@@ -520,8 +534,8 @@ object VectorFunctions {
     val spark = corpus.sparkSession
     val q0 = corpus.filter(queryFilter).select(col(idCol).as("q_id"),
       graft.plans.Int8CodesExpr.int8Codes(col(vecCol)).as("__qq"))
-    val c0 = int8Codes(spark, path, asOf)
-      .select(col("id").as("c_id"), col("codes").as("__cq"))
+    val c0 = graft.core.Fan.widen(int8Codes(spark, path, asOf)
+      .select(col("id").as("c_id"), col("codes").as("__cq")))
     val cand = c0.join(broadcast(q0), col("q_id") =!= col("c_id"))
       .withColumn("score", dot(col("__qq"), col("__cq")))
     val short = rankTopK(cand, "q_id", "c_id", shortlist)
@@ -784,11 +798,20 @@ object VectorFunctions {
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame): DataFrame = {
+    // NOT widened (unlike the quadratic scoring paths): the assignment
+    // is k distance folds per row feeding a map-side WindowGroupLimit —
+    // cheap per row — and it sits inside iterative builds where an
+    // extra exchange per Lloyd step measurably outweighs the
+    // parallelism it buys (bench: IVF-PQ build 4.2 s -> 6.0 s with the
+    // widen, reverted). The expensive consumers (cell pair joins, ADC
+    // scans) widen at their own sites.
+    //
     // ||v||² once per row and ||c||² once per centroid instead of once
     // per (row, centroid) pair — the same three doubles reach the same
     // a - 2b + c expression, so distances (and ties) are bit-identical,
     // at 1/k of the self-dot work
-    val joined = df.withColumn("__vv", dot(col(vecCol), col(vecCol)))
+    val joined = df
+      .withColumn("__vv", dot(col(vecCol), col(vecCol)))
       .crossJoin(broadcast(
         centroids.withColumn("__cc", dot(col("centroid"), col("centroid")))))
       .withColumn("__dist",
@@ -882,7 +905,7 @@ object VectorFunctions {
     val q = probed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cid"))
-    val joined = cells.join(broadcast(q), Seq("cid"))
+    val joined = graft.core.Fan.widen(cells).join(broadcast(q), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     rankTopK(joined, "q_id", "c_id", k)
@@ -1188,7 +1211,9 @@ object VectorFunctions {
                        qVec: String, cVec: String,
                        m: Int, dim: Int, k: Int, shortlist: Int): DataFrame = {
     val qtab = adcTable(queries, Seq(qId), qVec, codebooks, m, dim)
-    val adcScored = packed.crossJoin(broadcast(qtab))
+    // widen the streamed code side: |q| ADC lookup-sums per corpus row
+    // (CPU ~ q×n, bytes ~ m ints/row — see bruteForceTopK)
+    val adcScored = graft.core.Fan.widen(packed).crossJoin(broadcast(qtab))
       .filter(col(qId) =!= col(cId))
       .withColumn("score", -graft.plans.AdcDistance.adc(col("codes"), col("__dtab")))
     val short = rankTopK(adcScored, qId, cId, shortlist)

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Intersection COUNT of two ascending-sorted duplicate-free
+  * `array<long>` columns — one linear merge scan per pair, zero
+  * allocation.
+  *
+  * Precondition (the caller's contract, not re-checked per row): both
+  * arrays are strictly ascending. [[ShingleHashExpr]] emits exactly
+  * that shape (its TreeSet-distinct hashes iterate in ascending order),
+  * so any pair of `shingle_hashes` columns qualifies.
+  *
+  * Exists because the set-audit hot path (`dedup_minhash_audit`'s 6.2M
+  * candidate verifications at sf0.1; any banding audit at scale pays
+  * one of these per candidate pair) previously computed
+  * `size(array_intersect(a, b))` + `size(array_union(a, b))`: each call
+  * builds a hash set and an output array per PAIR. On pre-sorted
+  * distinct inputs the same two numbers are one merge scan
+  * (|A∩B| here; |A∪B| = |A| + |B| − |A∩B| from the stored sizes) —
+  * measured ~10x less per-pair CPU, bit-identical counts.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count needs two array<long>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedIntersectCount.compute(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.plans.SortedIntersectCount.compute($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+object SortedIntersectCount {
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** |a ∩ b| for ascending-sorted distinct long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
