@@ -4407,6 +4407,11 @@ object SparkEntry {
         .withColumn("__res", zip_with(col("embedding").cast("array<double>"),
           col("centroid"), (a, b) => a - b))
         .select(col("vec_id"), col("cid").as("cell"), col("__res"))
+        // two consumers (encode explosion + cell join-back) — persist
+        // like saveIvfPqIndex/mergeIvfPqDelta do, or the full-corpus
+        // coarse-assign window replays per consumer (query-local cache;
+        // harness clearCaches between queries)
+        .persist()
       val full = V.pqEncodePacked(res, "vec_id", "__res", books, 4, 64)
         .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
         .select(col("vec_id").as("id"), col("cell"), col("codes"))

@@ -183,7 +183,13 @@ object DedupFunctions {
     // bits as minhashSignature, one array traversal instead of k
     val sig  = df.select(col(idCol).as("id"),
       graft.plans.MinHashSignature.signature(elemsCol, k).as("sig"))
-    val keys = sig.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("band_key"))
+    // each posting row carries the id's FULL band-key array (__ks) so
+    // the pair stage below can read the two sides' prior-band keys
+    // without a second join — bands×32 chars per doc, still
+    // catalog-slim (the "keys only" shuffle contract now means band
+    // keys, plural)
+    val keys = sig.select(col("id"), bandKeys(col("sig"), bands, rows).as("__ks"))
+      .select(col("id"), col("__ks"), posexplode(col("__ks")).as(Seq("band", "band_key")))
     // bucket-occupancy cap (maxDf-style, like span dedup's stop-span
     // prune): a bucket of m docs emits m²/2 pairs, so ONE zipf
     // mega-cluster of 10⁴ near-identical docs would emit 5·10⁷ pairs
@@ -194,20 +200,43 @@ object DedupFunctions {
     // at sane bitsPerBand sizing the cap never binds on uniform data.
     val small = keys.groupBy(col("band_key")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxBucket).select("band_key")
+    // FIRST-MATCH dedup instead of a pair-stream distinct (the
+    // simhashPairsFromPostings scheme): a near-dup pair collides in up
+    // to `bands` buckets (identical signatures in all of them), so the
+    // naive pipeline pushes a bands×-duplicated candidate stream
+    // through a distinct. Instead each id carries a bitmask of its
+    // UNCAPPED bands (capped buckets derive no candidates, so a capped
+    // band must not suppress; one partitioned window over the ≤bands
+    // posting rows per id), and a pair is emitted ONLY at its smallest
+    // shared uncapped band: bandKeys bakes the band index into the key
+    // (`band$b:` prefix), so key equality at a prior band ⇒ same
+    // bucket ⇒ one side's uncapped bit decides. `bands−1` unrolled
+    // string-equality terms inside whole-stage codegen; exactly one row
+    // per qualifying pair, no distinct, no pair-stream exchange —
+    // output set bit-identical to the distinct it replaces.
+    val sided = keys.join(small, Seq("band_key"), "left_semi")
+      .withColumn("__km", sum(expr("shiftleft(1L, band)"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
     // pin the self-join's partitioning at cluster width when the posting
     // side is byte-small: the join multiplies its input into millions of
-    // candidate rows (CPU and partial-dedup cost ~ pairs), which AQE's
-    // bytes-based coalescing cannot see — it would fold the tiny posting
-    // shuffle onto one task and generate every pair serially. widenBy is
-    // the identity once the postings are big enough to split on bytes,
-    // where AQE's own sizing takes over.
-    val kept = graft.core.Fan.widenBy(
-      keys.join(small, Seq("band_key"), "left_semi"), col("band_key"))
-    kept.as("a")
+    // candidate rows (CPU ~ pairs), which AQE's bytes-based coalescing
+    // cannot see — it would fold the tiny posting shuffle onto one task
+    // and generate every pair serially. widenBy is the identity once
+    // the postings are big enough to split on bytes, where AQE's own
+    // sizing (and skew handling) take over.
+    val kept = graft.core.Fan.widenBy(sided, col("band_key"))
+    val pairs = kept.as("a")
       .join(kept.as("b"), Seq("band_key"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val firstMatch =
+      if (bands <= 1) pairs
+      else pairs.filter(!(0 until bands - 1).map { b =>
+        (lit(b) < col("a.band")) &&
+          (element_at(col("a.__ks"), b + 1) ===
+            element_at(col("b.__ks"), b + 1)) &&
+          (shiftright(col("a.__km"), b).bitwiseAND(lit(1L)) === lit(1L))
+      }.reduce(_ || _))
+    firstMatch.select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
   /** MinHash-LSH star edges for CLUSTERING: per band bucket, connect

@@ -369,8 +369,11 @@ object VectorFunctions {
     val cents = kmeansCentroids(vecs, idCol, vecCol, clusters, iters)
     val cells = kmeansAssign(vecs, idCol, vecCol, cents)
     // probe replication: top-nprobe cells per vector by the exact
-    // distance expression kmeansAssign ranks with (cid tie-break)
-    val scoredCells = graft.core.Fan.widen(vecs)
+    // distance expression kmeansAssign ranks with (cid tie-break).
+    // NOT widened: k distance folds per row ahead of a window that
+    // re-shuffles by id anyway — the expensive stage is the cell join
+    // below, pinned at its own site.
+    val scoredCells = vecs
       .withColumn("__vv", dot(col(vecCol), col(vecCol)))
       .crossJoin(broadcast(
         cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
@@ -380,8 +383,12 @@ object VectorFunctions {
     val probes = scoredCells.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nprobe)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cid"))
-    val cand = cells
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("cid"))
+    // pin the cid-join's partitioning: the join multiplies its inputs
+    // into nprobe·n·(n/cells) cosine candidates — CPU ~ pairs, which
+    // AQE's bytes-based coalescing cannot see (see lshCandidatePairs)
+    val cand = graft.core.Fan.widenBy(
+        cells.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("cid")),
+        col("cid"))
       .join(probes, Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
@@ -407,9 +414,12 @@ object VectorFunctions {
                        qId: String, cId: String, qVec: String, cVec: String,
                        k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, "crossTopKBlocked: need nprobe >= 1")
+    // NOT widened (see knnGraphBlocked): the probe scoring is k folds
+    // per row ahead of an id-window; the quadratic stage is the cell
+    // join, pinned below.
     val cells = kmeansAssign(corpus, cId, cVec, cents)
       .select(col(cId), col(cVec), col("cid"))
-    val scoredCells = graft.core.Fan.widen(queries)
+    val scoredCells = queries
       .withColumn("__vv", dot(col(qVec), col(qVec)))
       .crossJoin(broadcast(
         cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
@@ -419,7 +429,10 @@ object VectorFunctions {
     val probes = scoredCells.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nprobe)
       .select(col(qId), col(qVec), col("cid"))
-    val cand = cells.join(probes, Seq("cid"))
+    // pin the cid-join's partitioning: nprobe·|q|·(n/cells) cosines —
+    // CPU ~ pairs, invisible to AQE's bytes-based coalescing
+    val cand = graft.core.Fan.widenBy(cells, col("cid"))
+      .join(probes, Seq("cid"))
       .withColumn("score", cosine(col(qVec), col(cVec)))
     rankTopK(cand, qId, cId, k)
   }
