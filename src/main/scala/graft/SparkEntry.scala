@@ -1371,32 +1371,33 @@ object SparkEntry {
       val bdP = tmpPath(dir, "rt_band")
       val wnP = tmpPath(dir, "rt_winnow")
       val shP = tmpPath(dir, "rt_simhash")
+      // the four index builds are INDEPENDENT jobs over distinct paths —
+      // overlap them (guide §2.6 back-fill; Fan.overlap) instead of
+      // paying four sequential job tails; same for the four retracts.
+      // Outputs are unchanged, only the wall clock moves; the phase
+      // timer records the honest combined wall time.
       phase("build") {
-        D.saveDigestIndex(docs, "doc_id", "text", dgP)
-      }
-      phase("build") {
-        D.saveBandIndexPersisted(docs, "doc_id", toks, bdP, k = 4, bands = 2)
-      }
-      phase("build") {
-        D.saveWinnowIndexPersisted(docs, "doc_id", "text", wnP, k = 6, w = 16)
-      }
-      phase("build") {
-        D.saveSimhashIndex(docs, "doc_id", T.tokens(lower(col("text"))),
-          shP, bits = 32, maxHamming = 3)
+        graft.core.Fan.overlap(Seq(
+          () => D.saveDigestIndex(docs, "doc_id", "text", dgP),
+          () => D.saveBandIndexPersisted(docs, "doc_id", toks, bdP,
+            k = 4, bands = 2),
+          () => D.saveWinnowIndexPersisted(docs, "doc_id", "text", wnP,
+            k = 6, w = 16),
+          () => D.saveSimhashIndex(docs, "doc_id",
+            T.tokens(lower(col("text"))), shP, bits = 32, maxHamming = 3)))
       }
       val retractIds = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("id"))
       phase("merge") {
-        graft.functions.SegmentedIndex.retract(s, dgP, retractIds, Seq("digests"))
-      }
-      phase("merge") {
-        graft.functions.SegmentedIndex.retract(s, bdP, retractIds, Seq("bands"))
-      }
-      phase("merge") {
-        graft.functions.SegmentedIndex.retract(s, wnP, retractIds, Seq("hashes"))
-      }
-      phase("merge") {
-        graft.functions.SegmentedIndex.retract(s, shP, retractIds, Seq("blocks"))
+        graft.core.Fan.overlap(Seq(
+          () => graft.functions.SegmentedIndex.retract(s, dgP, retractIds,
+            Seq("digests")),
+          () => graft.functions.SegmentedIndex.retract(s, bdP, retractIds,
+            Seq("bands")),
+          () => graft.functions.SegmentedIndex.retract(s, wnP, retractIds,
+            Seq("hashes")),
+          () => graft.functions.SegmentedIndex.retract(s, shP, retractIds,
+            Seq("blocks"))))
       }
       val probes = docs.filter(col("doc_id") % 25 === 0)
       val dHits = D.digestHitsFromIndex(dgP, probes, "doc_id", "text")
@@ -2215,15 +2216,16 @@ object SparkEntry {
       // fused list loses exactly one doc); pinned with margin at
       // >= 80%.
       val idxPath = tmpPath(dir, "bm25_rrfb")
-      phase("build") {
-        graft.functions.Curation.saveBm25Index(
-          t(s, dir, "documents"), "doc_id", "text", idxPath)
-      }
       val e = t(s, dir, "embeddings")
       val ivfPath = tmpPath(dir, "rrf_ivf")
+      // the two retrievers' index builds are independent (distinct
+      // paths, distinct inputs) — overlap them (guide §2.6, Fan.overlap)
       phase("build") {
-        V.saveIvfIndex(e, "vec_id", "embedding", ivfPath,
-          clusters = 16, iters = 2)
+        graft.core.Fan.overlap(Seq(
+          () => graft.functions.Curation.saveBm25Index(
+            t(s, dir, "documents"), "doc_id", "text", idxPath),
+          () => V.saveIvfIndex(e, "vec_id", "embedding", ivfPath,
+            clusters = 16, iters = 2)))
       }
       val lex = graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
         queries = rrfAnchorQueries,

@@ -65,4 +65,36 @@ object Fan {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est < threshold) df.repartition(p, keys: _*) else df
   }
+
+  /** Overlap INDEPENDENT driver-side Spark actions (guide §2.6): Spark's
+    * scheduler happily runs several jobs at once inside one application —
+    * actions are only sequential because driver code calls them
+    * sequentially. For a set of builds/retracts over DISTINCT output
+    * paths (no shared mutable state, each action deterministic on its
+    * own inputs), submitting them from a small thread pool lets the next
+    * job's tasks back-fill executors freed by the current job's tail.
+    * Results are unchanged — only the wall clock moves. Exceptions
+    * propagate (first failure rethrown after the pool drains its
+    * in-flight work).
+    */
+  def overlap(thunks: Seq[() => Unit], parallelism: Int = 4): Unit =
+    if (thunks.size <= 1) thunks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, thunks.size))
+      try {
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = t()
+          })
+        }
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdown()
+    }
 }
