@@ -12,6 +12,12 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // r12 verdict: the shared exact-graph memo made ~6 graph-family
+    // timed runs read a tmp parquet built during the untimed warmup.
+    // Clearing it with the caches makes every timed run pay its own
+    // build (visible as the exact_graph_build phase) — a measurement
+    // fix, not a query change; the graph family re-baselines in r13.
+    graft.SparkEntry.resetSharedIntermediates()
   }
 
   def main(args: Array[String]): Unit = {

@@ -679,6 +679,16 @@ object SparkEntry {
     */
   private val exactGraphBuilt =
     scala.collection.mutable.HashMap.empty[String, String]
+
+  /** Bench hook (r12 verdict): forget the per-JVM shared exact-graph
+    * memo so every TIMED run of a graph-family query pays its own
+    * exact build (reported via phase("exact_graph_build")) instead of
+    * reading a tmp parquet the untimed warmup populated. Verify and
+    * the test suites keep the memo — it only changes WHEN the work
+    * runs, never what any query returns.
+    */
+  def resetSharedIntermediates(): Unit =
+    exactGraphBuilt.synchronized { exactGraphBuilt.clear() }
   private def exactKnnGraph(s: SparkSession, dir: String, k: Int): DataFrame = {
     require(k <= 10, s"shared exact graph holds k <= 10, got $k")
     // build under a lock: parallel test suites walk the query registry

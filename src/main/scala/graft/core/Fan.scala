@@ -73,28 +73,58 @@ object Fan {
     * paths (no shared mutable state, each action deterministic on its
     * own inputs), submitting them from a small thread pool lets the next
     * job's tasks back-fill executors freed by the current job's tail.
-    * Results are unchanged — only the wall clock moves. Exceptions
-    * propagate (first failure rethrown after the pool drains its
-    * in-flight work).
+    * Results are unchanged — only the wall clock moves.
+    *
+    * Observability + failure semantics (guide §1.5 — job groups and
+    * descriptions are thread-local): every thunk runs under a shared
+    * job group with an `overlap i/n` description, so the UI attributes
+    * overlapped jobs; the FIRST failure cancels the group (siblings'
+    * in-flight jobs stop scheduling instead of racing the caller's
+    * failure handling), every future is drained before returning, and
+    * the first failure is rethrown with later ones attached as
+    * suppressed.
     */
   def overlap(thunks: Seq[() => Unit], parallelism: Int = 4): Unit =
     if (thunks.size <= 1) thunks.foreach(_.apply())
     else {
+      val sc = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext)
+      val group = s"graft-overlap-${java.util.UUID.randomUUID().toString.take(8)}"
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, thunks.size))
       try {
-        val futs = thunks.map { t =>
+        val futs = thunks.zipWithIndex.map { case (t, i) =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = t()
+            def call(): Unit = {
+              sc.foreach(_.setJobGroup(group,
+                s"overlap ${i + 1}/${thunks.size}", interruptOnCancel = false))
+              try t() finally sc.foreach(_.clearJobGroup())
+            }
           })
         }
+        var firstFailure: Option[Throwable] = None
         futs.foreach { f =>
           try f.get()
           catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw Option(e.getCause).getOrElse(e)
+            case e: Throwable =>
+              val cause = e match {
+                case ee: java.util.concurrent.ExecutionException =>
+                  Option(ee.getCause).getOrElse(ee)
+                case other => other
+              }
+              firstFailure match {
+                case None =>
+                  firstFailure = Some(cause)
+                  // stop siblings' in-flight jobs; queued thunks then
+                  // fail fast and land in suppressed below
+                  sc.foreach(_.cancelJobGroup(group))
+                case Some(ff) if ff ne cause => ff.addSuppressed(cause)
+                case _ => ()
+              }
           }
         }
+        firstFailure.foreach(throw _)
       } finally pool.shutdown()
     }
 }

@@ -412,29 +412,83 @@ object DedupFunctions {
                       path: String, asOf: Int = Int.MaxValue): DataFrame =
     SegmentedIndex.liveRows(spark, path, "hashes", asOf)
 
+  /** The simhash index's fingerprint geometry, persisted as a sibling
+    * manifest file (`$path/simhash_params`, plain key=value — zero
+    * Spark jobs; [[SegmentedIndex.cloneAt]] copies siblings). The
+    * geometry is part of the index identity: first-match pair
+    * suppression recomputes prior-block values from the stored `sh`
+    * using `bits`, so reading an index at the wrong width silently
+    * drops or duplicates pairs — merge and pair readers validate
+    * against this instead (r12 ADVICE).
+    */
+  private def writeSimhashParams(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, bits: Int,
+                                 maxHamming: Int): Unit = {
+    val (fs, p) = SegmentedIndex.hfs(spark, s"$path/simhash_params")
+    val out = fs.create(p, true)
+    try out.write(s"bits=$bits\nmaxHamming=$maxHamming\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSimhashParams(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Option[(Int, Int)] = {
+    val (fs, p) = SegmentedIndex.hfs(spark, s"$path/simhash_params")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val kv = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .flatMap { l => l.split("=", 2) match {
+            case Array(k, v) => Some(k -> v.trim.toInt)
+            case _ => None
+          } }.toMap
+        Some((kv("bits"), kv("maxHamming")))
+      } finally in.close()
+    }
+  }
+
+  private def requireSimhashParams(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, bits: Int,
+                                   maxHamming: Int, who: String): Unit =
+    readSimhashParams(spark, path).foreach { case (b, h) =>
+      require(b == bits && h == maxHamming,
+        s"$who: index at $path was built with bits=$b, maxHamming=$h " +
+          s"but was asked for bits=$bits, maxHamming=$maxHamming — " +
+          "mismatched geometry silently corrupts the pair set")
+    }
+
   /** Persist the simhash pigeonhole index ([[simhashBlockRows]] rows) —
     * the fourth dedup index family, same SegmentedIndex lifecycle as
     * digest/band/winnow: O(delta) merge, GDPR retraction via
-    * [[SegmentedIndex.retract]], asOf snapshot reads, compaction.
+    * [[SegmentedIndex.retract]], asOf snapshot reads, compaction. The
+    * fingerprint geometry (bits, maxHamming) is persisted alongside and
+    * validated by merge/pair readers.
     */
   def saveSimhashIndex(df: DataFrame, idCol: String, elemsCol: Column,
                        path: String, bits: Int = 32,
-                       maxHamming: Int = 3): Unit =
+                       maxHamming: Int = 3): Unit = {
     SegmentedIndex.createIndex(df.sparkSession, path, "blocks",
       simhashBlockRows(df, idCol, elemsCol, bits, maxHamming))
+    writeSimhashParams(df.sparkSession, path, bits, maxHamming)
+  }
 
   /** O(delta) refresh: new fingerprints are (maxHamming+1) posting rows
     * each; a re-ingested id tombstones its old fingerprint, null
     * content deletes (no rows derived). The merged live view replays
     * the batch tier bit for bit — same postings, same cap, same verify.
+    * Fails loudly if (bits, maxHamming) disagree with the geometry the
+    * index was built with.
     */
   def mergeSimhashDelta(delta: DataFrame, idCol: String, elemsCol: Column,
                         path: String, bits: Int = 32, maxHamming: Int = 3,
-                        trustedDelta: Boolean = false): Unit =
+                        trustedDelta: Boolean = false): Unit = {
+    requireSimhashParams(delta.sparkSession, path, bits, maxHamming,
+      "mergeSimhashDelta")
     SegmentedIndex.mergeDeltaRows(delta.sparkSession, path, "blocks",
       delta.select(col(idCol)),
       simhashBlockRows(delta, idCol, elemsCol, bits, maxHamming),
       trustedDelta)
+  }
 
   /** Live (id, sh, blk, bv) postings; `asOf` pins segments <= asOf. */
   def simhashIndexLive(spark: org.apache.spark.sql.SparkSession,
@@ -444,16 +498,23 @@ object DedupFunctions {
   /** Hamming-ball pairs of the LIVE index — bit-identical to
     * [[simhashHammingPairs]] over the same corpus state (same postings,
     * same occupancy cap, same exact verify), with zero text reads: the
-    * operational shape once fingerprints are persisted.
+    * operational shape once fingerprints are persisted. `bits` must
+    * match the geometry the index was built with (validated against the
+    * persisted manifest — first-match suppression recomputes prior
+    * block values from `sh` at this width, so a mismatch would silently
+    * drop or duplicate pairs).
     */
   def simhashPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, maxHamming: Int,
                             maxBucket: Int = 10000,
                             asOf: Int = Int.MaxValue,
-                            bits: Int = 32): DataFrame =
+                            bits: Int = 32): DataFrame = {
+    requireSimhashParams(spark, path, bits, maxHamming,
+      "simhashPairsFromIndex")
     simhashPairsFromPostings(
       simhashIndexLive(spark, path, asOf).select("id", "sh", "blk", "bv"),
       maxHamming, maxBucket, bits)
+  }
 
   /** Hamming-ball partners of each probe doc among the index side:
     * occupancy cap on the INDEX buckets (the [[probeSpanHits]] shape),

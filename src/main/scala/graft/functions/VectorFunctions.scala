@@ -291,9 +291,16 @@ object VectorFunctions {
         .filter(col("__old").isNull || !(col("nbrs") === col("__old")))
         .select("id", "nbrs")
         .persist()
+      // the replaced (tombstone) set is changed ∩ live — and the live
+      // ids are ALREADY in memory (oldLists): computing it here and
+      // passing idsKnownLive skips mergeDeltaRows' second read of the
+      // whole segment tree (guide §2.4 — the r12 shape re-scanned every
+      // segment per merge just to recompute what this persist holds)
+      val replaced = oldLists.select(col("id"))
+        .join(changed.select(col("id")), Seq("id"), "left_semi")
       try
         SegmentedIndex.mergeDeltaRows(spark, path, "graph",
-          changed.select("id"), changed, trustedDelta = true)
+          replaced, changed, trustedDelta = true, idsKnownLive = true)
       finally changed.unpersist(blocking = false)
     } finally oldLists.unpersist(blocking = false)
   }
@@ -328,8 +335,6 @@ object VectorFunctions {
           .join(broadcast(dead), col("id") === col("__dead"), "left_anti")
         val deadLive = pre.select("id")
           .join(broadcast(dead), col("id") === col("__dead"), "left_semi")
-        SegmentedIndex.retract(spark, path, deadLive, Seq("graph"),
-          idsKnownLive = true)
         val live = corpus.join(broadcast(dead),
           col(idCol) === col("__dead"), "left_anti")
         val q = live.join(affected.withColumnRenamed("id", idCol),
@@ -338,12 +343,21 @@ object VectorFunctions {
         val c = live.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
         val repaired = graphLists(
           bruteForceTopK(q, c, "q_id", "c_id", "__qv", "__cv", k)).persist()
-        // every repaired id is an affected live list by construction —
-        // the knownLive fast path skips a third segment-tree read
+        // ONE combined purge+repair segment (guide §2.4 — the r12 shape
+        // committed a tombstone-only retract segment and THEN a repair
+        // segment: two listings, four parquet writes, two renames).
+        // Segment semantics already express both events in one commit:
+        // a dead id tombstones with no re-ingested row (deletion), an
+        // affected id tombstones its old list and carries the repaired
+        // one (replacement — same-segment rows survive their own
+        // tombstones). Every id is live by construction (deadLive from
+        // the live view; affected anti-joins the dead set), so the
+        // knownLive fast path applies and the live graph afterwards is
+        // identical to the two-segment sequence.
         try
           SegmentedIndex.mergeDeltaRows(spark, path, "graph",
-            repaired.select("id"), repaired, trustedDelta = true,
-            idsKnownLive = true)
+            deadLive.unionByName(repaired.select("id")), repaired,
+            trustedDelta = true, idsKnownLive = true)
         finally repaired.unpersist(blocking = false)
       } finally pre.unpersist(blocking = false)
     } finally dead.unpersist(blocking = false)
@@ -366,23 +380,16 @@ object VectorFunctions {
                       nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= clusters,
       s"knnGraphBlocked: nprobe must be in [1, $clusters]")
-    val cents = kmeansCentroids(vecs, idCol, vecCol, clusters, iters)
-    val cells = kmeansAssign(vecs, idCol, vecCol, cents)
+    val centsLocal = collectCentroids(
+      kmeansCentroids(vecs, idCol, vecCol, clusters, iters))
+    val cells = kmeansAssignLocal(vecs, vecCol, centsLocal)
     // probe replication: top-nprobe cells per vector by the exact
-    // distance expression kmeansAssign ranks with (cid tie-break).
-    // NOT widened: k distance folds per row ahead of a window that
-    // re-shuffles by id anyway — the expensive stage is the cell join
-    // below, pinned at its own site.
-    val scoredCells = vecs
-      .withColumn("__vv", dot(col(vecCol), col(vecCol)))
-      .crossJoin(broadcast(
-        cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
-      .withColumn("__dist",
-        col("__vv") - lit(2.0) * dot(col(vecCol), col("centroid")) + col("__cc"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cid").asc)
-    val probes = scoredCells.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cid"))
+    // distance/tie-break discipline of the assignment — the scan-side
+    // NearestCellsExpr (rank-ordered cid array, exploded nprobe ways)
+    // replaces the r12 broadcast-crossJoin + per-id window exchange.
+    val probes = vecs.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(graft.plans.CentroidOps.nearestCells(
+        col(vecCol), centsLocal, nprobe)).as("cid"))
     // pin the cid-join's partitioning: the join multiplies its inputs
     // into nprobe·n·(n/cells) cosine candidates — CPU ~ pairs, which
     // AQE's bytes-based coalescing cannot see (see lshCandidatePairs)
@@ -414,21 +421,15 @@ object VectorFunctions {
                        qId: String, cId: String, qVec: String, cVec: String,
                        k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, "crossTopKBlocked: need nprobe >= 1")
-    // NOT widened (see knnGraphBlocked): the probe scoring is k folds
-    // per row ahead of an id-window; the quadratic stage is the cell
-    // join, pinned below.
-    val cells = kmeansAssign(corpus, cId, cVec, cents)
+    val centsLocal = collectCentroids(cents)
+    val cells = kmeansAssignLocal(corpus, cVec, centsLocal)
       .select(col(cId), col(cVec), col("cid"))
-    val scoredCells = queries
-      .withColumn("__vv", dot(col(qVec), col(qVec)))
-      .crossJoin(broadcast(
-        cents.withColumn("__cc", dot(col("centroid"), col("centroid")))))
-      .withColumn("__dist",
-        col("__vv") - lit(2.0) * dot(col(qVec), col("centroid")) + col("__cc"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("__dist").asc, col("cid").asc)
-    val probes = scoredCells.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col(qId), col(qVec), col("cid"))
+    // probe replication without the r12 broadcast-crossJoin + per-id
+    // window exchange: NearestCellsExpr emits the rank-ordered nprobe
+    // nearest cids per query row, scan-side (see knnGraphBlocked)
+    val probes = queries.select(col(qId), col(qVec),
+      explode(graft.plans.CentroidOps.nearestCells(
+        col(qVec), centsLocal, nprobe)).as("cid"))
     // pin the cid-join's partitioning: nprobe·|q|·(n/cells) cosines —
     // CPU ~ pairs, invisible to AQE's bytes-based coalescing
     val cand = graft.core.Fan.widenBy(cells, col("cid"))
@@ -798,47 +799,52 @@ object VectorFunctions {
 
   // ---- learned-centroid IVF (Lloyd's k-means, deterministic) ----------
 
-  /** Nearest-centroid assignment: broadcast the k centroids, compute
+  /** Collect a driver-small (cid, centroid) table for the native
+    * nearest-centroid expressions. k·dim doubles by construction
+    * (the same bound that lets every assign path broadcast it).
+    */
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids
+      .select(col("cid").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .toSeq
+
+  /** Nearest-centroid assignment: per-row argmin of
     * ||v||² − 2·v·c + ||c||² (three sequential folds — the exact op
-    * order the oracle replays), argmin with a cid tie-break. Adds `cid`.
+    * order the oracle replays) with a cid tie-break. Adds `cid`.
     *
-    * Shape note (measured, EncodeProbe 80k×64d, ksub=16): a pure
-    * per-row expression over LITERAL centroids (struct-per-centroid +
-    * array_min) was 8× SLOWER than this broadcast join — per-row
-    * literal-array/struct allocation dominates, while Spark rewrites
-    * the rank<=1 window into a map-side WindowGroupLimit, so the join
-    * form already avoids a full sort and never shuffles vectors.
+    * Shape note: the r11 form was a broadcast join + per-id
+    * `row_number()` window — k distance folds per row feeding a
+    * map-side WindowGroupLimit, but still ONE EXCHANGE of the
+    * vector-carrying frame per assignment (and the measured-8×-slower
+    * Catalyst literal-centroid expression allocated structs/arrays per
+    * row). [[graft.plans.NearestCellExpr]] computes the identical
+    * argmin (same distance doubles, same cid tie-break —
+    * property-specced) inside whole-stage codegen with NO join, NO
+    * window and NO exchange: the assignment is a pure per-row function
+    * of the vector and the driver-small centroid set, so the plan is a
+    * scan-side projection at any scale.
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   centroids: DataFrame): DataFrame = {
-    // NOT widened (unlike the quadratic scoring paths): the assignment
-    // is k distance folds per row feeding a map-side WindowGroupLimit —
-    // cheap per row — and it sits inside iterative builds where an
-    // extra exchange per Lloyd step measurably outweighs the
-    // parallelism it buys (bench: IVF-PQ build 4.2 s -> 6.0 s with the
-    // widen, reverted). The expensive consumers (cell pair joins, ADC
-    // scans) widen at their own sites.
-    //
-    // ||v||² once per row and ||c||² once per centroid instead of once
-    // per (row, centroid) pair — the same three doubles reach the same
-    // a - 2b + c expression, so distances (and ties) are bit-identical,
-    // at 1/k of the self-dot work
-    val joined = df
-      .withColumn("__vv", dot(col(vecCol), col(vecCol)))
-      .crossJoin(broadcast(
-        centroids.withColumn("__cc", dot(col("centroid"), col("centroid")))))
-      .withColumn("__dist",
-        col("__vv") - lit(2.0) * dot(col(vecCol), col("centroid")) + col("__cc"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cid").asc)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__dist", "centroid", "__vv", "__cc")
-  }
+                   centroids: DataFrame): DataFrame =
+    kmeansAssignLocal(df, vecCol, collectCentroids(centroids))
+
+  /** [[kmeansAssign]] with an already-driver-local centroid set (the
+    * Lloyd loop holds one between iterations — no collect job).
+    */
+  private def kmeansAssignLocal(df: DataFrame, vecCol: String,
+                                cents: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("cid",
+      graft.plans.CentroidOps.nearestCell(col(vecCol), cents))
 
   /** Lloyd's k-means over an embedding column, shaped for a cluster:
-    * per iteration ONE broadcast-assign pass plus ONE map-side-combined
-    * (cid, dim) aggregation — the shuffle carries k·dim partial sums per
-    * task, never vectors. Deterministic end to end: seeds are the k
+    * per iteration ONE aggregation-only job — the scan-side
+    * [[graft.plans.NearestCellExpr]] assigns each row to its cell with
+    * no join/window/exchange, and the only shuffle carries k·dim
+    * partial (cid, dim) sums per task, never vectors (the r12 shape
+    * paid an extra per-id window exchange per iteration for the
+    * assignment). Deterministic end to end: seeds are the k
     * lowest-id vectors, per-dim means go through DECIMAL(30,10) sums
     * (partial-agg order can't change them), distance ties break on cid.
     * Returns the k final centroids as (cid, centroid array<double>) —
@@ -861,8 +867,7 @@ object VectorFunctions {
           i -> r.getSeq[Double](1).toSeq
         }.toSeq
       for (_ <- 0 until iters) {
-        val cdf = centroids.toDF("cid", "centroid")
-        val assigned = kmeansAssign(v, "__id", "__vec", cdf)
+        val assigned = kmeansAssignLocal(v, "__vec", centroids)
         val sums = assigned
           .select(col("cid"), posexplode(col("__vec")).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
@@ -910,14 +915,12 @@ object VectorFunctions {
     */
   private def ivfSearch(cents: DataFrame, cells: DataFrame, q0: DataFrame,
                         k: Int, roundScale: Int, nprobe: Int): DataFrame = {
-    val probed = q0.crossJoin(broadcast(cents))
-      .withColumn("__dist",
-        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid")) +
-          dot(col("centroid"), col("centroid")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("__dist").asc, col("cid").asc)
-    val q = probed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("cid"))
+    // nprobe nearest cells per query scan-side (NearestCellsExpr — the
+    // same distance/tie-break as the assignment; no crossJoin, no
+    // per-query window exchange)
+    val q = q0.select(col("q_id"), col("q_vec"),
+      explode(graft.plans.CentroidOps.nearestCells(
+        col("q_vec"), collectCentroids(cents), nprobe)).as("cid"))
     val joined = graft.core.Fan.widen(cells).join(broadcast(q), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
@@ -1086,13 +1089,13 @@ object VectorFunctions {
     * (seeded by lowest ids, decimal sums, cid tie-breaks) over each of
     * the m contiguous subvector spaces. Returns (sub, cid, centroid).
     *
-    * All m subspace trainings run FUSED in one pass per Lloyd step: the
-    * (id, sub, subvec) explosion joins the broadcast (sub, cid,
-    * centroid) table and one (sub, cid, pos) decimal aggregation
-    * updates every codebook — 2 jobs per iteration total instead of
-    * 2·m driver-synchronized per-subspace jobs (the per-subspace
-    * formulation's Lloyd loop dominated PQ build time; the math here
-    * is row-for-row identical to it, spec-pinned). Codebook size is
+    * All m subspace trainings run FUSED in one aggregation-only job per
+    * Lloyd step: the scan-side [[graft.plans.PqCodesExpr]] assigns every
+    * subspace's code per row (no join, no per-(id,sub) window exchange —
+    * the r12 shape paid one per iteration), and one (sub, cid, pos)
+    * decimal aggregation over the element explosion updates every
+    * codebook. The math is row-for-row identical to the per-subspace
+    * join+window formulation (spec-pinned). Codebook size is
     * m·ksub·(dim/m) doubles — driver-small by construction, the
     * precondition for broadcasting it everywhere downstream.
     */
@@ -1102,9 +1105,8 @@ object VectorFunctions {
     val spark = df.sparkSession
     import spark.implicits._
     val d = dim / m
-    // one slim exploded projection, scanned once per Lloyd step
-    val subs = df.select(col(idCol).as("__id"), posexplode(
-        array((0 until m).map(subVec(col(vecCol), _, m, dim)): _*)).as(Seq("sub", "__sv")))
+    // one slim cast projection, scanned once per Lloyd step
+    val v = df.select(col(vecCol).cast("array<double>").as("__vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // seeds: the ksub lowest-id vectors; subspace sub's seed cid i is
@@ -1117,16 +1119,22 @@ object VectorFunctions {
         (for { sub <- 0 until m; (v, i) <- seedVecs.zipWithIndex }
           yield (sub, i) -> v.slice(sub * d, sub * d + d).toSeq).toMap
       for (_ <- 0 until iters) {
-        val cdf = centroids.toSeq.map { case ((sub, cid), c) => (sub, cid, c) }
-          .toDF("sub", "cid", "centroid")
-        val joined = subs.join(broadcast(cdf), Seq("sub"))
-          .withColumn("__dist",
-            dot($"__sv", $"__sv") - lit(2.0) * dot($"__sv", col("centroid")) +
-              dot(col("centroid"), col("centroid")))
-        val w = Window.partitionBy($"__id", $"sub").orderBy($"__dist".asc, $"cid".asc)
-        val assigned = joined.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
-        val sums = assigned
-          .select($"sub", $"cid", posexplode($"__sv").as(Seq("pos", "x")))
+        val books: Seq[Seq[Double]] =
+          for (sub <- 0 until m; cid <- 0 until ksub)
+            yield centroids((sub, cid))
+        // codes once per row (projection below the generator), then the
+        // element explosion regroups (sub = j div d, pos = j mod d) —
+        // x values, grouping keys and decimal sums are identical to the
+        // exploded-subvector formulation
+        val sums = v
+          .select(col("__vec"),
+            graft.plans.CentroidOps.pqCodes(col("__vec"), books, m, ksub)
+              .as("__codes"))
+          .select(col("__codes"), posexplode(col("__vec")).as(Seq("j", "x")))
+          .select(expr(s"CAST(j DIV $d AS INT)").as("sub"),
+            element_at(col("__codes"), expr(s"CAST(j DIV $d AS INT)") + 1)
+              .as("cid"),
+            expr(s"CAST(j % $d AS INT)").as("pos"), col("x"))
           .groupBy("sub", "cid", "pos")
           .agg(sum(col("x").cast("decimal(30,10)")).as("s"), count(lit(1)).as("n"))
           .collect()
@@ -1141,7 +1149,7 @@ object VectorFunctions {
       }
       centroids.toSeq.map { case ((sub, cid), c) => (sub, cid, c) }
         .sortBy(k => (k._1, k._2)).toDF("sub", "cid", "centroid")
-    } finally subs.unpersist(blocking = false)
+    } finally v.unpersist(blocking = false)
   }
 
   /** PQ-encode a corpus: each vector becomes m small codes (nearest
@@ -1168,19 +1176,49 @@ object VectorFunctions {
       .select(col(idCol), col("sub"), col("cid").as("code"))
   }
 
+  /** Collect a codebook table to the driver for [[graft.plans.PqCodesExpr]]:
+    * (sub, cid, centroid) rows, required dense over [0,m)×[0,ksub)
+    * (what [[pqCodebooks]] produces and every persisted index stores),
+    * returned in (sub asc, cid asc) order. m·ksub·(dim/m) doubles —
+    * driver-small by construction.
+    */
+  private def collectBooks(codebooks: DataFrame, m: Int): (Seq[Seq[Double]], Int) = {
+    val rows = codebooks
+      .select(col("sub").cast("int"), col("cid").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+    require(rows.nonEmpty && rows.length % m == 0,
+      s"codebooks: got ${rows.length} rows, not a multiple of m=$m")
+    val ksub = rows.length / m
+    val byKey = rows.toMap
+    require(byKey.size == rows.length, "codebooks: duplicate (sub, cid) rows")
+    val seq = for { s <- 0 until m; c <- 0 until ksub } yield
+      byKey.getOrElse((s, c), throw new IllegalArgumentException(
+        s"codebooks: missing dense entry (sub=$s, cid=$c)"))
+    (seq, ksub)
+  }
+
   /** PQ-encode a corpus into ONE row per vector: `(id, codes)` with
     * `codes` the m subspace codes in subspace order (array<int>). This
     * is the persisted form of a PQ index — m small ints per vector —
-    * and the input shape [[AdcDistance]] consumes. The pack is a
-    * groupBy over the (id, sub, code) rows of [[pqEncode]]: the only
-    * shuffle carries 3 ints per row, nothing vector-sized.
+    * and the input shape [[AdcDistance]] consumes. The encode is the
+    * scan-side [[graft.plans.PqCodesExpr]] — all m subspace argmins in
+    * one codegen'd per-row pass over the broadcastable codebooks, with
+    * NO explode, NO join, NO window and NO pack shuffle (the r12 shape
+    * paid a per-(id,sub) window exchange plus a groupBy pack exchange;
+    * codes are bit-identical — spec-pinned against [[pqEncode]]).
     */
   def pqEncodePacked(df: DataFrame, idCol: String, vecCol: String,
-                     codebooks: DataFrame, m: Int, dim: Int): DataFrame =
-    pqEncode(df, idCol, vecCol, codebooks, m, dim)
-      .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+                     codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val (books, ksub) = collectBooks(codebooks, m)
+    require(books.head.length == dim / m,
+      s"codebooks: centroid length ${books.head.length} != dim/m = ${dim / m}")
+    df.select(col(idCol),
+      graft.plans.CentroidOps.pqCodes(
+        col(vecCol).cast("array<double>"), books, m, ksub).as("codes"))
+  }
 
   /** Per-query FLATTENED ADC distance table: one row per distinct
     * `keys` tuple with `__dtab[sub·ksub + code]` the exact L2² between
@@ -1489,15 +1527,15 @@ object VectorFunctions {
       .select(col("id").as("c_id"), col("cell"), col("codes"))
     val q0 = corpus.filter(queryFilter)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    // nprobe nearest cells per query, by the exact coarse distance
-    val probed = q0.crossJoin(broadcast(
-        cents.withColumnRenamed("cid", "cell")))
-      .withColumn("__dist",
-        dot(col("q_vec"), col("q_vec")) - lit(2.0) * dot(col("q_vec"), col("centroid")) +
-          dot(col("centroid"), col("centroid")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("__dist").asc, col("cell").asc)
-    val qcells = probed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
+    // nprobe nearest cells per query scan-side (NearestCellsExpr — the
+    // same coarse distance/tie-break as the assignment; no crossJoin,
+    // no per-query window exchange); the probed cell's centroid joins
+    // back by int key (k-row broadcast) for the residual
+    val qcells = q0
+      .select(col("q_id"), col("q_vec"),
+        explode(graft.plans.CentroidOps.nearestCells(
+          col("q_vec"), collectCentroids(cents), nprobe)).as("cell"))
+      .join(broadcast(cents.withColumnRenamed("cid", "cell")), Seq("cell"))
       .withColumn("__rq", residual(col("q_vec"), col("centroid")))
       .select(col("q_id"), col("cell"), col("__rq"))
     val qtab = adcTable(qcells, Seq("q_id", "cell"), "__rq", books, m, dim)

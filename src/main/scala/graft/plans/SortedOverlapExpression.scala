@@ -32,11 +32,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // containsNull is REJECTED, not just documented: a null element
+      // would reach ArrayData.getLong as undefined garbage where
+      // array_intersect was null-safe. ShingleHashExpr declares
+      // non-null elements, so every engine caller still passes.
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"sorted_intersect_count needs two array<long>, got $other")
+          s"sorted_intersect_count needs two array<long> with non-null " +
+            s"elements (ascending, distinct — see the class contract), got $other")
     }
 
   override def nullSafeEval(l: Any, r: Any): Any =

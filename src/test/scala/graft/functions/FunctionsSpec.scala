@@ -337,9 +337,13 @@ class FunctionsSpec extends SparkSpec {
       .select("q_id", "c_id", "rank").as[(Long, Long, Long)].collect().toSet
     assert(after == freshAfter)
     assert(!after.exists(e => e._1 == 4L || e._2 == 4L))
-    // repair segment holds exactly the two citing lists
+    // r13: purge + repair commit as ONE combined segment — the two
+    // citing lists re-ingest (replacement rows) and the tombstones
+    // cover the dead id plus both replaced lists
     val segs2 = SegmentedIndex.describe(spark, path, "graph")
-    assert(segs2.map(_._2) == Seq(4L, 4L, 0L, 2L), s"got $segs2")
+    assert(segs2.map(_._2) == Seq(4L, 4L, 2L), s"got $segs2")
+    assert(segs2.last._3 == 3L,
+      s"combined purge segment must tombstone dead+affected, got $segs2")
     // time travel: an asOf pin at the pre-retraction segment still
     // replays the merged graph — the retraction can't reach back
     val pinned = VectorFunctions.knnGraphEdges(spark, path, asOf = 1)
