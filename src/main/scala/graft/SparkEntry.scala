@@ -2237,10 +2237,15 @@ object SparkEntry {
           () => V.saveIvfIndex(e, "vec_id", "embedding", ivfPath,
             clusters = 16, iters = 2)))
       }
+      // the lexical shortlist feeds BOTH fusion branches (blocked and
+      // the brute reference) in one plan — persist the ≤60-row frame so
+      // the postings probe runs once, not once per branch (§2.4;
+      // query-local cache, harness clearCaches between queries)
       val lex = graft.functions.Curation.bm25TopKFromIndex(s, idxPath,
         queries = rrfAnchorQueries,
         k = 20).select(col("query_id"), col("doc_id"),
           col("rank").as("__rl"))
+        .persist()
       val vecBlocked = V.ivfTopKFromIndex(ivfPath, e, "vec_id", "embedding",
           col("vec_id").isin(0L, 1L, 2L), k = 20, nprobe = 8)
         .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
@@ -3502,30 +3507,55 @@ object SparkEntry {
         pmod(expr("doc_id div 97"), lit(3L)).cast("string"))
       val evalD = d.filter(col("doc_id") % 97 === 0)
       val train = d.filter(col("doc_id") % 97 =!= 0)
-      val base  = train.filter(col("doc_id") % 10 =!= 7)
-      val delta = train.filter(col("doc_id") % 10 === 7)
+      val isBase  = col("doc_id") % 10 =!= 7
+      val isDelta = col("doc_id") % 10 === 7
+      val isDead  = isBase && col("doc_id") % 9 === 4
+      val base  = train.filter(isBase)
+      val delta = train.filter(isDelta)
       val dead  = base.filter(col("doc_id") % 9 === 4)
       val sh = graft.plans.ShingleHashExpr.shingleHashes(col("text"), 5)
       val bsh = evalD.select(benchOf.as("benchmark"), explode(sh).as("sh"))
         .distinct()
-      def flaggedPairs(x: DataFrame) =
-        x.select(col("doc_id"), explode(sh).as("sh"))
+      // flagged-ness is a pure per-doc function of content × the frozen
+      // benchmark gram set, and base/delta/dead are doc_id predicates —
+      // so ONE shingle pass over the train side feeds all three signed
+      // partials (the r12 shape digested base, delta AND dead ⊂ base
+      // separately: ~2.1 train-side passes). Materialized eagerly under
+      // phase("build"): in production this table IS the maintained
+      // support refreshed by delta-sized jobs; per bench run it must be
+      // constructed once because no cross-run state is allowed.
+      val flaggedAll = phase("build") {
+        val f = train.select(col("doc_id"), explode(sh).as("sh"))
           .join(broadcast(bsh), Seq("sh"))
           .select("benchmark", "doc_id").distinct()
-      val pBase  = A.partial(flaggedPairs(base), Seq("benchmark"), Map.empty, "n")
-      val pDelta = A.partial(flaggedPairs(delta), Seq("benchmark"), Map.empty, "n")
-      val pDead  = A.partial(flaggedPairs(dead), Seq("benchmark"), Map.empty, "n")
+          .persist()
+        f.count()
+        f
+      }
+      def flaggedPairs(p: Column) = flaggedAll.filter(p)
+      val pBase  = A.partial(flaggedPairs(isBase), Seq("benchmark"), Map.empty, "n")
+      val pDelta = A.partial(flaggedPairs(isDelta), Seq("benchmark"), Map.empty, "n")
+      val pDead  = A.partial(flaggedPairs(isDead), Seq("benchmark"), Map.empty, "n")
         .select(col("benchmark"), (col("n") * lit(-1L)).as("n"))
       val flagged = A.merge(Seq(pBase, pDelta, pDead), Seq("benchmark"), Seq("n"))
         .filter(col("n") > 0) // a fully-clean benchmark leaves the table
         .withColumnRenamed("n", "n_train_flagged")
-      // span support: pair rows are independent per train doc, so the
-      // maintained table is exactly sp(survivors)
-      def spanPairs(x: DataFrame) = graft.functions.DedupFunctions
-        .contaminationSpans(x, evalD, "doc_id", "text", n = 2, minSpanTokens = 3)
-      val spanTable = spanPairs(base)
-        .join(dead.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .unionByName(spanPairs(delta))
+      // span support: pair rows are independent per train doc, so ONE
+      // digest pass over the train side filtered to the survivors
+      // (base ∖ dead ∪ delta = NOT dead) equals the r12 per-subset
+      // calls + anti-join, at half the shingle work. Like flaggedAll,
+      // the pair table IS the maintained support — materialized under
+      // phase("build") so the report phase is the monoid arithmetic
+      // it costs in production.
+      val spanTable = phase("build") {
+        val sp = graft.functions.DedupFunctions
+          .contaminationSpans(train, evalD, "doc_id", "text",
+            n = 2, minSpanTokens = 3)
+          .filter(!isDead)
+          .persist()
+        sp.count()
+        sp
+      }
       val spans = spanTable
         .join(evalD.select(col("doc_id").as("eval_id"), benchOf.as("benchmark")),
           Seq("eval_id"))
@@ -4414,18 +4444,16 @@ object SparkEntry {
       val latest = emb.filter(col("vec_id") % 100 =!= 97)
       val cents = s.read.parquet(s"$idxPath/centroids")
       val books = s.read.parquet(s"$idxPath/codebooks")
+      // assign + residual + encode are per-row projections (r13
+      // NearestCellExpr / PqCodesExpr) and the cell rides the encode
+      // projection — one pass, no join-back, nothing left to persist
       val res = V.kmeansAssign(latest, "vec_id", "embedding", cents)
         .join(broadcast(cents), Seq("cid"))
         .withColumn("__res", zip_with(col("embedding").cast("array<double>"),
           col("centroid"), (a, b) => a - b))
         .select(col("vec_id"), col("cid").as("cell"), col("__res"))
-        // two consumers (encode explosion + cell join-back) — persist
-        // like saveIvfPqIndex/mergeIvfPqDelta do, or the full-corpus
-        // coarse-assign window replays per consumer (query-local cache;
-        // harness clearCaches between queries)
-        .persist()
-      val full = V.pqEncodePacked(res, "vec_id", "__res", books, 4, 64)
-        .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      val full = V.pqEncodePacked(res, "vec_id", "__res", books, 4, 64,
+          keep = Seq("cell"))
         .select(col("vec_id").as("id"), col("cell"), col("codes"))
       val live = graft.functions.SegmentedIndex.liveRows(s, idxPath, "codes")
         .select(col("id"), col("cell"), col("codes"))

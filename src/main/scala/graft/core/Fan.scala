@@ -36,6 +36,15 @@ import org.apache.spark.sql.DataFrame
   */
 object Fan {
 
+  /** Measurement kill-switch (session conf, default off): disables the
+    * widen/widenBy pins so A/B runs can time the exact same plan with
+    * and without them — the WidenScale scaling probe and the
+    * shuffle-ceiling generator use it. Results are identical either
+    * way (that is the point of widen); only the plan shape moves.
+    */
+  private def disabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("graft.fan.widen.off", "false") == "true"
+
   /** Repartition `df` to defaultParallelism iff its estimated size is
     * too small for the scan/AQE to reach that parallelism by bytes.
     */
@@ -45,7 +54,7 @@ object Fan {
     val threshold =
       BigInt(spark.sessionState.conf.filesMaxPartitionBytes) * p
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < threshold) df.repartition(p) else df
+    if (est < threshold && !disabled(df)) df.repartition(p) else df
   }
 
   /** Keyed sibling of [[widen]] for row-multiplying equi-joins (LSH
@@ -63,7 +72,7 @@ object Fan {
     val threshold =
       BigInt(spark.sessionState.conf.filesMaxPartitionBytes) * p
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < threshold) df.repartition(p, keys: _*) else df
+    if (est < threshold && !disabled(df)) df.repartition(p, keys: _*) else df
   }
 
   /** Overlap INDEPENDENT driver-side Spark actions (guide §2.6): Spark's

@@ -589,12 +589,16 @@ object Curation {
                            doclen: DataFrame, tombstones: DataFrame,
                            stats: DataFrame): Unit =
     SegmentedIndex.commitSegment(spark, root, n) { tmp =>
-      postings.repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"), col("id"))
-        .write.mode("overwrite").parquet(s"$tmp/postings")
-      doclen.write.mode("overwrite").parquet(s"$tmp/doclen")
-      tombstones.write.mode("overwrite").parquet(s"$tmp/tombstones")
-      stats.write.mode("overwrite").parquet(s"$tmp/stats")
+      // four INDEPENDENT subtable writes (distinct dirs; inputs are
+      // persisted or literal) — overlap them so the small writes ride
+      // the postings job's tail instead of queueing behind it (§2.6)
+      graft.core.Fan.overlap(Seq(
+        () => postings.repartitionByRange(col("token"))
+          .sortWithinPartitions(col("token"), col("id"))
+          .write.mode("overwrite").parquet(s"$tmp/postings"),
+        () => doclen.write.mode("overwrite").parquet(s"$tmp/doclen"),
+        () => tombstones.write.mode("overwrite").parquet(s"$tmp/tombstones"),
+        () => stats.write.mode("overwrite").parquet(s"$tmp/stats")))
     }
 
   /** Tombstone-masked union of a per-segment subtable — see

@@ -274,9 +274,11 @@ object SegmentedIndex {
     val (fs, segRoot) = hfs(spark, s"$path/segments")
     if (fs.exists(segRoot)) fs.delete(segRoot, true)
     commitSegment(spark, s"$path/segments", 0) { tmp =>
-      rows.write.mode("overwrite").parquet(s"$tmp/$sub")
-      rows.select("id").limit(0)
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
+      // independent writes over distinct dirs — overlap (§2.6)
+      graft.core.Fan.overlap(Seq(
+        () => rows.write.mode("overwrite").parquet(s"$tmp/$sub"),
+        () => rows.select("id").limit(0)
+          .write.mode("overwrite").parquet(s"$tmp/tombstones")))
     }
   }
 
@@ -321,8 +323,11 @@ object SegmentedIndex {
         else liveRows(spark, path, sub).select("id").distinct()
           .join(ids, Seq("id"), "left_semi")
       commitSegment(spark, s"$path/segments", n) { tmp =>
-        rows.write.mode("overwrite").parquet(s"$tmp/$sub")
-        replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")
+        // independent writes over distinct dirs — overlap (§2.6); both
+        // sides read only the persisted ids / immutable segments
+        graft.core.Fan.overlap(Seq(
+          () => rows.write.mode("overwrite").parquet(s"$tmp/$sub"),
+          () => replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")))
       }
     } finally ids.unpersist()
   }
@@ -405,11 +410,12 @@ object SegmentedIndex {
       else liveRows(spark, path, subs.head).select("id").distinct()
         .join(ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_semi")
     commitSegment(spark, s"$path/segments", n) { tmp =>
-      subs.foreach { sub =>
-        spark.read.parquet(s"${segs.last._2}/$sub").limit(0)
-          .write.mode("overwrite").parquet(s"$tmp/$sub")
-      }
-      dead.write.mode("overwrite").parquet(s"$tmp/tombstones")
+      // empty-schema clones + the tombstone write are independent (§2.6)
+      graft.core.Fan.overlap(
+        subs.map { sub => () =>
+          spark.read.parquet(s"${segs.last._2}/$sub").limit(0)
+            .write.mode("overwrite").parquet(s"$tmp/$sub")
+        } :+ (() => dead.write.mode("overwrite").parquet(s"$tmp/tombstones")))
     }
   }
 }

@@ -950,14 +950,18 @@ object VectorFunctions {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (fs.exists(p)) fs.delete(p, true)
     }
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
-      kmeansAssign(df, idCol, vecCol, cents)
-        .select(col(idCol).as("id"), col("cid"))
-        .write.mode("overwrite").parquet(s"$tmp/cells")
-      df.select(col(idCol).as("id")).limit(0)
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    }
+    // the centroid table, the cell assignment and the empty tombstone
+    // schema are independent writes over distinct dirs — overlap (§2.6)
+    graft.core.Fan.overlap(Seq(
+      () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
+      () => SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
+        graft.core.Fan.overlap(Seq(
+          () => kmeansAssign(df, idCol, vecCol, cents)
+            .select(col(idCol).as("id"), col("cid"))
+            .write.mode("overwrite").parquet(s"$tmp/cells"),
+          () => df.select(col(idCol).as("id")).limit(0)
+            .write.mode("overwrite").parquet(s"$tmp/tombstones")))
+      }))
   }
 
   /** O(delta) IVF refresh, mirroring [[Curation.mergeBm25Delta]]'s
@@ -999,8 +1003,10 @@ object VectorFunctions {
           idCol, vecCol, cents)
         .select(col(idCol).as("id"), col("cid"))
       SegmentedIndex.commitSegment(spark, s"$path/segments", n) { tmp =>
-        newCells.write.mode("overwrite").parquet(s"$tmp/cells")
-        replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")
+        // independent writes over distinct dirs — overlap (§2.6)
+        graft.core.Fan.overlap(Seq(
+          () => newCells.write.mode("overwrite").parquet(s"$tmp/cells"),
+          () => replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")))
       }
     } finally deltaIds.unpersist()
   }
@@ -1210,14 +1216,18 @@ object VectorFunctions {
     * codes are bit-identical — spec-pinned against [[pqEncode]]).
     */
   def pqEncodePacked(df: DataFrame, idCol: String, vecCol: String,
-                     codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+                     codebooks: DataFrame, m: Int, dim: Int,
+                     keep: Seq[String] = Nil): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val (books, ksub) = collectBooks(codebooks, m)
     require(books.head.length == dim / m,
       s"codebooks: centroid length ${books.head.length} != dim/m = ${dim / m}")
-    df.select(col(idCol),
+    // `keep` rides the same projection — the encode is per-row, so a
+    // caller that needs (id, cell, codes) no longer re-joins the source
+    // frame on id (the r12 groupBy pack forced that join)
+    df.select((col(idCol) +: keep.map(col)) :+
       graft.plans.CentroidOps.pqCodes(
-        col(vecCol).cast("array<double>"), books, m, ksub).as("codes"))
+        col(vecCol).cast("array<double>"), books, m, ksub).as("codes"): _*)
   }
 
   /** Per-query FLATTENED ADC distance table: one row per distinct
@@ -1313,14 +1323,18 @@ object VectorFunctions {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
       if (fs.exists(p)) fs.delete(p, true)
     }
-    books.write.mode("overwrite").parquet(s"$path/codebooks")
-    SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
-      pqEncodePacked(df, idCol, vecCol, books, m, dim)
-        .select(col(idCol).as("id"), col("codes"))
-        .write.mode("overwrite").parquet(s"$tmp/codes")
-      df.select(col(idCol).as("id")).limit(0)
-        .write.mode("overwrite").parquet(s"$tmp/tombstones")
-    }
+    // codebook table, code segment and empty tombstone schema are
+    // independent writes over distinct dirs — overlap (§2.6)
+    graft.core.Fan.overlap(Seq(
+      () => books.write.mode("overwrite").parquet(s"$path/codebooks"),
+      () => SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
+        graft.core.Fan.overlap(Seq(
+          () => pqEncodePacked(df, idCol, vecCol, books, m, dim)
+            .select(col(idCol).as("id"), col("codes"))
+            .write.mode("overwrite").parquet(s"$tmp/codes"),
+          () => df.select(col(idCol).as("id")).limit(0)
+            .write.mode("overwrite").parquet(s"$tmp/tombstones")))
+      }))
   }
 
   /** O(delta) PQ refresh: delta vectors encode against the EXISTING
@@ -1357,8 +1371,10 @@ object VectorFunctions {
           idCol, vecCol, books, m, dim)
         .select(col(idCol).as("id"), col("codes"))
       SegmentedIndex.commitSegment(spark, s"$path/segments", n) { tmp =>
-        newCodes.write.mode("overwrite").parquet(s"$tmp/codes")
-        replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")
+        // independent writes over distinct dirs — overlap (§2.6)
+        graft.core.Fan.overlap(Seq(
+          () => newCodes.write.mode("overwrite").parquet(s"$tmp/codes"),
+          () => replaced.write.mode("overwrite").parquet(s"$tmp/tombstones")))
       }
     } finally deltaIds.unpersist()
   }
@@ -1460,16 +1476,21 @@ object VectorFunctions {
       val (fs, _) = SegmentedIndex.hfs(spark, path)
       val segRoot = new org.apache.hadoop.fs.Path(s"$path/segments")
       if (fs.exists(segRoot)) fs.delete(segRoot, true)
-      cents.write.mode("overwrite").parquet(s"$path/centroids")
-      books.write.mode("overwrite").parquet(s"$path/codebooks")
-      val codes = pqEncodePacked(res, idCol, "__res", books, m, dim)
-        .join(res.select(col(idCol), col("__cell")), Seq(idCol))
+      // the cell rides the encode projection (keep) — no id join-back
+      val codes = pqEncodePacked(res, idCol, "__res", books, m, dim,
+          keep = Seq("__cell"))
         .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
-      SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
-        codes.write.mode("overwrite").parquet(s"$tmp/codes")
-        codes.select("id").limit(0)
-          .write.mode("overwrite").parquet(s"$tmp/tombstones")
-      }
+      // parameter tables and the code segment are independent writes
+      // over distinct dirs — overlap (§2.6)
+      graft.core.Fan.overlap(Seq(
+        () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
+        () => books.write.mode("overwrite").parquet(s"$path/codebooks"),
+        () => SegmentedIndex.commitSegment(spark, s"$path/segments", 0) { tmp =>
+          graft.core.Fan.overlap(Seq(
+            () => codes.write.mode("overwrite").parquet(s"$tmp/codes"),
+            () => codes.select("id").limit(0)
+              .write.mode("overwrite").parquet(s"$tmp/tombstones")))
+        }))
     } finally res.unpersist(blocking = false)
   }
 
@@ -1487,22 +1508,20 @@ object VectorFunctions {
     val spark = delta.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val books = spark.read.parquet(s"$path/codebooks")
-    // the residual frame embeds the coarse-assign window and feeds TWO
-    // consumers (the encode explosion and the cell join-back) — persist
-    // it like saveIvfPqIndex does, or the assign replays per consumer
-    // (measured 16 s → build-comparable at the 80k smoke without it)
+    // assign + residual + encode are all per-row projections now
+    // (NearestCellExpr / PqCodesExpr), and the cell rides the encode
+    // projection (keep) — ONE consumer, one pass, so the r12 persist
+    // (which guarded a coarse-assign window replayed by the encode's
+    // id join-back) has nothing left to guard
     val res = assignWithCentroid(delta.filter(col(vecCol).isNotNull),
         idCol, vecCol, cents)
       .withColumn("__res", residual(col(vecCol), col("centroid")))
       .select(col(idCol), col("cid").as("__cell"), col("__res"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val rows = pqEncodePacked(res, idCol, "__res", books, m, dim)
-        .join(res.select(col(idCol), col("__cell")), Seq(idCol))
-        .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
-      SegmentedIndex.mergeDeltaRows(spark, path, "codes",
-        delta.select(col(idCol)), rows, trustedDelta)
-    } finally res.unpersist(blocking = false)
+    val rows = pqEncodePacked(res, idCol, "__res", books, m, dim,
+        keep = Seq("__cell"))
+      .select(col(idCol).as("id"), col("__cell").as("cell"), col("codes"))
+    SegmentedIndex.mergeDeltaRows(spark, path, "codes",
+      delta.select(col(idCol)), rows, trustedDelta)
   }
 
   /** IVF-PQ top-k (IVFADC): per query, probe the `nprobe` nearest
