@@ -291,6 +291,10 @@ object VectorFunctions {
         .filter(col("__old").isNull || !(col("nbrs") === col("__old")))
         .select("id", "nbrs")
         .persist()
+      // materialize BEFORE the commit: the segment's two writes overlap
+      // and both read `changed` — racing an un-materialized persist
+      // would compute the merge pipeline twice concurrently
+      changed.count()
       // the replaced (tombstone) set is changed ∩ live — and the live
       // ids are ALREADY in memory (oldLists): computing it here and
       // passing idsKnownLive skips mergeDeltaRows' second read of the
@@ -343,6 +347,11 @@ object VectorFunctions {
         val c = live.select(col(idCol).as("c_id"), col(vecCol).as("__cv"))
         val repaired = graphLists(
           bruteForceTopK(q, c, "q_id", "c_id", "__qv", "__cv", k)).persist()
+        // materialize BEFORE the commit: both overlapped segment writes
+        // read `repaired` (rows, and ids inside the tombstone union) —
+        // racing an un-materialized persist would run the repair's
+        // brute pass twice concurrently
+        repaired.count()
         // ONE combined purge+repair segment (guide §2.4 — the r12 shape
         // committed a tombstone-only retract segment and THEN a repair
         // segment: two listings, four parquet writes, two renames).

@@ -266,6 +266,11 @@ case class NearestCellExpr(child: Expression, cents: Seq[(Int, Seq[Double])])
   override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
     copy(child = newChild)
 
+  // elide the centroid payload from plan strings (k·dim doubles would
+  // otherwise print per occurrence)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${cents.size}")
+
   override def prettyName: String = "nearest_cell"
 }
 
@@ -305,6 +310,9 @@ case class NearestCellsExpr(child: Expression, cents: Seq[(Int, Seq[Double])],
   override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
     copy(child = newChild)
 
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${cents.size}", s"nprobe=$nprobe")
+
   override def prettyName: String = "nearest_cells"
 }
 
@@ -337,6 +345,9 @@ case class PqCodesExpr(child: Expression, books: Seq[Seq[Double]],
 
   override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =
     copy(child = newChild)
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"m=$m", s"ksub=$ksub")
 
   override def prettyName: String = "pq_codes"
 }
